@@ -1,0 +1,118 @@
+"""As-of / interval temporal joins (SURVEY J8, J9, J10, W9).
+
+The reference implements "report effective from pub_date until the next
+pub_date, stamped onto every daily row" with sorted python loops and boolean
+masks (/root/reference tasks/merge/stock.py:277-337,
+tasks/jqdata/stock/finance_report/__init__.py:501-560), and suspend-interval
+flags with a per-row dict lookup (tasks/merge/tushare.py:190-221).
+
+Spark-first formulations:
+- effectivity windows via ``lead()`` then a range join — Catalyst executes it
+  as a broadcast/SMJ with an inequality post-filter, adequate when one side is
+  dimension-sized; at 100 TB bucket both sides by the entity key so the range
+  predicate evaluates within co-located partitions.
+- the *union trick* (``asof_join_union``): interleave events and quotes in one
+  frame and forward-fill — a single shuffle on (key, time), no range join at
+  all. This is the scale path: state is one row per key, no inequality join
+  blow-up, and it is exactly how the streaming engine would do it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def effectivity(reports: DataFrame, key: str, pub_col: str,
+                next_col: str = "pub_date_next") -> DataFrame:
+    """Stamp each report with its exclusive end date (next report's pub date).
+
+    lead() over (key, pub_date) — the reference's ``shift(-1)``
+    (tasks/jqdata/stock/finance_report/__init__.py:506-507).
+    """
+    w = Window.partitionBy(key).orderBy(pub_col)
+    return reports.withColumn(next_col, F.lead(pub_col).over(w))
+
+
+def asof_join_range(daily: DataFrame, reports: DataFrame, key: str,
+                    date_col: str, pub_col: str) -> DataFrame:
+    """daily ⟕ report effective at daily.date: range join on the lead window.
+
+    Each daily row matches at most one report row (pub ≤ d < next_pub), so the
+    join is 1:≤1 — no post-dedup needed.
+    """
+    eff = effectivity(reports, key, pub_col)
+    cond = (
+        (daily[key] == eff[key])
+        & (daily[date_col] >= eff[pub_col])
+        & (eff["pub_date_next"].isNull() | (daily[date_col] < eff["pub_date_next"]))
+    )
+    return daily.alias("d").join(eff.alias("r"), cond, "left")
+
+
+def asof_join_union(daily: DataFrame, reports: DataFrame, key: str,
+                    date_col: str, pub_col: str,
+                    value_cols: list[str]) -> DataFrame:
+    """Shuffle-once as-of join: union + forward-fill (the 100 TB path).
+
+    Interleave report rows (flagged) with daily rows on a common time axis,
+    then ``last(value, ignoreNulls)`` over (key ordered by time, report-first)
+    carries each report forward until the next one. One shuffle on ``key``,
+    state bounded by one row/key — survives arbitrary fact-side scale.
+    """
+    d = daily.withColumn("__t", F.col(date_col)).withColumn("__is_report", F.lit(0))
+    r = (reports.select(key, F.col(pub_col).alias("__t"), *value_cols)
+                .withColumn("__is_report", F.lit(1)))
+    unioned = d.unionByName(r, allowMissingColumns=True)
+    # reports sort before daily rows at the same timestamp → effective same-day
+    w = (Window.partitionBy(key)
+               .orderBy(F.col("__t"), F.col("__is_report").desc())
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    filled = unioned
+    for c in value_cols:
+        filled = filled.withColumn(c, F.last(F.when(F.col("__is_report") == 1, F.col(c)),
+                                             ignorenulls=True).over(w))
+    return filled.where(F.col("__is_report") == 0).drop("__t", "__is_report")
+
+
+def interval_flag_join(daily: DataFrame, intervals: DataFrame, key: str,
+                       date_col: str, start_col: str, end_col: str,
+                       flag_col: str = "in_interval") -> DataFrame:
+    """daily row ∈ [start, end] → flag 1/0 (suspend-resume semantics, J8).
+
+    Reference: per-row python dict scan (tasks/merge/tushare.py:190-221).
+    """
+    iv = intervals.select(F.col(key).alias("__k"),
+                          F.col(start_col).alias("__s"),
+                          F.col(end_col).alias("__e")).dropDuplicates()
+    cond = ((daily[key] == F.col("__k"))
+            & (daily[date_col] >= F.col("__s"))
+            & (daily[date_col] <= F.col("__e")))
+    joined = daily.join(iv, cond, "left")
+    out = joined.withColumn(flag_col,
+                            F.when(F.col("__k").isNotNull(), F.lit(1)).otherwise(F.lit(0)))
+    # overlapping intervals could fan out — collapse back to one row per daily row
+    return (out.drop("__k", "__s", "__e")
+               .dropDuplicates(daily.columns))
+
+
+def expand_to_calendar(reports: DataFrame, key: str, pub_col: str,
+                       horizon_days: int = 30) -> DataFrame:
+    """Replicate each report row onto every date in [pub, next_pub) (W9).
+
+    ``sequence()+explode`` — the reference loops trade-date slices in python
+    (tasks/jqdata/stock/finance_report/__init__.py:456-565). ``horizon_days``
+    caps open-ended/huge ranges so one stale report cannot explode a partition
+    (at scale, join the exploded dates against the trading calendar instead of
+    a blind cap).
+    """
+    eff = effectivity(reports, key, pub_col)
+    end = F.least(
+        F.coalesce(F.date_add(F.col("pub_date_next"), -1),
+                   F.date_add(F.col(pub_col), horizon_days - 1)),
+        F.date_add(F.col(pub_col), horizon_days - 1),
+    )
+    return (eff.withColumn("as_of_date",
+                           F.explode(F.sequence(F.col(pub_col).cast("date"),
+                                                end.cast("date"))))
+               .drop("pub_date_next"))

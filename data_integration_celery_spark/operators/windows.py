@@ -1,0 +1,101 @@
+"""Order-dependent (window) operators — the analytical core (SURVEY §2.5-2.6).
+
+Every helper takes explicit partition/order columns: at scale the window
+shuffle is the cost, so callers co-partition consecutive window ops on the
+same key to reuse one exchange (Catalyst already collapses adjacent windows
+with identical specs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+
+def _w(partition, order) -> WindowSpec:
+    p = partition if isinstance(partition, (list, tuple)) else [partition]
+    o = order if isinstance(order, (list, tuple)) else [order]
+    return Window.partitionBy(*p).orderBy(*o)
+
+
+def rank_rows(df: DataFrame, order, partition=None, alias: str = "rn") -> DataFrame:
+    """ROW_NUMBER (W1) — the reference's MySQL @rowNum trick
+    (tasks/report/fund/worst_fund.py:21-47)."""
+    w = Window.orderBy(*order) if partition is None else _w(partition, order)
+    return df.withColumn(alias, F.row_number().over(w))
+
+
+def argmax_per_group(df: DataFrame, partition, order) -> DataFrame:
+    """Row with max(order) per key (J11) — row_number()==1, never a self-join
+    (reference self-joins a grouped subquery, tasks/wind/future.py:85-107)."""
+    desc = [F.col(c).desc() if isinstance(c, str) else c for c in order]
+    w = _w(partition, desc)
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .where(F.col("__rn") == 1).drop("__rn"))
+
+
+def ffill(df: DataFrame, cols: list[str], partition, order) -> DataFrame:
+    """Forward-fill (W4): last non-null over unbounded-preceding frame
+    (reference .ffill(), tasks/wind/future_reorg/reversion_rights_factor.py:236)."""
+    w = _w(partition, order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out
+
+
+def cumprod(col: Column, partition, order, reverse: bool = False) -> Column:
+    """Cumulative product via exp(Σ log) (W3).
+
+    The adj-factor chain is reverse-chronological cumprod (reference
+    tasks/wind/future_reorg/reorg_md_2_db.py:341-344 et al.); ``reverse=True``
+    flips the order instead of materialising a re-sorted frame. Factors are
+    positive ratios, so the log path is safe; exact-1.0 factors stay exact
+    because log(1)=0.
+    """
+    o = order if isinstance(order, (list, tuple)) else [order]
+    if reverse:
+        o = [F.col(c).desc() if isinstance(c, str) else c.desc() for c in o]
+    w = _w(partition, o).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return F.exp(F.sum(F.log(col)).over(w))
+
+
+def cumsum(col: Column, partition, order, reverse: bool = False) -> Column:
+    """Cumulative sum (diff-method factor chain), decimal-exact."""
+    o = order if isinstance(order, (list, tuple)) else [order]
+    if reverse:
+        o = [F.col(c).desc() if isinstance(c, str) else c.desc() for c in o]
+    w = _w(partition, o).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return F.sum(col.cast("decimal(38,6)")).over(w).cast("double")
+
+
+def rolling_mean(col: Column, partition, order, lookback: int) -> Column:
+    """Rolling mean over the last ``lookback+1`` rows (W5; reference's
+    3-row volume mean, tasks/tushare/tushare_future/continuse_contract_md.py:152-201)."""
+    w = _w(partition, order).rowsBetween(-lookback, Window.currentRow)
+    return (F.sum(col.cast("decimal(38,6)")).over(w).cast("double")
+            / F.count(col).over(w))
+
+
+def monthly_last(df: DataFrame, date_col: str, partition=None) -> DataFrame:
+    """End-of-month sampling (W10): max(date) per month [per key]
+    (reference resample('M').last(), tasks/jqdata/index/__init__.py:98-103)."""
+    keys = ([*partition] if isinstance(partition, (list, tuple))
+            else [partition] if partition else [])
+    month = F.trunc(F.col(date_col), "month").alias("month")
+    return (df.groupBy(*keys, month)
+              .agg(F.max(date_col).alias("month_end_" + date_col)))
+
+
+def pivot_wide(df: DataFrame, index, pivot_col: str, value_col: str,
+               values: list | None = None, agg: str = "first") -> DataFrame:
+    """Long→wide pivot (W12): date × contract matrices
+    (reference tasks/wind/future_reorg/reorg_md_2_db.py:207-213).
+
+    Prefer windows on the long format at scale — wide schemas explode past
+    spark.sql.pivotMaxValues; pass explicit ``values`` to skip the extra
+    distinct-values job.
+    """
+    idx = index if isinstance(index, (list, tuple)) else [index]
+    p = df.groupBy(*idx).pivot(pivot_col, values)
+    return getattr(p, "agg")(getattr(F, agg)(value_col))

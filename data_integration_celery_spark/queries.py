@@ -1,0 +1,524 @@
+"""Query registry: every SURVEY.md §2 operator as (Spark impl, DuckDB oracle).
+
+Each entry is a named query over the synthetic star schema (TESTDATA.md). The
+Spark side is the engine's idiomatic implementation (these exercise the
+operators/ modules); the SQL side is an ANSI oracle DuckDB runs on the same
+parquet. Column names are aliased identically on both sides — the driver's
+compare hashes values under sorted column names.
+
+Cross-engine determinism rules used throughout (see functions.numeric):
+- double *reductions* go through DECIMAL(38,6) on both sides;
+- per-row double arithmetic is IEEE-identical and used freely;
+- every window/top-k has a total order (unique tiebreaker columns);
+- transcendental reductions (cumprod via exp/ln) are rounded to 6 dp on both
+  sides.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import catalog
+from .functions import merge_kernels as mk
+from .functions.numeric import DEC
+from .operators import asof, bars, upsert, windows
+
+
+@dataclass
+class Query:
+    spark: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # None → non-SQL-expressible; driver does rows-only check
+    doc: str = ""
+
+
+QUERIES: dict[str, Query] = {}
+
+
+def q(name: str, sql: str | None, doc: str = ""):
+    def reg(fn):
+        QUERIES[name] = Query(spark=fn, sql=sql, doc=doc)
+        return fn
+    return reg
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return catalog.load(spark, name, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Scans / filters / projections (S1, P1-P7)
+# ---------------------------------------------------------------------------
+
+@q("s1_filtered_scan",
+   sql="""
+   SELECT l_orderkey, l_linenumber, l_quantity,
+          l_extendedprice * (1 - l_discount) AS revenue
+   FROM lineitem
+   WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_quantity < 25
+   """,
+   doc="S1/P2/P5: watermark-predicate scan with projection; filters+pruning "
+       "reach the parquet scan (reference embeds WHERE in SQL strings by "
+       "hand, tasks/merge/__init__.py:98-115).")
+def s1_filtered_scan(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.where((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                     & (F.col("l_quantity") < 25))
+              .select("l_orderkey", "l_linenumber", "l_quantity",
+                      (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")))
+
+
+@q("p3_regex_filter",
+   sql="""
+   SELECT p_partkey, p_name, p_brand
+   FROM part
+   WHERE regexp_matches(p_brand, '^Brand#[123]') AND NOT p_name LIKE '%green%'
+   """,
+   doc="P3/P7: regex predicate on code + LIKE exclusion (reference "
+       "wind_code REGEXP contract patterns, reorg_md_2_db.py:204-206; fund "
+       "share-class exclusion worst_fund.py:44).")
+def p3_regex_filter(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return (p.where(F.col("p_brand").rlike("^Brand#[123]")
+                    & ~F.col("p_name").like("%green%"))
+             .select("p_partkey", "p_name", "p_brand"))
+
+
+@q("p4_inlist_semijoin",
+   sql="""
+   SELECT o_orderkey, o_custkey, o_orderpriority
+   FROM orders
+   WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_orderstatus = 'F'
+   """,
+   doc="P4: IN-list predicate (reference chunks 100-500-code IN lists, "
+       "to_sqlite.py:408-411 — a semi-join handles any cardinality).")
+def p4_inlist(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (o.where(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+                    & (F.col("o_orderstatus") == "F"))
+             .select("o_orderkey", "o_custkey", "o_orderpriority"))
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A1, A2, A5, A8)
+# ---------------------------------------------------------------------------
+
+@q("a1_watermark_per_key",
+   sql="""
+   SELECT l_suppkey, max(l_shipdate) AS max_ship, count(*) AS n_rows
+   FROM lineitem GROUP BY l_suppkey
+   """,
+   doc="A1: per-key max(date) watermark — the most common agg in the "
+       "reference (tasks/wind/future.py:281). Map-side partial agg; shuffle "
+       "carries one row per key.")
+def a1_watermark(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(F.max("l_shipdate").alias("max_ship"),
+                                       F.count(F.lit(1)).alias("n_rows"))
+
+
+@q("a8_median_cross_section",
+   sql="""
+   SELECT o_orderpriority, median(o_totalprice) AS med_price, count(*) AS n
+   FROM orders GROUP BY o_orderpriority
+   """,
+   doc="A8: cross-sectional median per group (reference sector-median "
+       "industry_classified.py:56-97). Exact median: both engines sort and "
+       "midpoint-interpolate — deterministic, no decimal trick needed.")
+def a8_median(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.median("o_totalprice").alias("med_price"),
+        F.count(F.lit(1)).alias("n"))
+
+
+@q("a2_agg_rollup",
+   sql="""
+   SELECT l_returnflag, l_linestatus,
+          CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+          CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+          CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+          count(*) AS count_order
+   FROM lineitem
+   WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+   GROUP BY l_returnflag, l_linestatus
+   """,
+   doc="A2-style pricing-summary rollup (TPC-H Q1 shape) — the flagship "
+       "aggregate; decimal-exact sums are bit-stable at any parallelism.")
+def a2_rollup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+              .groupBy("l_returnflag", "l_linestatus")
+              .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+                   F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("sum_base_price"),
+                   F.sum(disc.cast(DEC)).cast("double").alias("sum_disc_price"),
+                   (F.sum(F.col("l_quantity").cast(DEC)).cast("double")
+                    / F.count("l_quantity")).alias("avg_qty"),
+                   F.count(F.lit(1)).alias("count_order")))
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1/J5/J8/J9/J11/J13) + merge kernels (F1)
+# ---------------------------------------------------------------------------
+
+@q("j1_vendor_merge_full_outer",
+   sql="""
+   WITH a AS (SELECT o_orderkey, o_totalprice AS price_a FROM orders WHERE o_orderkey % 2 = 0),
+        b AS (SELECT o_orderkey, o_totalprice * 1.01 AS price_b FROM orders WHERE o_orderkey % 3 = 0)
+   SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+          CASE WHEN a.price_a IS NOT NULL AND b.price_b IS NOT NULL
+               THEN (a.price_a + b.price_b) / 2.0
+               ELSE COALESCE(a.price_a, b.price_b) END AS price,
+          CASE WHEN a.o_orderkey IS NULL THEN 'right_only'
+               WHEN b.o_orderkey IS NULL THEN 'left_only'
+               ELSE 'both' END AS src,
+          CASE WHEN a.price_a IS NOT NULL AND b.price_b IS NOT NULL
+                    AND abs(a.price_a - b.price_b) >= 1000.0
+               THEN 1 ELSE 0 END AS conflict
+   FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+   """,
+   doc="J1+F1+U1: two-vendor full-outer merge with mean_value kernel, merge "
+       "indicator, and tolerance side-output (reference merge_stock_daily "
+       "tasks/merge/stock.py:116-176; row-wise merge_data → one codegen "
+       "projection). MySQL's UNION-of-left-joins FULL OUTER emulation "
+       "(tasks/merge/tushare.py:59-126) is native here.")
+def j1_vendor_merge(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    a = (o.where(F.col("o_orderkey") % 2 == 0)
+          .select(F.col("o_orderkey").alias("key_a"), F.col("o_totalprice").alias("price_a")))
+    b = (o.where(F.col("o_orderkey") % 3 == 0)
+          .select(F.col("o_orderkey").alias("key_b"),
+                  (F.col("o_totalprice") * 1.01).alias("price_b")))
+    joined = a.join(b, a.key_a == b.key_b, "full_outer")
+    return joined.select(
+        F.coalesce("key_a", "key_b").alias("o_orderkey"),
+        mk.mean_value(F.col("price_a"), F.col("price_b")).alias("price"),
+        F.when(F.col("key_a").isNull(), "right_only")
+         .when(F.col("key_b").isNull(), "left_only")
+         .otherwise("both").alias("src"),
+        mk.mean_value_warning(F.col("price_a"), F.col("price_b"), 1000.0)
+          .cast("int").alias("conflict"))
+
+
+@q("j5_anti_join_new_codes",
+   sql="""
+   SELECT c_custkey, c_name FROM customer c
+   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+   """,
+   doc="J5: anti-join 'insert where not exists' — new codes missing from "
+       "code_mapping (tasks/merge/code_mapping.py:53-60). Broadcast-able "
+       "when the probe side is dimension-sized.")
+def j5_anti(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (c.join(o.select("o_custkey"), c.c_custkey == F.col("o_custkey"), "left_anti")
+             .select("c_custkey", "c_name"))
+
+
+@q("j8_interval_join",
+   sql="""
+   SELECT l.l_orderkey, l.l_linenumber, o.o_orderdate, l.l_shipdate
+   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+   WHERE l.l_shipdate BETWEEN o.o_orderdate AND o.o_orderdate + INTERVAL 60 DAY
+   """,
+   doc="J8: equi+interval join — daily row within [start,end] window "
+       "(suspend-interval semantics, tasks/merge/tushare.py:190-221; there a "
+       "per-row python dict scan).")
+def j8_interval(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").alias("l")
+    o = _t(spark, sf_dir, "orders").alias("o")
+    return (li.join(o, (F.col("l.l_orderkey") == F.col("o.o_orderkey"))
+                    & F.col("l.l_shipdate").between(
+                        F.col("o.o_orderdate"),
+                        F.col("o.o_orderdate") + F.expr("INTERVAL 60 DAYS")))
+              .select("l.l_orderkey", "l.l_linenumber", "o.o_orderdate", "l.l_shipdate"))
+
+
+@q("j9_asof_last_report",
+   sql="""
+   SELECT event_id, user_id, ts, event_type, value,
+          last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase
+   FROM events
+   """,
+   doc="J9/W9: as-of join via the union+forward-fill formulation — one "
+       "shuffle on the entity key, no range-join blow-up (reference stamps "
+       "reports onto daily rows with python masks, merge/stock.py:277-337). "
+       "This is the 100 TB path: state is one row per key.")
+def j9_asof(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    reports = (ev.where(F.col("event_type") == "purchase")
+                 .select("user_id", F.col("ts").alias("pub_ts"),
+                         F.col("value").alias("last_purchase")))
+    out = asof.asof_join_union(ev, reports, key="user_id", date_col="ts",
+                               pub_col="pub_ts", value_cols=["last_purchase"])
+    return out.select("event_id", "user_id", "ts", "event_type", "value", "last_purchase")
+
+
+@q("j11_argmax_latest_per_key",
+   sql="""
+   SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+     SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+     FROM orders) WHERE rn = 1
+   """,
+   doc="J11: argmax row per key — row_number()==1, replacing the reference's "
+       "self-join to a grouped subquery (tasks/wind/future.py:85-107).")
+def j11_argmax(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return windows.argmax_per_group(
+        o, partition="o_custkey", order=["o_orderdate", "o_orderkey"]
+    ).select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+
+
+@q("j13_incremental_ranges",
+   sql="""
+   SELECT c.c_custkey,
+          COALESCE(w.max_date + INTERVAL 1 DAY, TIMESTAMP '1992-01-01') AS date_from,
+          TIMESTAMP '1998-12-31' AS date_to
+   FROM customer c
+   LEFT JOIN (SELECT o_custkey, max(o_orderdate) AS max_date
+              FROM orders GROUP BY o_custkey) w
+     ON c.c_custkey = w.o_custkey
+   WHERE COALESCE(w.max_date + INTERVAL 1 DAY, TIMESTAMP '1992-01-01')
+         <= TIMESTAMP '1998-12-31'
+   """,
+   doc="J13: incremental fetch-range planning — info ⟕ per-key watermark → "
+       "[coalesce(max+1, ipo), cutoff] (tasks/wind/future.py:272-299). The "
+       "driver-side range dict disappears.")
+def j13_ranges(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    wm = o.groupBy("o_custkey").agg(F.max("o_orderdate").alias("max_date"))
+    return (c.join(wm, c.c_custkey == wm.o_custkey, "left")
+             .select(
+                 "c_custkey",
+                 F.coalesce(F.col("max_date") + F.expr("INTERVAL 1 DAY"),
+                            F.lit("1992-01-01").cast("timestamp")).alias("date_from"),
+                 F.lit("1998-12-31").cast("timestamp").alias("date_to"))
+             .where(F.col("date_from") <= F.col("date_to")))
+
+
+# ---------------------------------------------------------------------------
+# Upsert sink semantics (S6)
+# ---------------------------------------------------------------------------
+
+@q("s6_upsert_last_write_wins",
+   sql="""
+   WITH unioned AS (
+     SELECT o_orderkey, o_totalprice, o_orderstatus, 0 AS batch_id FROM orders
+     UNION ALL
+     SELECT o_orderkey, o_totalprice * 2, 'R', 1 FROM orders WHERE o_orderkey % 10 = 0)
+   SELECT o_orderkey, o_totalprice, o_orderstatus FROM (
+     SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY batch_id DESC) AS rn
+     FROM unioned) WHERE rn = 1
+   """,
+   doc="S6: INSERT…ON DUPLICATE KEY UPDATE as union + window dedup with an "
+       "explicit batch tiebreaker (reference bunch_insert_on_duplicate_update, "
+       "tasks/backend/__init__.py:16-38; MySQL relied on arrival order).")
+def s6_upsert(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus")
+    updates = (o.where(F.col("o_orderkey") % 10 == 0)
+                .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+                .withColumn("o_orderstatus", F.lit("R")))
+    return upsert.upsert_frames(o, updates, keys=["o_orderkey"])
+
+
+# ---------------------------------------------------------------------------
+# Windows (W1, W2, W3, W4, W5, W6, W10) / sorts & top-k (O3)
+# ---------------------------------------------------------------------------
+
+@q("w1_rank_returns",
+   sql="""
+   SELECT c_custkey, c_name, c_acctbal,
+          row_number() OVER (ORDER BY c_acctbal, c_custkey) AS rn
+   FROM customer
+   """,
+   doc="W1: global ranking (worst-fund ranking, worst_fund.py:21-47; the "
+       "MySQL @rowNum trick). Global windows single-partition at scale — "
+       "top-k below is the scalable form.")
+def w1_rank(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return windows.rank_rows(
+        c.select("c_custkey", "c_name", "c_acctbal"),
+        order=[F.col("c_acctbal"), F.col("c_custkey")])
+
+
+@q("o3_topk_worst",
+   sql="""
+   SELECT c_custkey, c_name, c_acctbal
+   FROM customer ORDER BY c_acctbal, c_custkey LIMIT 10
+   """,
+   doc="O3: top-k (10 'worst funds') — TakeOrderedAndProject, no full sort.")
+def o3_topk(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return (c.select("c_custkey", "c_name", "c_acctbal")
+             .orderBy(F.col("c_acctbal"), F.col("c_custkey")).limit(10))
+
+
+@q("w2_lead_lag_gaps",
+   sql="""
+   SELECT o_custkey, o_orderkey, o_orderdate,
+          lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS next_orderdate,
+          lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey) AS prev_orderdate
+   FROM orders
+   """,
+   doc="W2: lead/lag effectivity windows (pub_date_next via shift(-1), "
+       "finance_report/__init__.py:506-507).")
+def w2_leadlag(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select("o_custkey", "o_orderkey", "o_orderdate",
+                    F.lead("o_orderdate").over(w).alias("next_orderdate"),
+                    F.lag("o_orderdate").over(w).alias("prev_orderdate"))
+
+
+@q("w3_cum_chain",
+   sql="""
+   SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6)))
+               OVER (PARTITION BY l_suppkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_revenue,
+          round(exp(sum(ln(1.0 + l_discount / 100.0))
+               OVER (PARTITION BY l_suppkey
+                     ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS adj_factor
+   FROM lineitem WHERE l_suppkey <= 5
+   """,
+   doc="W3: cumulative sum (decimal-exact) + reverse-chronological cumprod "
+       "via exp(Σ ln) — the back-adjustment factor chain "
+       "(reorg_md_2_db.py:341-344; tushare shift(1) convention documented in "
+       "operators.continuous). Rounded 6dp on both engines (libm ulp).")
+def w3_cum(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_suppkey") <= 5)
+    part, order = "l_suppkey", ["l_shipdate", "l_orderkey", "l_linenumber"]
+    return li.select(
+        "l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber",
+        windows.cumsum(F.col("l_extendedprice"), part, order).alias("cum_revenue"),
+        F.round(windows.cumprod(1.0 + F.col("l_discount") / 100.0, part, order,
+                                reverse=True), 6).alias("adj_factor"))
+
+
+@q("w4_ffill",
+   sql="""
+   SELECT event_id, user_id, ts,
+          last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_value
+   FROM events
+   """,
+   doc="W4: forward-fill of a sparse series (factor ffill, "
+       "reversion_rights_factor.py:236).")
+def w4_ffill(spark, sf_dir):
+    ev = (_t(spark, sf_dir, "events")
+          .withColumn("last_view_value",
+                      F.when(F.col("event_type") == "view", F.col("value"))))
+    out = windows.ffill(ev, ["last_view_value"], partition="user_id",
+                        order=["ts", "event_id"])
+    return out.select("event_id", "user_id", "ts", "last_view_value")
+
+
+@q("w5_rolling_mean",
+   sql="""
+   SELECT o_custkey, o_orderkey, o_orderdate,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+          / count(o_totalprice)
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS avg_4
+   FROM orders
+   """,
+   doc="W5: rolling mean over last 4 rows (the 3-row volume mean for "
+       "secondary-contract choice, continuse_contract_md.py:152-201).")
+def w5_rolling(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select("o_custkey", "o_orderkey", "o_orderdate",
+                    windows.rolling_mean(F.col("o_totalprice"), "o_custkey",
+                                         ["o_orderdate", "o_orderkey"], 3).alias("avg_4"))
+
+
+@q("w6_argmax_cross_section",
+   sql="""
+   SELECT l_shipdate, l_partkey AS top_part, l_quantity AS top_qty FROM (
+     SELECT *, row_number() OVER (PARTITION BY l_shipdate
+                                  ORDER BY l_quantity DESC, l_partkey DESC,
+                                           l_orderkey DESC, l_linenumber DESC) AS rn
+     FROM lineitem) WHERE rn = 1
+   """,
+   doc="W6: per-date argmax across entities — today's highest-volume "
+       "contract (idxmax on the pivoted matrix, continuse_contract_md.py:"
+       "183-212) on long format: no pivot, one window.")
+def w6_argmax_cs(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (windows.argmax_per_group(
+                li, partition="l_shipdate",
+                order=["l_quantity", "l_partkey", "l_orderkey", "l_linenumber"])
+            .select("l_shipdate", F.col("l_partkey").alias("top_part"),
+                    F.col("l_quantity").alias("top_qty")))
+
+
+@q("w10_monthly_sample",
+   sql="""
+   SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+          max(o_orderdate) AS month_end_o_orderdate
+   FROM orders GROUP BY 1
+   """,
+   doc="W10: end-of-month sampling of the date axis "
+       "(resample('M').last(), jqdata/index/__init__.py:98-103).")
+def w10_monthly(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    out = windows.monthly_last(o, "o_orderdate")
+    return out.select(F.col("month").cast("date").alias("month"),
+                      "month_end_o_orderdate")
+
+
+# ---------------------------------------------------------------------------
+# Bars (A3/A4/J12) on the events stream
+# ---------------------------------------------------------------------------
+
+_BARS_SQL = """
+   WITH ticks AS (
+     SELECT event_type, ts, event_id, value,
+            CAST(json_extract_string(props, '$.k') AS DOUBLE) AS vol
+     FROM events),
+   ranked AS (
+     SELECT event_type, date_trunc('minute', ts) AS bar_start, ts, event_id, value, vol,
+            row_number() OVER (PARTITION BY event_type, date_trunc('minute', ts)
+                               ORDER BY ts, event_id) AS rn_a,
+            row_number() OVER (PARTITION BY event_type, date_trunc('minute', ts)
+                               ORDER BY ts DESC, event_id DESC) AS rn_d
+     FROM ticks)
+   SELECT event_type, bar_start,
+          max(CASE WHEN rn_a = 1 THEN value END) AS open,
+          max(value) AS high, min(value) AS low,
+          max(CASE WHEN rn_d = 1 THEN value END) AS close,
+          count(*) AS n_ticks,
+          CAST(sum(CAST(vol AS DECIMAL(38,6))) AS DOUBLE) AS vol,
+          CAST(sum(CAST(value * vol AS DECIMAL(38,6))) AS DOUBLE) AS amount
+   FROM ranked GROUP BY event_type, bar_start
+"""
+
+
+@q("a3_tick_to_bars", sql=_BARS_SQL,
+   doc="A3/J12: tick→1-min OHLCV bars in ONE groupBy — min_by/max_by replace "
+       "the reference's join-back-to-tick for open/close "
+       "(stock_tick_2_bar.py:39-55). Vol parsed from the JSON props column. "
+       "Same aggregation body runs under Structured Streaming.")
+def a3_bars(spark, sf_dir):
+    ev = (_t(spark, sf_dir, "events")
+          .withColumn("vol", F.get_json_object("props", "$.k").cast("double")))
+    out = bars.ohlc_bars(ev, key_cols=["event_type"], ts_col="ts",
+                         price_col="value", vol_col="vol",
+                         duration="1 minute", id_col="event_id")
+    return out.select("event_type", "bar_start", "open", "high", "low", "close",
+                      "n_ticks", "vol", "amount")

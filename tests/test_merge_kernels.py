@@ -1,0 +1,60 @@
+"""Merge-kernel null×NaN matrix — reproduces the reference's is_not_nan_or_none
+semantics (/root/reference tasks/merge/__init__.py:14-95) as Column exprs."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from data_integration_celery_spark.functions import merge_kernels as mk
+
+
+def _run(spark, kernel, pairs):
+    nan = float("nan")
+    df = spark.createDataFrame(
+        [(i, l, r) for i, (l, r) in enumerate(pairs)], "i int, l double, r double")
+    rows = (df.select("i", kernel(F.col("l"), F.col("r")).alias("out"))
+              .orderBy("i").collect())
+    return [r["out"] for r in rows]
+
+
+PAIRS = [(1.0, 2.0), (1.0, None), (None, 2.0), (None, None),
+         (float("nan"), 2.0), (1.0, float("nan")), (float("nan"), float("nan"))]
+
+
+def test_prefer_left(spark):
+    assert _run(spark, mk.prefer_left, PAIRS) == [1.0, 1.0, 2.0, None, 2.0, 1.0, None]
+
+
+def test_prefer_right(spark):
+    assert _run(spark, mk.prefer_right, PAIRS) == [2.0, 1.0, 2.0, None, 2.0, 1.0, None]
+
+
+def test_mean_value(spark):
+    assert _run(spark, mk.mean_value, PAIRS) == [1.5, 1.0, 2.0, None, 2.0, 1.0, None]
+
+
+def test_mean_value_warning(spark):
+    df = spark.createDataFrame([(100.0, 100.005), (100.0, 150.0), (None, 150.0)],
+                               "l double, r double")
+    flags = [r[0] for r in df.select(
+        mk.mean_value_warning(F.col("l"), F.col("r"), 0.01)).collect()]
+    assert flags == [False, True, False]
+
+
+def test_max_up_or_down_conflict_codes(spark):
+    # equal → value; one-sided → other; conflict → -2 (l>r) / -3 (l<r)
+    pairs = [(1.0, 1.0), (1.0, None), (None, -1.0), (1.0, -1.0), (-1.0, 1.0),
+             (None, None)]
+    assert _run(spark, mk.max_up_or_down, pairs) == [1.0, 1.0, -1.0, -2.0, -3.0, 0.0]
+
+
+def test_compile_merge_rules(spark):
+    df = spark.createDataFrame([(1, 10.0, 20.0), (2, None, 5.0)],
+                               "k int, a double, b double")
+    out = mk.compile_merge_rules(
+        df,
+        {"merged": ("double", "mean_value", {"left": "a", "right": "b"}),
+         "raw": ("double", "get_value", {"col": "b"})},
+        key_cols=["k"])
+    rows = {r["k"]: (r["merged"], r["raw"]) for r in out.collect()}
+    assert rows == {1: (15.0, 20.0), 2: (5.0, 5.0)}
