@@ -24,13 +24,15 @@ from pyspark.sql import functions as F
 
 
 def effectivity(reports: DataFrame, key: str, pub_col: str,
-                next_col: str = "pub_date_next") -> DataFrame:
+                next_col: str = "pub_date_next",
+                tiebreak: list[str] | None = None) -> DataFrame:
     """Stamp each report with its exclusive end date (next report's pub date).
 
-    lead() over (key, pub_date) — the reference's ``shift(-1)``
-    (tasks/jqdata/stock/finance_report/__init__.py:506-507).
+    lead() over (key, pub_date[, tiebreak...]) — the reference's ``shift(-1)``
+    (tasks/jqdata/stock/finance_report/__init__.py:506-507). Pass ``tiebreak``
+    whenever two reports can share a pub date, to keep the window total-ordered.
     """
-    w = Window.partitionBy(key).orderBy(pub_col)
+    w = Window.partitionBy(key).orderBy(pub_col, *(tiebreak or []))
     return reports.withColumn(next_col, F.lead(pub_col).over(w))
 
 
@@ -97,22 +99,25 @@ def interval_flag_join(daily: DataFrame, intervals: DataFrame, key: str,
 
 
 def expand_to_calendar(reports: DataFrame, key: str, pub_col: str,
-                       horizon_days: int = 30) -> DataFrame:
+                       horizon_days: int = 30,
+                       tiebreak: list[str] | None = None) -> DataFrame:
     """Replicate each report row onto every date in [pub, next_pub) (W9).
 
     ``sequence()+explode`` — the reference loops trade-date slices in python
     (tasks/jqdata/stock/finance_report/__init__.py:456-565). ``horizon_days``
     caps open-ended/huge ranges so one stale report cannot explode a partition
     (at scale, join the exploded dates against the trading calendar instead of
-    a blind cap).
+    a blind cap). A report superseded the same day (next_pub == pub) expands
+    to zero rows.
     """
-    eff = effectivity(reports, key, pub_col)
+    eff = effectivity(reports, key, pub_col, tiebreak=tiebreak)
+    start = F.col(pub_col).cast("date")
     end = F.least(
-        F.coalesce(F.date_add(F.col("pub_date_next"), -1),
-                   F.date_add(F.col(pub_col), horizon_days - 1)),
-        F.date_add(F.col(pub_col), horizon_days - 1),
+        F.coalesce(F.date_add(F.col("pub_date_next").cast("date"), -1),
+                   F.date_add(start, horizon_days - 1)),
+        F.date_add(start, horizon_days - 1),
     )
-    return (eff.withColumn("as_of_date",
-                           F.explode(F.sequence(F.col(pub_col).cast("date"),
-                                                end.cast("date"))))
+    dates = F.when(end >= start, F.sequence(start, end)) \
+             .otherwise(F.array().cast("array<date>"))
+    return (eff.withColumn("as_of_date", F.explode(dates))
                .drop("pub_date_next"))

@@ -1,0 +1,125 @@
+"""Continuous-contract construction — the reference's hardest analytics (W7/W3/W11).
+
+Reference: per instrument_type, walk trade dates in order choosing the *main*
+contract (highest volume / OI) under the monotonic rule "the chosen contract
+number may advance but never retreat", pick a *secondary* deliverable later
+than main, detect switch days, and compute the back-adjustment ratio from both
+contracts' closes on the day before the switch
+(/root/reference tasks/wind/future_reorg/reorg_md_2_db.py:229-336,
+tasks/wind/future_reorg/reversion_rights_factor.py:107-211,
+tasks/tushare/tushare_future/continuse_contract_md.py:152-348; factor chain
+:354-357 uses the shift(1) reverse-cumprod convention we standardise on).
+
+Spark-first design: the scan is genuinely order-dependent with cross-row
+state, so it runs as ``groupBy(type).applyInPandas`` — per-type groups are
+small (one row per contract-day) and independent, so a 1000-executor cluster
+processes all types in parallel with one shuffle on the type key. Everything
+around it (contract-day aggregation, factor application) stays JVM-side.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import DEC
+
+_SELECT_SCHEMA = (
+    "instrument_type string, trade_date timestamp, main_contract long, "
+    "sec_contract long, main_close double, switch_flag int, adj_ratio double"
+)
+
+
+def contract_daily(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Synthesise a (type, date, contract) daily md table from the star schema:
+    brand=instrument_type, partkey=contract number, shipdate=trade_date,
+    Σquantity=volume, max(extendedprice)=close."""
+    return (lineitem.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                          lineitem.l_partkey == F.col("p_partkey"))
+            .groupBy(F.col("p_brand").alias("instrument_type"),
+                     F.col("l_shipdate").alias("trade_date"),
+                     F.col("l_partkey").alias("contract"))
+            .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("vol"),
+                 F.max("l_extendedprice").alias("close")))
+
+
+def _select_one_type(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Sequential main/secondary selection for one instrument type.
+
+    Rules (reference reorg_md_2_db.py:229-336):
+      candidate(t)   = argmax volume on t (ties → higher contract number)
+      main(t)        = max(main(t-1), candidate(t))   # never retreat
+      secondary(t)   = argmax volume among contracts > main(t) on t
+      main_close(t)  = close of main(t) if it traded, else forward-filled
+      switch day     = main(t) != main(t-1); adj_ratio = close_new/close_old
+                       both taken on t-1 (NaN-safe → NULL when unavailable)
+    """
+    pdf = pdf.sort_values(["trade_date", "vol", "contract"],
+                          ascending=[True, False, False])
+    # close lookup for the prior-date ratio
+    closes = {(d, c): cl for d, c, cl in
+              zip(pdf["trade_date"], pdf["contract"], pdf["close"])}
+    out_rows = []
+    main = None
+    prev_date = None
+    last_close = None
+    itype = pdf["instrument_type"].iloc[0]
+    for date, day in pdf.groupby("trade_date", sort=True):
+        cand = int(day["contract"].iloc[0])  # first row = argmax(vol, contract)
+        prev_main = main
+        main = cand if main is None else max(main, cand)
+        switch = int(prev_main is not None and main != prev_main)
+        adj_ratio = None
+        if switch and prev_date is not None:
+            c_new = closes.get((prev_date, main))
+            c_old = closes.get((prev_date, prev_main))
+            if c_new is not None and c_old is not None and c_old == c_old and c_old != 0:
+                adj_ratio = float(c_new) / float(c_old)
+        later = day[day["contract"] > main]
+        sec = int(later.iloc[0]["contract"]) if len(later) else None
+        today = day[day["contract"] == main]
+        if len(today):
+            last_close = float(today["close"].iloc[0])
+            mclose = last_close
+        else:
+            mclose = last_close  # ffill when main did not trade today
+        out_rows.append((itype, date, main, sec, mclose, switch, adj_ratio))
+        prev_date = date
+    out = pd.DataFrame(out_rows, columns=[
+        "instrument_type", "trade_date", "main_contract", "sec_contract",
+        "main_close", "switch_flag", "adj_ratio"])
+    # nullable dtypes so None survives Arrow as SQL NULL (not NaN)
+    out["sec_contract"] = out["sec_contract"].astype("Int64")
+    out["main_close"] = out["main_close"].astype("Float64")
+    out["adj_ratio"] = out["adj_ratio"].astype("Float64")
+    return out
+
+
+def select_contracts(cd: DataFrame) -> DataFrame:
+    """Per-type stateful scan — the one justified pandas-UDF in the engine."""
+    return cd.groupBy("instrument_type").applyInPandas(_select_one_type, _SELECT_SCHEMA)
+
+
+def adj_factor_chain(selected: DataFrame) -> DataFrame:
+    """Reverse-chronological factor chain (W3) with the tushare shift(1)
+    convention: the factor applies *from* the switch day backwards; the most
+    recent date has factor 1 (continuse_contract_md.py:354-357).
+
+    cumprod via exp(Σ ln) over the descending-date frame, shifted one row so
+    the latest segment is unadjusted.
+    """
+    w_desc = (Window.partitionBy("instrument_type")
+              .orderBy(F.col("trade_date").desc())
+              .rowsBetween(Window.unboundedPreceding, -1))
+    ratio = F.coalesce(F.col("adj_ratio"), F.lit(1.0))
+    return selected.withColumn(
+        "adj_factor",
+        F.coalesce(F.exp(F.sum(F.log(ratio)).over(w_desc)), F.lit(1.0)))
+
+
+def adjusted_md(selected_with_factor: DataFrame) -> DataFrame:
+    """W11: apply the factor to build the back-adjusted continuous series."""
+    return selected_with_factor.withColumn(
+        "adj_close", F.col("main_close") * F.col("adj_factor"))

@@ -1,0 +1,102 @@
+"""Text-analysis operators for the training-data pipeline (documents table).
+
+All JVM-side Column expressions — no Python in the hot path. Each scales
+linearly with the corpus: no shuffles except where a groupBy is the point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker lists for the n-gram-free heuristic
+# language ID. Deterministic and SQL-expressible (the oracle mirrors it) —
+# a real deployment would swap in fastText/CLD3 behind the same column contract.
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is"),
+    "es": ("el", "la", "de", "que"),
+    "de": ("der", "die", "und", "ist"),
+    "fr": ("le", "la", "et", "est"),
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count; empty/NULL-safe."""
+    t = F.trim(text)
+    return F.when(t.isNull() | (t == ""), F.lit(0)) \
+            .otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish proxy: count word pieces + punctuation as separate tokens
+    (regex split on word/non-word boundaries)."""
+    t = F.regexp_replace(text, r"([^\w\s])", r" $1 ")
+    return token_count(t)
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def punct_ratio(text: Column) -> Column:
+    stripped = F.regexp_replace(text, r"[^\p{Punct}]", "")
+    return F.when(F.length(text) > 0,
+                  F.length(stripped).cast("double") / F.length(text)) \
+            .otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column, stopwords: tuple[str, ...] = _LANG_MARKERS["en"]) -> Column:
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return F.when(F.size(toks) > 0, hits.cast("double") / F.size(toks)) \
+            .otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic: length band + low punctuation + stopword
+    presence. Bounded [0,1]; mirrors common pretraining-filter recipes."""
+    n = token_count(text)
+    len_ok = F.when((n >= 10) & (n <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(text) < 0.2, F.lit(0.3)).otherwise(F.lit(0.0))
+    stop_ok = F.when(stopword_ratio(text) > 0.0, F.lit(0.3)).otherwise(F.lit(0.0))
+    return len_ok + punct_ok + stop_ok
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-word language vote; 'und' when no marker hits.
+
+    First language (in fixed en/es/de/fr order) whose marker words appear —
+    deterministic ladder, so the DuckDB oracle is a CASE expression.
+    """
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    expr = F.lit("und")
+    for lang in reversed(list(_LANG_MARKERS)):
+        hit = None
+        for wrd in _LANG_MARKERS[lang]:
+            c = padded.contains(f" {wrd} ")
+            hit = c if hit is None else (hit | c)
+        expr = F.when(hit, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def normalized(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse non-alnum runs."""
+    return F.trim(F.regexp_replace(F.lower(text), r"[^a-z0-9]+", " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic 128-bit document fingerprint (md5 of the normal form) —
+    the exact-dedup / near-dup blocking key."""
+    return F.md5(normalized(text))
+
+
+def with_text_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return (docs
+            .withColumn("n_tokens", token_count(t))
+            .withColumn("n_tokens_bpe", bpe_ish_token_count(t))
+            .withColumn("punct_ratio", punct_ratio(t))
+            .withColumn("stopword_ratio", stopword_ratio(t))
+            .withColumn("quality", quality_score(t))
+            .withColumn("lang_pred", lang_id(t))
+            .withColumn("fingerprint", fingerprint(t)))

@@ -522,3 +522,341 @@ def a3_bars(spark, sf_dir):
                          duration="1 minute", id_col="event_id")
     return out.select("event_type", "bar_start", "open", "high", "low", "close",
                       "n_ticks", "vol", "amount")
+
+
+# ---------------------------------------------------------------------------
+# Continuous futures (W7) — the reference's flagship derived analytic
+# ---------------------------------------------------------------------------
+
+_W7_SQL = """
+   WITH cd AS (
+     SELECT p_brand AS instrument_type, l_shipdate AS trade_date, l_partkey AS contract,
+            CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS vol,
+            max(l_extendedprice) AS close
+     FROM lineitem JOIN part ON l_partkey = p_partkey
+     GROUP BY 1, 2, 3),
+   cand AS (
+     SELECT *, row_number() OVER (PARTITION BY instrument_type, trade_date
+                                  ORDER BY vol DESC, contract DESC) AS rn
+     FROM cd),
+   sel AS (
+     SELECT instrument_type, trade_date, max(contract) FILTER (WHERE rn = 1) AS cand_contract
+     FROM cand GROUP BY 1, 2),
+   m AS (
+     SELECT instrument_type, trade_date,
+            max(cand_contract) OVER (PARTITION BY instrument_type
+                                     ORDER BY trade_date) AS main_contract
+     FROM sel),
+   msw AS (
+     SELECT *, lag(main_contract) OVER w AS prev_main, lag(trade_date) OVER w AS prev_date
+     FROM m WINDOW w AS (PARTITION BY instrument_type ORDER BY trade_date)),
+   secsel AS (
+     SELECT msw.instrument_type, msw.trade_date, cd.contract,
+            row_number() OVER (PARTITION BY msw.instrument_type, msw.trade_date
+                               ORDER BY cd.vol DESC, cd.contract DESC) AS rn
+     FROM msw JOIN cd ON cd.instrument_type = msw.instrument_type
+                     AND cd.trade_date = msw.trade_date
+                     AND cd.contract > msw.main_contract)
+   SELECT msw.instrument_type, msw.trade_date, msw.main_contract,
+          s.contract AS sec_contract,
+          last_value(ct.close IGNORE NULLS)
+            OVER (PARTITION BY msw.instrument_type ORDER BY msw.trade_date
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS main_close,
+          CASE WHEN msw.prev_main IS NOT NULL AND msw.main_contract <> msw.prev_main
+               THEN 1 ELSE 0 END AS switch_flag,
+          CASE WHEN msw.prev_main IS NOT NULL AND msw.main_contract <> msw.prev_main
+                    AND cnew.close IS NOT NULL AND cold.close IS NOT NULL AND cold.close <> 0
+               THEN cnew.close / cold.close END AS adj_ratio
+   FROM msw
+   LEFT JOIN (SELECT * FROM secsel WHERE rn = 1) s
+     ON s.instrument_type = msw.instrument_type AND s.trade_date = msw.trade_date
+   LEFT JOIN cd ct ON ct.instrument_type = msw.instrument_type
+                  AND ct.trade_date = msw.trade_date AND ct.contract = msw.main_contract
+   LEFT JOIN cd cnew ON cnew.instrument_type = msw.instrument_type
+                    AND cnew.trade_date = msw.prev_date AND cnew.contract = msw.main_contract
+   LEFT JOIN cd cold ON cold.instrument_type = msw.instrument_type
+                    AND cold.trade_date = msw.prev_date AND cold.contract = msw.prev_main
+"""
+
+
+@q("w7_continuous_contract", sql=_W7_SQL,
+   doc="W7/F2: per-type stateful main/secondary contract selection under the "
+       "monotonic never-retreat rule, with switch-day back-adjustment ratios "
+       "(reorg_md_2_db.py:229-336) — groupBy(type).applyInPandas; per-type "
+       "groups run in parallel across the cluster. The SQL oracle is the "
+       "running-max reformulation of the same recurrence.")
+def w7_continuous(spark, sf_dir):
+    from .operators import continuous
+    cd = continuous.contract_daily(_t(spark, sf_dir, "lineitem"),
+                                   _t(spark, sf_dir, "part"))
+    return continuous.select_contracts(cd)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis on the documents corpus
+# ---------------------------------------------------------------------------
+
+@q("txt_features",
+   sql="""
+   WITH toks AS (
+     SELECT doc_id, text,
+            string_split_regex(trim(text), '\\s+') AS t,
+            string_split_regex(lower(trim(text)), '\\s+') AS tl
+     FROM documents)
+   SELECT doc_id,
+          CASE WHEN text IS NULL OR trim(text) = '' THEN 0 ELSE len(t) END AS n_tokens,
+          CASE WHEN length(text) > 0
+               THEN CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+                    / length(text) ELSE 0.0 END AS punct_ratio,
+          CASE WHEN len(tl) > 0
+               THEN CAST(len(list_filter(tl, x -> x IN ('the','and','of','is'))) AS DOUBLE)
+                    / len(tl) ELSE 0.0 END AS stopword_ratio,
+          (CASE WHEN (CASE WHEN text IS NULL OR trim(text)='' THEN 0 ELSE len(t) END)
+                     BETWEEN 10 AND 100000 THEN CAST(0.4 AS DOUBLE) ELSE 0.0 END
+           + CASE WHEN (CASE WHEN length(text) > 0
+                        THEN CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+                             / length(text) ELSE 0.0 END) < 0.2 THEN CAST(0.3 AS DOUBLE) ELSE 0.0 END
+           + CASE WHEN (CASE WHEN len(tl) > 0
+                        THEN CAST(len(list_filter(tl, x -> x IN ('the','and','of','is'))) AS DOUBLE)
+                             / len(tl) ELSE 0.0 END) > 0.0 THEN CAST(0.3 AS DOUBLE) ELSE 0.0 END) AS quality,
+          CASE WHEN contains(' '||lower(text)||' ', ' the ') OR contains(' '||lower(text)||' ', ' and ')
+               OR contains(' '||lower(text)||' ', ' of ') OR contains(' '||lower(text)||' ', ' is ')
+               THEN 'en'
+               WHEN contains(' '||lower(text)||' ', ' el ') OR contains(' '||lower(text)||' ', ' la ')
+               OR contains(' '||lower(text)||' ', ' de ') OR contains(' '||lower(text)||' ', ' que ')
+               THEN 'es'
+               WHEN contains(' '||lower(text)||' ', ' der ') OR contains(' '||lower(text)||' ', ' die ')
+               OR contains(' '||lower(text)||' ', ' und ') OR contains(' '||lower(text)||' ', ' ist ')
+               THEN 'de'
+               WHEN contains(' '||lower(text)||' ', ' le ') OR contains(' '||lower(text)||' ', ' et ')
+               OR contains(' '||lower(text)||' ', ' est ')
+               THEN 'fr' ELSE 'und' END AS lang_pred,
+          md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+   FROM toks
+   """,
+   doc="Text-analysis suite: whitespace token count, punctuation ratio, "
+       "stopword ratio, composite quality score, marker-word language ID, "
+       "md5 document fingerprint — all JVM-side Column exprs, no UDFs.")
+def txt_features(spark, sf_dir):
+    from .operators import text as T
+    docs = _t(spark, sf_dir, "documents")
+    out = T.with_text_features(docs)
+    # note: fr marker 'la' collides with es — es wins by ladder order; the
+    # oracle mirrors the exact ladder.
+    return out.select("doc_id", "n_tokens", "punct_ratio", "stopword_ratio",
+                      "quality", "lang_pred", "fingerprint")
+
+
+@q("dedup_exact",
+   sql="""
+   SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+   FROM documents
+   GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+   """,
+   doc="Exact dedup: hash-groupBy on the normalized-text fingerprint, keep "
+       "lowest doc_id. One shuffle on the fingerprint.")
+def dedup_exact_q(spark, sf_dir):
+    from .operators import dedup
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@q("dedup_ngram_jaccard",
+   sql="""
+   WITH norm AS (
+     SELECT doc_id, lang,
+            string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                               '\\s+') AS tok
+     FROM documents),
+   sh AS (
+     SELECT doc_id, lang,
+            CASE WHEN len(tok) >= 3
+                 THEN list_distinct(list_transform(range(1, len(tok) - 1),
+                                                   i -> array_to_string(tok[i:i+2], ' ')))
+                 ELSE [array_to_string(tok, ' ')] END AS sh
+     FROM norm)
+   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+   FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+   WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.2
+   """,
+   doc="Near-dup: exact 3-gram-shingle Jaccard over lang-blocked candidate "
+       "pairs (array_intersect JVM-side). Blocking bounds the self-join; at "
+       "scale the block key is an LSH bucket (see dedup_minhash_lsh).")
+def dedup_ngram_q(spark, sf_dir):
+    from .operators import dedup
+    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
+                                     threshold=0.2, block_col="lang") \
+        .select("id_a", "id_b", "jaccard")
+
+
+@q("dedup_minhash_lsh", sql=None,
+   doc="MinHash(32)+LSH(8 bands) candidate pairs with estimated Jaccard — "
+       "approximate by construction so no SQL oracle; differential pytest "
+       "checks recall vs exact n-gram Jaccard (tests/test_dedup.py).")
+def dedup_minhash_q(spark, sf_dir):
+    from .operators import dedup
+    return dedup.minhash_lsh_candidates(_t(spark, sf_dir, "documents"))
+
+
+@q("dedup_simhash", sql=None,
+   doc="SimHash(16-bit) blocking dedup — signature grouping; pytest checks "
+       "identical texts collide and dissimilar texts don't.")
+def dedup_simhash_q(spark, sf_dir):
+    from .operators import dedup
+    return dedup.simhash_dedup(_t(spark, sf_dir, "documents"))
+
+
+@q("ann_cosine_topk",
+   sql="""
+   WITH q AS (SELECT vec_id AS query_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+              FROM embeddings WHERE vec_id % 100 = 0),
+   c AS (SELECT vec_id AS cand_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+         FROM embeddings),
+   scored AS (
+     SELECT query_id, cand_id,
+            round(list_dot_product(qv, cv)
+                  / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+                  6) AS cos_sim
+     FROM q, c WHERE query_id <> cand_id)
+   SELECT query_id, rank, cand_id, cos_sim FROM (
+     SELECT *, row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, cand_id) AS rank
+     FROM scored) WHERE rank <= 5
+   """,
+   doc="Similarity search baseline: brute-force cosine top-5 per query "
+       "vector (query side broadcast; JVM-side zip_with/aggregate dot "
+       "product — map-only over the corpus). LSH variant: ann_lsh_topk.")
+def ann_topk_q(spark, sf_dir):
+    from .operators import similarity
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb, emb.where(F.col("vec_id") % 100 == 0))
+
+
+@q("ann_lsh_topk", sql=None,
+   doc="Cosine-LSH bucketed top-k (random hyperplanes) — approximate; "
+       "recall measured against brute force in tests/test_similarity.py.")
+def ann_lsh_q(spark, sf_dir):
+    import random
+    from .operators import similarity
+    rnd = random.Random(7)
+    planes = [[rnd.gauss(0, 1) for _ in range(64)] for _ in range(4)]
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb, emb.where(F.col("vec_id") % 100 == 0), planes)
+
+
+# ---------------------------------------------------------------------------
+# Set ops / pivot / misc relational (U1, A7, A9, W12, J7, W9)
+# ---------------------------------------------------------------------------
+
+@q("u1_union_distinct",
+   sql="""
+   SELECT c_nationkey AS nationkey FROM customer
+   UNION SELECT s_nationkey FROM supplier
+   """,
+   doc="U1/U3: UNION-dedup of key sets across sources "
+       "(reference unions annual code-set snapshots, ifind/stock.py:135-146).")
+def u1_union(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@q("a7_two_level_agg",
+   sql="""
+   WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+              FROM events GROUP BY 1, 2)
+   SELECT event_type, max(n) AS max_daily_events FROM d GROUP BY event_type
+   """,
+   doc="A7: nested aggregation — events per (type, day) then max per type "
+       "(bar-count completeness check, tasks/wind/future.py:968-980).")
+def a7_two_level(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    d = (ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+           .agg(F.count(F.lit(1)).alias("n")))
+    return d.groupBy("event_type").agg(F.max("n").alias("max_daily_events"))
+
+
+@q("a9_describe",
+   sql="""
+   SELECT event_type, count(value) AS n,
+          CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / count(value) AS mean,
+          min(value) AS min_v, median(value) AS med_v, max(value) AS max_v
+   FROM events GROUP BY event_type
+   """,
+   doc="A9: describe()-style stats per group (fund-return stats, "
+       "worst_fund.py:53-57); mean decimal-exact, median interpolation-stable.")
+def a9_describe(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        (F.sum(F.col("value").cast(DEC)).cast("double") / F.count("value")).alias("mean"),
+        F.min("value").alias("min_v"),
+        F.median("value").alias("med_v"),
+        F.max("value").alias("max_v"))
+
+
+@q("w12_pivot_status",
+   sql="""
+   SELECT o_orderpriority,
+          count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+          count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+          count(*) FILTER (WHERE o_orderstatus = 'P') AS n_partial
+   FROM orders GROUP BY o_orderpriority
+   """,
+   doc="W12: long→wide pivot with explicit values (skips the distinct-scan "
+       "job; reference pivots date×contract matrices, reorg_md_2_db.py:207-213).")
+def w12_pivot(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    p = (o.groupBy("o_orderpriority").pivot("o_orderstatus", ["O", "F", "P"]).count())
+    return p.select("o_orderpriority",
+                    F.coalesce(F.col("O"), F.lit(0)).alias("n_open"),
+                    F.coalesce(F.col("F"), F.lit(0)).alias("n_filled"),
+                    F.coalesce(F.col("P"), F.lit(0)).alias("n_partial"))
+
+
+@q("j7_code_extract_join",
+   sql="""
+   SELECT c_custkey, s_suppkey, c_name, s_name
+   FROM customer c JOIN supplier s
+     ON CAST(regexp_extract(c_name, '(\\d+)', 1) AS BIGINT)
+      = CAST(regexp_extract(s_name, '(\\d+)', 1) AS BIGINT)
+   """,
+   doc="J7: entity join on a normalized derived key (regex-extracted code) — "
+       "the fuzzy full-name vendor join (code_mapping.py:85-93) as an "
+       "equi-join on the normal form.")
+def j7_code_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    ck = F.regexp_extract(F.col("c_name"), r"(\d+)", 1).cast("bigint")
+    sk = F.regexp_extract(F.col("s_name"), r"(\d+)", 1).cast("bigint")
+    return (c.withColumn("__ck", ck)
+             .join(s.withColumn("__sk", sk), F.col("__ck") == F.col("__sk"))
+             .select("c_custkey", "s_suppkey", "c_name", "s_name"))
+
+
+@q("w9_expand_calendar",
+   sql="""
+   WITH eff AS (
+     SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS pub,
+            lead(CAST(o_orderdate AS DATE))
+              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS nxt
+     FROM orders)
+   SELECT o_custkey, o_orderkey,
+          CAST(unnest(generate_series(pub,
+                 least(coalesce(nxt - 1, pub + 6), pub + 6),
+                 INTERVAL 1 DAY)) AS DATE) AS as_of_date
+   FROM eff
+   """,
+   doc="W9: report→daily as-of expansion via sequence()+explode, capped at a "
+       "7-day horizon; zero-length effectivity (superseded same day) expands "
+       "to nothing (reference python-loops trade-date slices, "
+       "finance_report/__init__.py:456-565).")
+def w9_expand(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    out = asof.expand_to_calendar(o, key="o_custkey", pub_col="o_orderdate",
+                                  horizon_days=7, tiebreak=["o_orderkey"])
+    return out.select("o_custkey", "o_orderkey", "as_of_date")

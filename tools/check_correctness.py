@@ -33,7 +33,7 @@ def canon(rows, cols):
         for i in order:
             v = r[i]
             if isinstance(v, float):
-                vals.append(repr(round(v, 9)))
+                vals.append(repr(v))  # full precision: we target bit-exactness
             else:
                 vals.append(repr(v))
         out.append("|".join(vals))
