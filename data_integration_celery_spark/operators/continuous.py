@@ -56,44 +56,57 @@ def _select_one_type(pdf: pd.DataFrame) -> pd.DataFrame:
       switch day     = main(t) != main(t-1); adj_ratio = close_new/close_old
                        both taken on t-1 (NaN-safe → NULL when unavailable)
     """
+    # Vectorised recurrence: the only true cross-row state is the running max
+    # of the per-date candidate; everything else is lookups off that series.
+    # (A per-date python loop is 50-100x slower at Arrow batch sizes.)
     pdf = pdf.sort_values(["trade_date", "vol", "contract"],
-                          ascending=[True, False, False])
-    # close lookup for the prior-date ratio
-    closes = {(d, c): cl for d, c, cl in
-              zip(pdf["trade_date"], pdf["contract"], pdf["close"])}
-    out_rows = []
-    main = None
-    prev_date = None
-    last_close = None
+                          ascending=[True, False, False]).reset_index(drop=True)
     itype = pdf["instrument_type"].iloc[0]
-    for date, day in pdf.groupby("trade_date", sort=True):
-        cand = int(day["contract"].iloc[0])  # first row = argmax(vol, contract)
-        prev_main = main
-        main = cand if main is None else max(main, cand)
-        switch = int(prev_main is not None and main != prev_main)
-        adj_ratio = None
-        if switch and prev_date is not None:
-            c_new = closes.get((prev_date, main))
-            c_old = closes.get((prev_date, prev_main))
-            if c_new is not None and c_old is not None and c_old == c_old and c_old != 0:
-                adj_ratio = float(c_new) / float(c_old)
-        later = day[day["contract"] > main]
-        sec = int(later.iloc[0]["contract"]) if len(later) else None
-        today = day[day["contract"] == main]
-        if len(today):
-            last_close = float(today["close"].iloc[0])
-            mclose = last_close
-        else:
-            mclose = last_close  # ffill when main did not trade today
-        out_rows.append((itype, date, main, sec, mclose, switch, adj_ratio))
-        prev_date = date
-    out = pd.DataFrame(out_rows, columns=[
-        "instrument_type", "trade_date", "main_contract", "sec_contract",
-        "main_close", "switch_flag", "adj_ratio"])
-    # nullable dtypes so None survives Arrow as SQL NULL (not NaN)
-    out["sec_contract"] = out["sec_contract"].astype("Int64")
-    out["main_close"] = out["main_close"].astype("Float64")
-    out["adj_ratio"] = out["adj_ratio"].astype("Float64")
+
+    # candidate per date = first row in (vol desc, contract desc) order
+    cand = pdf.drop_duplicates("trade_date", keep="first")[["trade_date", "contract"]]
+    cand = cand.rename(columns={"contract": "cand_contract"}).reset_index(drop=True)
+    m = cand[["trade_date"]].copy()
+    m["main_contract"] = cand["cand_contract"].cummax()
+    m["prev_main"] = m["main_contract"].shift(1)
+    m["prev_date"] = m["trade_date"].shift(1)
+    m["switch_flag"] = ((m["prev_main"].notna())
+                        & (m["main_contract"] != m["prev_main"])).astype(int)
+
+    closes = pdf.set_index(["trade_date", "contract"])["close"]
+
+    def _lookup(dates, contracts):
+        idx = pd.MultiIndex.from_arrays([dates, contracts])
+        return pd.Series(closes.reindex(idx).to_numpy(), index=m.index)
+
+    # switch-day ratio: both contracts' closes on the prior date
+    c_new = _lookup(m["prev_date"], m["main_contract"])
+    c_old = _lookup(m["prev_date"], m["prev_main"])
+    ratio = np.where(
+        (m["switch_flag"] == 1) & c_new.notna() & c_old.notna() & (c_old != 0),
+        c_new / c_old, np.nan)
+    m["adj_ratio"] = ratio
+
+    # main close (ffilled when main did not trade that day)
+    m["main_close"] = _lookup(m["trade_date"], m["main_contract"]).ffill().to_numpy()
+
+    # secondary: highest-volume contract strictly later than main, per date
+    sec = pdf.merge(m[["trade_date", "main_contract"]], on="trade_date")
+    sec = sec[sec["contract"] > sec["main_contract"]]
+    sec = sec.drop_duplicates("trade_date", keep="first")[["trade_date", "contract"]]
+    m = m.merge(sec.rename(columns={"contract": "sec_contract"}),
+                on="trade_date", how="left")
+
+    out = pd.DataFrame({
+        "instrument_type": itype,
+        "trade_date": m["trade_date"],
+        "main_contract": m["main_contract"].astype("int64"),
+        # nullable dtypes so missing values survive Arrow as SQL NULL, not NaN
+        "sec_contract": m["sec_contract"].astype("Int64"),
+        "main_close": m["main_close"].astype("Float64"),
+        "switch_flag": m["switch_flag"].astype("int32"),
+        "adj_ratio": pd.Series(m["adj_ratio"]).astype("Float64"),
+    })
     return out
 
 

@@ -59,8 +59,10 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
     the estimated Jaccard (fraction of matching minhashes).
     """
     r = num_hashes // bands
-    sig = (docs.select(id_col, minhash_signature(
-                shingles(F.col(text_col)), num_hashes).alias("sig")))
+    # materialise the shingle array once — inlining it into the signature
+    # expression would re-evaluate normalize/split/slice per hash function
+    sig = (docs.select(id_col, shingles(F.col(text_col)).alias("__sh"))
+               .select(id_col, minhash_signature(F.col("__sh"), num_hashes).alias("sig")))
     banded = sig.select(
         id_col, "sig",
         F.explode(F.array(*[

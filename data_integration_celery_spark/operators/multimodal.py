@@ -1,0 +1,107 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Design: media travels as an opaque ``binary`` column plus typed metadata
+(modality, mime, width/height/duration, source uri). Decode / feature-extract
+/ resize / frame-sample run as Arrow-batched ``mapInPandas`` stages so the
+heavy bytes never leave the executor and batches amortise Python transfer.
+
+The decode kernels themselves are STUBS in this container (no PIL/ffmpeg):
+``decode_image`` raises NotImplementedError unless ``fake=True``, in which
+case a deterministic fake decoder (seeded by the content hash) produces
+plausible metadata — so the Spark-side plumbing (schema, partitioning, UDF
+signature, batch shape) is fully real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (BinaryType, IntegerType, LongType, StringType,
+                               StructField, StructType)
+
+MEDIA_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("modality", StringType()),      # image | audio | video
+    StructField("mime", StringType()),
+    StructField("content", BinaryType()),
+    StructField("source_uri", StringType()),
+])
+
+IMAGE_FEATURES_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("n_bytes", IntegerType()),
+    StructField("content_crc", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("phash", StringType()),
+])
+
+
+def to_media_table(docs: DataFrame, id_col: str = "doc_id",
+                   payload_col: str = "text") -> DataFrame:
+    """Adapter: synthesize a media table from the documents corpus (UTF-8
+    bytes as payload) so the binary-column path is exercisable on testdata."""
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        F.lit("image").alias("modality"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.encode(F.col(payload_col), "UTF-8").alias("content"),
+        F.concat(F.lit("synthetic://doc/"), F.col(id_col)).alias("source_uri"))
+
+
+def _fake_decode(content: bytes) -> tuple[int, int, str]:
+    """Deterministic fake image decode: dims + phash derived from content
+    hash. Replaced by PIL/libvips in a real deployment — same signature."""
+    h = hashlib.sha256(content).digest()
+    width = 64 + h[0] % 192
+    height = 64 + h[1] % 192
+    return width, height, h[:8].hex()
+
+
+def extract_image_features(media: DataFrame, fake: bool = True,
+                           batch_hint: int | None = None) -> DataFrame:
+    """mapInPandas feature extraction over binary content.
+
+    Arrow streams batches of (media_id, content); the worker never
+    materialises the whole partition. At 100 TB: repartition upstream so a
+    partition holds O(100 MB) of media, and let AQE coalesce the output.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real image decode requires PIL/libvips — not in this container")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [_fake_decode(c) for c in pdf["content"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "n_bytes": [len(c) for c in pdf["content"]],
+                "content_crc": [zlib.crc32(c) for c in pdf["content"]],
+                "width": [d[0] for d in dims],
+                "height": [d[1] for d in dims],
+                "phash": [d[2] for d in dims],
+            })
+
+    return (media.select("media_id", "content")
+                 .mapInPandas(run, IMAGE_FEATURES_SCHEMA))
+
+
+def frame_sample_plan(media: DataFrame, every_n_seconds: int = 5,
+                      assumed_duration_s: int = 60) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per (media_id, frame_ts).
+
+    The plan is pure DataFrame ops (sequence+explode); the actual frame
+    decode would be a mapInPandas stage keyed by this plan. Duration comes
+    from metadata in a real pipeline; here a fixed assumption keeps the plan
+    deterministic.
+    """
+    return media.select(
+        "media_id",
+        F.explode(F.sequence(
+            F.lit(0), F.lit(assumed_duration_s - 1), F.lit(every_n_seconds))
+        ).alias("frame_offset_s"))

@@ -1,0 +1,118 @@
+"""Financial-report quality operators + audit suite (SURVEY W8, A11, F4, §5.2).
+
+These are the reference's data-quality kernels, re-expressed as pure window /
+conditional expressions (no Python loops):
+
+- quarterization: YTD-cumulative report values → per-quarter values
+  (/root/reference tasks/jqdata/stock/finance_report/__init__.py:271-344,
+  golden spec :347-384);
+- accumulation-column detection: classify a column as YTD-cumulative from its
+  intra-year shape (:219-268, golden :387-414);
+- snapshot-diff audit: yesterday's table vs today's, any non-PK mismatch
+  flagged (tasks/jqdata/stock/available_check/__init__.py:51-109).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def quarterize(reports: DataFrame, key: str, report_date_col: str,
+               value_col: str, out_col: str | None = None) -> DataFrame:
+    """YTD→quarterly: value − previous report's value within the same year,
+    averaged over skipped quarters; season-average fallback when no prior
+    report exists (value / quarter-number).
+
+    Mirrors ``fill_season_data``'s golden table: Q1 keeps its value; later
+    quarters take (cur − prev)/Δq; a first-seen Q3 with no Q1/Q2 becomes
+    value/3 (the ÷2,÷3,÷4 ladder).
+    """
+    out_col = out_col or f"{value_col}_q"
+    qtr = F.quarter(F.col(report_date_col))
+    yr = F.year(F.col(report_date_col))
+    w = Window.partitionBy(key, yr).orderBy(report_date_col)
+    prev_v = F.lag(value_col).over(w)
+    prev_q = F.lag(qtr).over(w)
+    dq = qtr - F.coalesce(prev_q, F.lit(0))
+    return reports.withColumn(
+        out_col,
+        F.when(prev_v.isNull(), F.col(value_col) / qtr)
+         .otherwise((F.col(value_col) - prev_v) / dq))
+
+
+def detect_accumulation_cols(reports: DataFrame, key: str,
+                             report_date_col: str, value_cols: list[str],
+                             min_year_boundaries: int = 3,
+                             fit_threshold: float = 0.5) -> DataFrame:
+    """Classify columns as YTD-cumulative.
+
+    A column is cumulative when, per (key, year), values grow monotonically
+    with report_date and drop at the year boundary (Q1 after the annual
+    report). Returns one row per column: (column, n_checks, n_fits, is_accum)
+    with the reference's ≥3 year-boundaries and >50% fit rule.
+    """
+    w = Window.partitionBy(key).orderBy(report_date_col)
+    checks = []
+    for c in value_cols:
+        prev_v = F.lag(c).over(w)
+        prev_y = F.lag(F.year(report_date_col)).over(w)
+        same_year = F.year(report_date_col) == prev_y
+        year_cross = F.year(report_date_col) == prev_y + 1
+        grow_fit = F.when(same_year & prev_v.isNotNull() & F.col(c).isNotNull(),
+                          (F.col(c) >= prev_v).cast("int"))
+        drop_fit = F.when(year_cross & prev_v.isNotNull() & F.col(c).isNotNull(),
+                          (F.col(c) < prev_v).cast("int"))
+        checks.append(
+            reports.select(
+                F.lit(c).alias("column"),
+                grow_fit.alias("grow_fit"),
+                drop_fit.alias("drop_fit")))
+    unioned = checks[0]
+    for other in checks[1:]:
+        unioned = unioned.unionByName(other)
+    agg = unioned.groupBy("column").agg(
+        F.count("grow_fit").alias("n_grow_checks"),
+        F.coalesce(F.sum("grow_fit"), F.lit(0)).alias("n_grow_fits"),
+        F.count("drop_fit").alias("n_year_boundaries"),
+        F.coalesce(F.sum("drop_fit"), F.lit(0)).alias("n_drop_fits"))
+    # both shapes must hold: intra-year growth AND the Q1 drop after the
+    # annual report — the drop is what separates cumulative from
+    # monotone-or-constant level columns.
+    return agg.withColumn(
+        "is_accum",
+        (F.col("n_year_boundaries") >= min_year_boundaries)
+        & (F.col("n_grow_fits") > F.col("n_grow_checks") * fit_threshold)
+        & (F.col("n_drop_fits") > F.col("n_year_boundaries") * fit_threshold))
+
+
+def snapshot_diff_audit(current: DataFrame, backup: DataFrame,
+                        pk: list[str]) -> DataFrame:
+    """Full-outer join on PK; flag rows where any non-PK column mismatches.
+
+    Null-safe per-column compare via <=> (the reference builds a big OR of
+    ``t.c <> bak.c`` per column). Output: pk..., status ∈
+    {added, removed, changed} — unchanged rows are dropped.
+    """
+    value_cols = [c for c in current.columns if c not in pk]
+    cur = current.alias("cur")
+    bak = backup.alias("bak")
+    joined = cur.join(bak, on=pk, how="full_outer")
+    any_diff = F.lit(False)
+    for c in value_cols:
+        any_diff = any_diff | ~F.col(f"cur.{c}").eqNullSafe(F.col(f"bak.{c}"))
+    probe_cur = F.col(f"cur.{value_cols[0]}") if value_cols else F.lit(None)
+    probe_bak = F.col(f"bak.{value_cols[0]}") if value_cols else F.lit(None)
+    status = (
+        F.when(probe_bak.isNull() & probe_cur.isNotNull(), F.lit("added"))
+         .when(probe_cur.isNull() & probe_bak.isNotNull(), F.lit("removed"))
+         .when(any_diff, F.lit("changed")))
+    return (joined.select(*pk, status.alias("status"))
+                  .where(F.col("status").isNotNull()))
+
+
+def completeness_anti_join(expected: DataFrame, actual: DataFrame,
+                           key: str) -> DataFrame:
+    """Keys expected but absent from the data — missing-contract check
+    (tasks/tushare/tushare_future/continuse_contract_md.py:449-478)."""
+    return expected.join(actual.select(key).distinct(), on=key, how="left_anti")

@@ -1,0 +1,63 @@
+"""Vendor REST/API connector pattern (SURVEY S2).
+
+Reference: every importer loops codes on the driver, calling
+``invoker.wsd(code, fields, from, to)`` with retry/backoff, buffering frames
+until a flush threshold (/root/reference tasks/wind/future.py:272-378;
+retry wrapper ``try_n_times`` tasks/tushare/tushare_stock_daily/stock.py:45-48).
+
+Spark-first: the fetch-range *plan* is a DataFrame (operators.incremental.
+fetch_ranges); the fetch itself runs inside ``mapInPandas`` so every executor
+pulls its slice of codes concurrently — the driver loop, manual buffering and
+flush thresholds all disappear (Spark owns batching and memory).
+
+No network exists in this container, so the transport is injectable: tests
+pass a deterministic fake fetcher; production passes the real HTTP client.
+Retries stay *inside* the fetcher (plus spark.task.maxFailures above it).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+FetchFn = Callable[[str, object, object], pd.DataFrame]
+
+
+def with_retry(fetch: FetchFn, tries: int = 5, base_sleep: float = 0.05) -> FetchFn:
+    """try_n_times semantics: n attempts with linear backoff, then raise."""
+    def wrapped(code, date_from, date_to):
+        last = None
+        for i in range(tries):
+            try:
+                return fetch(code, date_from, date_to)
+            except Exception as exc:  # noqa: BLE001 — vendor SDKs raise anything
+                last = exc
+                time.sleep(min(base_sleep * (i + 1), 1.0))
+        raise last
+    return wrapped
+
+
+def fetch_distributed(ranges: DataFrame, fetch: FetchFn, out_schema: str,
+                      code_col: str = "code", from_col: str = "date_from",
+                      to_col: str = "date_to") -> DataFrame:
+    """Run the vendor fetch across the cluster: one call per plan row,
+    Arrow-batched results unioned into a single DataFrame.
+
+    ``ranges`` is the incremental plan (one row per code needing data).
+    Repartition upstream to spread hot vendors across executors.
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = []
+            for row in pdf.itertuples(index=False):
+                got = fetch(getattr(row, code_col), getattr(row, from_col),
+                            getattr(row, to_col))
+                if got is not None and len(got):
+                    frames.append(got)
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return ranges.mapInPandas(run, out_schema)

@@ -1,0 +1,78 @@
+"""Structured Streaming jobs (SURVEY §2.10).
+
+The reference is batch-only (Celery beat micro-batches); these are the
+streaming-native forms of its tick pipeline:
+
+- tick stream → 1-minute OHLCV bars with a watermark for late ticks
+  (batch twin: operators.bars.ohlc_bars — same aggregation body);
+- stateful tick dedup within the watermark horizon
+  (the reference rebuilds the PK and `replace into`s a new table,
+  tasks/merge/delete_duplicate_ticks.py:15-67);
+- incremental upsert via foreachBatch (the streaming form of the
+  bunch_insert upsert sink).
+
+Tests drive these with the file source over the events parquet and the
+memory sink, asserting stream≡batch results (tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import DataStreamWriter
+
+from ..functions.numeric import DEC
+
+
+def stream_ohlc_bars(ticks: DataFrame, key_cols: list[str], ts_col: str,
+                     price_col: str, vol_col: str | None = None,
+                     duration: str = "1 minute",
+                     watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked tumbling-window OHLCV bars over a streaming DataFrame.
+
+    first/last replace min_by/max_by (not available in streaming aggs);
+    within a replayed source the arrival order equals event order, so
+    open/close match the batch twin.
+    """
+    aggs = [
+        F.first(price_col).alias("open"),
+        F.max(price_col).alias("high"),
+        F.min(price_col).alias("low"),
+        F.last(price_col).alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    ]
+    if vol_col:
+        aggs += [
+            F.sum(F.col(vol_col).cast(DEC)).cast("double").alias("vol"),
+            F.sum((F.col(price_col) * F.col(vol_col)).cast(DEC)).cast("double").alias("amount"),
+        ]
+    return (ticks.withWatermark(ts_col, watermark)
+            .groupBy(*key_cols, F.window(F.col(ts_col), duration))
+            .agg(*aggs)
+            .withColumn("bar_start", F.col("window.start"))
+            .withColumn("bar_end", F.col("window.end"))
+            .drop("window"))
+
+
+def stream_dedup_ticks(ticks: DataFrame, key_cols: list[str], ts_col: str,
+                       watermark: str = "10 minutes") -> DataFrame:
+    """Stateful dedup on the tick PK within the watermark horizon —
+    the streaming replacement for the reference's PK-rebuild repair job."""
+    return (ticks.withWatermark(ts_col, watermark)
+                 .dropDuplicates([*key_cols, ts_col]))
+
+
+def upsert_sink(stream: DataFrame, path: str, keys: list[str],
+                checkpoint: str) -> DataStreamWriter:
+    """foreachBatch upsert into a parquet target — each micro-batch merges
+    last-write-wins on the PK (streaming form of operators.upsert)."""
+    from ..operators.upsert import write_upsert
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        stamped = batch_df.withColumn("batch_id", F.lit(batch_id))
+        write_upsert(batch_df.sparkSession, stamped, path, keys)
+
+    return (stream.writeStream
+            .foreachBatch(merge_batch)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("update"))

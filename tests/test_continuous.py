@@ -1,0 +1,75 @@
+"""Continuous-contract selection rules — property tests mirroring the
+reference's `_test_get_main_sec_contract_iter` semantics
+(continuse_contract_md.py:433-446): monotonic never-retreat, switch-day
+factor = ratio of closes on the prior date, secondary strictly later."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from data_integration_celery_spark.operators import continuous
+
+
+def _cd(spark, rows):
+    return spark.createDataFrame(
+        rows, "instrument_type string, trade_date timestamp, contract long, "
+              "vol double, close double")
+
+
+def _ts(d):
+    return dt.datetime(2020, 1, d)
+
+
+def test_switch_and_ratio(spark):
+    rows = [
+        # day 1: contract 1 dominates
+        ("RB", _ts(1), 1, 100.0, 10.0), ("RB", _ts(1), 2, 50.0, 20.0),
+        # day 2: contract 2 overtakes → switch on day 2, ratio from day-1 closes
+        ("RB", _ts(2), 1, 40.0, 11.0), ("RB", _ts(2), 2, 90.0, 21.0),
+        # day 3: contract 1 has more volume again — but main must not retreat
+        ("RB", _ts(3), 1, 95.0, 12.0), ("RB", _ts(3), 2, 80.0, 22.0),
+    ]
+    out = {r["trade_date"].day: r
+           for r in continuous.select_contracts(_cd(spark, rows)).collect()}
+    assert [out[d]["main_contract"] for d in (1, 2, 3)] == [1, 2, 2]
+    assert [out[d]["switch_flag"] for d in (1, 2, 3)] == [0, 1, 0]
+    # ratio computed on day 1 (the day before the switch): close2/close1 = 20/10
+    assert out[2]["adj_ratio"] == 2.0
+    assert out[3]["adj_ratio"] is None
+    # secondary must be strictly later than main
+    assert out[1]["sec_contract"] == 2
+    assert out[2]["sec_contract"] is None
+
+
+def test_main_close_ffill_when_main_absent(spark):
+    rows = [
+        ("RB", _ts(1), 3, 100.0, 30.0), ("RB", _ts(1), 2, 60.0, 20.0),
+        # day 2: main (3) did not trade → close forward-filled from day 1
+        ("RB", _ts(2), 2, 70.0, 21.0),
+    ]
+    out = {r["trade_date"].day: r
+           for r in continuous.select_contracts(_cd(spark, rows)).collect()}
+    assert out[1]["main_contract"] == 3 and out[1]["main_close"] == 30.0
+    assert out[2]["main_contract"] == 3 and out[2]["main_close"] == 30.0
+
+
+def test_adj_factor_chain_telescopes(spark):
+    rows = [
+        ("RB", _ts(1), 1, 100.0, 10.0), ("RB", _ts(1), 2, 50.0, 20.0),
+        ("RB", _ts(2), 2, 90.0, 21.0),
+        ("RB", _ts(3), 2, 80.0, 22.0),
+    ]
+    sel = continuous.select_contracts(_cd(spark, rows))
+    out = {r["trade_date"].day: r
+           for r in continuous.adj_factor_chain(sel).collect()}
+    # latest date unadjusted (factor 1); factor applies strictly before switch
+    assert out[3]["adj_factor"] == 1.0
+    assert out[2]["adj_factor"] == 1.0  # switch day itself uses the new contract
+    assert abs(out[1]["adj_factor"] - 2.0) < 1e-9  # pre-switch scaled by ratio
+
+
+def test_types_independent(spark):
+    rows = [("RB", _ts(1), 1, 100.0, 10.0), ("CU", _ts(1), 9, 5.0, 1.0)]
+    out = continuous.select_contracts(_cd(spark, rows)).collect()
+    got = {r["instrument_type"]: r["main_contract"] for r in out}
+    assert got == {"RB": 1, "CU": 9}

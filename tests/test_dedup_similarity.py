@@ -1,0 +1,62 @@
+"""Dedup + similarity: LSH recall vs exact baselines, calendar ops."""
+
+from pyspark.sql import functions as F
+
+from data_integration_celery_spark import catalog
+from data_integration_celery_spark.operators import calendar, dedup, similarity
+
+
+def test_minhash_lsh_finds_exact_dups(spark, sf_dir):
+    docs = catalog.load(spark, "documents", sf_dir)
+    # exact duplicate groups (same normalized text) must collide in LSH
+    fp = docs.select("doc_id", F.md5(F.col("text")).alias("fp"))
+    dup_pairs = (fp.alias("a").join(fp.alias("b"),
+                                    (F.col("a.fp") == F.col("b.fp"))
+                                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+                 .select(F.col("a.doc_id").alias("id_a"),
+                         F.col("b.doc_id").alias("id_b")))
+    expected = {(r["id_a"], r["id_b"]) for r in dup_pairs.collect()}
+    got = {(r["id_a"], r["id_b"])
+           for r in dedup.minhash_lsh_candidates(docs).collect()}
+    assert expected <= got  # identical docs always share every band
+    # and estimated jaccard for exact dups is 1.0
+    est = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+           for r in dedup.minhash_lsh_candidates(docs).collect()}
+    for p in expected:
+        assert est[p] == 1.0
+
+
+def test_simhash_identical_texts_collide(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps"),
+         (3, "completely different words entirely unrelated")],
+        "doc_id long, text string")
+    out = dedup.simhash_dedup(df)
+    groups = {r["doc_id"]: r["n_members"] for r in out.collect()}
+    assert groups.get(1) == 2 and groups.get(3) == 1
+
+
+def test_lsh_topk_recall(spark, sf_dir):
+    import random
+    emb = catalog.load(spark, "embeddings", sf_dir)
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    rnd = random.Random(7)
+    planes = [[rnd.gauss(0, 1) for _ in range(64)] for _ in range(4)]
+    approx = similarity.lsh_topk(emb, queries, planes, k=5)
+    e = {(r["query_id"], r["cand_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["cand_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.2  # 4 hyperplanes / 16 buckets on random data
+
+
+def test_calendar_alignment(spark):
+    cal = calendar.date_range(spark, "2024-01-01", "2024-01-14")
+    open_days = calendar.trading_days(cal).count()
+    assert open_days == 10  # two full weeks minus weekends
+    daily = spark.createDataFrame(
+        [("a", "2024-01-02", 1.0)], "code string, cal_date string, v double") \
+        .withColumn("cal_date", F.col("cal_date").cast("date"))
+    aligned = calendar.align_to_calendar(daily, cal, "code", "cal_date")
+    assert aligned.count() == 10
+    assert aligned.where(F.col("v").isNotNull()).count() == 1

@@ -1,0 +1,49 @@
+"""Multimodal binary-column plumbing: schema, batch shape, deterministic fake
+decode; the real decoder is explicitly stubbed (no PIL in this container)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_integration_celery_spark import catalog
+from data_integration_celery_spark.operators import multimodal
+
+
+def test_media_table_schema(spark, sf_dir):
+    media = multimodal.to_media_table(catalog.load(spark, "documents", sf_dir))
+    assert dict(media.dtypes)["content"] == "binary"
+    row = media.first()
+    assert row["modality"] == "image" and row["source_uri"].startswith("synthetic://")
+
+
+def test_feature_extraction_deterministic(spark, sf_dir):
+    media = multimodal.to_media_table(catalog.load(spark, "documents", sf_dir))
+    a = {r["media_id"]: (r["content_crc"], r["width"], r["height"], r["phash"])
+         for r in multimodal.extract_image_features(media).collect()}
+    b = {r["media_id"]: (r["content_crc"], r["width"], r["height"], r["phash"])
+         for r in multimodal.extract_image_features(media).collect()}
+    assert a == b and len(a) == media.count()
+    w, h = next(iter(a.values()))[1:3]
+    assert 64 <= w < 256 and 64 <= h < 256
+
+
+def test_n_bytes_matches_doc_length(spark, sf_dir):
+    docs = catalog.load(spark, "documents", sf_dir)
+    media = multimodal.to_media_table(docs)
+    feats = multimodal.extract_image_features(media)
+    joined = feats.join(docs, feats.media_id == docs.doc_id)
+    bad = joined.where(F.col("n_bytes") != F.length("text")).count()
+    assert bad == 0  # ascii corpus: utf-8 bytes == chars
+
+
+def test_real_decode_is_stubbed(spark, sf_dir):
+    media = multimodal.to_media_table(catalog.load(spark, "documents", sf_dir))
+    with pytest.raises(NotImplementedError):
+        multimodal.extract_image_features(media, fake=False)
+
+
+def test_frame_sample_plan(spark, sf_dir):
+    media = multimodal.to_media_table(catalog.load(spark, "documents", sf_dir)).limit(3)
+    plan = multimodal.frame_sample_plan(media, every_n_seconds=5,
+                                        assumed_duration_s=60)
+    per = plan.groupBy("media_id").count().collect()
+    assert all(r["count"] == 12 for r in per) and len(per) == 3

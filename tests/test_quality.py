@@ -1,0 +1,78 @@
+"""Golden tests for the report-quality kernels — fixtures re-derived from the
+reference's inline spec tests (finance_report/__init__.py:347-414), not ported
+code: YTD quarterization ladder and accumulation-column detection rule."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from data_integration_celery_spark.operators import quality
+
+
+def _reports(spark, rows):
+    return spark.createDataFrame(rows, "code string, report_date date, revenue double")
+
+
+def test_quarterize_golden(spark):
+    # YTD 100/250/450/700 → quarterly 100/150/200/250
+    df = _reports(spark, [
+        ("a", dt.date(2020, 3, 31), 100.0),
+        ("a", dt.date(2020, 6, 30), 250.0),
+        ("a", dt.date(2020, 9, 30), 450.0),
+        ("a", dt.date(2020, 12, 31), 700.0),
+    ])
+    out = quality.quarterize(df, "code", "report_date", "revenue")
+    got = {r["report_date"].month: r["revenue_q"] for r in out.collect()}
+    assert got == {3: 100.0, 6: 150.0, 9: 200.0, 12: 250.0}
+
+
+def test_quarterize_missing_quarter_interpolates(spark):
+    # Q1=100 then Q3=450: the two skipped quarters split the growth → 175
+    df = _reports(spark, [
+        ("a", dt.date(2020, 3, 31), 100.0),
+        ("a", dt.date(2020, 9, 30), 450.0),
+    ])
+    out = quality.quarterize(df, "code", "report_date", "revenue")
+    got = {r["report_date"].month: r["revenue_q"] for r in out.collect()}
+    assert got == {3: 100.0, 9: 175.0}
+
+
+def test_quarterize_first_seen_divides_by_quarter(spark):
+    # first report is Q3 → season-average fallback value/3
+    df = _reports(spark, [("a", dt.date(2020, 9, 30), 450.0)])
+    out = quality.quarterize(df, "code", "report_date", "revenue")
+    assert out.collect()[0]["revenue_q"] == 150.0
+
+
+def test_detect_accumulation_cols(spark):
+    rows = []
+    # revenue: YTD-cumulative across 4 years; flat: constant (never fits drop)
+    for year in (2017, 2018, 2019, 2020):
+        for i, month in enumerate((3, 6, 9, 12)):
+            rows.append(("a", dt.date(year, month, 28),
+                         100.0 * (i + 1), 55.0))
+    df = spark.createDataFrame(
+        rows, "code string, report_date date, revenue double, flat double")
+    out = quality.detect_accumulation_cols(df, "code", "report_date",
+                                           ["revenue", "flat"])
+    got = {r["column"]: r["is_accum"] for r in out.collect()}
+    assert got == {"revenue": True, "flat": False}
+
+
+def test_snapshot_diff_audit(spark):
+    cur = spark.createDataFrame(
+        [("a", 1, 10.0), ("b", 1, 20.0), ("c", 1, 30.0)],
+        "code string, d int, v double")
+    bak = spark.createDataFrame(
+        [("a", 1, 10.0), ("b", 1, 99.0), ("d", 1, 40.0)],
+        "code string, d int, v double")
+    out = quality.snapshot_diff_audit(cur, bak, pk=["code", "d"])
+    got = {r["code"]: r["status"] for r in out.collect()}
+    assert got == {"b": "changed", "c": "added", "d": "removed"}
+
+
+def test_completeness_anti_join(spark):
+    expected = spark.createDataFrame([("a",), ("b",)], "code string")
+    actual = spark.createDataFrame([("a", 1)], "code string, v int")
+    missing = quality.completeness_anti_join(expected, actual, "code")
+    assert [r["code"] for r in missing.collect()] == ["b"]

@@ -1,0 +1,100 @@
+"""Vendor-connector pattern, file sources, export sinks, DAG runner."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from data_integration_celery_spark import catalog
+from data_integration_celery_spark.plans import Job, Pipeline
+from data_integration_celery_spark.sinks import (export_csv, export_per_key,
+                                                 replicate_incremental)
+from data_integration_celery_spark.sources import vendor
+
+
+def test_fetch_distributed(spark):
+    ranges = spark.createDataFrame(
+        [("A", 1, 3), ("B", 2, 4)], "code string, date_from int, date_to int")
+
+    def fake_fetch(code, lo, hi):
+        return pd.DataFrame({"code": code, "d": range(lo, hi + 1),
+                             "v": [float(x) for x in range(lo, hi + 1)]})
+
+    out = vendor.fetch_distributed(ranges, fake_fetch,
+                                   "code string, d long, v double")
+    got = {(r["code"], r["d"]): r["v"] for r in out.collect()}
+    assert len(got) == 6 and got[("B", 4)] == 4.0
+
+
+def test_with_retry_recovers_then_raises():
+    calls = {"n": 0}
+
+    def flaky(code, lo, hi):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("vendor flake")
+        return pd.DataFrame({"code": [code]})
+
+    got = vendor.with_retry(flaky, tries=5, base_sleep=0)("X", 0, 0)
+    assert len(got) == 1 and calls["n"] == 3
+
+    def dead(code, lo, hi):
+        raise RuntimeError("always down")
+
+    with pytest.raises(RuntimeError, match="always down"):
+        vendor.with_retry(dead, tries=2, base_sleep=0)("X", 0, 0)
+
+
+def test_export_per_key_fanout(spark, sf_dir, tmp_path):
+    orders = catalog.load(spark, "orders", sf_dir).limit(200)
+    path = str(tmp_path / "fanout")
+    export_per_key(orders, path, key_col="o_orderstatus",
+                   column_map={"o_orderkey": "id", "o_orderstatus": "o_orderstatus",
+                               "o_totalprice": "px"}, order_col="id")
+    back = spark.read.parquet(path)
+    assert sorted(back.columns) == ["id", "o_orderstatus", "px"]
+    assert back.count() == 200
+
+
+def test_export_csv_single_file(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "csv_out")
+    export_csv(catalog.load(spark, "region", sf_dir), path, single_file=True)
+    back = spark.read.option("header", "true").csv(path)
+    assert back.count() == 5
+
+
+def test_replicate_incremental(spark, tmp_path):
+    target = str(tmp_path / "replica")
+    src1 = spark.createDataFrame([(1, 10.0), (2, 20.0)], "d int, v double")
+    replicate_incremental(spark, src1, target, watermark_col="d")
+    src2 = spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 30.0)], "d int, v double")
+    replicate_incremental(spark, src2, target, watermark_col="d")
+    got = sorted(r["d"] for r in spark.read.parquet(target).collect())
+    assert got == [1, 2, 3]  # second pass appended only d=3
+
+
+def test_pipeline_chain_group_and_failure(spark):
+    ran = []
+
+    def ok(name):
+        def fn(s):
+            ran.append(name)
+        return fn
+
+    def boom(s):
+        raise RuntimeError("boom")
+
+    jobs = [
+        Job("extract", ok("extract")),
+        Job("merge_a", ok("merge_a"), depends_on=["extract"]),
+        Job("merge_b", ok("merge_b"), depends_on=["extract"]),
+        Job("bad", boom, depends_on=["extract"]),
+        Job("report", ok("report"), depends_on=["merge_a", "merge_b"]),
+        Job("downstream_of_bad", ok("nope"), depends_on=["bad"]),
+    ]
+    results = Pipeline(jobs, max_parallel=3).run(spark)
+    assert results["extract"].ok and results["report"].ok
+    assert not results["bad"].ok
+    assert not results["downstream_of_bad"].ok
+    assert "skipped" in results["downstream_of_bad"].error
+    assert "nope" not in ran
+    assert ran.index("extract") == 0
