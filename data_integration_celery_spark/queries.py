@@ -860,3 +860,328 @@ def w9_expand(spark, sf_dir):
     out = asof.expand_to_calendar(o, key="o_custkey", pub_col="o_orderdate",
                                   horizon_days=7, tiebreak=["o_orderkey"])
     return out.select("o_custkey", "o_orderkey", "as_of_date")
+
+
+# ---------------------------------------------------------------------------
+# Batch 3: composite-key merge (J2/J4), as-of lookup (J10), quarterization
+# (W8), accumulation detection (A11), snapshot audit (F4), EAV pivot, SCD
+# change-points (U4), embedding near-dup, cleaning exprs (F3)
+# ---------------------------------------------------------------------------
+
+@q("j2_three_source_merge",
+   sql="""
+   WITH his AS (SELECT l_orderkey, l_linenumber, l_quantity
+                FROM lineitem WHERE l_partkey % 2 = 0),
+        ds  AS (SELECT l_orderkey, l_linenumber, l_extendedprice
+                FROM lineitem WHERE l_partkey % 3 = 0),
+        wnd AS (SELECT l_orderkey, l_linenumber, l_discount
+                FROM lineitem WHERE l_partkey % 5 = 0)
+   SELECT COALESCE(his.l_orderkey, ds.l_orderkey, wnd.l_orderkey) AS l_orderkey,
+          COALESCE(his.l_linenumber, ds.l_linenumber, wnd.l_linenumber) AS l_linenumber,
+          his.l_quantity AS qty, ds.l_extendedprice AS price, wnd.l_discount AS disc
+   FROM his
+   FULL OUTER JOIN ds ON his.l_orderkey = ds.l_orderkey
+                     AND his.l_linenumber = ds.l_linenumber
+   FULL OUTER JOIN wnd ON COALESCE(his.l_orderkey, ds.l_orderkey) = wnd.l_orderkey
+                      AND COALESCE(his.l_linenumber, ds.l_linenumber) = wnd.l_linenumber
+   """,
+   doc="J2/J4/E2: the merge_stock_daily shape — three vendor views chained "
+       "with FULL OUTER joins on the composite (code, date) key "
+       "(tasks/merge/stock.py:116-120). Catalyst plans the chain natively; "
+       "no UNION-of-left-joins emulation.")
+def j2_three_source(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    key = ["l_orderkey", "l_linenumber"]
+    his = li.where(F.col("l_partkey") % 2 == 0).select(*key, "l_quantity")
+    ds = li.where(F.col("l_partkey") % 3 == 0).select(*key, "l_extendedprice")
+    wnd = li.where(F.col("l_partkey") % 5 == 0).select(*key, "l_discount")
+    merged = (his.join(ds, key, "full_outer").join(wnd, key, "full_outer"))
+    return merged.select(*key,
+                         F.col("l_quantity").alias("qty"),
+                         F.col("l_extendedprice").alias("price"),
+                         F.col("l_discount").alias("disc"))
+
+
+@q("j10_asof_point_lookup",
+   sql="""
+   SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice AS px_asof FROM (
+     SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+     FROM orders WHERE o_orderdate <= TIMESTAMP '1996-12-31') WHERE rn = 1
+   """,
+   doc="J10: as-of point lookup — latest value at or before a cutoff per key "
+       "(latest nav ≤ date per fund, worst_fund.py:26-43): filter + "
+       "argmax window, replacing the reference's self-equi-join-back.")
+def j10_asof_point(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders") \
+        .where(F.col("o_orderdate") <= F.lit("1996-12-31").cast("timestamp"))
+    return (windows.argmax_per_group(o, "o_custkey", ["o_orderdate", "o_orderkey"])
+            .select("o_custkey", "o_orderkey", "o_orderdate",
+                    F.col("o_totalprice").alias("px_asof")))
+
+
+_QREPORTS_SQL = """
+     SELECT o_custkey AS code,
+            CAST(date_trunc('quarter', CAST(o_orderdate AS DATE))
+                 + INTERVAL 3 MONTH - INTERVAL 1 DAY AS DATE) AS report_date,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+                 OVER (PARTITION BY o_custkey, year(o_orderdate)
+                       ORDER BY date_trunc('quarter', CAST(o_orderdate AS DATE))
+                       ) AS DOUBLE) AS ytd_value
+     FROM (SELECT o_custkey, o_orderdate, o_totalprice FROM orders) t
+     QUALIFY row_number() OVER (PARTITION BY o_custkey,
+                                date_trunc('quarter', CAST(o_orderdate AS DATE))
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+"""
+
+
+@q("w8_quarterize",
+   sql=f"""
+   WITH qr AS (
+     SELECT o_custkey AS code,
+            CAST(date_trunc('quarter', CAST(o_orderdate AS DATE))
+                 + INTERVAL 3 MONTH - INTERVAL 1 DAY AS DATE) AS report_date,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS ytd_value
+     FROM orders
+     GROUP BY o_custkey, date_trunc('quarter', CAST(o_orderdate AS DATE))),
+   cum AS (
+     SELECT code, report_date,
+            CAST(sum(CAST(ytd_value AS DECIMAL(38,6)))
+                 OVER (PARTITION BY code, year(report_date) ORDER BY report_date
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+              AS ytd_value
+     FROM qr)
+   SELECT code, report_date, ytd_value,
+          CASE WHEN lag(ytd_value) OVER w IS NULL
+               THEN ytd_value / quarter(report_date)
+               ELSE (ytd_value - lag(ytd_value) OVER w)
+                    / (quarter(report_date) - coalesce(lag(quarter(report_date)) OVER w, 0))
+          END AS ytd_value_q
+   FROM cum
+   WINDOW w AS (PARTITION BY code, year(report_date) ORDER BY report_date)
+   """,
+   doc="W8: YTD→quarterly conversion (fill_season_data, "
+       "finance_report/__init__.py:271-344): synthesize quarterly YTD reports "
+       "per customer (running decimal sum within year), then the lag ladder — "
+       "Q1 keeps value, later quarters diff/Δq, first-seen divides by quarter.")
+def w8_quarterize(spark, sf_dir):
+    from .operators import quality
+    o = _t(spark, sf_dir, "orders")
+    qr = (o.groupBy(F.col("o_custkey").alias("code"),
+                    F.trunc(F.col("o_orderdate").cast("date"), "quarter").alias("qstart"))
+            .agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("qty_sum")))
+    w = (Window.partitionBy("code", F.year("qstart")).orderBy("qstart")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    reports = qr.select(
+        "code",
+        F.date_sub(F.add_months(F.col("qstart"), 3), 1).alias("report_date"),
+        F.sum(F.col("qty_sum").cast(DEC)).over(w).cast("double").alias("ytd_value"))
+    out = quality.quarterize(reports, "code", "report_date", "ytd_value")
+    return out.select("code", "report_date", "ytd_value", "ytd_value_q")
+
+
+@q("a11_accumulation_detect",
+   sql="""
+   WITH qr AS (
+     SELECT o_custkey AS code,
+            CAST(date_trunc('quarter', CAST(o_orderdate AS DATE))
+                 + INTERVAL 3 MONTH - INTERVAL 1 DAY AS DATE) AS report_date,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS q_value
+     FROM orders GROUP BY 1, date_trunc('quarter', CAST(o_orderdate AS DATE))),
+   rep AS (
+     SELECT code, report_date,
+            CAST(sum(CAST(q_value AS DECIMAL(38,6)))
+                 OVER (PARTITION BY code, year(report_date) ORDER BY report_date
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+              AS ytd_rev,
+            q_value AS level_val
+     FROM qr),
+   checks AS (
+     SELECT "column", grow_fit, drop_fit FROM (
+       SELECT 'ytd_rev' AS "column",
+              CASE WHEN year(report_date) = year(lag(report_date) OVER w)
+                        AND lag(ytd_rev) OVER w IS NOT NULL
+                   THEN CAST(ytd_rev >= lag(ytd_rev) OVER w AS INT) END AS grow_fit,
+              CASE WHEN year(report_date) = year(lag(report_date) OVER w) + 1
+                        AND lag(ytd_rev) OVER w IS NOT NULL
+                   THEN CAST(ytd_rev < lag(ytd_rev) OVER w AS INT) END AS drop_fit
+       FROM rep WINDOW w AS (PARTITION BY code ORDER BY report_date)
+       UNION ALL
+       SELECT 'level_val' AS "column",
+              CASE WHEN year(report_date) = year(lag(report_date) OVER w2)
+                        AND lag(level_val) OVER w2 IS NOT NULL
+                   THEN CAST(level_val >= lag(level_val) OVER w2 AS INT) END,
+              CASE WHEN year(report_date) = year(lag(report_date) OVER w2) + 1
+                        AND lag(level_val) OVER w2 IS NOT NULL
+                   THEN CAST(level_val < lag(level_val) OVER w2 AS INT) END
+       FROM rep WINDOW w2 AS (PARTITION BY code ORDER BY report_date)))
+   SELECT "column", count(grow_fit) AS n_grow_checks,
+          coalesce(sum(grow_fit), 0) AS n_grow_fits,
+          count(drop_fit) AS n_year_boundaries,
+          coalesce(sum(drop_fit), 0) AS n_drop_fits,
+          (count(drop_fit) >= 3
+           AND coalesce(sum(grow_fit), 0) > count(grow_fit) * 0.5
+           AND coalesce(sum(drop_fit), 0) > count(drop_fit) * 0.5) AS is_accum
+   FROM checks GROUP BY "column"
+   """,
+   doc="A11: accumulation-column detection (finance_report/__init__.py:"
+       "219-268) — classify YTD-cumulative vs level columns from intra-year "
+       "growth + year-boundary drop majorities. The synthesized ytd_rev "
+       "column must classify True, the raw quarterly level False.")
+def a11_accum(spark, sf_dir):
+    from .operators import quality
+    o = _t(spark, sf_dir, "orders")
+    qr = (o.groupBy(F.col("o_custkey").alias("code"),
+                    F.trunc(F.col("o_orderdate").cast("date"), "quarter").alias("qstart"))
+            .agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("q_value")))
+    w = (Window.partitionBy("code", F.year("qstart")).orderBy("qstart")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    rep = qr.select(
+        "code",
+        F.date_sub(F.add_months(F.col("qstart"), 3), 1).alias("report_date"),
+        F.sum(F.col("q_value").cast(DEC)).over(w).cast("double").alias("ytd_rev"),
+        F.col("q_value").alias("level_val"))
+    return quality.detect_accumulation_cols(rep, "code", "report_date",
+                                            ["ytd_rev", "level_val"])
+
+
+@q("f4_snapshot_audit",
+   sql="""
+   WITH cur AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+                WHERE o_orderkey % 11 <> 0),
+        bak AS (SELECT o_orderkey,
+                       CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+                            ELSE o_totalprice END AS o_totalprice,
+                       o_orderstatus
+                FROM orders WHERE o_orderkey % 13 <> 0)
+   SELECT COALESCE(cur.o_orderkey, bak.o_orderkey) AS o_orderkey,
+          CASE WHEN cur.o_orderkey IS NULL THEN 'removed'
+               WHEN bak.o_orderkey IS NULL THEN 'added'
+               WHEN cur.o_totalprice IS DISTINCT FROM bak.o_totalprice
+                 OR cur.o_orderstatus IS DISTINCT FROM bak.o_orderstatus
+               THEN 'changed' END AS status
+   FROM cur FULL OUTER JOIN bak ON cur.o_orderkey = bak.o_orderkey
+   WHERE CASE WHEN cur.o_orderkey IS NULL THEN 'removed'
+              WHEN bak.o_orderkey IS NULL THEN 'added'
+              WHEN cur.o_totalprice IS DISTINCT FROM bak.o_totalprice
+                OR cur.o_orderstatus IS DISTINCT FROM bak.o_orderstatus
+              THEN 'changed' END IS NOT NULL
+   """,
+   doc="F4/§5.2: snapshot-diff audit — yesterday's table vs today's, "
+       "null-safe per-column compare, {added,removed,changed} side-output "
+       "(available_check/__init__.py:51-109).")
+def f4_audit(spark, sf_dir):
+    from .operators import quality
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus")
+    cur = o.where(F.col("o_orderkey") % 11 != 0)
+    bak = o.where(F.col("o_orderkey") % 13 != 0).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * 2)
+         .otherwise(F.col("o_totalprice")))
+    return quality.snapshot_diff_audit(cur, bak, pk=["o_orderkey"])
+
+
+@q("eav_unpivot_pivot",
+   sql="""
+   WITH eav AS (
+     SELECT o_orderkey, 'totalprice' AS k, o_totalprice AS v FROM orders
+     UNION ALL
+     SELECT o_orderkey, 'custkey', CAST(o_custkey AS DOUBLE) FROM orders)
+   SELECT o_orderkey,
+          max(v) FILTER (WHERE k = 'totalprice') AS totalprice,
+          max(v) FILTER (WHERE k = 'custkey') AS custkey
+   FROM eav GROUP BY o_orderkey
+   """,
+   doc="§1.1 EAV: long key-value side-table → wide promotion "
+       "(ifind_ckdvp EAV backfill + UPDATE-JOIN, tasks/ifind/stock.py:"
+       "402-422 / J6): unpivot to (key, value) rows then pivot back with "
+       "explicit keys — the Spark-native form of the schema-evolution dance.")
+def eav_roundtrip(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    eav = o.select(
+        "o_orderkey",
+        F.expr("stack(2, 'totalprice', o_totalprice, 'custkey', CAST(o_custkey AS DOUBLE)) AS (k, v)"))
+    wide = (eav.groupBy("o_orderkey").pivot("k", ["totalprice", "custkey"])
+               .agg(F.max("v")))
+    return wide.select("o_orderkey",
+                       F.col("totalprice"), F.col("custkey"))
+
+
+@q("u4_membership_changepoints",
+   sql="""
+   WITH snap AS (
+     SELECT l_suppkey, l_shipdate,
+            md5(array_to_string(list_sort(list(DISTINCT l_partkey)), ',')) AS set_hash
+     FROM lineitem GROUP BY l_suppkey, l_shipdate)
+   SELECT l_suppkey, l_shipdate, set_hash FROM (
+     SELECT *, lag(set_hash) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate) AS prev_hash
+     FROM snap)
+   WHERE prev_hash IS NULL OR set_hash <> prev_hash
+   """,
+   doc="U4: constituent-set change-point detection — hash the sorted member "
+       "set per (key, snapshot date), keep dates where it differs from the "
+       "previous snapshot (the reference bisects fetch dates, "
+       "sectorconstituent.py:84-150; in-engine this is a window diff).")
+def u4_changepoints(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    snap = (li.groupBy("l_suppkey", "l_shipdate")
+              .agg(F.md5(F.concat_ws(",", F.sort_array(
+                  F.collect_set("l_partkey")))).alias("set_hash")))
+    w = Window.partitionBy("l_suppkey").orderBy("l_shipdate")
+    return (snap.withColumn("prev_hash", F.lag("set_hash").over(w))
+            .where(F.col("prev_hash").isNull()
+                   | (F.col("set_hash") != F.col("prev_hash")))
+            .select("l_suppkey", "l_shipdate", "set_hash"))
+
+
+@q("dedup_embedding_pairs",
+   sql="""
+   WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+              FROM embeddings),
+   pairs AS (
+     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            round(list_dot_product(a.ev, b.ev)
+                  / (sqrt(list_dot_product(a.ev, a.ev))
+                     * sqrt(list_dot_product(b.ev, b.ev))), 6) AS cos_sim
+     FROM v a JOIN v b ON a.vec_id < b.vec_id)
+   SELECT id_a, id_b, cos_sim FROM (
+     SELECT *, row_number() OVER (ORDER BY cos_sim DESC, id_a, id_b) AS rn
+     FROM pairs) WHERE rn <= 20
+   """,
+   doc="Embedding-cosine near-dup: top-20 most-similar document pairs across "
+       "the corpus (all-pairs bounded by the fixed corpus side; at scale the "
+       "pair generation goes through the LSH buckets instead).")
+def dedup_embedding(spark, sf_dir):
+    from .operators.similarity import cosine
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = (a.join(b, F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b",
+                     F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim")))
+    return (pairs.orderBy(F.col("cos_sim").desc(), "id_a", "id_b").limit(20))
+
+
+@q("f3_cleaning_exprs",
+   sql="""
+   SELECT p_partkey,
+          CAST(regexp_extract(CAST(p_retailprice AS VARCHAR) || '元/吨',
+                              '(\\d+\\.?\\d*)', 1) AS DOUBLE) AS price_num,
+          CASE WHEN lower(p_type) NOT IN ('null', 'none', 'nan', '')
+               THEN p_type END AS type_clean,
+          lower(p_brand) AS brand_lower
+   FROM part
+   """,
+   doc="F3/§1.2 cleaning: messy-string numeric extraction (mfprice_2_num, "
+       "tasks/wind/future.py:47-54), 'null'-literal normalisation "
+       "(rqdatac/future.py:105), lower-casing — vectorised Column exprs "
+       "instead of per-value lambdas.")
+def f3_cleaning(spark, sf_dir):
+    from .functions import cleaning
+    p = _t(spark, sf_dir, "part")
+    messy = F.concat(F.col("p_retailprice").cast("string"), F.lit("元/吨"))
+    return p.select(
+        "p_partkey",
+        cleaning.mfprice_2_num(messy).alias("price_num"),
+        cleaning.null_literals_to_null(F.col("p_type")).alias("type_clean"),
+        F.lower(F.col("p_brand")).alias("brand_lower"))
