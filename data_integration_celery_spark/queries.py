@@ -1136,30 +1136,26 @@ def u4_changepoints(spark, sf_dir):
 
 @q("dedup_embedding_pairs",
    sql="""
-   WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+   WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
               FROM embeddings),
+   v AS (SELECT vec_id,
+                list_transform(ev, x -> x / sqrt(list_dot_product(ev, ev))) AS nv
+         FROM e),
    pairs AS (
      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-            round(list_dot_product(a.ev, b.ev)
-                  / (sqrt(list_dot_product(a.ev, a.ev))
-                     * sqrt(list_dot_product(b.ev, b.ev))), 6) AS cos_sim
+            round(list_dot_product(a.nv, b.nv), 6) AS cos_sim
      FROM v a JOIN v b ON a.vec_id < b.vec_id)
    SELECT id_a, id_b, cos_sim FROM (
      SELECT *, row_number() OVER (ORDER BY cos_sim DESC, id_a, id_b) AS rn
      FROM pairs) WHERE rn <= 20
    """,
-   doc="Embedding-cosine near-dup: top-20 most-similar document pairs across "
-       "the corpus (all-pairs bounded by the fixed corpus side; at scale the "
-       "pair generation goes through the LSH buckets instead).")
+   doc="Embedding-cosine near-dup: top-20 most-similar pairs across the "
+       "corpus via blocked BLAS matmul against a broadcast normalised "
+       "matrix — each block emits only candidates reaching its local top-k "
+       "(at scale the broadcast side becomes an IVF/LSH bucket).")
 def dedup_embedding(spark, sf_dir):
-    from .operators.similarity import cosine
-    emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    pairs = (a.join(b, F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b",
-                     F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim")))
-    return (pairs.orderBy(F.col("cos_sim").desc(), "id_a", "id_b").limit(20))
+    from .operators.similarity import all_pairs_topk
+    return all_pairs_topk(_t(spark, sf_dir, "embeddings"), k=20)
 
 
 @q("f3_cleaning_exprs",
