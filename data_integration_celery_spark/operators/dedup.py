@@ -122,16 +122,23 @@ def simhash_dedup(docs: DataFrame, text_col: str = "text",
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold: float = 0.0,
-                        block_col: str | None = None) -> DataFrame:
-    """Exact n-gram Jaccard via an inverted-index join (never N²).
+                        block_col: str | None = None,
+                        method: str = "count") -> DataFrame:
+    """Exact n-gram Jaccard via an inverted-index join (never documents²).
 
-    Explode shingles → self-join on the shingle (within ``block_col`` if
-    given) → count common shingles per pair → Jaccard from the set sizes.
-    Only pairs sharing ≥1 shingle ever materialise, so for threshold > 0 the
-    result is identical to the all-pairs formulation at a fraction of the
-    cost: the shuffle carries (shingle, doc) postings, not documents².
-    At 100 TB, drop ultra-frequent shingles (posting-list cap) to kill skew —
-    they cannot push a pair over any useful threshold anyway.
+    Both methods are exact for threshold > 0:
+
+    - ``count``: explode shingles → self-join postings (within ``block_col``)
+      → count common shingles per pair → Jaccard from set sizes. One wide
+      groupBy; best when documents genuinely overlap a lot (small vocab,
+      low threshold).
+    - ``prefix``: PPJoin-style — rank each doc's shingles by global rarity
+      (df asc, shingle asc, one consistent total order); a pair with
+      Jaccard ≥ t must share a shingle within each side's first
+      |x| − ⌈t·|x|⌉ + 1 entries, so hot shingles (ranked last) never
+      generate candidates; survivors verify exactly via array_intersect.
+      Best at high thresholds / heavy-tailed corpora — the 100 TB near-dup
+      setting (t ≥ 0.7) where posting lists are the bottleneck.
     """
     if threshold <= 0:
         raise ValueError("inverted-index Jaccard needs threshold > 0")
@@ -139,14 +146,39 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     sh = docs.select(id_col, *blocks, shingles(F.col(text_col), n).alias("sh"))
     post = sh.select(id_col, *blocks, F.size("sh").alias("n_sh"),
                      F.explode("sh").alias("s"))
-    a, b = post.alias("a"), post.alias("b")
-    join_keys = ["s", *blocks]
-    pairs = (a.join(b, join_keys)
-             .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-             .groupBy(F.col(f"a.{id_col}").alias("id_a"),
-                      F.col(f"b.{id_col}").alias("id_b"),
-                      F.col("a.n_sh").alias("n_a"), F.col("b.n_sh").alias("n_b"))
-             .agg(F.count(F.lit(1)).alias("inter")))
-    jac = F.col("inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
-    return (pairs.select("id_a", "id_b", jac.alias("jaccard"))
-                 .where(F.col("jaccard") >= threshold))
+
+    if method == "count":
+        a, b = post.alias("a"), post.alias("b")
+        pairs = (a.join(b, ["s", *blocks])
+                 .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                 .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                          F.col(f"b.{id_col}").alias("id_b"),
+                          F.col("a.n_sh").alias("n_a"),
+                          F.col("b.n_sh").alias("n_b"))
+                 .agg(F.count(F.lit(1)).alias("inter")))
+        jac = (F.col("inter").cast("double")
+               / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+        return (pairs.select("id_a", "id_b", jac.alias("jaccard"))
+                     .where(F.col("jaccard") >= threshold))
+
+    from pyspark.sql import Window
+    freq = post.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy(id_col).orderBy("df", "s")
+    prefix = (post.join(freq, "s")
+              .withColumn("pos", F.row_number().over(w))
+              .where(F.col("pos") <= F.col("n_sh")
+                     - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1)
+              .select(id_col, *blocks, "s"))
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (a.join(b, ["s", *blocks])
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .dropDuplicates())
+    va = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    vb = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = cand.join(va, "id_a").join(vb, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
+    return (verified.select("id_a", "id_b", jac.alias("jaccard"))
+                    .where(F.col("jaccard") >= threshold))

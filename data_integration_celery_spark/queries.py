@@ -663,12 +663,12 @@ def dedup_exact_q(spark, sf_dir):
 @q("dedup_ngram_jaccard",
    sql="""
    WITH norm AS (
-     SELECT doc_id, lang,
+     SELECT doc_id, source,
             string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
                                '\\s+') AS tok
      FROM documents),
    sh AS (
-     SELECT doc_id, lang,
+     SELECT doc_id, source,
             CASE WHEN len(tok) >= 3
                  THEN list_distinct(list_transform(range(1, len(tok) - 1),
                                                    i -> array_to_string(tok[i:i+2], ' ')))
@@ -677,17 +677,17 @@ def dedup_exact_q(spark, sf_dir):
    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
-   FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+   FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.2
    """,
-   doc="Near-dup: exact 3-gram-shingle Jaccard over lang-blocked candidate "
+   doc="Near-dup: exact 3-gram-shingle Jaccard over source-blocked candidate "
        "pairs (array_intersect JVM-side). Blocking bounds the self-join; at "
        "scale the block key is an LSH bucket (see dedup_minhash_lsh).")
 def dedup_ngram_q(spark, sf_dir):
     from .operators import dedup
     return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
-                                     threshold=0.2, block_col="lang") \
+                                     threshold=0.2, block_col="source") \
         .select("id_a", "id_b", "jaccard")
 
 
@@ -1181,3 +1181,128 @@ def f3_cleaning(spark, sf_dir):
         cleaning.mfprice_2_num(messy).alias("price_num"),
         cleaning.null_literals_to_null(F.col("p_type")).alias("type_clean"),
         F.lower(F.col("p_brand")).alias("brand_lower"))
+
+
+# ---------------------------------------------------------------------------
+# Batch 4: streaming-as-query (§2.10), adjusted continuous series (W11)
+# ---------------------------------------------------------------------------
+
+@q("stream_bars_1min",
+   sql="""
+   SELECT event_type, date_trunc('minute', ts) AS bar_start,
+          max(value) AS high, min(value) AS low, count(*) AS n_ticks,
+          CAST(sum(CAST(CAST(json_extract_string(props, '$.k') AS DOUBLE)
+                        AS DECIMAL(38,6))) AS DOUBLE) AS vol
+   FROM events GROUP BY event_type, date_trunc('minute', ts)
+   """,
+   doc="§2.10: the tick→bar pipeline executed through Structured Streaming "
+       "(file source replay → watermarked window agg → memory sink), "
+       "projected to its arrival-order-free columns so the batch SQL oracle "
+       "applies. Proves stream≡batch for the aggregation body.")
+def stream_bars_q(spark, sf_dir):
+    import tempfile
+    from .streaming import jobs
+
+    ev = _t(spark, sf_dir, "events") \
+        .withColumn("vol", F.get_json_object("props", "$.k").cast("double"))
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/src"
+        ev.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        bars_s = jobs.stream_ohlc_bars(stream, ["event_type"], "ts", "value",
+                                       vol_col="vol")
+        qname = "stream_bars_1min_out"
+        qh = (bars_s.writeStream.format("memory").queryName(qname)
+              .outputMode("complete").trigger(availableNow=True).start())
+        qh.awaitTermination(300)
+        out = spark.table(qname).select("event_type", "bar_start", "high",
+                                        "low", "n_ticks", "vol")
+        # materialise before the temp source dir disappears
+        out = spark.createDataFrame(out.collect(), out.schema)
+    return out
+
+
+@q("w11_adjusted_continuous", sql=None,
+   doc="W11/W3: the full continuous-contract pipeline — stateful selection → "
+       "reverse-cumprod factor chain (tushare shift(1) convention) → "
+       "back-adjusted close. Factor products are unbounded so no 6-dp-stable "
+       "SQL oracle exists; chain telescoping (latest factor ≡ 1, adj_close = "
+       "main_close × Π later ratios) is asserted in tests/test_continuous.py.")
+def w11_adjusted(spark, sf_dir):
+    from .operators import continuous
+    cd = continuous.contract_daily(_t(spark, sf_dir, "lineitem"),
+                                   _t(spark, sf_dir, "part"))
+    sel = continuous.select_contracts(cd)
+    return continuous.adjusted_md(continuous.adj_factor_chain(sel)) \
+        .select("instrument_type", "trade_date", "main_contract",
+                "main_close", "adj_factor", "adj_close")
+
+
+# ---------------------------------------------------------------------------
+# Batch 5: multi-join pipelines (the E2/E3 composite shapes at TPC-H scale)
+# ---------------------------------------------------------------------------
+
+@q("pipeline_revenue_topk",
+   sql="""
+   SELECT l.l_orderkey,
+          CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6)))
+               AS DOUBLE) AS revenue,
+          o.o_orderdate, o.o_orderpriority
+   FROM customer c
+   JOIN orders o ON c.c_custkey = o.o_custkey
+   JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+   WHERE c.c_mktsegment = 'BUILDING'
+     AND o.o_orderdate < TIMESTAMP '1997-01-01'
+     AND l.l_shipdate > TIMESTAMP '1996-06-30'
+   GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+   ORDER BY revenue DESC, l_orderkey LIMIT 10
+   """,
+   doc="TPC-H Q3 shape: selective dim filter → two-fact join → grouped "
+       "revenue → top-k. Customer side broadcasts; decimal-exact revenue; "
+       "TakeOrderedAndProject instead of a global sort.")
+def pipeline_q3(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders") \
+        .where(F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem") \
+        .where(F.col("l_shipdate") > F.lit("1996-06-30").cast("timestamp"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    return (F.broadcast(c).join(o, c.c_custkey == o.o_custkey)
+            .join(li, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.sum(rev).cast("double").alias("revenue"))
+            .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+            .orderBy(F.col("revenue").desc(), "l_orderkey").limit(10))
+
+
+@q("pipeline_region_revenue",
+   sql="""
+   SELECT r.r_name, n.n_name,
+          CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6)))
+               AS DOUBLE) AS revenue,
+          count(*) AS n_items
+   FROM region r
+   JOIN nation n ON n.n_regionkey = r.r_regionkey
+   JOIN customer c ON c.c_nationkey = n.n_nationkey
+   JOIN orders o ON o.o_custkey = c.c_custkey
+   JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+   GROUP BY r.r_name, n.n_name
+   """,
+   doc="TPC-H Q5 shape: a 5-table snowflake join chain — three broadcast "
+       "dims feeding a fact-fact sort-merge join, grouped per nation. "
+       "Exercises Catalyst join reordering + AQE.")
+def pipeline_q5(spark, sf_dir):
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    return (F.broadcast(r)
+            .join(n, n.n_regionkey == r.r_regionkey)
+            .join(c, c.c_nationkey == n.n_nationkey)
+            .join(o, o.o_custkey == c.c_custkey)
+            .join(li, li.l_orderkey == o.o_orderkey)
+            .groupBy("r_name", "n_name")
+            .agg(F.sum(rev).cast("double").alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items")))

@@ -1,0 +1,57 @@
+"""Property-based tests (hypothesis) for the engine's algebraic invariants."""
+
+import math
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from data_integration_celery_spark.functions import merge_kernels as mk
+from data_integration_celery_spark.operators import upsert
+
+finite = st.one_of(st.none(), st.floats(allow_nan=True, allow_infinity=False,
+                                        width=32))
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.tuples(finite, finite), min_size=1, max_size=8))
+def test_merge_kernel_invariants(spark, pairs):
+    df = spark.createDataFrame(
+        [(i, l, r) for i, (l, r) in enumerate(pairs)], "i int, l double, r double")
+    rows = df.select(
+        "i", "l", "r",
+        mk.prefer_left(F.col("l"), F.col("r")).alias("pl"),
+        mk.prefer_right(F.col("l"), F.col("r")).alias("pr"),
+        mk.mean_value(F.col("l"), F.col("r")).alias("mv")).collect()
+
+    def ok(v):
+        return v is not None and not (isinstance(v, float) and math.isnan(v))
+
+    for row in rows:
+        l, r = row["l"], row["r"]
+        present = [v for v in (l, r) if ok(v)]
+        if not present:
+            assert row["pl"] is None and row["pr"] is None and row["mv"] is None
+        else:
+            # outputs always drawn from inputs (or their mean), never NaN
+            assert ok(row["pl"]) and ok(row["pr"]) and ok(row["mv"])
+            assert row["pl"] in present
+            assert row["pr"] in present
+            if len(present) == 2:
+                assert abs(row["mv"] - (l + r) / 2) < 1e-6
+            else:
+                assert row["mv"] == present[0]
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 3),
+                          st.floats(-1e6, 1e6)), min_size=1, max_size=12))
+def test_upsert_converges_and_is_idempotent(spark, rows):
+    base = spark.createDataFrame([(k, d, v) for k, d, v in rows],
+                                 "k int, d int, v double")
+    upd = spark.createDataFrame([(k, d, v + 1.0) for k, d, v in rows],
+                                "k int, d int, v double")
+    once = upsert.upsert_frames(base, upd, keys=["k", "d"])
+    # one row per key, and the update batch won
+    assert once.count() == once.select("k", "d").distinct().count()
+    twice = upsert.upsert_frames(once, upd, keys=["k", "d"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
