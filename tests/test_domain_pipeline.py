@@ -1,0 +1,124 @@
+"""End-to-end domain pipeline on finance-shaped fixtures: contract parsing,
+two-vendor merge with conflict side-output, continuous contracts on real
+codes, calendar alignment, orchestrated by the DAG runner — the reference's
+daily run (E1→E2→E3) as one Spark pipeline."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from data_integration_celery_spark.functions import contracts, merge_kernels as mk
+from data_integration_celery_spark.operators import asof, calendar as cal_ops
+from data_integration_celery_spark.operators import continuous, windows
+from data_integration_celery_spark.plans import Job, Pipeline
+from tests import fixtures
+
+
+def test_contract_parsing_goldens(spark):
+    df = spark.createDataFrame(
+        [("RB2101.SHF",), ("SR607.CZC",), ("SR001.CZC",), ("cu9912.SHF",)],
+        "code string")
+    out = {r["code"]: r for r in df.select(
+        "code",
+        contracts.instrument_type(F.col("code")).alias("t"),
+        contracts.delivery_ym(F.col("code"), reference_year=2016).alias("ym"),
+        contracts.exchange(F.col("code")).alias("ex")).collect()}
+    assert out["RB2101.SHF"]["t"] == "RB" and out["RB2101.SHF"]["ym"] == 202101
+    assert out["RB2101.SHF"]["ex"] == "SHF"
+    # CZC 3-digit with reference 2016: '607' → 2016-07; '001' → 2010-01
+    assert out["SR607.CZC"]["ym"] == 201607
+    assert out["SR001.CZC"]["ym"] == 201001
+    # century pivot for the 4-digit 99xx codes
+    assert out["cu9912.SHF"]["t"] == "CU" and out["cu9912.SHF"]["ym"] == 199912
+
+
+def test_vendor_merge_with_conflicts(spark):
+    a = fixtures.vendor_daily(spark, "A")
+    b = fixtures.vendor_daily(spark, "B")
+    joined = (a.alias("a").join(b.alias("b"), ["code", "trade_date"], "full_outer")
+              .select("code", "trade_date",
+                      F.col("a.close").alias("close_a"),
+                      F.col("b.close").alias("close_b"),
+                      F.col("a.vol").alias("vol_a"),
+                      F.col("b.vol").alias("vol_b")))
+    merged = joined.select(
+        "code", "trade_date",
+        mk.mean_value(F.col("close_a"), F.col("close_b")).alias("close"),
+        mk.prefer_left(F.col("vol_a"), F.col("vol_b")).alias("vol"),
+        mk.mean_value_warning(F.col("close_a"), F.col("close_b"), 0.5)
+          .alias("conflict"))
+    n_total = merged.count()
+    n_conflict = merged.where("conflict").count()
+    # union covers both vendors' outages; disagreements surface as side-output
+    assert n_total > a.count() and n_total > b.count()
+    assert 0 < n_conflict < 0.2 * n_total
+    # where both vendors agree, merged == vendor value (within half-tolerance)
+    agree = (merged.select("code", "trade_date",
+                           F.col("close").alias("m_close"), "conflict")
+             .join(a.select("code", "trade_date", F.col("close").alias("a_close")),
+                   ["code", "trade_date"])
+             .where(~F.col("conflict") & F.col("a_close").isNotNull()
+                    & F.col("m_close").isNotNull()))
+    bad = agree.where(F.abs(F.col("m_close") - F.col("a_close")) > 0.26).count()
+    assert bad == 0
+
+
+def test_continuous_on_domain_codes(spark):
+    fd = fixtures.future_daily(spark)
+    cd = fd.select(
+        contracts.instrument_type(F.col("code")).alias("instrument_type"),
+        F.col("trade_date").cast("timestamp").alias("trade_date"),
+        contracts.delivery_ym(F.col("code"), reference_year=2020)
+            .cast("long").alias("contract"),
+        "vol", "close")
+    sel = continuous.select_contracts(cd)
+    out = sel.orderBy("instrument_type", "trade_date").collect()
+    by_type = {}
+    for r in out:
+        by_type.setdefault(r["instrument_type"], []).append(r)
+    assert set(by_type) == {"RB", "SR"}
+    for rows in by_type.values():
+        mains = [r["main_contract"] for r in rows]
+        # monotonic never-retreat, and volume migration forces ≥1 switch
+        assert all(x <= y for x, y in zip(mains, mains[1:]))
+        assert sum(r["switch_flag"] for r in rows) >= 1
+        for r in rows:
+            if r["sec_contract"] is not None:
+                assert r["sec_contract"] > r["main_contract"]
+
+
+def test_daily_run_dag(spark, tmp_path):
+    """E1→E2→E3 as an orchestrated pipeline writing a small parquet lake."""
+    lake = str(tmp_path)
+    state = {}
+
+    def import_vendors(s):
+        state["a"] = fixtures.vendor_daily(s, "A")
+        state["b"] = fixtures.vendor_daily(s, "B")
+
+    def merge(s):
+        j = (state["a"].alias("a")
+             .join(state["b"].alias("b"), ["code", "trade_date"], "full_outer"))
+        merged = j.select(
+            "code", "trade_date",
+            mk.mean_value(F.col("a.close"), F.col("b.close")).alias("close"))
+        merged.write.mode("overwrite").parquet(f"{lake}/merged")
+
+    def analytics(s):
+        m = s.read.parquet(f"{lake}/merged")
+        ff = windows.ffill(m, ["close"], partition="code",
+                           order=["trade_date"])
+        ff.write.mode("overwrite").parquet(f"{lake}/analytics")
+
+    results = Pipeline([
+        Job("import", import_vendors),
+        Job("merge", merge, depends_on=["import"]),
+        Job("analytics", analytics, depends_on=["merge"]),
+    ]).run(spark)
+    assert all(r.ok for r in results.values())
+    out = spark.read.parquet(f"{lake}/analytics")
+    assert out.count() > 0
+    # ffill never leaves a missing close after the first observation per code
+    w_ok = out.groupBy("code").agg(
+        F.sum(F.col("close").isNull().cast("int")).alias("nulls"))
+    assert w_ok.agg(F.max("nulls")).collect()[0][0] <= 2
