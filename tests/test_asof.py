@@ -1,0 +1,81 @@
+"""As-of join formulations must agree; interval joins flag correctly;
+binary-archive source parses distributed."""
+
+import datetime as dt
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from data_integration_celery_spark.operators import asof
+from data_integration_celery_spark.sources import files
+
+
+def _d(day):
+    return dt.date(2020, 1, day)
+
+
+def test_asof_union_equals_range_join(spark):
+    daily = spark.createDataFrame(
+        [("a", _d(i)) for i in range(1, 15)] + [("b", _d(i)) for i in range(1, 15)],
+        "code string, trade_date date")
+    reports = spark.createDataFrame(
+        [("a", _d(2), 10.0), ("a", _d(5), 20.0), ("a", _d(11), 30.0),
+         ("b", _d(7), 70.0)],
+        "code string, pub_date date, eps double")
+
+    via_union = asof.asof_join_union(daily, reports, key="code",
+                                     date_col="trade_date", pub_col="pub_date",
+                                     value_cols=["eps"])
+    got_u = {(r["code"], r["trade_date"]): r["eps"] for r in via_union.collect()}
+
+    via_range = asof.asof_join_range(daily, reports, key="code",
+                                     date_col="trade_date", pub_col="pub_date")
+    got_r = {(r["trade_date"], r["code"]): r["eps"]
+             for r in via_range.select(F.col("d.code").alias("code"),
+                                       F.col("d.trade_date").alias("trade_date"),
+                                       "eps").collect()}
+    got_r = {(c, d): v for (d, c), v in got_r.items()}
+    assert got_u == got_r
+    # spot semantics: effective from pub date (inclusive) until next report
+    assert got_u[("a", _d(1))] is None
+    assert got_u[("a", _d(2))] == 10.0
+    assert got_u[("a", _d(4))] == 10.0
+    assert got_u[("a", _d(5))] == 20.0
+    assert got_u[("a", _d(14))] == 30.0
+    assert got_u[("b", _d(6))] is None and got_u[("b", _d(8))] == 70.0
+
+
+def test_interval_flag_join(spark):
+    daily = spark.createDataFrame(
+        [("a", _d(i)) for i in range(1, 10)], "code string, trade_date date")
+    suspensions = spark.createDataFrame(
+        [("a", _d(3), _d(5)), ("a", _d(8), _d(8))],
+        "code string, suspend_date date, resume_date date")
+    out = asof.interval_flag_join(daily, suspensions, key="code",
+                                  date_col="trade_date",
+                                  start_col="suspend_date",
+                                  end_col="resume_date",
+                                  flag_col="suspended")
+    got = {r["trade_date"].day: r["suspended"] for r in out.collect()}
+    assert got == {1: 0, 2: 0, 3: 1, 4: 1, 5: 1, 6: 0, 7: 0, 8: 1, 9: 0}
+    assert out.count() == daily.count()  # overlap never fans out
+
+
+def test_binary_archive_source(spark, tmp_path):
+    # land fake vendor archives; the injected parser turns bytes into rows
+    for i in range(3):
+        (tmp_path / f"fin_{i}.dat").write_bytes(
+            b"\n".join(f"C{i}:{j}:{j * 1.5}".encode() for j in range(4)))
+
+    def parse(path, content):
+        rows = [line.split(b":") for line in content.splitlines()]
+        return pd.DataFrame({
+            "code": [r[0].decode() for r in rows],
+            "seq": [int(r[1]) for r in rows],
+            "val": [float(r[2]) for r in rows]})
+
+    out = files.read_binary_archives(spark, str(tmp_path / "*.dat"), parse,
+                                     "code string, seq int, val double")
+    got = out.collect()
+    assert len(got) == 12
+    assert {r["code"] for r in got} == {"C0", "C1", "C2"}
