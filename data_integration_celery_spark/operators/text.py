@@ -90,6 +90,37 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalized(text))
 
 
+def winnowing_fingerprints(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", k: int = 3,
+                           window: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al.): hash every token
+    k-gram, keep the minimum hash of each sliding window of ``window``
+    consecutive grams, dedup per document.
+
+    Robust local fingerprints for near-dup/plagiarism detection — a shared
+    text span guarantees shared fingerprints. md5-hex with lexicographic min
+    keeps the operator engine-portable (same result in any SQL engine); the
+    whole thing is posexplode + lead + windowed min, fully codegen.
+    """
+    from pyspark.sql import Window
+    toks = docs.select(id_col,
+                       F.posexplode(F.split(normalized(F.col(text_col)), " "))
+                        .alias("pos", "tok"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.lead("tok", i).over(w) for i in range(1, k)]
+    grams = (toks.withColumn("gram", F.concat_ws(" ", F.col("tok"), *leads))
+                 .withColumn("full", leads[-1].isNotNull()))
+    hashes = grams.where("full").select(
+        id_col, "pos", F.md5("gram").alias("h"))
+    roll = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    fps = (hashes.withColumn("fp", F.min("h").over(roll))
+                 .select(id_col, "fp").dropDuplicates())
+    # short docs (< k tokens) contribute their whole normalized text
+    short = (docs.join(hashes.select(id_col).distinct(), id_col, "left_anti")
+                 .select(id_col, F.md5(normalized(F.col(text_col))).alias("fp")))
+    return fps.unionByName(short)
+
+
 def with_text_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     return (docs

@@ -1306,3 +1306,39 @@ def pipeline_q5(spark, sf_dir):
             .groupBy("r_name", "n_name")
             .agg(F.sum(rev).cast("double").alias("revenue"),
                  F.count(F.lit(1)).alias("n_items")))
+
+
+@q("txt_winnowing",
+   sql="""
+   WITH norm AS (
+     SELECT doc_id,
+            string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                               '\\s+') AS tl,
+            trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nt
+     FROM documents),
+   toks AS (
+     SELECT doc_id, unnest(tl) AS tok, generate_subscripts(tl, 1) - 1 AS pos, nt
+     FROM norm),
+   grams AS (
+     SELECT doc_id, pos,
+            CASE WHEN lead(tok, 2) OVER w IS NOT NULL
+                 THEN md5(tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w)
+            END AS h
+     FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+   fps AS (
+     SELECT DISTINCT doc_id,
+            min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+     FROM grams WHERE h IS NOT NULL),
+   short AS (
+     SELECT DISTINCT n.doc_id, md5(n.nt) AS fp FROM norm n
+     WHERE n.doc_id NOT IN (SELECT doc_id FROM fps))
+   SELECT doc_id, fp FROM fps UNION ALL SELECT doc_id, fp FROM short
+   """,
+   doc="Winnowing document fingerprinting (Schleimer et al.): md5 of token "
+       "3-grams, lexicographic min per sliding window of 4, distinct per "
+       "doc. Shared spans guarantee shared fingerprints — the near-dup "
+       "blocking key family. Fully codegen posexplode + lead + windowed min.")
+def txt_winnowing(spark, sf_dir):
+    from .operators import text as T
+    return T.winnowing_fingerprints(_t(spark, sf_dir, "documents"))

@@ -76,3 +76,36 @@ def upsert_sink(stream: DataFrame, path: str, keys: list[str],
             .foreachBatch(merge_batch)
             .option("checkpointLocation", checkpoint)
             .outputMode("update"))
+
+
+def stream_running_stats(ticks: DataFrame, key_col: str, value_col: str,
+                         out_schema: str | None = None) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-key running
+    (n, total, peak) maintained across micro-batches.
+
+    The streaming form of the reference's incremental per-key accumulators —
+    arbitrary state the built-in windowed aggs can't express (e.g. running
+    peak for drawdown monitoring). State is a 3-tuple per key; each
+    micro-batch emits the key's updated row (outputMode update).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    schema = out_schema or f"{key_col} long, n long, total double, peak double"
+
+    def update(key, pdfs, state: GroupState):
+        n, total, peak = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in pdfs:
+            vals = pdf[value_col].dropna()
+            n += len(vals)
+            total += float(vals.sum()) if len(vals) else 0.0
+            if len(vals):
+                peak = max(peak, float(vals.max()))
+        state.update((n, total, peak))
+        yield pd.DataFrame({key_col: [key[0]], "n": [n], "total": [total],
+                            "peak": [peak]})
+
+    return (ticks.groupBy(key_col)
+            .applyInPandasWithState(update, schema,
+                                    "n long, total double, peak double",
+                                    "update", GroupStateTimeout.NoTimeout))
