@@ -1342,3 +1342,80 @@ def pipeline_q5(spark, sf_dir):
 def txt_winnowing(spark, sf_dir):
     from .operators import text as T
     return T.winnowing_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Batch 6: training-data pipeline end-to-end (quality filter + dedup survivors)
+# ---------------------------------------------------------------------------
+
+@q("pipeline_quality_filter",
+   sql="""
+   WITH feat AS (
+     SELECT doc_id, source, n_chars,
+            len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+            CASE WHEN len(string_split_regex(lower(trim(text)), '\\s+')) > 0
+                 THEN CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                           x -> x IN ('the','and','of','is'))) AS DOUBLE)
+                      / len(string_split_regex(lower(trim(text)), '\\s+'))
+                 ELSE 0.0 END AS stop_ratio
+     FROM documents WHERE text IS NOT NULL AND trim(text) <> '')
+   SELECT doc_id, source, n_tokens, stop_ratio
+   FROM feat
+   WHERE n_tokens BETWEEN 20 AND 1000 AND stop_ratio >= 0.01
+   """,
+   doc="Pretraining quality filter (C4-style): token-length band + stopword "
+       "floor over the corpus — one codegen'd scan, no UDFs; survivors feed "
+       "the dedup stage below.")
+def pipeline_quality(spark, sf_dir):
+    from .operators import text as T
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    feat = (docs.where(t.isNotNull() & (F.trim(t) != ""))
+            .select("doc_id", "source",
+                    T.token_count(t).alias("n_tokens"),
+                    T.stopword_ratio(t).alias("stop_ratio")))
+    return feat.where(F.col("n_tokens").between(20, 1000)
+                      & (F.col("stop_ratio") >= 0.01))
+
+
+@q("pipeline_dedup_survivors",
+   sql="""
+   WITH fp AS (
+     SELECT doc_id, source,
+            md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS f
+     FROM documents),
+   exact_keep AS (
+     SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+   norm AS (
+     SELECT doc_id, source,
+            string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                               '\\s+') AS tok
+     FROM documents WHERE doc_id IN (SELECT doc_id FROM exact_keep)),
+   sh AS (
+     SELECT doc_id, source,
+            CASE WHEN len(tok) >= 3
+                 THEN list_distinct(list_transform(range(1, len(tok) - 1),
+                                                   i -> array_to_string(tok[i:i+2], ' ')))
+                 ELSE [array_to_string(tok, ' ')] END AS sh
+     FROM norm),
+   neardup AS (
+     SELECT b.doc_id FROM sh a JOIN sh b
+       ON a.source = b.source AND a.doc_id < b.doc_id
+     WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5)
+   SELECT doc_id FROM norm WHERE doc_id NOT IN (SELECT doc_id FROM neardup)
+   """,
+   doc="The dedup deliverable: exact dedup (min-id per fingerprint) then "
+       "near-dup removal (drop any doc with a lower-id 0.5-Jaccard neighbour "
+       "in its source block) → surviving doc ids. Spark side composes "
+       "exact_dedup + inverted-index Jaccard + anti-join; at 100 TB the "
+       "near-dup candidates come from MinHash bands with identical contract.")
+def pipeline_dedup(spark, sf_dir):
+    from .operators import dedup
+    docs = _t(spark, sf_dir, "documents")
+    keep_exact = dedup.exact_dedup(docs).select("doc_id")
+    kept_docs = docs.join(keep_exact, "doc_id")
+    near = dedup.ngram_jaccard_pairs(kept_docs, threshold=0.5,
+                                     block_col="source")
+    removed = near.select(F.col("id_b").alias("doc_id")).distinct()
+    return kept_docs.select("doc_id").join(removed, "doc_id", "left_anti")
