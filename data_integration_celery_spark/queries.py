@@ -1200,26 +1200,30 @@ def f3_cleaning(spark, sf_dir):
        "projected to its arrival-order-free columns so the batch SQL oracle "
        "applies. Proves stream≡batch for the aggregation body.")
 def stream_bars_q(spark, sf_dir):
-    import tempfile
+    import os
     from .streaming import jobs
 
-    ev = _t(spark, sf_dir, "events") \
-        .withColumn("vol", F.get_json_object("props", "$.k").cast("double"))
-    with tempfile.TemporaryDirectory() as tmp:
-        src = f"{tmp}/src"
-        ev.write.mode("overwrite").parquet(src)
-        stream = spark.readStream.schema(ev.schema).parquet(src)
-        bars_s = jobs.stream_ohlc_bars(stream, ["event_type"], "ts", "value",
-                                       vol_col="vol")
-        qname = "stream_bars_1min_out"
-        qh = (bars_s.writeStream.format("memory").queryName(qname)
-              .outputMode("complete").trigger(availableNow=True).start())
-        qh.awaitTermination(300)
-        out = spark.table(qname).select("event_type", "bar_start", "high",
-                                        "low", "n_ticks", "vol")
-        # materialise before the temp source dir disappears
-        out = spark.createDataFrame(out.collect(), out.schema)
-    return out
+    # stream straight off the landed parquet (no re-land): read the raw
+    # schema (ts is int64 nanos), replay as a file stream, convert in-stream
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    # the file stream source wants a directory/glob, not a bare file path
+    stream = spark.readStream.schema(raw_schema) \
+        .parquet(os.path.join(sf_dir, "events.*"))
+    if dict((f.name, f.dataType.simpleString()) for f in raw_schema.fields) \
+            .get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = stream.withColumn(
+        "vol", F.get_json_object("props", "$.k").cast("double"))
+    bars_s = jobs.stream_ohlc_bars(stream, ["event_type"], "ts", "value",
+                                   vol_col="vol")
+    qname = "stream_bars_1min_out"
+    qh = (bars_s.writeStream.format("memory").queryName(qname)
+          .outputMode("complete").trigger(availableNow=True).start())
+    qh.awaitTermination(300)
+    return spark.table(qname).select("event_type", "bar_start", "high",
+                                     "low", "n_ticks", "vol")
 
 
 @q("w11_adjusted_continuous", sql=None,
@@ -1419,3 +1423,34 @@ def pipeline_dedup(spark, sf_dir):
                                      block_col="source")
     removed = near.select(F.col("id_b").alias("doc_id")).distinct()
     return kept_docs.select("doc_id").join(removed, "doc_id", "left_anti")
+
+
+@q("mm_image_features",
+   sql="""
+   WITH h AS (
+     SELECT doc_id AS media_id,
+            octet_length(encode(text)) AS n_bytes,
+            sha256(text) AS hx
+     FROM documents),
+   b AS (
+     SELECT media_id, n_bytes, hx,
+            (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS b0,
+            (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) AS b1
+     FROM h)
+   SELECT media_id, n_bytes,
+          64 + b0 % 192 AS width, 64 + b1 % 192 AS height,
+          substr(hx, 1, 16) AS phash
+   FROM b
+   """,
+   doc="Multimodal: binary media column → Arrow-batched mapInPandas feature "
+       "extraction (operators/multimodal.py). The deterministic fake decoder "
+       "(sha256-derived dims/phash) is itself oracle-matched, proving the "
+       "whole binary plumbing — schema, batching, UDF signature — end to "
+       "end. A real deployment swaps the decode kernel only.")
+def mm_features_q(spark, sf_dir):
+    from .operators import multimodal
+    media = multimodal.to_media_table(_t(spark, sf_dir, "documents"))
+    feats = multimodal.extract_image_features(media)
+    return feats.select("media_id", "n_bytes", "width", "height", "phash")

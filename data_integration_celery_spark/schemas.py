@@ -166,3 +166,16 @@ def partition_columns(df: DataFrame, spec: TableSpec) -> DataFrame:
         src = "trade_date" if "trade_date" in df.columns else "trade_datetime"
         out = out.withColumn("trade_year", F.year(src))
     return out
+
+
+def reconcile(a: DataFrame, b: DataFrame) -> dict[str, list[str]]:
+    """Schema reconciliation (SURVEY U5): column/type diffs between two
+    frames — the reference compares mysql vs sqlite information_schema
+    (tasks/utils/to_sqlite.py:771-830). Driver-side metadata only, no scan."""
+    ta = {f.name.lower(): f.dataType.simpleString() for f in a.schema.fields}
+    tb = {f.name.lower(): f.dataType.simpleString() for f in b.schema.fields}
+    return {
+        "only_in_a": sorted(set(ta) - set(tb)),
+        "only_in_b": sorted(set(tb) - set(ta)),
+        "type_mismatch": sorted(c for c in set(ta) & set(tb) if ta[c] != tb[c]),
+    }
