@@ -43,6 +43,8 @@ def main() -> None:
         "metric": "operator_suite_wall_clock",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
+        "n_queries": len(times),
+        "sec_per_query": round(sum(times.values()) / len(times), 3),
         "queries": times,
         "sf": sf_val,
     }))
