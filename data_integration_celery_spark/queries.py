@@ -1454,3 +1454,36 @@ def mm_features_q(spark, sf_dir):
     media = multimodal.to_media_table(_t(spark, sf_dir, "documents"))
     feats = multimodal.extract_image_features(media)
     return feats.select("media_id", "n_bytes", "width", "height", "phash")
+
+
+@q("j14_main_sec_join",
+   sql=f"""
+   WITH w7 AS ({_W7_SQL}),
+   cd2 AS (
+     SELECT p_brand AS instrument_type, l_shipdate AS trade_date,
+            l_partkey AS contract, max(l_extendedprice) AS close
+     FROM lineitem JOIN part ON l_partkey = p_partkey
+     GROUP BY 1, 2, 3)
+   SELECT w7.instrument_type, w7.trade_date, w7.main_contract, w7.main_close,
+          w7.sec_contract, cd2.close AS sec_close
+   FROM w7 LEFT JOIN cd2
+     ON cd2.instrument_type = w7.instrument_type
+    AND cd2.trade_date = w7.trade_date
+    AND cd2.contract = w7.sec_contract
+   """,
+   doc="J14: main/secondary contract daily join with suffix rename — the "
+       "continuous series enriched with the secondary contract's md "
+       "(reference reversion_rights_md.py:88-94 self-joins with *Next "
+       "suffixes).")
+def j14_main_sec(spark, sf_dir):
+    from .operators import continuous
+    cd = continuous.contract_daily(_t(spark, sf_dir, "lineitem"),
+                                   _t(spark, sf_dir, "part"))
+    sel = continuous.select_contracts(cd)
+    sec_md = cd.select(F.col("instrument_type"), F.col("trade_date"),
+                       F.col("contract").alias("sec_contract"),
+                       F.col("close").alias("sec_close"))
+    return (sel.join(sec_md, ["instrument_type", "trade_date", "sec_contract"],
+                     "left")
+            .select("instrument_type", "trade_date", "main_contract",
+                    "main_close", "sec_contract", "sec_close"))

@@ -59,3 +59,11 @@ def replicate_incremental(spark: SparkSession, source: DataFrame,
     if current_max is not None:
         df = df.where(F.col(watermark_col) > F.lit(current_max))
     df.write.mode("append").parquet(target_path)
+
+
+def backup_table(df: DataFrame, path: str) -> None:
+    """S11: point-in-time backup copy (the reference's ``CREATE TABLE LIKE +
+    INSERT SELECT`` before risky refreshes, tasks/jqdata/stock/
+    available_check/__init__.py:23-48) — a CTAS snapshot the snapshot-diff
+    audit (operators.quality.snapshot_diff_audit) compares against."""
+    df.write.mode("overwrite").parquet(path)
