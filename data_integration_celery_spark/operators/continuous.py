@@ -45,25 +45,40 @@ def contract_daily(lineitem: DataFrame, part: DataFrame) -> DataFrame:
                  F.max("l_extendedprice").alias("close")))
 
 
-def _select_one_type(pdf: pd.DataFrame) -> pd.DataFrame:
+def _select_one_type(pdf: pd.DataFrame, switch_by: str = "vol",
+                     smooth_days: int = 0) -> pd.DataFrame:
     """Sequential main/secondary selection for one instrument type.
 
-    Rules (reference reorg_md_2_db.py:229-336):
-      candidate(t)   = argmax volume on t (ties → higher contract number)
+    Rules (reference reorg_md_2_db.py:229-336; variants
+    continuse_contract_md.py:152-201):
+      candidate(t)   = argmax of the switch key on t (ties → higher contract)
       main(t)        = max(main(t-1), candidate(t))   # never retreat
-      secondary(t)   = argmax volume among contracts > main(t) on t
+      secondary(t)   = argmax among contracts > main(t) on t
       main_close(t)  = close of main(t) if it traded, else forward-filled
       switch day     = main(t) != main(t-1); adj_ratio = close_new/close_old
                        both taken on t-1 (NaN-safe → NULL when unavailable)
+
+    ``switch_by``: 'vol' (default) or 'oi' when an open-interest column is
+    present — the reference supports both switch keys. ``smooth_days`` > 0
+    replaces the key with its trailing mean over the last ``smooth_days+1``
+    observations per contract (the tushare 3-row-mean confirmation rule) so a
+    one-day volume spike cannot force a switch.
     """
+    key = switch_by if switch_by in pdf.columns else "vol"
+    if smooth_days > 0:
+        pdf = pdf.sort_values(["contract", "trade_date"])
+        pdf["__key"] = (pdf.groupby("contract")[key]
+                        .transform(lambda s: s.rolling(smooth_days + 1,
+                                                       min_periods=1).mean()))
+        key = "__key"
     # Vectorised recurrence: the only true cross-row state is the running max
     # of the per-date candidate; everything else is lookups off that series.
     # (A per-date python loop is 50-100x slower at Arrow batch sizes.)
-    pdf = pdf.sort_values(["trade_date", "vol", "contract"],
+    pdf = pdf.sort_values(["trade_date", key, "contract"],
                           ascending=[True, False, False]).reset_index(drop=True)
     itype = pdf["instrument_type"].iloc[0]
 
-    # candidate per date = first row in (vol desc, contract desc) order
+    # candidate per date = first row in (key desc, contract desc) order
     cand = pdf.drop_duplicates("trade_date", keep="first")[["trade_date", "contract"]]
     cand = cand.rename(columns={"contract": "cand_contract"}).reset_index(drop=True)
     m = cand[["trade_date"]].copy()
@@ -110,9 +125,13 @@ def _select_one_type(pdf: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-def select_contracts(cd: DataFrame) -> DataFrame:
+def select_contracts(cd: DataFrame, switch_by: str = "vol",
+                     smooth_days: int = 0) -> DataFrame:
     """Per-type stateful scan — the one justified pandas-UDF in the engine."""
-    return cd.groupBy("instrument_type").applyInPandas(_select_one_type, _SELECT_SCHEMA)
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _select_one_type(pdf, switch_by=switch_by,
+                                smooth_days=smooth_days)
+    return cd.groupBy("instrument_type").applyInPandas(run, _SELECT_SCHEMA)
 
 
 def adj_factor_chain(selected: DataFrame) -> DataFrame:

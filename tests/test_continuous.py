@@ -73,3 +73,33 @@ def test_types_independent(spark):
     out = continuous.select_contracts(_cd(spark, rows)).collect()
     got = {r["instrument_type"]: r["main_contract"] for r in out}
     assert got == {"RB": 1, "CU": 9}
+
+
+def test_switch_by_open_interest(spark):
+    rows = [
+        # volume says contract 2, open interest says contract 1
+        ("RB", _ts(1), 1, 10.0, 10.0, 500.0), ("RB", _ts(1), 2, 90.0, 20.0, 50.0),
+    ]
+    cd = spark.createDataFrame(
+        rows, "instrument_type string, trade_date timestamp, contract long, "
+              "vol double, close double, oi double")
+    by_vol = continuous.select_contracts(cd).collect()[0]
+    by_oi = continuous.select_contracts(cd, switch_by="oi").collect()[0]
+    assert by_vol["main_contract"] == 2
+    assert by_oi["main_contract"] == 1
+
+
+def test_smoothing_suppresses_one_day_spike(spark):
+    rows = []
+    for d in range(1, 6):
+        rows.append(("RB", _ts(d), 1, 100.0, 10.0))
+        # contract 2 spikes only on day 3
+        rows.append(("RB", _ts(d), 2, 250.0 if d == 3 else 10.0, 20.0))
+    cd = _cd(spark, rows)
+    raw = {r["trade_date"].day: r["main_contract"]
+           for r in continuous.select_contracts(cd).collect()}
+    smooth = {r["trade_date"].day: r["main_contract"]
+              for r in continuous.select_contracts(cd, smooth_days=2).collect()}
+    assert raw[3] == 2          # spike flips the raw selection (and sticks)
+    assert smooth[3] == 1       # 3-day mean (10+10+250)/3 = 90 < 100 → no switch
+    assert smooth[5] == 1
