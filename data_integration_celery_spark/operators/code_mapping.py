@@ -53,7 +53,7 @@ def fill_from_vendor(mapping: DataFrame, vendor_codes: DataFrame,
     on the symbol root — the correlated UPDATE…JOIN as join+coalesce."""
     side = (vendor_codes.select(F.col(vendor_col).alias("__v"))
             .withColumn("__root", symbol_root(F.col("__v")))
-            .dropDuplicates(["__root"]))
+            .groupBy("__root").agg(F.min("__v").alias("__v")))  # deterministic pick
     out = (mapping.withColumn("__root", symbol_root(F.col("unique_code")))
            .join(F.broadcast(side), "__root", "left")
            .withColumn(vendor_col, F.coalesce(F.col(vendor_col), F.col("__v")))

@@ -1487,3 +1487,57 @@ def j14_main_sec(spark, sf_dir):
                      "left")
             .select("instrument_type", "trade_date", "main_contract",
                     "main_close", "sec_contract", "sec_close"))
+
+
+@q("j6_code_mapping_maintenance",
+   sql="""
+   WITH mapping0 AS (
+     SELECT regexp_extract(c_name, '(\\d+)', 1) || '.SH' AS unique_code,
+            regexp_extract(c_name, '(\\d+)', 1) || '.SH' AS vendor_a_code,
+            CAST(NULL AS VARCHAR) AS vendor_b_code
+     FROM customer),
+   feed_b AS (
+     SELECT regexp_extract(s_name, '(\\d+)', 1) || '.XSHG' AS vendor_b_code
+     FROM supplier),
+   roots AS (
+     SELECT DISTINCT split_part(vendor_b_code, '.', 1) AS root,
+            min(vendor_b_code) AS vb
+     FROM feed_b GROUP BY 1),
+   filled AS (
+     SELECT m.unique_code, m.vendor_a_code,
+            COALESCE(m.vendor_b_code, r.vb) AS vendor_b_code
+     FROM mapping0 m
+     LEFT JOIN roots r ON split_part(m.unique_code, '.', 1) = r.root),
+   feed_new AS (
+     SELECT 'N' || n_nationkey || '.XSHG' AS vendor_b_code FROM nation),
+   inserts AS (
+     SELECT f.vendor_b_code AS unique_code,
+            CAST(NULL AS VARCHAR) AS vendor_a_code,
+            f.vendor_b_code
+     FROM (SELECT DISTINCT vendor_b_code FROM feed_new) f
+     WHERE NOT EXISTS (SELECT 1 FROM filled
+                       WHERE filled.vendor_b_code = f.vendor_b_code))
+   SELECT * FROM filled UNION ALL SELECT * FROM inserts
+   """,
+   doc="J5/J6: code_mapping maintenance — fill a vendor column on existing "
+       "rows via the shared symbol root (correlated UPDATE…JOIN as "
+       "join+coalesce) then insert rows for never-seen vendor codes "
+       "(anti-join + union), the reference's insert/update cycle "
+       "(tasks/merge/code_mapping.py:37-117) in one functional rebuild.")
+def j6_mapping_maintenance(spark, sf_dir):
+    from .operators import code_mapping as cm
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    num = lambda col: F.regexp_extract(col, r"(\d+)", 1)  # noqa: E731
+    mapping0 = c.select(
+        F.concat(num(F.col("c_name")), F.lit(".SH")).alias("unique_code"),
+        F.concat(num(F.col("c_name")), F.lit(".SH")).alias("vendor_a_code"),
+        F.lit(None).cast("string").alias("vendor_b_code"))
+    feed_b = s.select(
+        F.concat(num(F.col("s_name")), F.lit(".XSHG")).alias("vendor_b_code"))
+    filled = cm.fill_from_vendor(mapping0, feed_b, "vendor_b_code")
+    feed_new = n.select(
+        F.concat(F.lit("N"), F.col("n_nationkey").cast("string"),
+                 F.lit(".XSHG")).alias("vendor_b_code"))
+    return cm.insert_missing(filled, feed_new, "vendor_b_code")
