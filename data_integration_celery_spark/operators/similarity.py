@@ -83,24 +83,33 @@ def all_pairs_topk(emb: DataFrame, k: int = 20, id_col: str = "vec_id",
     def gen(batches):
         import pandas as pd
         b_ids, bn = bc.value
+        # sub-block so the similarity slice stays ~256 rows x corpus — an
+        # Arrow batch x full corpus matrix is GBs at 10^5 vectors and the
+        # temporaries (round/mask copies) dominate wall-clock
+        sub = max(1, min(256, 2 ** 25 // max(len(b_ids), 1)))
         for block in batches:
-            a_ids = block[id_col].to_numpy()
-            an = np.stack(block[vec_col].to_numpy()).astype("float64")
-            an /= np.linalg.norm(an, axis=1, keepdims=True)
-            sims = np.round(an @ bn.T, round_dp)
-            valid = a_ids[:, None] < b_ids[None, :]  # each pair once
-            flat = np.where(valid, sims, -np.inf).ravel()
-            n_valid = int(valid.sum())
-            if n_valid == 0:
-                continue
-            kk = min(k, n_valid)
-            thr = np.partition(flat, -kk)[-kk]
-            keep = np.argwhere(np.where(valid, sims, -np.inf) >= thr)
-            yield pd.DataFrame({
-                "id_a": a_ids[keep[:, 0]],
-                "id_b": b_ids[keep[:, 1]],
-                "cos_sim": sims[keep[:, 0], keep[:, 1]],
-            })
+            all_ids = block[id_col].to_numpy()
+            an_full = np.stack(block[vec_col].to_numpy()).astype("float64")
+            an_full /= np.linalg.norm(an_full, axis=1, keepdims=True)
+            margin = 10.0 ** (-round_dp)  # covers round-up across the cut
+            for s0 in range(0, len(all_ids), sub):
+                a_ids = all_ids[s0:s0 + sub]
+                sims = an_full[s0:s0 + sub] @ bn.T
+                np.place(sims, a_ids[:, None] >= b_ids[None, :], -np.inf)
+                n_valid = int(np.isfinite(sims).sum())
+                if n_valid == 0:
+                    continue
+                # threshold on raw values with a rounding margin, round only
+                # the kept candidates — rounding the full slice costs more
+                # than the matmul itself
+                kk = min(k, n_valid)
+                thr = np.partition(sims.ravel(), -kk)[-kk]
+                keep = np.argwhere(sims >= thr - margin)
+                yield pd.DataFrame({
+                    "id_a": a_ids[keep[:, 0]],
+                    "id_b": b_ids[keep[:, 1]],
+                    "cos_sim": np.round(sims[keep[:, 0], keep[:, 1]], round_dp),
+                })
 
     cands = emb.select(id_col, vec_col).mapInPandas(
         gen, "id_a long, id_b long, cos_sim double")
