@@ -152,6 +152,97 @@ def all_pairs_topk(emb: DataFrame, k: int = 20, id_col: str = "vec_id",
     return cands.orderBy(F.col("cos_sim").desc(), "id_a", "id_b").limit(k)
 
 
+def ivf_build(corpus: DataFrame, n_centroids: int = 16, iters: int = 3,
+              id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Build an IVF (inverted-file) index: Lloyd's k-means over the corpus.
+
+    Deterministic seeding (lowest ids), assignments via broadcast-centroid
+    BLAS blocks, centroid update via posexplode + per-dimension mean — every
+    step distributed except the (n_centroids × dim) centroid matrix itself.
+    Returns (assignments DataFrame (id, bucket), centroids ndarray).
+    """
+    import numpy as np
+
+    seed_pdf = (corpus.orderBy(id_col).limit(n_centroids)
+                .select(vec_col).toPandas())
+    centroids = np.stack(seed_pdf[vec_col].to_numpy()).astype("float64")
+    centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
+    sc = corpus.sparkSession.sparkContext
+
+    assignments = None
+    for it in range(iters):
+        bc = sc.broadcast(centroids)
+
+        def assign(batches):
+            import pandas as pd
+            cm = bc.value
+            for block in batches:
+                vm = np.stack(block[vec_col].to_numpy()).astype("float64")
+                vm /= np.linalg.norm(vm, axis=1, keepdims=True)
+                bucket = np.argmax(vm @ cm.T, axis=1)
+                yield pd.DataFrame({id_col: block[id_col], "bucket": bucket})
+
+        assignments = corpus.select(id_col, vec_col).mapInPandas(
+            assign, f"{id_col} long, bucket int")
+        if it == iters - 1:
+            break
+        # centroid update: mean per (bucket, dim), normalised
+        joined = corpus.join(assignments, id_col)
+        means = (joined.select("bucket", F.posexplode(vec_col).alias("pos", "x"))
+                 .groupBy("bucket", "pos").agg(F.avg("x").alias("m"))
+                 .groupBy("bucket")
+                 .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("vs"))
+                 .select("bucket", F.transform("vs", lambda s: s.m).alias("c"))
+                 .toPandas())
+        for _, row in means.iterrows():
+            v = np.array(row["c"], dtype="float64")
+            n = np.linalg.norm(v)
+            if n > 0:
+                centroids[int(row["bucket"])] = v / n
+    return assignments, centroids
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             n_centroids: int = 16, nprobe: int = 4, iters: int = 3,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate cosine top-k probing only the ``nprobe`` nearest IVF
+    buckets per query; exact rescoring inside the probed buckets.
+
+    nprobe == n_centroids degenerates to exact brute force (tested). At
+    100 TB the assignments table is the persisted index; probing reads only
+    the matching bucket partitions.
+    """
+    import numpy as np
+
+    assignments, centroids = ivf_build(corpus, n_centroids, iters,
+                                       id_col, vec_col)
+    qpdf = queries.select(id_col, vec_col).toPandas()
+    qm = np.stack(qpdf[vec_col].to_numpy()).astype("float64")
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    order = np.argsort(-(qm @ centroids.T), axis=1)[:, :nprobe]
+    probe_rows = [(int(qid), int(b))
+                  for qid, buckets in zip(qpdf[id_col], order)
+                  for b in buckets]
+    spark = corpus.sparkSession
+    probes = spark.createDataFrame(probe_rows, "query_id long, bucket int")
+
+    cand = (probes
+            .join(assignments.withColumnRenamed(id_col, "cand_id"), "bucket")
+            .where(F.col("query_id") != F.col("cand_id"))
+            .join(queries.select(F.col(id_col).alias("query_id"),
+                                 F.col(vec_col).alias("qv")), "query_id")
+            .join(corpus.select(F.col(id_col).alias("cand_id"),
+                                F.col(vec_col).alias("cv")), "cand_id"))
+    scored = cand.select(
+        "query_id", "cand_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(),
+                                               F.col("cand_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "cand_id", "cos_sim"))
+
+
 def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH bucket id: sign bits of ⟨v, p⟩ per plane."""
     out = F.lit(0).cast("long")

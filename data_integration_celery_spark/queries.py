@@ -1541,3 +1541,16 @@ def j6_mapping_maintenance(spark, sf_dir):
         F.concat(F.lit("N"), F.col("n_nationkey").cast("string"),
                  F.lit(".XSHG")).alias("vendor_b_code"))
     return cm.insert_missing(filled, feed_new, "vendor_b_code")
+
+
+@q("ann_ivf_topk", sql=None,
+   doc="IVF (inverted-file) ANN: Lloyd's k-means index built distributed "
+       "(assign via broadcast-centroid BLAS blocks, update via posexplode "
+       "mean), probe the nprobe nearest buckets, exact rescoring inside. "
+       "Approximate → rows-only here; pytest proves full-probe degenerates "
+       "to exact brute force and partial-probe recall ≥ 0.5.")
+def ann_ivf_q(spark, sf_dir):
+    from .operators import similarity
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, emb.where(F.col("vec_id") % 100 == 0),
+                               k=5, n_centroids=8, nprobe=3)

@@ -60,3 +60,26 @@ def test_calendar_alignment(spark):
     aligned = calendar.align_to_calendar(daily, cal, "code", "cal_date")
     assert aligned.count() == 10
     assert aligned.where(F.col("v").isNotNull()).count() == 1
+
+
+def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
+    from pyspark.sql import functions as F
+    emb = catalog.load(spark, "embeddings", sf_dir)
+    queries = emb.where(F.col("vec_id") % 150 == 0)
+    brute = similarity.brute_force_topk(emb, queries, k=5)
+    full = similarity.ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=8)
+    b = sorted((r["query_id"], r["rank"], r["cand_id"]) for r in brute.collect())
+    f = sorted((r["query_id"], r["rank"], r["cand_id"]) for r in full.collect())
+    assert b == f  # probing every bucket degenerates to exact search
+
+
+def test_ivf_partial_probe_recall(spark, sf_dir):
+    from pyspark.sql import functions as F
+    emb = catalog.load(spark, "embeddings", sf_dir)
+    queries = emb.where(F.col("vec_id") % 150 == 0)
+    brute = similarity.brute_force_topk(emb, queries, k=5)
+    approx = similarity.ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=3)
+    b = {(r["query_id"], r["cand_id"]) for r in brute.collect()}
+    a = {(r["query_id"], r["cand_id"]) for r in approx.collect()}
+    recall = len(a & b) / len(b)
+    assert recall >= 0.5  # probing 3/8 buckets keeps most true neighbours
