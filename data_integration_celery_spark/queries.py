@@ -1553,4 +1553,4 @@ def ann_ivf_q(spark, sf_dir):
     from .operators import similarity
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(emb, emb.where(F.col("vec_id") % 100 == 0),
-                               k=5, n_centroids=8, nprobe=3)
+                               k=5, n_centroids=8, nprobe=3, iters=2)
