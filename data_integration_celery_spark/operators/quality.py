@@ -41,6 +41,73 @@ def quarterize(reports: DataFrame, key: str, report_date_col: str,
          .otherwise((F.col(value_col) - prev_v) / dq))
 
 
+def quarterize_exact(reports: DataFrame, key: str, report_date_col: str,
+                     value_col: str) -> DataFrame:
+    """Reference-exact ``fill_season_data`` (finance_report/__init__.py:271-344):
+    sequential per-key scan where imputed values feed subsequent diffs.
+
+    Per key, ordered by report_date (months must be in {3,6,9,12}):
+
+    1. prev filled ≠ null ∧ cur ≠ null ∧ same year →
+       ``season = (cur − prev_filled) / ((month − prev_month)/3)``;
+    2. (prev filled = null ∨ year changed) ∧ cur ≠ null →
+       ``season = cur / (month/3)`` (the ÷1,÷2,÷3,÷4 month ladder);
+    3. prev filled ≠ null ∧ cur = null → ``season = prev_season`` and the
+       *value itself* is imputed as ``season × (month/3)`` (linear growth) —
+       this imputed value is what case 1 diffs against on the next row;
+    4. both null → both stay null.
+
+    Genuinely order-dependent with cross-row state (case 3 feeds case 1), so
+    it runs as ``groupBy(key).applyInPandas`` — per-key groups are tiny
+    (4 rows/year) and independent, so this parallelizes across millions of
+    instruments on a cluster. Returns (key, report_date, value_filled,
+    season) with stable column names.
+    """
+    import numpy as np
+    import pandas as pd
+
+    key_type = reports.schema[key].dataType.simpleString()
+    out_schema = (f"{key} {key_type}, {report_date_col} date, "
+                  f"value_filled double, season double")
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(report_date_col).reset_index(drop=True)
+        months = pd.DatetimeIndex(pd.to_datetime(pdf[report_date_col])).month
+        years = pd.DatetimeIndex(pd.to_datetime(pdf[report_date_col])).year
+        vals = pdf[value_col].to_numpy(dtype=float)
+        filled = np.full(len(pdf), np.nan)
+        season = np.full(len(pdf), np.nan)
+        prev_filled = np.nan
+        prev_season = np.nan
+        prev_year = None
+        prev_month = None
+        for i in range(len(pdf)):
+            cur = vals[i]
+            month, year = int(months[i]), int(years[i])
+            m3 = month / 3.0
+            same_year = prev_year == year
+            if not np.isnan(prev_filled) and not np.isnan(cur) and same_year:
+                season[i] = (cur - prev_filled) / ((month - prev_month) / 3.0)
+                filled[i] = cur
+            elif (np.isnan(prev_filled) or not same_year) and not np.isnan(cur):
+                season[i] = cur / m3
+                filled[i] = cur
+            elif not np.isnan(prev_filled) and np.isnan(cur):
+                season[i] = prev_season
+                filled[i] = prev_season * m3
+            # else: both null — stays NaN
+            prev_filled, prev_season = filled[i], season[i]
+            prev_year, prev_month = year, month
+        return pd.DataFrame({
+            key: pdf[key],
+            report_date_col: pdf[report_date_col],
+            "value_filled": filled,
+            "season": season,
+        })
+
+    return reports.groupBy(key).applyInPandas(scan, out_schema)
+
+
 def detect_accumulation_cols(reports: DataFrame, key: str,
                              report_date_col: str, value_cols: list[str],
                              min_year_boundaries: int = 3,

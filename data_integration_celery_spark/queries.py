@@ -980,6 +980,80 @@ def w8_quarterize(spark, sf_dir):
     return out.select("code", "report_date", "ytd_value", "ytd_value_q")
 
 
+@q("w8b_quarterize_exact",
+   sql="""
+   WITH RECURSIVE qr AS (
+     SELECT o_custkey AS code,
+            CAST(date_trunc('quarter', CAST(o_orderdate AS DATE))
+                 + INTERVAL 3 MONTH - INTERVAL 1 DAY AS DATE) AS report_date,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS qv
+     FROM orders
+     GROUP BY o_custkey, date_trunc('quarter', CAST(o_orderdate AS DATE))),
+   cum AS (
+     SELECT code, report_date,
+            CASE WHEN (code % 7 = 3 AND quarter(report_date) = 2)
+                   OR (code % 11 = 5 AND quarter(report_date) = 3) THEN NULL
+                 ELSE CAST(sum(CAST(qv AS DECIMAL(38,6)))
+                      OVER (PARTITION BY code, year(report_date)
+                            ORDER BY report_date
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS DOUBLE)
+            END AS ytd_value
+     FROM qr),
+   seq AS (
+     SELECT code, report_date, ytd_value,
+            month(report_date) AS m, year(report_date) AS y,
+            row_number() OVER (PARTITION BY code ORDER BY report_date) AS rn
+     FROM cum),
+   scan AS (
+     SELECT code, rn, report_date, y, m,
+            ytd_value AS value_filled,
+            ytd_value / (m / 3.0) AS season
+     FROM seq WHERE rn = 1
+     UNION ALL
+     SELECT s.code, s.rn, s.report_date, s.y, s.m,
+            CASE
+              WHEN s.ytd_value IS NOT NULL THEN s.ytd_value
+              WHEN p.value_filled IS NOT NULL AND s.ytd_value IS NULL
+                THEN p.season * (s.m / 3.0)
+            END AS value_filled,
+            CASE
+              WHEN p.value_filled IS NOT NULL AND s.ytd_value IS NOT NULL
+                   AND s.y = p.y
+                THEN (s.ytd_value - p.value_filled) / ((s.m - p.m) / 3.0)
+              WHEN (p.value_filled IS NULL OR s.y <> p.y)
+                   AND s.ytd_value IS NOT NULL
+                THEN s.ytd_value / (s.m / 3.0)
+              WHEN p.value_filled IS NOT NULL AND s.ytd_value IS NULL
+                THEN p.season
+            END AS season
+     FROM seq s JOIN scan p ON s.code = p.code AND s.rn = p.rn + 1)
+   SELECT code, report_date, value_filled, season FROM scan
+   """,
+   doc="W8 exact: reference-exact fill_season_data sequential scan "
+       "(finance_report/__init__.py:271-344) incl. the ÷2,÷3,÷4 month ladder "
+       "AND linear-growth imputation of missing quarters feeding subsequent "
+       "diffs. Deterministic nulls injected (code%7/quarter 2, code%11/"
+       "quarter 3); Spark runs applyInPandas per code, DuckDB a recursive "
+       "CTE carrying (value_filled, season) state.")
+def w8b_quarterize_exact(spark, sf_dir):
+    from .operators import quality
+    o = _t(spark, sf_dir, "orders")
+    qr = (o.groupBy(F.col("o_custkey").alias("code"),
+                    F.trunc(F.col("o_orderdate").cast("date"), "quarter").alias("qstart"))
+            .agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("qv")))
+    w = (Window.partitionBy("code", F.year("qstart")).orderBy("qstart")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    rdate = F.date_sub(F.add_months(F.col("qstart"), 3), 1)
+    ytd = F.sum(F.col("qv").cast(DEC)).over(w).cast("double")
+    hole = (((F.col("code") % 7 == 3) & (F.quarter(rdate) == 2))
+            | ((F.col("code") % 11 == 5) & (F.quarter(rdate) == 3)))
+    reports = qr.select(
+        "code", rdate.alias("report_date"),
+        F.when(hole, F.lit(None).cast("double")).otherwise(ytd).alias("ytd_value"))
+    return quality.quarterize_exact(reports, "code", "report_date", "ytd_value")
+
+
 @q("a11_accumulation_detect",
    sql="""
    WITH qr AS (

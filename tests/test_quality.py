@@ -76,3 +76,40 @@ def test_completeness_anti_join(spark):
     actual = spark.createDataFrame([("a", 1)], "code string, v int")
     missing = quality.completeness_anti_join(expected, actual, "code")
     assert [r["code"] for r in missing.collect()] == ["b"]
+
+
+def test_quarterize_exact_reference_golden(spark):
+    # The reference's _test_fill_season_data fixture verbatim
+    # (finance_report/__init__.py:347-384): YTD 400/NaN/600/NaN/1400 + next
+    # year 1600.  Expected filled values 400/100/600/1500/1400/1600 and
+    # seasons 100/100/500/500/-100/400 — the NaN rows are imputed by linear
+    # growth (season*month/3) and the imputed value feeds the next diff.
+    df = _reports(spark, [
+        ("000001.XSHE", dt.date(2000, 12, 31), 400.0),
+        ("000001.XSHE", dt.date(2001, 3, 31), None),
+        ("000001.XSHE", dt.date(2001, 6, 30), 600.0),
+        ("000001.XSHE", dt.date(2001, 9, 30), None),
+        ("000001.XSHE", dt.date(2001, 12, 31), 1400.0),
+        ("000001.XSHE", dt.date(2002, 12, 31), 1600.0),
+    ])
+    out = quality.quarterize_exact(df, "code", "report_date", "revenue")
+    rows = {(r["report_date"].year, r["report_date"].month):
+            (r["value_filled"], r["season"]) for r in out.collect()}
+    assert rows == {
+        (2000, 12): (400.0, 100.0),
+        (2001, 3): (100.0, 100.0),
+        (2001, 6): (600.0, 500.0),
+        (2001, 9): (1500.0, 500.0),
+        (2001, 12): (1400.0, -100.0),
+        (2002, 12): (1600.0, 400.0),
+    }
+
+
+def test_quarterize_exact_all_null_group(spark):
+    df = _reports(spark, [
+        ("x", dt.date(2020, 3, 31), None),
+        ("x", dt.date(2020, 6, 30), None),
+    ])
+    out = quality.quarterize_exact(df, "code", "report_date", "revenue")
+    for r in out.collect():
+        assert r["value_filled"] is None and r["season"] is None
