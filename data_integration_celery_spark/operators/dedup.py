@@ -85,6 +85,40 @@ def minhash_signature(sh: Column, num_hashes: int = 32) -> Column:
     ])
 
 
+def lsh_params(num_hashes: int, threshold: float,
+               fp_weight: float = 0.5, fn_weight: float = 0.5) -> tuple[int, int]:
+    """Pick (bands, rows) for a target Jaccard threshold.
+
+    A pair with Jaccard s collides in ≥1 band with probability
+    ``1 − (1 − s^r)^b``. Among all (b, r) with b·r ≤ num_hashes, minimize the
+    weighted false-positive area below the threshold plus false-negative
+    area above it (Riemann sum; the standard S-curve fit used by MinHash-LSH
+    literature, e.g. Leskovec et al., Mining of Massive Datasets §3.4).
+    Deterministic — safe to call at plan-build time.
+    """
+    if not 0 < threshold < 1:
+        raise ValueError("threshold must be in (0, 1)")
+    steps = 500
+    best: tuple[float, int, int] | None = None
+    for b in range(1, num_hashes + 1):
+        r = num_hashes // b
+        if r < 1:
+            break
+        fp = fn = 0.0
+        for i in range(steps):
+            s = (i + 0.5) / steps
+            p_collide = 1.0 - (1.0 - s ** r) ** b
+            if s < threshold:
+                fp += p_collide / steps
+            else:
+                fn += (1.0 - p_collide) / steps
+        err = fp_weight * fp + fn_weight * fn
+        if best is None or err < best[0]:
+            best = (err, b, r)
+    assert best is not None
+    return best[1], best[2]
+
+
 def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", num_hashes: int = 32,
                            bands: int = 8) -> DataFrame:

@@ -22,3 +22,40 @@ def test_high_threshold_agreement(spark, sf_dir):
     a = _pairs(dedup.ngram_jaccard_pairs(docs, threshold=0.6, method="count"))
     b = _pairs(dedup.ngram_jaccard_pairs(docs, threshold=0.6, method="prefix"))
     assert a == b
+
+
+def test_lsh_params_scurve():
+    from data_integration_celery_spark.operators.dedup import lsh_params
+    b, r = lsh_params(128, 0.5)
+    assert b * r <= 128 and b > 1 and r > 1
+    # the chosen S-curve midpoint (1/b)^(1/r) should sit near the threshold
+    assert abs((1.0 / b) ** (1.0 / r) - 0.5) < 0.15
+    # asymmetric weighting shifts the curve: recall-heavy -> more bands
+    b_recall, _ = lsh_params(128, 0.5, fp_weight=0.1, fn_weight=0.9)
+    assert b_recall >= b
+
+
+def test_minhash_est_vs_exact_calibration(spark):
+    """est_jaccard from the 64-hash signature must track exact shingle
+    Jaccard on a real corpus (sf0.01 documents): MAE bounded and no gross
+    outliers — the (b, r) calibration NOTES.md asked for."""
+    from data_integration_celery_spark.operators import dedup
+    docs = (spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+            .select("doc_id", "text").orderBy("doc_id").limit(400))
+    b, _ = dedup.lsh_params(64, 0.4)
+    cand = dedup.minhash_lsh_candidates(docs, num_hashes=64, bands=b)
+    exact = dedup.ngram_jaccard_pairs(docs, threshold=0.2)
+    joined = (cand.join(exact, ["id_a", "id_b"])
+              .select("est_jaccard", "jaccard").collect())
+    assert joined, "LSH at threshold 0.4 found no pairs with exact J>=0.2"
+    errs = [abs(row["est_jaccard"] - row["jaccard"]) for row in joined]
+    assert sum(errs) / len(errs) < 0.12
+    assert max(errs) < 0.45
+    # recall floor: high-similarity pairs must be found by LSH
+    high = {(r["id_a"], r["id_b"]) for r in
+            exact.where("jaccard >= 0.8").collect()}
+    if high:
+        found = {(r["id_a"], r["id_b"]) for r in
+                 cand.select("id_a", "id_b").collect()}
+        recall = len(high & found) / len(high)
+        assert recall >= 0.9
