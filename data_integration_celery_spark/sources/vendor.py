@@ -61,3 +61,46 @@ def fetch_distributed(ranges: DataFrame, fetch: FetchFn, out_schema: str,
                 yield pd.concat(frames, ignore_index=True)
 
     return ranges.mapInPandas(run, out_schema)
+
+
+def bisect_ranges(fetch: FetchFn, code: str, date_from, date_to,
+                  step: int = 20, row_limit: int = 3000):
+    """Rate-limit-aware date-range bisection (reference
+    tasks/jqdata/stock/finance_report/__init__.py:35-64).
+
+    Walk ``(date_from, date_to]`` in windows of ``step`` days (the fetcher
+    contract is from-exclusive / to-inclusive, matching the reference's
+    ``pub_date > from AND pub_date <= to``). A window whose result hits
+    ``row_limit`` probably got truncated by the vendor cap: re-fetch it as
+    two half-step windows, recursively, until step < 2 — then yield what we
+    got with ``truncated=True`` so the caller can flag the gap.
+
+    Yields ``(frame, date_from, date_to, truncated)``. Runs *inside* the
+    executor-side fetcher (see ``fetch_bisected``) so the driver never loops.
+    """
+    import datetime as _dt
+    one_step = _dt.timedelta(days=step)
+    cur = date_from
+    while cur < date_to:
+        nxt = min(cur + one_step, date_to)
+        df = fetch(code, cur, nxt)
+        n = 0 if df is None else len(df)
+        if n >= row_limit and step >= 2:
+            yield from bisect_ranges(fetch, code, cur, nxt, step // 2, row_limit)
+        else:
+            yield df, cur, nxt, n >= row_limit
+        cur = nxt
+
+
+def fetch_bisected(fetch: FetchFn, step: int = 20,
+                   row_limit: int = 3000) -> FetchFn:
+    """Wrap a capped vendor fetcher so ``fetch_distributed`` transparently
+    splits ranges that exceed the vendor's row cap. Sub-frames concat in
+    date order; truncated leaf windows are kept (the reference logs and
+    keeps them too — completeness audits catch the gap downstream)."""
+    def wrapped(code, date_from, date_to):
+        frames = [df for df, _f, _t, _trunc in
+                  bisect_ranges(fetch, code, date_from, date_to, step, row_limit)
+                  if df is not None and len(df)]
+        return pd.concat(frames, ignore_index=True) if frames else None
+    return wrapped

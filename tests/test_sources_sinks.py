@@ -98,3 +98,43 @@ def test_pipeline_chain_group_and_failure(spark):
     assert "skipped" in results["downstream_of_bad"].error
     assert "nope" not in ran
     assert ran.index("extract") == 0
+
+
+def test_bisect_ranges_splits_bursts_no_gaps_no_dupes():
+    """A 40-day range with a 3-day burst above the cap: every day's rows are
+    fetched exactly once, burst windows get recursively halved, and an
+    unsplittable 1-day burst is flagged truncated."""
+    import datetime as dt
+    import pandas as pd
+    from data_integration_celery_spark.sources import vendor
+
+    d0 = dt.date(2021, 1, 1)
+    burst = {dt.date(2021, 1, 13), dt.date(2021, 1, 14), dt.date(2021, 1, 25)}
+
+    def rows_for(day):
+        return 5000 if day in burst else 10
+
+    calls = []
+
+    def fake_fetch(code, lo, hi):
+        calls.append((lo, hi))
+        days, day = [], lo + dt.timedelta(days=1)
+        while day <= hi:
+            days.extend([day] * rows_for(day))
+            day += dt.timedelta(days=1)
+        return pd.DataFrame({"day": days})
+
+    out = list(vendor.bisect_ranges(fake_fetch, "X", d0, d0 + dt.timedelta(days=40),
+                                    step=20, row_limit=3000))
+    # no window wider than necessary was kept at the cap without splitting
+    kept = pd.concat([df for df, _, _, _ in out if df is not None])
+    per_day = kept.groupby("day").size()
+    for day, n in per_day.items():
+        assert n == rows_for(day), f"{day}: {n}"
+    # burst days survived only inside 1-day windows, flagged truncated
+    truncated = [(lo, hi) for _, lo, hi, t in out if t]
+    assert truncated and all((hi - lo).days == 1 for lo, hi in truncated)
+    # and the wrapper concats to the same multiset of rows
+    wrapped = vendor.fetch_bisected(fake_fetch, step=20, row_limit=3000)
+    total = wrapped("X", d0, d0 + dt.timedelta(days=40))
+    assert len(total) == len(kept)
