@@ -256,16 +256,32 @@ def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
 
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, planes: list[list[float]],
-             k: int = 5, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Approximate cosine top-k: probe only the query's LSH bucket.
+             k: int = 5, id_col: str = "vec_id", vec_col: str = "embedding",
+             n_flips: int = 0) -> DataFrame:
+    """Approximate cosine top-k: probe the query's LSH bucket, plus — with
+    ``n_flips`` ≥ 1 (multi-probe LSH, Lv et al. VLDB'07) — every bucket
+    within Hamming distance ``n_flips`` of it.
 
     Recall < 1 by construction; differential tests measure it against
-    brute_force_topk. Bucket join shuffles each side once on the bucket id.
+    brute_force_topk. The fan-out is query-side only (queries ≪ corpus): the
+    corpus is still hashed and shuffled exactly once on the bucket id, so at
+    100 TB the extra probes cost ``sum(C(P,i))``× more *query* rows, not
+    corpus reads. A candidate lives in exactly one bucket, so probed buckets
+    never produce duplicate (query, cand) pairs.
     """
+    from itertools import combinations
+    masks = [0]
+    for d in range(1, n_flips + 1):
+        for bits in combinations(range(len(planes)), d):
+            masks.append(sum(2 ** b for b in bits))
     c = (corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
          .withColumn("bucket", hyperplane_signature(F.col("cv"), planes)))
     q = (queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-         .withColumn("bucket", hyperplane_signature(F.col("qv"), planes)))
+         .withColumn("bucket0", hyperplane_signature(F.col("qv"), planes))
+         .select("query_id", "qv",
+                 F.explode(F.array(*[
+                     F.col("bucket0").bitwiseXOR(F.lit(m)) for m in masks
+                 ])).alias("bucket")))
     scored = (q.join(c, "bucket")
               .where(F.col("query_id") != F.col("cand_id"))
               .select("query_id", "cand_id",

@@ -737,15 +737,18 @@ def ann_topk_q(spark, sf_dir):
 
 
 @q("ann_lsh_topk", sql=None,
-   doc="Cosine-LSH bucketed top-k (random hyperplanes) — approximate; "
-       "recall measured against brute force in tests/test_similarity.py.")
+   doc="Cosine-LSH bucketed top-k (random hyperplanes) with 1-flip "
+       "multi-probe (Lv et al. VLDB'07) — approximate; recall vs brute "
+       "force asserted in tests/test_dedup_similarity.py (multi-probe with "
+       "all flips proven identical to brute force).")
 def ann_lsh_q(spark, sf_dir):
     import random
     from .operators import similarity
     rnd = random.Random(7)
     planes = [[rnd.gauss(0, 1) for _ in range(64)] for _ in range(4)]
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.lsh_topk(emb, emb.where(F.col("vec_id") % 100 == 0), planes)
+    return similarity.lsh_topk(emb, emb.where(F.col("vec_id") % 100 == 0),
+                               planes, n_flips=1)
 
 
 # ---------------------------------------------------------------------------

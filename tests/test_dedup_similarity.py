@@ -83,3 +83,26 @@ def test_ivf_partial_probe_recall(spark, sf_dir):
     a = {(r["query_id"], r["cand_id"]) for r in approx.collect()}
     recall = len(a & b) / len(b)
     assert recall >= 0.5  # probing 3/8 buckets keeps most true neighbours
+
+
+def test_lsh_multiprobe_improves_recall(spark, sf_dir):
+    """Multi-probe (flip up to d sign bits) must dominate single-bucket
+    recall, and probing every bucket (n_flips = n_planes) is exhaustive —
+    identical to brute force."""
+    import random
+    emb = catalog.load(spark, "embeddings", sf_dir)
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    e = {(r["query_id"], r["cand_id"]) for r in exact.collect()}
+    rnd = random.Random(7)
+    planes = [[rnd.gauss(0, 1) for _ in range(64)] for _ in range(4)]
+
+    def recall(n_flips):
+        got = similarity.lsh_topk(emb, queries, planes, k=5, n_flips=n_flips)
+        a = {(r["query_id"], r["cand_id"]) for r in got.collect()}
+        return len(e & a) / len(e)
+
+    r0, r1, r_all = recall(0), recall(1), recall(4)
+    assert r1 >= r0
+    assert r1 >= 0.4  # 1-flip probes 5/16 buckets: ~2.4x the 0.2 single-bucket floor
+    assert r_all == 1.0
