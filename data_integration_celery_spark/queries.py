@@ -524,6 +524,42 @@ def a3_bars(spark, sf_dir):
                       "n_ticks", "vol", "amount")
 
 
+@q("a4_rebar",
+   sql=f"""
+   WITH bars1 AS ({_BARS_SQL}),
+   r AS (
+     SELECT event_type,
+            time_bucket(INTERVAL '15 minutes', bar_start) AS bar15,
+            bar_start, open, high, low, close, vol,
+            row_number() OVER (PARTITION BY event_type,
+                               time_bucket(INTERVAL '15 minutes', bar_start)
+                               ORDER BY bar_start) AS rn_a,
+            row_number() OVER (PARTITION BY event_type,
+                               time_bucket(INTERVAL '15 minutes', bar_start)
+                               ORDER BY bar_start DESC) AS rn_d
+     FROM bars1)
+   SELECT event_type, bar15 AS bar_start,
+          max(CASE WHEN rn_a = 1 THEN open END) AS open,
+          max(high) AS high, min(low) AS low,
+          max(CASE WHEN rn_d = 1 THEN close END) AS close,
+          CAST(sum(CAST(vol AS DECIMAL(38,6))) AS DOUBLE) AS vol
+   FROM r GROUP BY event_type, bar15
+   """,
+   doc="A4: N-minute re-bar from 1-min bars (merge_2_n_bar.py:20-52 ceil "
+       "bucketing): open=first, high=max, low=min, close=last, vol=Σ — the "
+       "two-level bar aggregation, all map-side combinable groupBys.")
+def a4_rebar_q(spark, sf_dir):
+    ev = (_t(spark, sf_dir, "events")
+          .withColumn("vol", F.get_json_object("props", "$.k").cast("double")))
+    b1 = bars.ohlc_bars(ev, key_cols=["event_type"], ts_col="ts",
+                        price_col="value", vol_col="vol",
+                        duration="1 minute", id_col="event_id")
+    out = bars.rebar(b1, key_cols=["event_type"], bar_start_col="bar_start",
+                     duration="15 minutes")
+    return out.select("event_type", "bar_start", "open", "high", "low",
+                      "close", "vol")
+
+
 # ---------------------------------------------------------------------------
 # Continuous futures (W7) — the reference's flagship derived analytic
 # ---------------------------------------------------------------------------
