@@ -48,6 +48,22 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
         [r"TakeOrderedAndProject"], [r"Sort .*global=true"]),
     "dedup_ngram_jaccard": (
         [r"HashAggregate"], [r"CartesianProduct"]),
+    # interval join: equi-key broadcast with the range as join condition —
+    # never a nested-loop over the fact side
+    "j8_interval_join": (
+        [r"BroadcastHashJoin"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"]),
+    # as-of via union+ffill: exactly ONE hash partitioning on the key and no
+    # join operator at all — the 100 TB formulation
+    "j9_asof_last_report": (
+        [r"Window", r"hashpartitioning\(user_id"],
+        [r"SortMergeJoin", r"CartesianProduct", r"BroadcastNestedLoopJoin"]),
+    "a4_rebar": (
+        [r"partial", r"Aggregate"], [r"CartesianProduct", r"SortMergeJoin"]),
+    # reference-exact quarterization: Arrow-batched per-key scan, single
+    # shuffle into FlatMapGroupsInPandas
+    "w8b_quarterize_exact": (
+        [r"FlatMapGroupsInPandas"], [r"CartesianProduct"]),
 }
 
 
