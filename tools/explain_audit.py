@@ -60,10 +60,12 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
         [r"SortMergeJoin", r"CartesianProduct", r"BroadcastNestedLoopJoin"]),
     "a4_rebar": (
         [r"partial", r"Aggregate"], [r"CartesianProduct", r"SortMergeJoin"]),
-    # reference-exact quarterization: Arrow-batched per-key scan, single
-    # shuffle into FlatMapGroupsInPandas
+    # reference-exact quarterization: ONE key-hash exchange feeding an
+    # Arrow-batched partition scan — never per-group FlatMapGroupsInPandas
+    # (per-group overhead measured 15x slower at sf0.1)
     "w8b_quarterize_exact": (
-        [r"FlatMapGroupsInPandas"], [r"CartesianProduct"]),
+        [r"MapInPandas", r"hashpartitioning\(code"],
+        [r"CartesianProduct", r"FlatMapGroupsInPandas"]),
 }
 
 
