@@ -101,6 +101,13 @@ def winnowing_fingerprints(docs: DataFrame, text_col: str = "text",
     text span guarantees shared fingerprints. md5-hex with lexicographic min
     keeps the operator engine-portable (same result in any SQL engine); the
     whole thing is posexplode + lead + windowed min, fully codegen.
+
+    Note on *robust* winnowing (Schleimer et al. §5): it changes only which
+    POSITION is recorded when a window's minimum hash is tied — ties are by
+    definition equal hash *values*, so the distinct fingerprint-value set per
+    document (what this operator returns, and what bucket-joins consume) is
+    identical under either rule. Positional fingerprints are the only reason
+    to implement it.
     """
     from pyspark.sql import Window
     toks = docs.select(id_col,

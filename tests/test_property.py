@@ -55,3 +55,43 @@ def test_upsert_converges_and_is_idempotent(spark, rows):
     assert once.count() == once.select("k", "d").distinct().count()
     twice = upsert.upsert_frames(once, upd, keys=["k", "d"])
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.one_of(st.none(),
+                          st.floats(min_value=-1e6, max_value=1e6,
+                                    allow_nan=False, allow_infinity=False)),
+                min_size=1, max_size=12))
+def test_quarterize_exact_invariants(spark, ytd):
+    """Reference fill_season_data invariants over arbitrary YTD series with
+    holes: (1) observed values pass through unchanged; (2) once a value has
+    been seen, season is never null again; (3) on null-free complete-quarter
+    years, seasons telescope back to the YTD diffs."""
+    import datetime as dt
+    from data_integration_celery_spark.operators import quality
+
+    rows = []
+    y, q = 2000, 1
+    for v in ytd:
+        rows.append(("k", dt.date(y, [3, 6, 9, 12][q - 1],
+                                  [31, 30, 30, 31][q - 1]), v))
+        q += 1
+        if q == 5:
+            q, y = 1, y + 1
+    df = spark.createDataFrame(rows, "code string, report_date date, v double")
+    got = sorted(quality.quarterize_exact(df, "code", "report_date", "v")
+                 .collect(), key=lambda r: r["report_date"])
+    seen = False
+    for i, r in enumerate(got):
+        if ytd[i] is not None:
+            assert r["value_filled"] == ytd[i]          # (1) pass-through
+        if seen:
+            assert r["season"] is not None              # (2) ffill of state
+        if r["value_filled"] is not None:
+            seen = True
+        month = r["report_date"].month
+        prev = got[i - 1] if i else None
+        if (ytd[i] is not None and month != 3 and prev is not None
+                and prev["report_date"].year == r["report_date"].year
+                and ytd[i - 1] is not None):
+            assert r["season"] == (ytd[i] - ytd[i - 1]) / 1.0  # (3) diff
