@@ -252,3 +252,32 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
     return (verified.select("id_a", "id_b", jac.alias("jaccard"))
                     .where(F.col("jaccard") >= threshold))
+
+
+def contamination_scores(corpus: DataFrame, benchmark: DataFrame,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         n: int = 3) -> DataFrame:
+    """Train/test decontamination: per corpus document, the fraction of its
+    distinct n-gram shingles that appear anywhere in the benchmark set
+    (the n-gram-overlap contamination check used when preparing training
+    corpora against held-out benchmarks).
+
+    The benchmark's global shingle set is tiny next to the corpus (eval
+    suites are ≤ millions of n-grams), so it broadcasts: the corpus postings
+    never shuffle — one map-side hash probe per posting, then a map-side
+    combinable count aggregation on doc_id. If the benchmark ever outgrows
+    the broadcast threshold, drop the explicit broadcast() and the same plan
+    degrades gracefully to a shuffle join on the shingle.
+
+    Returns (doc_id, n_shingles, n_matched, contamination).
+    """
+    corp = shingle_postings(corpus, text_col, id_col, n)
+    bench = (shingle_postings(benchmark, text_col, id_col, n)
+             .select("s").distinct().withColumn("__hit", F.lit(1)))
+    marked = corp.join(F.broadcast(bench), "s", "left")
+    return (marked.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_shingles"),
+                 F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                  .cast("long").alias("n_matched"))
+            .withColumn("contamination",
+                        F.col("n_matched").cast("double") / F.col("n_shingles")))

@@ -727,6 +727,45 @@ def dedup_ngram_q(spark, sf_dir):
         .select("id_a", "id_b", "jaccard")
 
 
+@q("txt_contamination",
+   sql="""
+   WITH norm AS (
+     SELECT doc_id,
+            string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                               '\\s+') AS tok
+     FROM documents),
+   sh AS (
+     SELECT doc_id,
+            CASE WHEN len(tok) >= 3
+                 THEN list_distinct(list_transform(range(1, len(tok) - 1),
+                                                   i -> array_to_string(tok[i:i+2], ' ')))
+                 ELSE [array_to_string(tok, ' ')] END AS sh
+     FROM norm),
+   bench AS (
+     SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 97 = 0),
+   corp AS (
+     SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id % 97 <> 0)
+   SELECT c.doc_id,
+          CAST(count(*) AS BIGINT) AS n_shingles,
+          CAST(sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_matched,
+          CAST(sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+            / count(*) AS contamination
+   FROM corp c LEFT JOIN bench b ON c.s = b.s
+   GROUP BY c.doc_id
+   """,
+   doc="Train/test decontamination: per-document fraction of 3-gram "
+       "shingles present in a held-out benchmark set (docs with "
+       "doc_id%97==0). Benchmark shingle set broadcasts — corpus postings "
+       "never shuffle for the probe; counts aggregate map-side on doc_id.")
+def txt_contamination_q(spark, sf_dir):
+    from .operators import dedup
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    return dedup.contamination_scores(corpus, bench)
+
+
 @q("dedup_minhash_lsh", sql=None,
    doc="MinHash(32)+LSH(8 bands) candidate pairs with estimated Jaccard — "
        "approximate by construction so no SQL oracle; differential pytest "

@@ -59,3 +59,20 @@ def test_minhash_est_vs_exact_calibration(spark):
                  cand.select("id_a", "id_b").collect()}
         recall = len(high & found) / len(high)
         assert recall >= 0.9
+
+
+def test_contamination_scores_bounds(spark):
+    from data_integration_celery_spark.operators import dedup
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),      # fully contained -> 1.0
+         (2, "zeta eta theta iota kappa"),           # disjoint -> 0.0
+         (3, "alpha beta gamma nope nope2 nope3")],  # partial
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           dedup.contamination_scores(corpus, bench).collect()}
+    assert got[1]["contamination"] == 1.0
+    assert got[2]["contamination"] == 0.0
+    assert 0.0 < got[3]["contamination"] < 1.0
+    assert got[3]["n_matched"] == 1 and got[3]["n_shingles"] == 4

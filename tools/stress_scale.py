@@ -79,6 +79,36 @@ def main() -> None:
     run("embedding_all_pairs_topk",
         lambda: f"{similarity.all_pairs_topk(emb, k=50).count()} pairs")
 
+    import random
+    rnd = random.Random(7)
+    planes = [[rnd.gauss(0, 1) for _ in range(64)] for _ in range(8)]
+    queries = emb.where(F.col("vec_id") % 2000 == 0)
+    run("ann_lsh_multiprobe(8 planes, d=1)",
+        lambda: f"{similarity.lsh_topk(emb, queries, planes, k=10, n_flips=1).count()} results")
+    run("ann_ivf_topk(32 centroids, nprobe=4)",
+        lambda: f"{similarity.ivf_topk(emb, queries, k=10, n_centroids=32, nprobe=4).count()} results")
+
+    # sequential-scan operator at scale: reports replicated per-code
+    from data_integration_celery_spark.operators import quality
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    qr = (orders.groupBy(F.col("o_custkey").alias("code"),
+                         F.trunc(F.col("o_orderdate").cast("date"),
+                                 "quarter").alias("qstart"))
+          .agg(F.sum("o_totalprice").alias("qv")))
+    reports0 = qr.select(
+        "code", F.date_sub(F.add_months("qstart", 3), 1).alias("report_date"),
+        F.when(F.col("code") % 7 == 3, None).otherwise(F.col("qv"))
+         .cast("double").alias("ytd"))
+    rreps = spark.range(DOC_REPLICAS).withColumnRenamed("id", "rep")
+    reports = (reports0.crossJoin(rreps)
+               .select((F.col("code") + F.col("rep") * 10_000_000).alias("code"),
+                       "report_date", "ytd"))
+    reports.write.mode("overwrite").parquet(f"{tmp}/reports")
+    reports = spark.read.parquet(f"{tmp}/reports")
+    n_rep = reports.count()
+    run(f"quarterize_exact({n_rep:,} report rows)",
+        lambda: f"{quality.quarterize_exact(reports, 'code', 'report_date', 'ytd').count()} rows")
+
     print(f"# Corpus-operator stress run — {n_docs:,} docs / {n_emb:,} vectors "
           f"(local[32])\n")
     print("| operator | seconds | output |")
