@@ -281,3 +281,58 @@ def contamination_scores(corpus: DataFrame, benchmark: DataFrame,
                   .cast("long").alias("n_matched"))
             .withColumn("contamination",
                         F.col("n_matched").cast("double") / F.col("n_shingles")))
+
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b", max_iter: int = 25) -> DataFrame:
+    """Cluster near-dup candidate pairs into components: every node gets the
+    minimum reachable node id as its component label (min-label propagation
+    to fixpoint).
+
+    This is the step that turns pair output (minhash_lsh_candidates /
+    ngram_jaccard_pairs) into dedup *groups* — keep min(node) per component,
+    drop the rest. Each iteration is one shuffle (edge join + min-agg);
+    near-dup graphs have tiny diameter (dup clusters are cliques or near-
+    cliques), so propagation converges in a handful of rounds. Labels are
+    cached per round and the loop exits as soon as nothing changes; at
+    billion-edge scale swap in the large-star/small-star contraction
+    (O(log n) rounds) — same contract.
+
+    Returns (node, component).
+    """
+    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+             .union(pairs.select(F.col(id_b).alias("src"),
+                                 F.col(id_a).alias("dst")))
+             .distinct())
+    edges.cache()
+    labels = (edges.select(F.col("src").alias("node"))
+              .union(edges.select(F.col("dst").alias("node")))
+              .distinct()
+              .withColumn("component", F.col("node")))
+    labels.cache()
+    labels.count()
+    for _ in range(max_iter):
+        # one join per round, reused for both the propagation and the
+        # convergence check: candidate = min over neighbours' labels
+        cand = (edges.join(labels.withColumnRenamed("node", "src"), "src")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("component").alias("nbr_min")))
+        joined = labels.join(cand, "node", "left")
+        joined.cache()
+        n_changed = joined.where(F.col("nbr_min") < F.col("component")).count()
+        if n_changed == 0:
+            joined.unpersist()
+            break
+        new_labels = joined.select(
+            "node", F.least("component",
+                            F.coalesce("nbr_min", "component"))
+                     .alias("component"))
+        # materialize the new generation before dropping the old one —
+        # localCheckpoint also truncates lineage so plan size stays O(1)
+        # across rounds instead of growing per iteration
+        new_labels = new_labels.localCheckpoint(eager=True)
+        joined.unpersist()
+        labels.unpersist()
+        labels = new_labels
+    edges.unpersist()
+    return labels

@@ -76,3 +76,15 @@ def test_contamination_scores_bounds(spark):
     assert got[2]["contamination"] == 0.0
     assert 0.0 < got[3]["contamination"] < 1.0
     assert got[3]["n_matched"] == 1 and got[3]["n_shingles"] == 4
+
+
+def test_connected_components_chain_and_islands(spark):
+    from data_integration_celery_spark.operators import dedup
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),    # chain -> component 1
+         (10, 11),                  # pair  -> component 10
+         (20, 21), (21, 20)],       # duplicate/reversed edges collapse
+        "id_a long, id_b long")
+    got = {r["node"]: r["component"]
+           for r in dedup.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
