@@ -284,7 +284,8 @@ def contamination_scores(corpus: DataFrame, benchmark: DataFrame,
 
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
-                         id_b: str = "id_b", max_iter: int = 25) -> DataFrame:
+                         id_b: str = "id_b", max_iter: int = 25,
+                         fixed_rounds: int | None = None) -> DataFrame:
     """Cluster near-dup candidate pairs into components: every node gets the
     minimum reachable node id as its component label (min-label propagation
     to fixpoint).
@@ -297,6 +298,11 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     cached per round and the loop exits as soon as nothing changes; at
     billion-edge scale swap in the large-star/small-star contraction
     (O(log n) rounds) — same contract.
+
+    ``fixed_rounds`` skips the per-round convergence count: when the caller
+    knows a diameter bound (dup clusters from banded LSH are near-cliques —
+    diameter ≤ 2-3), running exactly that many rounds saves one Spark action
+    per round. With ``fixed_rounds=None`` the loop self-terminates.
 
     Returns (node, component).
     """
@@ -311,18 +317,20 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
               .withColumn("component", F.col("node")))
     labels.cache()
     labels.count()
-    for _ in range(max_iter):
+    for i in range(fixed_rounds if fixed_rounds is not None else max_iter):
         # one join per round, reused for both the propagation and the
         # convergence check: candidate = min over neighbours' labels
         cand = (edges.join(labels.withColumnRenamed("node", "src"), "src")
                 .groupBy(F.col("dst").alias("node"))
                 .agg(F.min("component").alias("nbr_min")))
         joined = labels.join(cand, "node", "left")
-        joined.cache()
-        n_changed = joined.where(F.col("nbr_min") < F.col("component")).count()
-        if n_changed == 0:
-            joined.unpersist()
-            break
+        if fixed_rounds is None:
+            joined.cache()
+            n_changed = joined.where(
+                F.col("nbr_min") < F.col("component")).count()
+            if n_changed == 0:
+                joined.unpersist()
+                break
         new_labels = joined.select(
             "node", F.least("component",
                             F.coalesce("nbr_min", "component"))
@@ -331,7 +339,8 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         # localCheckpoint also truncates lineage so plan size stays O(1)
         # across rounds instead of growing per iteration
         new_labels = new_labels.localCheckpoint(eager=True)
-        joined.unpersist()
+        if fixed_rounds is None:
+            joined.unpersist()
         labels.unpersist()
         labels = new_labels
     edges.unpersist()

@@ -632,6 +632,33 @@ def w7_continuous(spark, sf_dir):
 # Text analysis on the documents corpus
 # ---------------------------------------------------------------------------
 
+@q("txt_corpus_stats",
+   sql="""
+   SELECT lang, source,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) AS total_chars,
+          median(CAST(n_chars AS DOUBLE)) AS p50_chars,
+          CAST(sum(CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+'))
+                        END AS DECIMAL(38,6))) AS DOUBLE) AS total_tokens
+   FROM documents GROUP BY lang, source
+   """,
+   doc="Corpus composition report: per (lang, source) doc counts, exact "
+       "decimal char/token totals and median length — the rollup a training "
+       "pipeline publishes per ingest snapshot. Map-side combinable "
+       "aggregation; median is the only full-shuffle term.")
+def txt_corpus_stats_q(spark, sf_dir):
+    from .operators import text as T
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.groupBy("lang", "source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.col("n_chars").cast(DEC)).cast("double")
+                  .alias("total_chars"),
+                 F.median(F.col("n_chars").cast("double")).alias("p50_chars"),
+                 F.sum(T.token_count(F.col("text")).cast(DEC)).cast("double")
+                  .alias("total_tokens")))
+
+
 @q("txt_features",
    sql="""
    WITH toks AS (
@@ -794,7 +821,8 @@ def dedup_components_q(spark, sf_dir):
     edges = (r.where((F.col("rn") - 1) % 4 != 0)
              .select(F.col("o_orderkey").alias("id_a"),
                      F.col("prev_key").alias("id_b")))
-    return dedup.connected_components(edges).select("node", "component")
+    return dedup.connected_components(edges, fixed_rounds=3)\
+        .select("node", "component")
 
 
 @q("dedup_minhash_lsh", sql=None,
