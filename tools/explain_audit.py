@@ -60,6 +60,13 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
         [r"SortMergeJoin", r"CartesianProduct", r"BroadcastNestedLoopJoin"]),
     "a4_rebar": (
         [r"partial", r"Aggregate"], [r"CartesianProduct", r"SortMergeJoin"]),
+    # decontamination: benchmark shingle set must BROADCAST — corpus
+    # postings never shuffle for the probe
+    "txt_contamination": (
+        [r"BroadcastHashJoin"],
+        [r"SortMergeJoin", r"CartesianProduct"]),
+    "txt_corpus_stats": (
+        [r"partial", r"HashAggregate"], [r"CartesianProduct"]),
     # reference-exact quarterization: ONE key-hash exchange feeding an
     # Arrow-batched partition scan — never per-group FlatMapGroupsInPandas
     # (per-group overhead measured 15x slower at sf0.1)
