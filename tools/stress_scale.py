@@ -109,6 +109,43 @@ def main() -> None:
     run(f"quarterize_exact({n_rep:,} report rows)",
         lambda: f"{quality.quarterize_exact(reports, 'code', 'report_date', 'ytd').count()} rows")
 
+    # ---- relational operators at 10x bench scale (~6M lineitem rows) ----
+    from data_integration_celery_spark.operators import asof, continuous, upsert
+    li0 = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    lreps = spark.range(10).withColumnRenamed("id", "rep")
+    li = (li0.crossJoin(lreps)
+          .withColumn("l_orderkey",
+                      F.col("l_orderkey") + F.col("rep") * 100_000_000)
+          .withColumn("l_shipdate",
+                      F.add_months("l_shipdate",
+                                   (F.col("rep") * 12).cast("int"))
+                       .cast("timestamp"))
+          .drop("rep"))
+    li.write.mode("overwrite").parquet(f"{tmp}/lineitem10")
+    li = spark.read.parquet(f"{tmp}/lineitem10")
+    n_li = li.count()
+
+    run(f"a2_pricing_rollup({n_li:,} rows)",
+        lambda: f"{li.groupBy('l_returnflag', 'l_linestatus').agg(F.sum('l_quantity'), F.sum('l_extendedprice'), F.avg('l_discount'), F.count(F.lit(1))).count()} groups")
+    reports = (li.where(F.col("l_linenumber") == 1)
+               .select("l_partkey", F.col("l_shipdate").alias("pub_date"),
+                       F.col("l_extendedprice").alias("ref_price")))
+    # filter on the ffilled column so Catalyst cannot prune the window
+    run(f"asof_union_ffill({n_li:,} daily x {reports.count():,} reports)",
+        lambda: f"{asof.asof_join_union(li.select('l_partkey', 'l_shipdate', 'l_quantity'), reports, 'l_partkey', 'l_shipdate', 'pub_date', ['ref_price']).where(F.col('ref_price').isNotNull()).count()} stamped rows")
+    cd10 = continuous.contract_daily(li, part)
+    run("continuous_contract_select(10x dates/type)",
+        lambda: f"{continuous.select_contracts(cd10).count()} selections")
+    run(f"upsert_window_dedup({n_li:,} rows)",
+        lambda: (upsert.write_upsert(
+                     spark,
+                     li.select("l_orderkey", "l_linenumber", "l_quantity")
+                       .withColumn("batch_id", F.lit(1)),
+                     f"{tmp}/upsert_target",
+                     ["l_orderkey", "l_linenumber"]),
+                 f"{spark.read.parquet(f'{tmp}/upsert_target').count()} rows")[1])
+
     print(f"# Corpus-operator stress run — {n_docs:,} docs / {n_emb:,} vectors "
           f"(local[32])\n")
     print("| operator | seconds | output |")
@@ -125,7 +162,14 @@ not documents² — candidate volume scales with true duplicate density, the
 blocked BLAS all-pairs scales with corpus x broadcast-side, and the rest are
 single-shuffle scans. On a 1000-executor cluster the same plans partition by
 doc/bucket id; the broadcast side of all_pairs_topk becomes an IVF/LSH bucket
-(NOTES.md backlog).""")
+(NOTES.md backlog).
+
+Relational block (last four rows): lineitem replicated 10x with shifted
+years (~6M rows). The rollup is a pure map-side-combine scan; the as-of
+union+ffill stays one shuffle regardless of fact size; contract selection
+is applyInPandas per instrument type (25 types x 10x dates — parallel
+across types, linear in dates); the upsert is the window-dedup shuffle a
+MERGE INTO would do. All scale linearly with rows at fixed key cardinality.""")
 
 
 if __name__ == "__main__":
