@@ -99,3 +99,31 @@ def pivot_wide(df: DataFrame, index, pivot_col: str, value_col: str,
     idx = index if isinstance(index, (list, tuple)) else [index]
     p = df.groupBy(*idx).pivot(pivot_col, values)
     return getattr(p, "agg")(getattr(F, agg)(value_col))
+
+
+def scd2_from_snapshots(snapshots: DataFrame, key, snap_col: str,
+                        attr_cols: list[str]) -> DataFrame:
+    """Build SCD2 validity intervals from periodic full snapshots.
+
+    The reference tracks slowly-changing sets by bisecting snapshot dates to
+    find change-points (sectorconstituent.py:84-150 — a fetch-side trick);
+    engine-side the Spark-first form is: keep only snapshot rows where any
+    tracked attribute differs from the previous snapshot of the same key
+    (change-points via lag over one key-shuffle), then close each interval
+    with the next change's date (lead). Open intervals get NULL valid_to.
+
+    Null-safe comparison (<=>) so NULL→value and value→NULL transitions are
+    change-points too. One shuffle on the key; both windows share it.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    w = Window.partitionBy(*keys).orderBy(snap_col)
+    changed = F.lit(False)
+    for c in attr_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+    first = F.lag(snap_col).over(w).isNull()
+    cp = (snapshots.withColumn("__chg", first | changed)
+          .where("__chg").drop("__chg"))
+    w2 = Window.partitionBy(*keys).orderBy(snap_col)
+    return (cp.withColumn("valid_from", F.col(snap_col))
+            .withColumn("valid_to", F.lead(snap_col).over(w2))
+            .drop(snap_col))

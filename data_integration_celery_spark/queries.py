@@ -1318,6 +1318,36 @@ def eav_roundtrip(spark, sf_dir):
                        F.col("totalprice"), F.col("custkey"))
 
 
+@q("u4_scd2_intervals",
+   sql="""
+   WITH snap AS (
+     SELECT o_custkey AS code,
+            CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS snap_d,
+            max(o_orderpriority) AS priority
+     FROM orders GROUP BY 1, 2),
+   cp AS (
+     SELECT code, snap_d, priority,
+            (lag(snap_d) OVER w IS NULL
+             OR NOT (priority IS NOT DISTINCT FROM lag(priority) OVER w)) AS chg
+     FROM snap WINDOW w AS (PARTITION BY code ORDER BY snap_d))
+   SELECT code, priority, snap_d AS valid_from,
+          lead(snap_d) OVER (PARTITION BY code ORDER BY snap_d) AS valid_to
+   FROM cp WHERE chg
+   """,
+   doc="U4/SCD2: validity intervals from monthly full snapshots "
+       "(sectorconstituent.py:84-150 change-point semantics, engine-side): "
+       "null-safe lag diff keeps change-points, lead closes intervals — one "
+       "key shuffle shared by both windows.")
+def u4_scd2_q(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    snap = (o.groupBy(F.col("o_custkey").alias("code"),
+                      F.trunc(F.col("o_orderdate").cast("date"), "month")
+                       .alias("snap_d"))
+            .agg(F.max("o_orderpriority").alias("priority")))
+    return (windows.scd2_from_snapshots(snap, "code", "snap_d", ["priority"])
+            .select("code", "priority", "valid_from", "valid_to"))
+
+
 @q("u4_membership_changepoints",
    sql="""
    WITH snap AS (

@@ -58,3 +58,25 @@ def test_eav_roundtrip_and_promotion(spark):
     promoted = eav.promote_eav(wide, side, ["code", "trade_date"], "pe", "pe")
     got = {r["code"]: r["pe"] for r in promoted.collect()}
     assert got == {"a": 1.5, "b": 7.7}  # a keeps its value, b backfilled
+
+
+def test_scd2_from_snapshots_intervals(spark):
+    import datetime as dt
+    from data_integration_celery_spark.operators import windows as W
+    snaps = spark.createDataFrame(
+        [("a", dt.date(2020, 1, 1), "gold"),
+         ("a", dt.date(2020, 2, 1), "gold"),     # unchanged -> absorbed
+         ("a", dt.date(2020, 3, 1), "silver"),   # change-point
+         ("a", dt.date(2020, 4, 1), None),       # value -> NULL is a change
+         ("b", dt.date(2020, 1, 1), "bronze")],
+        "code string, snap_d date, tier string")
+    got = sorted(
+        W.scd2_from_snapshots(snaps, "code", "snap_d", ["tier"]).collect(),
+        key=lambda r: (r["code"], r["valid_from"]))
+    rows = [(r["code"], r["tier"], r["valid_from"], r["valid_to"]) for r in got]
+    assert rows == [
+        ("a", "gold", dt.date(2020, 1, 1), dt.date(2020, 3, 1)),
+        ("a", "silver", dt.date(2020, 3, 1), dt.date(2020, 4, 1)),
+        ("a", None, dt.date(2020, 4, 1), None),
+        ("b", "bronze", dt.date(2020, 1, 1), None),
+    ]
