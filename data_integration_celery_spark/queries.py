@@ -1318,6 +1318,42 @@ def eav_roundtrip(spark, sf_dir):
                        F.col("totalprice"), F.col("custkey"))
 
 
+@q("a13_sessionize",
+   sql="""
+   WITH g AS (
+     SELECT user_id, ts, value, event_id,
+            CASE WHEN lag(ts) OVER w IS NULL
+                 OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                 THEN 1 ELSE 0 END AS brk
+     FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+   s AS (
+     SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS sess
+     FROM g)
+   SELECT user_id, min(ts) AS session_start, max(ts) AS last_ts,
+          CAST(count(*) AS BIGINT) AS n_events,
+          CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+   FROM s GROUP BY user_id, sess
+   """,
+   doc="Sessionization: gap-based event sessions (30-min inactivity) via "
+       "Spark's session_window — the stateful merging groupBy Structured "
+       "Streaming runs with a watermark; the oracle is the classic "
+       "gap-islands SQL (break on lag diff >= gap, cumulative-sum session "
+       "ids). Boundary semantics matched: Spark's session end is exclusive, "
+       "so an event exactly gap-after starts a new session.")
+def a13_sessionize_q(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+            .agg(F.min("ts").alias("session_start"),
+                 F.max("ts").alias("last_ts"),
+                 F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast(DEC)).cast("double")
+                  .alias("total_value"))
+            .select("user_id", "session_start", "last_ts", "n_events",
+                    "total_value"))
+
+
 @q("u4_scd2_intervals",
    sql="""
    WITH snap AS (
