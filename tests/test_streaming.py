@@ -121,3 +121,53 @@ def test_stream_exactly_once_across_restart(spark, events_dir, tmp_path):
     dec = "decimal(38,6)"
     assert (got.agg(F.sum(F.col("value").cast(dec))).collect()[0][0]
             == src.agg(F.sum(F.col("value").cast(dec))).collect()[0][0])
+
+
+def test_stream_watermark_bounds_dedup_state(spark, tmp_path):
+    """Watermark semantics actually guaranteed by Spark's stateful dedup:
+    duplicates within the watermark horizon dedup exactly, and the state
+    store stays bounded — keys older than the horizon are evicted after
+    commit (boundary rows dedup best-effort, per the Spark contract). The
+    O(horizon) state bound is what keeps the operator viable at 100 TB; the
+    reference's duplicate-repair job has the same reach limit (PK rebuild
+    touches the current partition only)."""
+    import datetime as dt
+    import glob
+    import os
+    src_dir = str(tmp_path / "late_src")
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    old_ts = base - dt.timedelta(hours=2)
+    schema = "event_id long, ts timestamp, value double"
+    batch1 = [(1, base, 1.0), (2, base + dt.timedelta(minutes=5), 2.0),
+              (9, old_ts, 9.0)]
+    batch2 = [(2, base + dt.timedelta(minutes=5), 2.0),   # in-horizon dup
+              (9, old_ts, 9.0)]                           # beyond-horizon dup
+    spark.createDataFrame(batch1, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(src_dir)
+    os.rename(sorted(glob.glob(f"{src_dir}/part-*"))[0],
+              f"{src_dir}/a-batch1.parquet")
+    spark.createDataFrame(batch2, schema).coalesce(1) \
+        .write.mode("append").parquet(src_dir)
+    os.rename(glob.glob(f"{src_dir}/part-*")[0], f"{src_dir}/b-batch2.parquet")
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    deduped = jobs.stream_dedup_ticks(stream, ["event_id"], "ts",
+                                      watermark="10 minutes")
+    q = (deduped.writeStream.format("memory").queryName("late_state")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    counts = {}
+    for r in spark.sql("select event_id from late_state").collect():
+        counts[r["event_id"]] = counts.get(r["event_id"], 0) + 1
+    assert counts[1] == 1
+    assert counts[2] == 1, "duplicate within the watermark horizon must dedup"
+    # at the horizon boundary Spark documents dedup as best-effort ("may or
+    # may not"); the hard guarantee is BOUNDED STATE — the evicted old key
+    # must not remain in the state store at end of stream
+    state_rows = max(p["stateOperators"][0]["numRowsTotal"]
+                     for p in q.recentProgress if p["stateOperators"])
+    final_rows = [p["stateOperators"][0]["numRowsTotal"]
+                  for p in q.recentProgress if p["stateOperators"]][-1]
+    assert final_rows <= 2, f"old-horizon state must be evicted: {final_rows}"
+    assert state_rows <= 3
