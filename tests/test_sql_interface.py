@@ -20,6 +20,8 @@ PORTABLE = [
     "u1_union_distinct",
     "a9_describe",
     "pipeline_region_revenue",
+    "u4_scd2_intervals",
+    "a13_sessionize",
 ]
 
 
