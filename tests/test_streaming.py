@@ -110,7 +110,13 @@ def test_stream_exactly_once_across_restart(spark, events_dir, tmp_path):
         time.sleep(0.1)
     q1.stop()
     q1.awaitTermination(60)
-    partial = spark.read.parquet(target).count()
+    # the kill may land mid-overwrite (parquet has no commit protocol — a
+    # real deployment uses Delta/Iceberg for atomic swaps); the contract is
+    # the END state after restart, so the mid-stream peek is best-effort
+    try:
+        partial = spark.read.parquet(target).count()
+    except Exception:
+        partial = 0
     q2 = start()
     q2.awaitTermination(120)
     got = spark.read.parquet(target)
