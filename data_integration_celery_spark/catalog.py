@@ -14,6 +14,7 @@ tables play those roles:
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -23,6 +24,12 @@ TABLES = (
 )
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# session → {(sf_dir, table): DataFrame}; weak keys so a stopped session's
+# handles are collectable (a handle from a stopped session must never be
+# served to a new session that happens to reuse the same object address).
+_HANDLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary())
 
 
 def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
@@ -35,17 +42,28 @@ def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFr
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Memoize the DataFrame handle per (session, dir, table): a gate run calls
+    # load() hundreds of times and each fresh spark.read.parquet re-lists
+    # files + re-reads footers for schema. The handle is a lazy logical plan —
+    # reusing it changes nothing downstream (no persist(), so pushdown/pruning
+    # still plan per query against the raw scan).
+    per_session = _HANDLE_CACHE.setdefault(spark, {})
+    key = (os.path.abspath(sf_dir), name)
+    if key in per_session:
+        return per_session[key]
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name != "events":
-        return spark.read.parquet(path)
-    # events.ts is parquet TIMESTAMP(NANOS) which Spark has no native type
-    # for: read the raw int64 nanos and truncate to micros (DuckDB/Arrow do
-    # the same truncation when downcasting ns→µs).
-    from pyspark.sql import functions as F
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = spark.read.parquet(path)
+    else:
+        # events.ts is parquet TIMESTAMP(NANOS) which Spark has no native type
+        # for: read the raw int64 nanos and truncate to micros (DuckDB/Arrow do
+        # the same truncation when downcasting ns→µs).
+        from pyspark.sql import functions as F
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    per_session[key] = df
     return df
 
 

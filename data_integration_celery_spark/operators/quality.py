@@ -193,17 +193,18 @@ def snapshot_diff_audit(current: DataFrame, backup: DataFrame,
     {added, removed, changed} — unchanged rows are dropped.
     """
     value_cols = [c for c in current.columns if c not in pk]
-    cur = current.alias("cur")
-    bak = backup.alias("bak")
+    # literal presence markers decide added/removed by row existence per join
+    # side — probing a value column would misclassify rows whose first value
+    # happens to be NULL (and drop all-NULL added/removed rows entirely).
+    cur = current.withColumn("__cur", F.lit(1)).alias("cur")
+    bak = backup.withColumn("__bak", F.lit(1)).alias("bak")
     joined = cur.join(bak, on=pk, how="full_outer")
     any_diff = F.lit(False)
     for c in value_cols:
         any_diff = any_diff | ~F.col(f"cur.{c}").eqNullSafe(F.col(f"bak.{c}"))
-    probe_cur = F.col(f"cur.{value_cols[0]}") if value_cols else F.lit(None)
-    probe_bak = F.col(f"bak.{value_cols[0]}") if value_cols else F.lit(None)
     status = (
-        F.when(probe_bak.isNull() & probe_cur.isNotNull(), F.lit("added"))
-         .when(probe_cur.isNull() & probe_bak.isNotNull(), F.lit("removed"))
+        F.when(F.col("bak.__bak").isNull(), F.lit("added"))
+         .when(F.col("cur.__cur").isNull(), F.lit("removed"))
          .when(any_diff, F.lit("changed")))
     return (joined.select(*pk, status.alias("status"))
                   .where(F.col("status").isNotNull()))
