@@ -69,19 +69,19 @@ def mean_value_warning(left: Column, right: Column, tol: float) -> Column:
 
 
 def max_up_or_down(left: Column, right: Column) -> Column:
-    """涨跌停-label merge → {-1,0,1}; conflicting vendors → -2/-3 codes.
+    """涨跌停-label merge → {-1,0,1}; -2 both-unknown, -3 conflict.
 
     Reference tasks/merge/stock.py:187-227: each vendor reports a limit-move
-    label; equal → that value; one missing → the other; both present and
-    different → conflict code (-2 if left reports limit-up while right reports
-    limit-down, -3 for the reverse).
+    label; both missing → -2 ("状态不明", status unknown — distinct from 0 =
+    no limit move); one missing → the other; equal → that value; both present
+    and different → -3 ("状态冲突", conflict), regardless of direction.
     """
     l, r = _clean(left), _clean(right)
     return (
-        F.when(l.isNull(), F.coalesce(r, F.lit(0.0)))
+        F.when(l.isNull() & r.isNull(), F.lit(-2.0))
+        .when(l.isNull(), r)
         .when(r.isNull(), l)
         .when(l == r, l)
-        .when(l > r, F.lit(-2.0))
         .otherwise(F.lit(-3.0))
     )
 

@@ -90,12 +90,17 @@ def interval_flag_join(daily: DataFrame, intervals: DataFrame, key: str,
     cond = ((daily[key] == F.col("__k"))
             & (daily[date_col] >= F.col("__s"))
             & (daily[date_col] <= F.col("__e")))
-    joined = daily.join(iv, cond, "left")
-    out = joined.withColumn(flag_col,
-                            F.when(F.col("__k").isNotNull(), F.lit(1)).otherwise(F.lit(0)))
-    # overlapping intervals could fan out — collapse back to one row per daily row
-    return (out.drop("__k", "__s", "__e")
-               .dropDuplicates(daily.columns))
+    # semi/anti instead of join+dedup: a left join fanned out on overlapping
+    # intervals and the old dropDuplicates(daily.columns) full-width shuffle
+    # silently collapsed *genuine* duplicate daily rows too. Semi/anti joins
+    # never change the left side's multiplicity; each daily row lands on
+    # exactly one branch. The two probes share the same scan + broadcast
+    # (interval tables are dimension-sized), so the plan stays one pass.
+    inside = daily.join(F.broadcast(iv), cond, "left_semi") \
+                  .withColumn(flag_col, F.lit(1))
+    outside = daily.join(F.broadcast(iv), cond, "left_anti") \
+                   .withColumn(flag_col, F.lit(0))
+    return inside.unionByName(outside)
 
 
 def expand_to_calendar(reports: DataFrame, key: str, pub_col: str,

@@ -28,7 +28,8 @@ from ..functions.numeric import DEC
 
 _SELECT_SCHEMA = (
     "instrument_type string, trade_date timestamp, main_contract long, "
-    "sec_contract long, main_close double, switch_flag int, adj_ratio double"
+    "sec_contract long, main_close double, switch_flag int, adj_ratio double, "
+    "adj_delta double"
 )
 
 
@@ -101,6 +102,11 @@ def _select_one_type(pdf: pd.DataFrame, switch_by: str = "vol",
         (m["switch_flag"] == 1) & c_new.notna() & c_old.notna() & (c_old != 0),
         c_new / c_old, np.nan)
     m["adj_ratio"] = ratio
+    # additive (diff-method) factor: close_new − close_old on the same prior
+    # date (reversion_rights_factor.py:39-63; no zero guard — subtraction)
+    m["adj_delta"] = np.where(
+        (m["switch_flag"] == 1) & c_new.notna() & c_old.notna(),
+        c_new - c_old, np.nan)
 
     # main close (ffilled when main did not trade that day)
     m["main_close"] = _lookup(m["trade_date"], m["main_contract"]).ffill().to_numpy()
@@ -121,6 +127,7 @@ def _select_one_type(pdf: pd.DataFrame, switch_by: str = "vol",
         "main_close": m["main_close"].astype("Float64"),
         "switch_flag": m["switch_flag"].astype("int32"),
         "adj_ratio": pd.Series(m["adj_ratio"]).astype("Float64"),
+        "adj_delta": pd.Series(m["adj_delta"]).astype("Float64"),
     })
     return out
 
@@ -134,24 +141,44 @@ def select_contracts(cd: DataFrame, switch_by: str = "vol",
     return cd.groupBy("instrument_type").applyInPandas(run, _SELECT_SCHEMA)
 
 
-def adj_factor_chain(selected: DataFrame) -> DataFrame:
+def adj_factor_chain(selected: DataFrame, method: str = "division") -> DataFrame:
     """Reverse-chronological factor chain (W3) with the tushare shift(1)
     convention: the factor applies *from* the switch day backwards; the most
-    recent date has factor 1 (continuse_contract_md.py:354-357).
+    recent date carries the neutral factor (continuse_contract_md.py:354-357).
 
-    cumprod via exp(Σ ln) over the descending-date frame, shifted one row so
-    the latest segment is unadjusted.
+    ``method='division'`` (default): multiplicative ratios — cumprod via
+    exp(Σ ln) over the descending-date frame, neutral 1.
+    ``method='diff'``: additive deltas — reverse cumsum through
+    DECIMAL(38,6) (exact, so this variant IS oracle-able), neutral 0
+    (reversion_rights_factor.py:227-236; the enum at :31-36 documents the
+    neutral as the method value — division→1, diff→0. The reference's diff
+    branch fills gaps with 1 before cumsum, contradicting its own enum; we
+    use the documented neutral 0).
     """
     w_desc = (Window.partitionBy("instrument_type")
               .orderBy(F.col("trade_date").desc())
               .rowsBetween(Window.unboundedPreceding, -1))
-    ratio = F.coalesce(F.col("adj_ratio"), F.lit(1.0))
-    return selected.withColumn(
-        "adj_factor",
-        F.coalesce(F.exp(F.sum(F.log(ratio)).over(w_desc)), F.lit(1.0)))
+    if method == "division":
+        ratio = F.coalesce(F.col("adj_ratio"), F.lit(1.0))
+        factor = F.coalesce(F.exp(F.sum(F.log(ratio)).over(w_desc)), F.lit(1.0))
+    elif method == "diff":
+        delta = F.coalesce(F.col("adj_delta"), F.lit(0.0))
+        factor = F.coalesce(
+            F.sum(delta.cast(DEC)).over(w_desc).cast("double"), F.lit(0.0))
+    else:
+        raise ValueError(f"method must be 'division' or 'diff', got {method!r}")
+    return selected.withColumn("adj_factor", factor)
 
 
-def adjusted_md(selected_with_factor: DataFrame) -> DataFrame:
-    """W11: apply the factor to build the back-adjusted continuous series."""
-    return selected_with_factor.withColumn(
-        "adj_close", F.col("main_close") * F.col("adj_factor"))
+def adjusted_md(selected_with_factor: DataFrame,
+                method: str = "division") -> DataFrame:
+    """W11: apply the factor to build the back-adjusted continuous series
+    (division: price × factor; diff: price + factor —
+    reversion_rights_factor.py:44-47)."""
+    if method == "division":
+        adj = F.col("main_close") * F.col("adj_factor")
+    elif method == "diff":
+        adj = F.col("main_close") + F.col("adj_factor")
+    else:
+        raise ValueError(f"method must be 'division' or 'diff', got {method!r}")
+    return selected_with_factor.withColumn("adj_close", adj)

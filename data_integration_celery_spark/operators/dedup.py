@@ -161,16 +161,19 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
                             / F.size("sig_a")).drop("sig_a", "sig_b")
 
 
-def simhash(text: Column, bits: int = 64) -> Column:
+def simhash(text: Column, bits: int = 16) -> Column:
     """SimHash of the token set: per-bit majority vote of token hashes.
 
     JVM-side formulation: for each bit position, sum ±1 over tokens according
-    to that bit of xxhash64(token); sign → bit. 16 bits kept (cost/benefit on
-    a codegen'd expression ladder) — enough for blocking.
+    to that bit of xxhash64(token); sign → bit. Default 16 bits (cost/benefit
+    on a codegen'd expression ladder — enough for blocking); pass ``bits`` up
+    to 63 for finer signatures.
     """
+    if not 1 <= bits <= 63:
+        raise ValueError(f"bits must be in [1, 63], got {bits}")
     toks = F.array_distinct(F.split(normalized(text), " "))
     out = F.lit(0).cast("long")
-    for i in range(16):
+    for i in range(bits):
         vote = F.aggregate(
             toks, F.lit(0),
             lambda acc, t: acc + F.when(

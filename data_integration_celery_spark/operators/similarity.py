@@ -95,60 +95,89 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
 
 def all_pairs_topk(emb: DataFrame, k: int = 20, id_col: str = "vec_id",
-                   vec_col: str = "embedding", round_dp: int = 6) -> DataFrame:
-    """Global top-k most-similar pairs via blocked matrix multiply.
+                   vec_col: str = "embedding", round_dp: int = 6,
+                   block_rows: int = 8192, n_blocks: int | None = None) -> DataFrame:
+    """Global top-k most-similar pairs — exact, fully distributed.
 
-    One side streams through mapInPandas in Arrow blocks; the other side is a
-    broadcast (ids, row-normalised matrix). Each block computes its slice of
-    the similarity matrix with BLAS and emits only candidates that can reach
-    the global top-k (everything ≥ its local k-th score, so id-tiebreak ties
-    survive); the global top-k is then a tiny sort. ~100x over per-pair
-    expression folds.
+    Block-pair decomposition: vectors hash into ``B`` balanced blocks
+    (``B = ceil(n / block_rows)`` unless ``n_blocks`` is given); every
+    unordered block pair (a ≤ b) becomes one task whose executor BLAS-
+    multiplies block a against block b (sub-blocked so the similarity slice
+    stays ~16 MB) and emits only candidates that can reach the global top-k
+    (everything ≥ its local k-th score minus a rounding margin, so id-tiebreak
+    ties survive). The global top-k is then a tiny sort over ≤ B(B+1)/2 · k
+    candidate rows.
 
-    At 100 TB the broadcast side is an IVF/LSH-bucketed partition instead of
-    the full corpus — the block kernel stays identical.
+    Exact all-pairs is inherently n² compute; what matters at scale is that
+    (1) no single node ever materialises the corpus — each task holds two
+    blocks of ``block_rows`` vectors (the previous implementation collected
+    the whole corpus to the driver and broadcast it), and (2) shuffle volume
+    is O(n·B) rows, the minimum for every-vector-meets-every-vector. For
+    near-dup *detection* (threshold, not global top-k) use the LSH/IVF
+    bucketed paths, which prune compute as well.
     """
     import numpy as np
 
-    pdf = emb.select(id_col, vec_col).toPandas()
-    ids = pdf[id_col].to_numpy()
-    mat = np.stack(pdf[vec_col].to_numpy()).astype("float64")
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = emb.sparkSession.sparkContext.broadcast((ids, mat))
+    spark = emb.sparkSession
+    if n_blocks is None:
+        n = emb.count()
+        n_blocks = max(1, -(-n // block_rows))
+    B = int(n_blocks)
+    src = emb.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int").alias("blk"))
+    pairs = spark.createDataFrame(
+        [(a, b) for a in range(B) for b in range(a, B)],
+        "blk_a int, blk_b int")
+    left = (pairs.join(src.withColumnRenamed("blk", "blk_a"), "blk_a")
+            .select("blk_a", "blk_b", F.lit(0).alias("side"), "vid", "vec"))
+    right = (pairs.where(F.col("blk_a") != F.col("blk_b"))
+             .join(src.withColumnRenamed("blk", "blk_b"), "blk_b")
+             .select("blk_a", "blk_b", F.lit(1).alias("side"), "vid", "vec"))
+    tagged = left.unionByName(right)
+    margin = 10.0 ** (-round_dp)  # covers round-up across the top-k cut
 
-    def gen(batches):
+    def norm_mat(frame):
+        m = np.stack(frame["vec"].to_numpy()).astype("float64")
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        return frame["vid"].to_numpy(), m
+
+    def score(key, pdf):
         import pandas as pd
-        b_ids, bn = bc.value
-        # sub-block so the similarity slice stays ~256 rows x corpus — an
-        # Arrow batch x full corpus matrix is GBs at 10^5 vectors and the
-        # temporaries (round/mask copies) dominate wall-clock
-        sub = max(1, min(256, 2 ** 25 // max(len(b_ids), 1)))
-        for block in batches:
-            all_ids = block[id_col].to_numpy()
-            an_full = np.stack(block[vec_col].to_numpy()).astype("float64")
-            an_full /= np.linalg.norm(an_full, axis=1, keepdims=True)
-            margin = 10.0 ** (-round_dp)  # covers round-up across the cut
-            for s0 in range(0, len(all_ids), sub):
-                a_ids = all_ids[s0:s0 + sub]
-                sims = an_full[s0:s0 + sub] @ bn.T
-                np.place(sims, a_ids[:, None] >= b_ids[None, :], -np.inf)
-                n_valid = int(np.isfinite(sims).sum())
-                if n_valid == 0:
-                    continue
-                # threshold on raw values with a rounding margin, round only
-                # the kept candidates — rounding the full slice costs more
-                # than the matmul itself
-                kk = min(k, n_valid)
-                thr = np.partition(sims.ravel(), -kk)[-kk]
-                keep = np.argwhere(sims >= thr - margin)
-                yield pd.DataFrame({
-                    "id_a": a_ids[keep[:, 0]],
-                    "id_b": b_ids[keep[:, 1]],
-                    "cos_sim": np.round(sims[keep[:, 0], keep[:, 1]], round_dp),
-                })
+        empty = pd.DataFrame({"id_a": np.array([], dtype="int64"),
+                              "id_b": np.array([], dtype="int64"),
+                              "cos_sim": np.array([], dtype="float64")})
+        diag = key[0] == key[1]
+        lpdf = pdf[pdf["side"] == 0]
+        rpdf = lpdf if diag else pdf[pdf["side"] == 1]
+        if not len(lpdf) or not len(rpdf):
+            return empty
+        l_ids, lm = norm_mat(lpdf)
+        r_ids, rm = (l_ids, lm) if diag else norm_mat(rpdf)
+        out = []
+        sub = max(1, min(256, 2 ** 21 // max(len(r_ids), 1)))
+        for s0 in range(0, len(l_ids), sub):
+            a_ids = l_ids[s0:s0 + sub]
+            sims = lm[s0:s0 + sub] @ rm.T
+            if diag:
+                # same set on both sides: keep each unordered pair once
+                np.place(sims, a_ids[:, None] >= r_ids[None, :], -np.inf)
+            n_valid = int(np.isfinite(sims).sum())
+            if n_valid == 0:
+                continue
+            kk = min(k, n_valid)
+            thr = np.partition(sims.ravel(), -kk)[-kk]
+            keep = np.argwhere(sims >= thr - margin)
+            ia, ib = a_ids[keep[:, 0]], r_ids[keep[:, 1]]
+            out.append(pd.DataFrame({
+                "id_a": np.minimum(ia, ib),
+                "id_b": np.maximum(ia, ib),
+                "cos_sim": np.round(sims[keep[:, 0], keep[:, 1]], round_dp),
+            }))
+        return pd.concat(out, ignore_index=True) if out else empty
 
-    cands = emb.select(id_col, vec_col).mapInPandas(
-        gen, "id_a long, id_b long, cos_sim double")
+    cands = tagged.groupBy("blk_a", "blk_b").applyInPandas(
+        score, "id_a long, id_b long, cos_sim double")
     return cands.orderBy(F.col("cos_sim").desc(), "id_a", "id_b").limit(k)
 
 

@@ -40,6 +40,15 @@ def upsert_frames(base: DataFrame, updates: DataFrame, keys: list[str],
     )
 
 
+def _hadoop_rm(spark, path: str) -> None:
+    """Recursive delete via the Hadoop FS API — works on any scheme the
+    cluster can write (local, HDFS, S3A), unlike shutil."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(jpath, True)
+
+
 def write_upsert(spark, updates: DataFrame, path: str, keys: list[str],
                  order_col: str = "batch_id") -> None:
     """Parquet-backed MERGE: read target if it exists, dedup, overwrite.
@@ -47,6 +56,15 @@ def write_upsert(spark, updates: DataFrame, path: str, keys: list[str],
     (With a Delta/Iceberg catalog this becomes a real ``MERGE INTO``; plain
     parquet needs the read-union-overwrite dance. Kept here so tests exercise
     the idempotence property the reference relies on.)
+
+    NOT atomic: a crash between the staging write and the final overwrite
+    leaves the target in its old state (safe), but a crash *during* the final
+    overwrite loses it — plain parquet has no commit protocol. Production
+    targets should be date-partitioned and use ``write_upsert_partitioned``,
+    which bounds both the rewrite and the blast radius to touched partitions.
+
+    O(target) per merge by construction (whole-table rewrite); prefer
+    ``write_upsert_partitioned`` for anything that grows.
     """
     try:
         base = spark.read.parquet(path)
@@ -59,6 +77,48 @@ def write_upsert(spark, updates: DataFrame, path: str, keys: list[str],
     merged.write.mode("overwrite").parquet(tmp)
     final = spark.read.parquet(tmp)
     final.write.mode("overwrite").parquet(path)
+    _hadoop_rm(spark, tmp)
+
+
+def write_upsert_partitioned(spark, updates: DataFrame, path: str,
+                             keys: list[str], partition_cols: list[str],
+                             order_col: str = "batch_id") -> None:
+    """Partition-scoped MERGE — the 100 TB form of the universal upsert sink.
+
+    The target is parquet partitioned by ``partition_cols`` (typically the
+    date). Only partitions containing updated keys are read, merged, and
+    rewritten; untouched partitions' files are never opened, matching the
+    reference's delete-then-insert per-slice refresh
+    (tasks/wind/future_reorg/reorg_md_2_db.py:176-193).
+
+    Steps: (1) distinct partition values in ``updates`` (one driver row per
+    touched partition — thousands at most); (2) partition-pruned scan of just
+    those target partitions; (3) per-PK last-write-wins merge (one shuffle on
+    the PK, bounded to the touched slice); (4) dynamic partition overwrite of
+    exactly those partitions, staged through a temp dir because Spark refuses
+    an overwrite that reads its own input. ``partition_cols`` must be a prefix
+    of the PK semantics (a key never moves between partitions), else rows in
+    untouched partitions cannot be superseded.
+    """
+    try:
+        base = spark.read.parquet(path)
+    except Exception:
+        overwrite_partitions(updates.drop(order_col), path, partition_cols)
+        return
+    touched = updates.select(*partition_cols).distinct().collect()
+    pred = F.lit(False)
+    for row in touched:
+        match = F.lit(True)
+        for c in partition_cols:
+            match = match & F.col(c).eqNullSafe(F.lit(row[c]))
+        pred = pred | match
+    base_slice = base.where(pred)
+    merged = upsert_frames(base_slice, updates, keys, order_col)
+    tmp = path.rstrip("/") + "__stage"
+    merged.write.mode("overwrite").parquet(tmp)
+    staged = spark.read.parquet(tmp)
+    overwrite_partitions(staged, path, partition_cols)
+    _hadoop_rm(spark, tmp)
 
 
 def overwrite_partitions(df: DataFrame, path: str, partition_cols: list[str]) -> None:

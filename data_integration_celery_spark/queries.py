@@ -602,7 +602,10 @@ _W7_SQL = """
                THEN 1 ELSE 0 END AS switch_flag,
           CASE WHEN msw.prev_main IS NOT NULL AND msw.main_contract <> msw.prev_main
                     AND cnew.close IS NOT NULL AND cold.close IS NOT NULL AND cold.close <> 0
-               THEN cnew.close / cold.close END AS adj_ratio
+               THEN cnew.close / cold.close END AS adj_ratio,
+          CASE WHEN msw.prev_main IS NOT NULL AND msw.main_contract <> msw.prev_main
+                    AND cnew.close IS NOT NULL AND cold.close IS NOT NULL
+               THEN cnew.close - cold.close END AS adj_delta
    FROM msw
    LEFT JOIN (SELECT * FROM secsel WHERE rn = 1) s
      ON s.instrument_type = msw.instrument_type AND s.trade_date = msw.trade_date
@@ -1432,9 +1435,10 @@ def u4_changepoints(spark, sf_dir):
      FROM pairs) WHERE rn <= 20
    """,
    doc="Embedding-cosine near-dup: top-20 most-similar pairs across the "
-       "corpus via blocked BLAS matmul against a broadcast normalised "
-       "matrix — each block emits only candidates reaching its local top-k "
-       "(at scale the broadcast side becomes an IVF/LSH bucket).")
+       "corpus, exact, via block-pair decomposition — vectors hash into "
+       "balanced blocks, each unordered block pair BLAS-scores on an "
+       "executor and emits only candidates reaching its local top-k; no "
+       "node ever holds the corpus (no driver collect, no broadcast).")
 def dedup_embedding(spark, sf_dir):
     from .operators.similarity import all_pairs_topk
     return all_pairs_topk(_t(spark, sf_dir, "embeddings"), k=20)
@@ -1472,15 +1476,20 @@ def f3_cleaning(spark, sf_dir):
 @q("stream_bars_1min",
    sql="""
    SELECT event_type, date_trunc('minute', ts) AS bar_start,
-          max(value) AS high, min(value) AS low, count(*) AS n_ticks,
+          (min({'t': ts, 'p': CAST(value AS DOUBLE)})).p AS open,
+          max(value) AS high, min(value) AS low,
+          (max({'t': ts, 'p': CAST(value AS DOUBLE)})).p AS close,
+          count(*) AS n_ticks,
           CAST(sum(CAST(CAST(json_extract_string(props, '$.k') AS DOUBLE)
                         AS DECIMAL(38,6))) AS DOUBLE) AS vol
    FROM events GROUP BY event_type, date_trunc('minute', ts)
    """,
    doc="§2.10: the tick→bar pipeline executed through Structured Streaming "
-       "(file source replay → watermarked window agg → memory sink), "
-       "projected to its arrival-order-free columns so the batch SQL oracle "
-       "applies. Proves stream≡batch for the aggregation body.")
+       "(file source replay → watermarked window agg → memory sink). "
+       "open/close compare exactly because the streaming agg uses (ts, price) "
+       "struct min/max — order-independent under shuffled partial aggregation "
+       "and state merges, unlike first/last. Proves stream≡batch for the "
+       "full OHLC aggregation body.")
 def stream_bars_q(spark, sf_dir):
     import os
     from .streaming import jobs
@@ -1504,8 +1513,8 @@ def stream_bars_q(spark, sf_dir):
     qh = (bars_s.writeStream.format("memory").queryName(qname)
           .outputMode("complete").trigger(availableNow=True).start())
     qh.awaitTermination(300)
-    return spark.table(qname).select("event_type", "bar_start", "high",
-                                     "low", "n_ticks", "vol")
+    return spark.table(qname).select("event_type", "bar_start", "open",
+                                     "high", "low", "close", "n_ticks", "vol")
 
 
 @q("w11_adjusted_continuous", sql=None,
@@ -1836,6 +1845,39 @@ def ann_ivf_q(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(emb, emb.where(F.col("vec_id") % 100 == 0),
                                k=5, n_centroids=8, nprobe=3, iters=2)
+
+
+@q("w11b_adjusted_diff",
+   sql=f"""
+   WITH w7 AS ({_W7_SQL}),
+   f AS (
+     SELECT instrument_type, trade_date, main_contract, main_close,
+            CAST(coalesce(
+              sum(CAST(coalesce(adj_delta, CAST(0 AS DOUBLE)) AS DECIMAL(38,6)))
+                OVER (PARTITION BY instrument_type ORDER BY trade_date DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              CAST(0 AS DECIMAL(38,6))) AS DOUBLE) AS adj_factor
+     FROM w7)
+   SELECT instrument_type, trade_date, main_contract, main_close, adj_factor,
+          main_close + adj_factor AS adj_close
+   FROM f
+   """,
+   doc="W11 diff-method: the additive back-adjustment chain "
+       "(reversion_rights_factor.py:227-236 cumsum branch; per-switch delta "
+       ":39-63). Unlike the ratio chain (unbounded cumprod → rows-only), the "
+       "additive chain reduces through DECIMAL(38,6) on both engines, so "
+       "this variant carries an exact oracle — it is the hard correctness "
+       "signal for the whole selection→chain→apply pipeline shape.")
+def w11b_adjusted_diff(spark, sf_dir):
+    from .operators import continuous
+    cd = continuous.contract_daily(_t(spark, sf_dir, "lineitem"),
+                                   _t(spark, sf_dir, "part"))
+    sel = continuous.select_contracts(cd)
+    return (continuous.adjusted_md(
+                continuous.adj_factor_chain(sel, method="diff"),
+                method="diff")
+            .select("instrument_type", "trade_date", "main_contract",
+                    "main_close", "adj_factor", "adj_close"))
 
 
 # --------------------------------------------------------------------------

@@ -30,15 +30,18 @@ def stream_ohlc_bars(ticks: DataFrame, key_cols: list[str], ts_col: str,
                      watermark: str = "10 minutes") -> DataFrame:
     """Watermarked tumbling-window OHLCV bars over a streaming DataFrame.
 
-    first/last replace min_by/max_by (not available in streaming aggs);
-    within a replayed source the arrival order equals event order, so
-    open/close match the batch twin.
+    open/close via min/max over a (ts, price) struct — struct min/max ARE
+    supported in streaming aggregations and are order-independent, unlike
+    first/last whose result depends on partial-aggregation arrival order
+    across partitions and micro-batch state merges. Matches the batch twin's
+    min_by/max_by-with-timestamp-tiebreak semantics exactly.
     """
+    ts_price = F.struct(F.col(ts_col).alias("t"), F.col(price_col).alias("p"))
     aggs = [
-        F.first(price_col).alias("open"),
+        F.min(ts_price).getField("p").alias("open"),
         F.max(price_col).alias("high"),
         F.min(price_col).alias("low"),
-        F.last(price_col).alias("close"),
+        F.max(ts_price).getField("p").alias("close"),
         F.count(F.lit(1)).alias("n_ticks"),
     ]
     if vol_col:

