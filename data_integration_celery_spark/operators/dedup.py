@@ -298,9 +298,9 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     drop the rest. Each iteration is one shuffle (edge join + min-agg);
     near-dup graphs have tiny diameter (dup clusters are cliques or near-
     cliques), so propagation converges in a handful of rounds. Labels are
-    cached per round and the loop exits as soon as nothing changes; at
-    billion-edge scale swap in the large-star/small-star contraction
-    (O(log n) rounds) — same contract.
+    cached per round and the loop exits as soon as nothing changes; for
+    general graphs (long chains — O(diameter) rounds here) use
+    ``connected_components_star`` (O(log n) rounds) — same contract.
 
     ``fixed_rounds`` skips the per-round convergence count: when the caller
     knows a diameter bound (dup clusters from banded LSH are near-cliques —
@@ -320,6 +320,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
               .withColumn("component", F.col("node")))
     labels.cache()
     labels.count()
+    converged = fixed_rounds is not None
     for i in range(fixed_rounds if fixed_rounds is not None else max_iter):
         # one join per round, reused for both the propagation and the
         # convergence check: candidate = min over neighbours' labels
@@ -333,6 +334,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                 F.col("nbr_min") < F.col("component")).count()
             if n_changed == 0:
                 joined.unpersist()
+                converged = True
                 break
         new_labels = joined.select(
             "node", F.least("component",
@@ -347,4 +349,80 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         labels.unpersist()
         labels = new_labels
     edges.unpersist()
+    if not converged:
+        # silently-wrong labels are worse than failing: a graph whose
+        # diameter exceeds max_iter (long chains) needs the O(log n)
+        # contraction instead
+        raise RuntimeError(
+            f"min-label propagation did not converge in {max_iter} rounds; "
+            "raise max_iter or use connected_components_star")
     return labels
+
+
+def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
+                              id_b: str = "id_b",
+                              max_iter: int = 50) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction — O(log n) rounds on ANY graph shape (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014).
+
+    Same contract as ``connected_components`` (returns (node, component),
+    component = min node id of the cluster), but where min-label propagation
+    needs O(diameter) shuffles — a 10^6-long chain graph needs 10^6 rounds —
+    the star contraction halves tree heights every round:
+
+    - large-star: every node points its *larger* neighbours at the minimum
+      of its neighbourhood (incl. itself);
+    - small-star: every node and its *smaller* neighbours re-attach to that
+      minimum.
+
+    Each round is two shuffles (groupBy min + join), edges stay oriented
+    (larger, smaller), and a checksum action per round detects the fixpoint,
+    at which the edge set IS the star forest (node → component root).
+    """
+    edges = (pairs.select(F.greatest(F.col(id_a), F.col(id_b)).alias("src"),
+                          F.least(F.col(id_a), F.col(id_b)).alias("dst"))
+             .where(F.col("src") != F.col("dst"))
+             .distinct())
+    if not edges.take(1):
+        return edges.select(F.col("src").alias("node"),
+                            F.col("dst").alias("component"))
+    edges = edges.localCheckpoint(eager=True)
+    prev_check = None
+    for _ in range(max_iter):
+        # large-star: neighbourhood min per node over BOTH directions;
+        # larger neighbours re-point at it
+        nbrs = edges.union(edges.select(F.col("dst").alias("src"),
+                                        F.col("src").alias("dst")))
+        mins = (nbrs.groupBy("src")
+                .agg(F.min("dst").alias("mn"))
+                .select("src", F.least("mn", F.col("src")).alias("m")))
+        edges = (nbrs.join(mins, "src")
+                 .where(F.col("dst") > F.col("src"))
+                 .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+                 .where(F.col("src") != F.col("dst"))
+                 .distinct())
+        # small-star: edges are (larger, smaller); every node and its smaller
+        # neighbours attach to the neighbourhood min
+        mins = (edges.groupBy("src")
+                .agg(F.min("dst").alias("m")))
+        joined = edges.join(mins, "src")
+        edges = (joined.select(F.col("dst").alias("src"),
+                               F.col("m").alias("dst"))
+                 .union(joined.select("src", F.col("m").alias("dst")))
+                 .where(F.col("src") != F.col("dst"))
+                 .distinct()
+                 .localCheckpoint(eager=True))
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("chk")
+        ).first()
+        check = (row["n"], row["chk"])
+        if check == prev_check:
+            break
+        prev_check = check
+    labels = edges.select(F.col("src").alias("node"),
+                          F.col("dst").alias("component"))
+    roots = (edges.select(F.col("dst").alias("node")).distinct()
+             .withColumn("component", F.col("node")))
+    return labels.union(roots).distinct()

@@ -828,6 +828,36 @@ def dedup_components_q(spark, sf_dir):
         .select("node", "component")
 
 
+@q("dedup_components_star",
+   sql="""
+   WITH r AS (
+     SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) AS rn
+     FROM orders),
+   b AS (
+     SELECT o_orderkey, (rn - 1) // 4 AS blk,
+            count(*) OVER (PARTITION BY ((rn - 1) // 4)) AS blk_size
+     FROM r)
+   SELECT o_orderkey AS node,
+          min(o_orderkey) OVER (PARTITION BY blk) AS component
+   FROM b WHERE blk_size > 1
+   """,
+   doc="Connected components via alternating large-star/small-star "
+       "contraction (Kiveris et al. SoCC'14) — O(log n) rounds on any graph "
+       "shape, the scale path when near-dup graphs stop being near-cliques. "
+       "Same analytic ground-truth oracle as dedup_components; differential "
+       "tests cover chains (min-label's worst case) and random graphs.")
+def dedup_components_star_q(spark, sf_dir):
+    from .operators import dedup
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    w = Window.orderBy("o_orderkey")
+    r = o.select("o_orderkey", F.row_number().over(w).alias("rn"),
+                 F.lag("o_orderkey").over(w).alias("prev_key"))
+    edges = (r.where((F.col("rn") - 1) % 4 != 0)
+             .select(F.col("o_orderkey").alias("id_a"),
+                     F.col("prev_key").alias("id_b")))
+    return dedup.connected_components_star(edges).select("node", "component")
+
+
 @q("dedup_minhash_lsh", sql=None,
    doc="MinHash(32)+LSH(8 bands) candidate pairs with estimated Jaccard — "
        "approximate by construction so no SQL oracle; differential pytest "

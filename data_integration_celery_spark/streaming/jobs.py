@@ -81,6 +81,27 @@ def upsert_sink(stream: DataFrame, path: str, keys: list[str],
             .outputMode("update"))
 
 
+def stream_sessionize(events: DataFrame, key_cols: list[str], ts_col: str,
+                      gap: str = "30 minutes",
+                      watermark: str = "30 minutes") -> DataFrame:
+    """Watermarked gap-based sessionization (streaming twin of the batch
+    a13 query): ``session_window`` keeps per-key open sessions in the state
+    store, merges them when a late event (within the watermark) bridges the
+    gap, and finalizes a session once the watermark passes its end. Append
+    mode therefore emits each session exactly once, post-merge — the
+    guarantee the batch gap-islands formulation gets for free by seeing all
+    rows. State per key is O(open sessions), bounded by the watermark.
+    """
+    return (events.withWatermark(ts_col, watermark)
+            .groupBy(*key_cols, F.session_window(F.col(ts_col), gap))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min(ts_col).alias("first_ts"),
+                 F.max(ts_col).alias("last_ts"))
+            .withColumn("session_start", F.col("session_window.start"))
+            .withColumn("session_end", F.col("session_window.end"))
+            .drop("session_window"))
+
+
 def stream_running_stats(ticks: DataFrame, key_col: str, value_col: str,
                          out_schema: str | None = None) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-key running

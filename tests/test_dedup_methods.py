@@ -88,3 +88,53 @@ def test_connected_components_chain_and_islands(spark):
     got = {r["node"]: r["component"]
            for r in dedup.connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_star_contraction_equals_min_label_on_chain(spark):
+    """Differential: large/small-star contraction vs min-label propagation on
+    the min-label worst case (one long chain) plus cliques and singles-free
+    mixed shapes. Chain 0-1-2-...-29 → one component labeled 0 in O(log n)
+    star rounds (min-label needs 29)."""
+    from data_integration_celery_spark.operators import dedup
+
+    chain = [(i, i + 1) for i in range(29)]
+    clique = [(100 + i, 100 + j) for i in range(4) for j in range(i + 1, 4)]
+    two = [(200, 201)]
+    pairs = spark.createDataFrame(chain + clique + two, "id_a long, id_b long")
+    want = {r["node"]: r["component"]
+            for r in dedup.connected_components(pairs, max_iter=40).collect()}
+    got = {r["node"]: r["component"]
+           for r in dedup.connected_components_star(pairs).collect()}
+    assert got == want
+    assert set(got.values()) == {0, 100, 200}
+    assert all(got[n] == 0 for n in range(30))
+
+
+def test_star_contraction_random_graphs(spark):
+    """Property-style: random edge sets agree with min-label propagation."""
+    import random
+
+    from data_integration_celery_spark.operators import dedup
+
+    rnd = random.Random(7)
+    edges = [(rnd.randrange(60), rnd.randrange(60)) for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    want = {r["node"]: r["component"]
+            for r in dedup.connected_components(pairs).collect()}
+    got = {r["node"]: r["component"]
+           for r in dedup.connected_components_star(pairs).collect()}
+    assert got == want
+
+
+def test_min_label_raises_instead_of_silently_wrong(spark):
+    """A chain longer than max_iter must raise, not return unconverged
+    labels (found while differential-testing the star contraction)."""
+    import pytest
+
+    from data_integration_celery_spark.operators import dedup
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(12)],
+                                  "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iter=3)

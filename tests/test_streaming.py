@@ -177,3 +177,60 @@ def test_stream_watermark_bounds_dedup_state(spark, tmp_path):
                   for p in q.recentProgress if p["stateOperators"]][-1]
     assert final_rows <= 2, f"old-horizon state must be evicted: {final_rows}"
     assert state_rows <= 3
+
+
+def test_stream_session_merge_on_late_event(spark, tmp_path):
+    """Watermarked session merging (NOTES backlog): two sessions already in
+    state merge into ONE when a late-but-in-watermark event bridges their
+    gap, and append mode emits the merged session exactly once after the
+    watermark passes — matching the batch session_window oracle."""
+    import datetime as dt
+    import glob
+    import os
+
+    schema = "user_id long, ts timestamp, value double"
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def land(name, rows):
+        d = str(tmp_path / "sess_src")
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(d)
+        newest = max(glob.glob(f"{d}/part-*"), key=os.path.getmtime)
+        os.rename(newest, f"{d}/{name}.parquet")
+        return d
+
+    # batch a: two u1 events 18 min apart → two separate 10-min-gap sessions
+    src = land("a", [(1, base, 1.0),
+                     (1, base + dt.timedelta(minutes=18), 2.0)])
+    # batch b: late bridging event at +9 min (inside the 30-min watermark)
+    # merges them; 13:30 event advances the watermark on the next commit
+    land("b", [(1, base + dt.timedelta(minutes=9), 3.0),
+               (2, base + dt.timedelta(minutes=90), 4.0)])
+    # batch c: pushes the watermark past the merged session's end → emit
+    land("c", [(2, base + dt.timedelta(minutes=150), 5.0)])
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    sessions = jobs.stream_sessionize(stream, ["user_id"], "ts",
+                                      gap="10 minutes",
+                                      watermark="30 minutes")
+    q = (sessions.writeStream.format("memory").queryName("sess_merge")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = [r for r in spark.sql("select * from sess_merge").collect()
+           if r["user_id"] == 1]
+    # exactly one merged session: 12:00 → 12:18 + gap, all three events
+    assert len(got) == 1, f"expected one merged session, got {got}"
+    s = got[0]
+    assert s["n_events"] == 3
+    assert s["session_start"] == base
+    assert s["session_end"] == base + dt.timedelta(minutes=28)
+
+    # batch oracle: same events through the batch session_window
+    all_rows = spark.read.parquet(src).where(F.col("user_id") == 1)
+    batch = (all_rows.groupBy("user_id", F.session_window("ts", "10 minutes"))
+             .agg(F.count(F.lit(1)).alias("n_events"))
+             .select("user_id", F.col("session_window.start").alias("session_start"),
+                     F.col("session_window.end").alias("session_end"), "n_events"))
+    b = [tuple(r) for r in batch.collect()]
+    assert b == [(1, s["session_start"], s["session_end"], 3)]
