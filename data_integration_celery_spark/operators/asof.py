@@ -103,6 +103,47 @@ def interval_flag_join(daily: DataFrame, intervals: DataFrame, key: str,
     return inside.unionByName(outside)
 
 
+def interval_flag_join_bucketed(daily: DataFrame, intervals: DataFrame,
+                                key: str, date_col: str, start_col: str,
+                                end_col: str, flag_col: str = "in_interval",
+                                bucket: str = "month") -> DataFrame:
+    """J8 at scale: interval membership when the interval table is TOO BIG
+    to broadcast (both sides shuffle-sized).
+
+    ``interval_flag_join`` broadcasts the intervals — right for the
+    reference's dimension-sized suspend table (tasks/merge/tushare.py:190-221)
+    but a non-starter when intervals number in the billions. This variant
+    turns the inequality join into an *equi-join* by time bucketing:
+
+    1. explode each interval onto the calendar buckets it overlaps
+       (``sequence(trunc(start), trunc(end), 1 bucket)``) — fan-out is
+       ceil(interval length / bucket), bounded and chosen by the caller;
+    2. each daily row has exactly one bucket (``trunc(date)``);
+    3. equi-join on (key, bucket) → shuffled hash join, co-partitioned, with
+       the range predicate as a cheap post-filter inside matched buckets.
+
+    Same semi/anti formulation as the broadcast variant, so daily-side
+    multiplicity is preserved and genuine duplicate daily rows survive.
+    Bucket granularity trades fan-out (long intervals × fine buckets) against
+    join selectivity (coarse buckets match more non-overlapping pairs);
+    ``month`` suits the reference's day-granularity suspend windows.
+    """
+    one = F.expr(f"interval 1 {bucket}")
+    iv = (intervals.select(F.col(key).alias("__k"),
+                           F.col(start_col).alias("__s"),
+                           F.col(end_col).alias("__e"))
+          .dropDuplicates()
+          .withColumn("__b", F.explode(F.sequence(
+              F.trunc(F.col("__s"), bucket),
+              F.trunc(F.col("__e"), bucket), one))))
+    d = daily.withColumn("__b", F.trunc(F.col(date_col), bucket))
+    cond = ((d[key] == iv["__k"]) & (d["__b"] == iv["__b"])
+            & (d[date_col] >= iv["__s"]) & (d[date_col] <= iv["__e"]))
+    inside = d.join(iv, cond, "left_semi").withColumn(flag_col, F.lit(1))
+    outside = d.join(iv, cond, "left_anti").withColumn(flag_col, F.lit(0))
+    return inside.unionByName(outside).drop("__b")
+
+
 def expand_to_calendar(reports: DataFrame, key: str, pub_col: str,
                        horizon_days: int = 30,
                        tiebreak: list[str] | None = None) -> DataFrame:

@@ -1910,6 +1910,35 @@ def w11b_adjusted_diff(spark, sf_dir):
                     "main_close", "adj_factor", "adj_close"))
 
 
+@q("j8b_interval_join_bucketed",
+   sql="""
+   SELECT l_orderkey, l_linenumber, l_shipdate,
+          CASE WHEN EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_orderkey = l.l_orderkey
+              AND l.l_shipdate BETWEEN o.o_orderdate
+                                   AND o.o_orderdate + INTERVAL 60 DAY)
+          THEN 1 ELSE 0 END AS in_interval
+   FROM lineitem l
+   """,
+   doc="J8 scale path: interval membership with a NON-broadcastable interval "
+       "table — intervals exploded onto the month buckets they overlap, "
+       "equi-join on (key, bucket), range predicate as a co-partitioned "
+       "post-filter. Differential-tested equal to the broadcast variant; "
+       "same suspend-interval semantics (tasks/merge/tushare.py:190-221).")
+def j8b_interval_bucketed(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    intervals = o.select(F.col("o_orderkey").alias("l_orderkey"),
+                         F.col("o_orderdate").alias("s"),
+                         F.date_add(F.col("o_orderdate"), 60).alias("e"))
+    out = asof.interval_flag_join_bucketed(
+        li.select("l_orderkey", "l_linenumber", "l_shipdate"),
+        intervals, key="l_orderkey", date_col="l_shipdate",
+        start_col="s", end_col="e")
+    return out.select("l_orderkey", "l_linenumber", "l_shipdate", "in_interval")
+
+
 # --------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate may check only a prefix of
 # the registry (round 1 stopped at the first 50 entries), so order by signal

@@ -61,6 +61,69 @@ def replicate_incremental(spark: SparkSession, source: DataFrame,
     df.write.mode("append").parquet(target_path)
 
 
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def list_data_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """(path, bytes) of every parquet data file under ``path`` (recursive),
+    via the Hadoop FS API so it works on any scheme the cluster reads."""
+    fs, jpath = _fs(spark, path)
+    out: list[tuple[str, int]] = []
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.endswith(".parquet") and not name.startswith("_"):
+            out.append((st.getPath().toString(), st.getLen()))
+    return out
+
+
+def compact_table(spark: SparkSession, path: str,
+                  partition_cols: list[str] | None = None,
+                  target_file_mb: int = 128) -> int:
+    """S11 maintenance: OPTIMIZE-style small-file compaction for parquet.
+
+    The reference's maintenance pass is ``REPAIR TABLE`` on MyISAM
+    (tasks/backend/repair_table.py:15-22); the parquet-lake equivalent problem
+    is *small files* — per-micro-batch appends leave thousands of KB-sized
+    files whose open/footer cost dominates scans at 100 TB. Delta/Iceberg call
+    the fix OPTIMIZE / rewrite_data_files; on plain parquet it is a
+    bin-packing rewrite:
+
+    - unpartitioned: repartition to ceil(total_bytes / target) files and
+      overwrite (staged through a temp dir — Spark refuses to overwrite its
+      own input);
+    - partitioned: repartition on the partition columns so each partition's
+      rows land in one task → one file per partition, rewritten via dynamic
+      partition overwrite (only partitions present in the data are touched,
+      so callers can compact a partition subset by filtering first).
+
+    Returns the data-file count after compaction. Not atomic on plain parquet
+    (same caveat as ``write_upsert``); run in the maintenance window.
+    """
+    files = list_data_files(spark, path)
+    total = sum(sz for _, sz in files)
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compact"
+    if partition_cols:
+        staged = df.repartition(*[F.col(c) for c in partition_cols])
+        staged.write.mode("overwrite").parquet(tmp)
+        (spark.read.parquet(tmp)
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy(*partition_cols).parquet(path))
+    else:
+        n = max(1, -(-total // (target_file_mb * 1024 * 1024)))
+        df.repartition(n).write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+    fs, jtmp = _fs(spark, tmp)
+    fs.delete(jtmp, True)
+    return len(list_data_files(spark, path))
+
+
 def backup_table(df: DataFrame, path: str) -> None:
     """S11: point-in-time backup copy (the reference's ``CREATE TABLE LIKE +
     INSERT SELECT`` before risky refreshes, tasks/jqdata/stock/

@@ -81,6 +81,41 @@ def test_binary_archive_source(spark, tmp_path):
     assert {r["code"] for r in got} == {"C0", "C1", "C2"}
 
 
+def test_interval_flag_join_bucketed_equals_broadcast(spark):
+    """Differential: the month-bucketed equi-join formulation (both sides
+    large) must agree with the broadcast variant on intervals that span
+    bucket boundaries, multi-month ranges, same-day intervals, and keys with
+    no intervals at all."""
+    daily = spark.createDataFrame(
+        [("a", dt.date(2020, m, d)) for m in range(1, 6)
+         for d in (1, 15, 28)] +
+        [("b", dt.date(2020, 2, d)) for d in (10, 20)] +
+        [("c", dt.date(2020, 3, 3))],
+        "code string, trade_date date")
+    intervals = spark.createDataFrame(
+        [("a", dt.date(2020, 1, 20), dt.date(2020, 3, 10)),   # spans 3 buckets
+         ("a", dt.date(2020, 4, 28), dt.date(2020, 4, 28)),   # same-day
+         ("b", dt.date(2020, 2, 15), dt.date(2020, 2, 25))],
+        "code string, s date, e date")
+
+    def key(df):
+        return sorted((r["code"], r["trade_date"], r["in_interval"])
+                      for r in df.collect())
+
+    broad = asof.interval_flag_join(daily, intervals, "code", "trade_date",
+                                    "s", "e")
+    buck = asof.interval_flag_join_bucketed(daily, intervals, "code",
+                                            "trade_date", "s", "e")
+    assert key(buck) == key(broad)
+    got = {(r["code"], r["trade_date"]): r["in_interval"]
+           for r in buck.collect()}
+    assert got[("a", dt.date(2020, 2, 15))] == 1     # mid-span month
+    assert got[("a", dt.date(2020, 3, 28))] == 0     # after interval end
+    assert got[("a", dt.date(2020, 4, 28))] == 1     # same-day interval
+    assert got[("c", dt.date(2020, 3, 3))] == 0      # key with no intervals
+    assert buck.count() == daily.count()
+
+
 def test_interval_flag_join_keeps_duplicate_daily_rows(spark):
     """Genuine duplicate daily rows must survive flagging (the old
     join+dropDuplicates collapsed them), and overlapping intervals must not

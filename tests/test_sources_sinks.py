@@ -175,3 +175,43 @@ def test_fetch_distributed_with_bisection(spark):
     # completion needed" case — flagged, not silently lost wholesale).
     assert per_code["A"] == 20
     assert per_code["B"] == 9 * 2 + 40
+
+
+def test_compact_table_unpartitioned(spark, tmp_path):
+    """20 tiny appended files bin-pack into 1; rows byte-identical."""
+    from data_integration_celery_spark import sinks
+
+    path = str(tmp_path / "tiny")
+    for i in range(20):
+        spark.range(i * 10, i * 10 + 10).withColumn("v", F.col("id") * 2.0) \
+            .coalesce(1).write.mode("append").parquet(path)
+    before = spark.read.parquet(path).orderBy("id").collect()
+    assert len(sinks.list_data_files(spark, path)) == 20
+
+    n_after = sinks.compact_table(spark, path, target_file_mb=128)
+    assert n_after == 1
+    assert spark.read.parquet(path).orderBy("id").collect() == before
+
+
+def test_compact_table_partitioned(spark, tmp_path):
+    """Partitioned compaction: one file per partition afterwards, data
+    unchanged, and partitions absent from the table are not invented."""
+    from data_integration_celery_spark import sinks
+
+    path = str(tmp_path / "bydate")
+    for i in range(6):
+        (spark.range(100)
+         .withColumn("dt", F.when(F.col("id") % 2 == 0, "2020-01-01")
+                            .otherwise("2020-01-02"))
+         .withColumn("v", F.col("id") + i * 1000)
+         .repartition(4)
+         .write.mode("append").partitionBy("dt").parquet(path))
+    before = sorted((r["id"], r["dt"], r["v"])
+                    for r in spark.read.parquet(path).collect())
+    assert len(sinks.list_data_files(spark, path)) > 2
+
+    n_after = sinks.compact_table(spark, path, partition_cols=["dt"])
+    assert n_after == 2  # one file per date partition
+    after = sorted((r["id"], r["dt"], r["v"])
+                   for r in spark.read.parquet(path).collect())
+    assert after == before
