@@ -1939,6 +1939,29 @@ def j8b_interval_bucketed(spark, sf_dir):
     return out.select("l_orderkey", "l_linenumber", "l_shipdate", "in_interval")
 
 
+@q("smp_hash_split",
+   sql="""
+   SELECT doc_id,
+          CASE WHEN substring(md5('v1:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                    < 'cccccccc' THEN 'train'
+               WHEN substring(md5('v1:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                    < 'e6666666' THEN 'val'
+               ELSE 'test' END AS split
+   FROM documents
+   """,
+   doc="Deterministic hash-based train/val/test split (80/10/10): a row's "
+       "split is md5(salt:id) against hex thresholds — map-only, no shuffle, "
+       "stable under re-partitioning/re-runs/corpus growth, identical in any "
+       "engine (which is exactly what this per-row exact oracle proves; "
+       "df.randomSplit can never pass such a check). LLM-pipeline op; no "
+       "reference counterpart (the reference ingests everything).")
+def smp_hash_split_q(spark, sf_dir):
+    from .operators import sampling
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return sampling.hash_split(docs, "doc_id",
+                               {"train": 0.8, "val": 0.1, "test": 0.1})
+
+
 # --------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate may check only a prefix of
 # the registry (round 1 stopped at the first 50 entries), so order by signal

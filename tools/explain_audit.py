@@ -53,6 +53,12 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
     "j8_interval_join": (
         [r"BroadcastHashJoin"],
         [r"CartesianProduct", r"BroadcastNestedLoopJoin"]),
+    # bucketed interval join (both sides large): the (key, bucket) equi-join
+    # must plan as a shuffled or broadcast HASH join — the range predicate is
+    # a post-filter, never the join strategy, so no nested-loop anywhere
+    "j8b_interval_join_bucketed": (
+        [r"HashJoin"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"]),
     # as-of via union+ffill: exactly ONE hash partitioning on the key and no
     # join operator at all — the 100 TB formulation
     "j9_asof_last_report": (
