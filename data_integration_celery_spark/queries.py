@@ -1939,6 +1939,22 @@ def j8b_interval_bucketed(spark, sf_dir):
     return out.select("l_orderkey", "l_linenumber", "l_shipdate", "in_interval")
 
 
+@q("dedup_simhash_hamming", sql=None,
+   doc="SimHash near-dup pairs within Hamming<=3 via banded blocking (Manku "
+       "et al. WWW'07): k+1 bands -> pigeonhole-perfect recall, bit_count "
+       "XOR verify for precision; one shuffle on the band key, never "
+       "documents^2. Approximate op (signature metric) -> rows-only; pytest "
+       "proves band-join == brute-force all-pairs Hamming scan. 63-bit "
+       "signature: at 16 bits chance collisions within hamming 3 make the "
+       "pair set near-quadratic on a template-heavy corpus; ~15-bit bands "
+       "keep buckets selective (fast exploded-agg signatures make wide "
+       "signatures cheap).")
+def dedup_simhash_hamming_q(spark, sf_dir):
+    from .operators import dedup
+    return dedup.simhash_near_dup_pairs(_t(spark, sf_dir, "documents"),
+                                        bits=63, k=3)
+
+
 @q("smp_hash_split",
    sql="""
    SELECT doc_id,

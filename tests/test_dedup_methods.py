@@ -138,3 +138,69 @@ def test_min_label_raises_instead_of_silently_wrong(spark):
                                   "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.connected_components(pairs, max_iter=3)
+
+
+def test_simhash_banded_equals_brute_force_hamming(spark):
+    """Banded SimHash blocking (Manku et al.) must find EXACTLY the pairs a
+    brute-force all-pairs Hamming scan finds at distance <= k — pigeonhole
+    guarantees recall, the bit_count verify restores precision."""
+    from pyspark.sql import functions as F
+
+    from data_integration_celery_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [(i, base) for i in range(3)]                       # identical
+    rows += [(10 + i, base.replace("quick", w))                # 1-token edits
+             for i, w in enumerate(["swift", "rapid", "fast"])]
+    rows += [(20, "completely different text about spark shuffles and joins"),
+             (21, "yet another unrelated document on parquet footers")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {(r["id_a"], r["id_b"], r["hamming"])
+           for r in dedup.simhash_near_dup_pairs(docs, k=3).collect()}
+
+    sigs = docs.select("doc_id",
+                       dedup.simhash(F.col("text"), bits=16).alias("sig"))
+    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sa"))
+    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sb"))
+    brute = (a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+             .withColumn("hamming",
+                         F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+             .where(F.col("hamming") <= 3))
+    want = {(r["id_a"], r["id_b"], r["hamming"]) for r in brute.collect()}
+
+    assert got == want
+    # sanity: identical docs pair at hamming 0 (at 16 bits, unrelated docs
+    # may legitimately fall within hamming 3 — the brute-force equality above
+    # is the contract, not their absence)
+    assert (0, 1, 0) in got and (0, 2, 0) in got
+
+
+def test_simhash_banded_validates_width(spark):
+    import pytest
+
+    from data_integration_celery_spark.operators import dedup
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="too small"):
+        dedup.simhash_near_dup_pairs(docs, bits=4, k=7)
+
+
+def test_simhash_signatures_bit_identical_to_column_form(spark):
+    """The exploded-aggregate fast path must produce bit-identical
+    signatures to the Column ladder, including the NULL-text edge."""
+    from pyspark.sql import functions as F
+
+    from data_integration_celery_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "pack my box with five dozen jugs"),
+         (3, ""), (4, None), (5, "the the the repeated repeated")],
+        "doc_id long, text string")
+    for bits in (16, 32):
+        want = {r["doc_id"]: r["sig"] for r in docs.select(
+            "doc_id", dedup.simhash(F.col("text"), bits=bits).alias("sig")
+        ).collect()}
+        got = {r["doc_id"]: r["sig"] for r in
+               dedup.simhash_signatures(docs, bits=bits).collect()}
+        assert got == want, f"bits={bits}: {got} != {want}"
