@@ -230,7 +230,8 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
 
 def simhash_near_dup_pairs(docs: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", bits: int = 16,
-                           k: int = 3) -> DataFrame:
+                           k: int = 3,
+                           max_bucket: int | None = None) -> DataFrame:
     """Near-dup pairs within Hamming distance ≤ k of the SimHash signature —
     banded blocking (Manku et al., WWW'07 "Detecting Near-Duplicates for Web
     Crawling"), never documents².
@@ -244,6 +245,14 @@ def simhash_near_dup_pairs(docs: DataFrame, text_col: str = "text",
     ``bit_count(a XOR b) ≤ k`` verify on the candidates). One shuffle on the
     band key; band width bits/(k+1) controls bucket selectivity the same way
     LSH band width does.
+
+    ``max_bucket``: pair output is inherently quadratic in dup-cluster size —
+    a boilerplate/template bucket of B docs alone emits ~B²/2 pairs and lands
+    on ONE reducer (same band key). Production systems cap degenerate buckets
+    (Manku et al. §5 discuss the skew); band buckets larger than
+    ``max_bucket`` are dropped (their members are near-identical — catch
+    them with ``exact_dedup``/``simhash_dedup`` grouping, which is linear,
+    instead of pair emission). ``None`` keeps exact pigeonhole recall.
 
     Returns (id_a, id_b, hamming), id_a < id_b, hamming ≤ k.
     """
@@ -266,6 +275,11 @@ def simhash_near_dup_pairs(docs: DataFrame, text_col: str = "text",
     keyed = (sigs.select("id", "sig", F.explode(bands).alias("bk"))
              .select("id", "sig", F.col("bk.b").alias("b"),
                      F.col("bk.v").alias("v")))
+    if max_bucket is not None:
+        from pyspark.sql import Window
+        sz = F.count(F.lit(1)).over(Window.partitionBy("b", "v"))
+        keyed = (keyed.withColumn("__sz", sz)
+                 .where(F.col("__sz") <= max_bucket).drop("__sz"))
     a, b_ = keyed.alias("a"), keyed.alias("b")
     cand = (a.join(b_, ["b", "v"])
             .where(F.col("a.id") < F.col("b.id"))

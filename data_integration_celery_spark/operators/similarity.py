@@ -286,31 +286,59 @@ def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, planes: list[list[float]],
              k: int = 5, id_col: str = "vec_id", vec_col: str = "embedding",
-             n_flips: int = 0) -> DataFrame:
+             n_flips: int = 0, max_probes: int | None = None) -> DataFrame:
     """Approximate cosine top-k: probe the query's LSH bucket, plus — with
     ``n_flips`` ≥ 1 (multi-probe LSH, Lv et al. VLDB'07) — every bucket
     within Hamming distance ``n_flips`` of it.
 
+    ``max_probes`` (query-adaptive probe ordering, Lv et al. §4): instead of
+    the full Hamming ball, spend a fixed budget on single-bit flips of the
+    planes whose projection magnitude |⟨q, p⟩| is SMALLEST for this query —
+    the sides the hash was least sure about, hence the buckets most likely
+    to hide true neighbours. Per query, probes = own bucket + flips of its
+    ``max_probes`` most-uncertain planes (budget capped at len(planes)).
+    With ``max_probes = len(planes)`` this equals exhaustive ``n_flips=1``.
+
     Recall < 1 by construction; differential tests measure it against
     brute_force_topk. The fan-out is query-side only (queries ≪ corpus): the
     corpus is still hashed and shuffled exactly once on the bucket id, so at
-    100 TB the extra probes cost ``sum(C(P,i))``× more *query* rows, not
-    corpus reads. A candidate lives in exactly one bucket, so probed buckets
-    never produce duplicate (query, cand) pairs.
+    100 TB the extra probes cost probe-count× more *query* rows, not corpus
+    reads. A candidate lives in exactly one bucket, so probed buckets never
+    produce duplicate (query, cand) pairs.
     """
     from itertools import combinations
-    masks = [0]
-    for d in range(1, n_flips + 1):
-        for bits in combinations(range(len(planes)), d):
-            masks.append(sum(2 ** b for b in bits))
+
     c = (corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
          .withColumn("bucket", hyperplane_signature(F.col("cv"), planes)))
-    q = (queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-         .withColumn("bucket0", hyperplane_signature(F.col("qv"), planes))
-         .select("query_id", "qv",
-                 F.explode(F.array(*[
-                     F.col("bucket0").bitwiseXOR(F.lit(m)) for m in masks
-                 ])).alias("bucket")))
+    qbase = (queries.select(F.col(id_col).alias("query_id"),
+                            F.col(vec_col).alias("qv"))
+             .withColumn("bucket0", hyperplane_signature(F.col("qv"), planes)))
+    if max_probes is not None:
+        budget = min(max_probes, len(planes))
+        # |projection| per plane, ranked ascending — flip the closest planes
+        projs = F.array(*[
+            F.struct(
+                F.abs(F.aggregate(
+                    F.zip_with(F.col("qv"),
+                               F.array(*[F.lit(float(x)) for x in p]),
+                               lambda x, y: x.cast("double") * y),
+                    F.lit(0.0), lambda acc, v: acc + v)).alias("a"),
+                F.lit(i).alias("i"))
+            for i, p in enumerate(planes)])
+        pow2 = F.array(*[F.lit(2 ** i).cast("long") for i in range(len(planes))])
+        flips = F.transform(
+            F.slice(F.array_sort(projs), 1, budget),
+            lambda s: F.col("bucket0").bitwiseXOR(
+                F.element_at(pow2, s["i"].cast("int") + 1)))
+        buckets = F.concat(F.array(F.col("bucket0").cast("long")), flips)
+    else:
+        masks = [0]
+        for d in range(1, n_flips + 1):
+            for bits in combinations(range(len(planes)), d):
+                masks.append(sum(2 ** b for b in bits))
+        buckets = F.array(*[F.col("bucket0").bitwiseXOR(F.lit(m))
+                            for m in masks])
+    q = qbase.select("query_id", "qv", F.explode(buckets).alias("bucket"))
     scored = (q.join(c, "bucket")
               .where(F.col("query_id") != F.col("cand_id"))
               .select("query_id", "cand_id",

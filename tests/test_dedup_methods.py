@@ -204,3 +204,22 @@ def test_simhash_signatures_bit_identical_to_column_form(spark):
         got = {r["doc_id"]: r["sig"] for r in
                dedup.simhash_signatures(docs, bits=bits).collect()}
         assert got == want, f"bits={bits}: {got} != {want}"
+
+
+def test_simhash_banded_max_bucket_drops_degenerate(spark):
+    """Oversized band buckets (boilerplate clusters) are dropped when
+    max_bucket is set; small clusters still pair exactly."""
+    from data_integration_celery_spark.operators import dedup
+
+    boiler = [(i, "identical boilerplate text repeated everywhere") for i in range(10)]
+    small = [(100, "a unique document about winnowing fingerprints"),
+             (101, "a unique document about winnowing fingerprints")]
+    docs = spark.createDataFrame(boiler + small, "doc_id long, text string")
+
+    capped = dedup.simhash_near_dup_pairs(docs, k=3, max_bucket=4).collect()
+    ids = {i for r in capped for i in (r["id_a"], r["id_b"])}
+    assert (100, 101) in {(r["id_a"], r["id_b"]) for r in capped}
+    assert not any(i < 100 for i in ids), "boilerplate cluster must be dropped"
+
+    full = dedup.simhash_near_dup_pairs(docs, k=3).collect()
+    assert len(full) >= 45 + 1  # 10-clique + the small pair

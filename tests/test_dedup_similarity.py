@@ -126,3 +126,33 @@ def test_all_pairs_topk_block_invariant_and_distributed(spark, sf_dir):
     for id_a, id_b, cos_sim in r1:
         assert id_a < id_b
         assert -1.0 <= cos_sim <= 1.0
+
+
+def test_lsh_probe_ordering_budgeted(spark, sf_dir):
+    """Query-adaptive probe ordering (max_probes): full budget == exhaustive
+    1-flip probing exactly; a half budget spent on the most-uncertain planes
+    must dominate bucket-only recall and approach the exhaustive result."""
+    import random
+
+    emb = catalog.load(spark, "embeddings", sf_dir)
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    e = {(r["query_id"], r["cand_id"]) for r in exact.collect()}
+    rnd = random.Random(7)
+    planes = [[rnd.gauss(0, 1) for _ in range(64)] for _ in range(4)]
+
+    def pairs(**kw):
+        got = similarity.lsh_topk(emb, queries, planes, k=5, **kw)
+        return {(r["query_id"], r["cand_id"]) for r in got.collect()}
+
+    # full budget == exhaustive 1-flip, same candidate set
+    assert pairs(max_probes=4) == pairs(n_flips=1)
+    # budgeted ordered probing: superset of bucket-only, within exhaustive
+    p0, p2, p4 = pairs(n_flips=0), pairs(max_probes=2), pairs(max_probes=4)
+    r0 = len(e & p0) / len(e)
+    r2 = len(e & p2) / len(e)
+    r4 = len(e & p4) / len(e)
+    assert r2 >= r0
+    assert r4 >= r2
+    # the ordered half-budget should capture most of the 1-flip recall gain
+    assert r2 >= r0 + 0.5 * (r4 - r0)

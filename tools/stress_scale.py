@@ -66,6 +66,13 @@ def main() -> None:
         results.append((name, dt, f"{out} {detail}".strip()))
 
     run("exact_dedup", lambda: f"{dedup.exact_dedup(docs).count()} groups")
+    # max_bucket caps degenerate band buckets: this corpus is 24 near-
+    # identical replicas of every doc, so uncapped pair emission is ~576x
+    # the sf0.1 pair count concentrated on a few reducers — the cap is the
+    # documented production posture (cluster boilerplate via linear
+    # simhash_dedup grouping instead of quadratic pair emission)
+    run("simhash_hamming_pairs(63-bit, k=3, max_bucket=1000)",
+        lambda: f"{dedup.simhash_near_dup_pairs(docs, bits=63, k=3, max_bucket=1000).count()} pairs")
     run("minhash_lsh_candidates",
         lambda: f"{dedup.minhash_lsh_candidates(docs).count()} candidate pairs")
     run("ngram_jaccard(count, t=0.8, block=source)",
@@ -109,6 +116,18 @@ def main() -> None:
     run(f"quarterize_exact({n_rep:,} report rows)",
         lambda: f"{quality.quarterize_exact(reports, 'code', 'report_date', 'ytd').count()} rows")
 
+    from data_integration_celery_spark.operators import sampling
+    run("hash_split(train/val/test)",
+        lambda: f"{sampling.hash_split(docs, 'doc_id', {'train': 0.98, 'val': 0.01, 'test': 0.01}).groupBy('split').count().count()} splits")
+
+    # components on a 1M-node CHAIN — min-label propagation's worst case
+    # (would need 10^6 shuffle rounds); star contraction closes it in O(log n)
+    chain = (spark.range(1_000_000)
+             .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+             .where(F.col("id_b") % 100_000 != 0))   # 10 chains of 100k nodes
+    run("connected_components_star(1M-node chains)",
+        lambda: f"{dedup.connected_components_star(chain).select('component').distinct().count()} components")
+
     # ---- relational operators at 10x bench scale (~6M lineitem rows) ----
     from data_integration_celery_spark.operators import asof, continuous, upsert
     li0 = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
@@ -134,6 +153,19 @@ def main() -> None:
     # filter on the ffilled column so Catalyst cannot prune the window
     run(f"asof_union_ffill({n_li:,} daily x {reports.count():,} reports)",
         lambda: f"{asof.asof_join_union(li.select('l_partkey', 'l_shipdate', 'l_quantity'), reports, 'l_partkey', 'l_shipdate', 'pub_date', ['ref_price']).where(F.col('ref_price').isNotNull()).count()} stamped rows")
+    # interval membership with a NON-broadcast interval table: ~600k
+    # intervals against 6M daily rows through the month-bucketed equi-join
+    intervals = (li.where(F.col("l_linenumber") == 1)
+                 .select("l_partkey",
+                         F.col("l_shipdate").cast("date").alias("s"),
+                         F.date_add(F.col("l_shipdate").cast("date"), 45)
+                          .alias("e")))
+    daily = li.select("l_partkey",
+                      F.col("l_shipdate").cast("date").alias("d"),
+                      "l_quantity")
+    run(f"interval_join_bucketed({n_li:,} daily x {intervals.count():,} intervals)",
+        lambda: f"{asof.interval_flag_join_bucketed(daily, intervals, 'l_partkey', 'd', 's', 'e').where(F.col('in_interval') == 1).count()} flagged rows")
+
     cd10 = continuous.contract_daily(li, part)
     run("continuous_contract_select(10x dates/type)",
         lambda: f"{continuous.select_contracts(cd10).count()} selections")
@@ -158,18 +190,20 @@ embeddings x{EMB_REPLICAS} with per-replica jitter. All operators are the same
 code paths the driver grades at sf0.01/0.1 — nothing tuned for this run.
 
 Extrapolation: every path above is shuffle-bound on postings/buckets/blocks,
-not documents² — candidate volume scales with true duplicate density, the
-blocked BLAS all-pairs scales with corpus x broadcast-side, and the rest are
-single-shuffle scans. On a 1000-executor cluster the same plans partition by
-doc/bucket id; the broadcast side of all_pairs_topk becomes an IVF/LSH bucket
-(NOTES.md backlog).
+not documents² — candidate volume scales with true duplicate density
+(simhash bands and LSH alike), all_pairs_topk decomposes into block-pair
+BLAS tasks that never materialise the corpus on one node (shuffle O(n·B)),
+hash_split is map-only, and the star contraction closes a 10^6-node chain
+(min-label's worst case: 10^6 rounds) in O(log n) shuffle rounds.
 
-Relational block (last four rows): lineitem replicated 10x with shifted
-years (~6M rows). The rollup is a pure map-side-combine scan; the as-of
-union+ffill stays one shuffle regardless of fact size; contract selection
-is applyInPandas per instrument type (25 types x 10x dates — parallel
-across types, linear in dates); the upsert is the window-dedup shuffle a
-MERGE INTO would do. All scale linearly with rows at fixed key cardinality.""")
+Relational block: lineitem replicated 10x with shifted years (~6M rows).
+The rollup is a pure map-side-combine scan; the as-of union+ffill stays one
+shuffle regardless of fact size; the bucketed interval join turns a
+non-broadcastable range join into a (key, month-bucket) equi-join with
+bounded fan-out; contract selection is applyInPandas per instrument type
+(25 types x 10x dates — parallel across types, linear in dates); the upsert
+is the window-dedup shuffle a MERGE INTO would do. All scale linearly with
+rows at fixed key cardinality.""")
 
 
 if __name__ == "__main__":
