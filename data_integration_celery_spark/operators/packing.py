@@ -1,0 +1,118 @@
+"""Sequence packing: bin documents into fixed token budgets (training-data op).
+
+Pretraining pipelines concatenate documents into fixed-length training
+sequences; the packing step assigns each document to a "pack" whose total
+token count stays within the context budget, minimising padding waste. The
+classical greedy algorithms (next-fit / first-fit-decreasing) are inherently
+sequential — running capacity is cross-row state — so the Spark-first shape
+is the same one the engine uses for the contract-selection scan: distribute
+documents across partitions, sort within each partition, run the greedy pass
+as ONE Arrow-batched ``mapInPandas`` scan per partition with carry across
+batches. Packs never cross partition boundaries, so every partition packs
+independently (the only fleet-wide cost is one repartition) and the result
+is deterministic for a fixed (salt, n_partitions).
+
+Waste analysis: next-fit within a partition is a 2-approximation of optimal
+bin count; partition boundaries add at most one under-filled pack per
+partition — negligible when each partition holds thousands of documents
+(at 100 TB you size n_partitions so each holds ~executor-memory worth of
+docs, exactly like every other shuffle in this engine).
+
+No reference counterpart (the reference ingests market data); part of the
+LLM-pipeline extension surface alongside dedup/sampling/text.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pack_documents(docs: DataFrame, id_col: str, tokens_col: str,
+                   budget: int, n_partitions: int | None = None,
+                   strategy: str = "ffd") -> DataFrame:
+    """Assign every document a ``pack_id`` with sum(tokens) ≤ ``budget``.
+
+    ``strategy``:
+    - ``'ffd'`` (default): first-fit-decreasing within the partition — sort
+      by token count descending, place each doc in the first open pack with
+      room (11/9·OPT+1 bins; open packs tracked in a list, fine for
+      partition-sized inputs);
+    - ``'nextfit'``: keep one open pack, close it when the next doc does not
+      fit (2·OPT, O(1) state — the streaming-friendly form).
+
+    Documents larger than ``budget`` get a singleton pack (flagged
+    ``oversize=1``) — the caller decides whether to truncate or drop.
+    ``pack_id`` is globally unique: ``partition_id * 2^40 + local pack``.
+
+    Returns the input columns plus (pack_id long, oversize int).
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if strategy not in ("ffd", "nextfit"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    from pyspark.sql.types import (IntegerType, LongType, StructField,
+                                   StructType)
+    out_schema = StructType(list(docs.schema.fields)
+                            + [StructField("pack_id", LongType()),
+                               StructField("oversize", IntegerType())])
+
+    part = docs.repartition(*( [n_partitions] if n_partitions else [] ),
+                            F.col(id_col))
+    part = part.sortWithinPartitions(F.col(tokens_col).desc(), F.col(id_col))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+        base = TaskContext.get().partitionId() << 40
+        open_packs: list[tuple[int, int]] = []   # (pack_id, used)
+        next_pack = 0
+        for pdf in batches:
+            ids, overs = [], []
+            for t in pdf[tokens_col].to_numpy():
+                t = int(t)
+                if t > budget:
+                    ids.append(base + next_pack); overs.append(1)
+                    next_pack += 1
+                    continue
+                placed = None
+                if strategy == "ffd":
+                    for i, (pid, used) in enumerate(open_packs):
+                        if used + t <= budget:
+                            placed = pid
+                            open_packs[i] = (pid, used + t)
+                            break
+                elif open_packs:  # nextfit: single open pack
+                    pid, used = open_packs[0]
+                    if used + t <= budget:
+                        placed = pid
+                        open_packs[0] = (pid, used + t)
+                    else:
+                        open_packs.clear()
+                if placed is None:
+                    placed = base + next_pack
+                    next_pack += 1
+                    open_packs.append((placed, t))
+                ids.append(placed); overs.append(0)
+            out = pdf.copy()
+            out["pack_id"] = pd.array(ids, dtype="int64")
+            out["oversize"] = pd.array(overs, dtype="int32")
+            yield out
+
+    return part.mapInPandas(run, out_schema)
+
+
+def pack_stats(packed: DataFrame, tokens_col: str, budget: int) -> DataFrame:
+    """Per-run packing summary: pack count, mean fill, padding waste."""
+    per_pack = (packed.groupBy("pack_id")
+                .agg(F.sum(tokens_col).alias("tok"),
+                     F.max("oversize").alias("oversize")))
+    return per_pack.agg(
+        F.count(F.lit(1)).alias("n_packs"),
+        F.sum("oversize").cast("long").alias("n_oversize"),
+        F.avg(F.when(F.col("oversize") == 0,
+                     F.col("tok") / F.lit(float(budget)))).alias("mean_fill"),
+        F.sum(F.when(F.col("oversize") == 0, F.lit(budget) - F.col("tok"))
+               .otherwise(F.lit(0))).cast("long").alias("padding_tokens"))

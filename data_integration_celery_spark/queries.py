@@ -1955,6 +1955,22 @@ def dedup_simhash_hamming_q(spark, sf_dir):
                                         bits=63, k=3)
 
 
+@q("smp_pack_sequences", sql=None,
+   doc="Sequence packing: greedy first-fit-decreasing of documents into "
+       "2048-token packs, one Arrow-batched mapInPandas scan per partition "
+       "with batch-boundary carry (the quarterize pattern). Inherently "
+       "sequential (running-capacity state) -> rows-only; pytest proves the "
+       "budget invariant, determinism under input repartitioning, the "
+       "textbook-walk equivalence for nextfit, and the FFD waste bound. "
+       "LLM-pipeline op; no reference counterpart.")
+def smp_pack_q(spark, sf_dir):
+    from .operators import packing, text
+    docs = (_t(spark, sf_dir, "documents")
+            .select("doc_id", text.token_count(F.col("text")).alias("n_tokens")))
+    return packing.pack_documents(docs, "doc_id", "n_tokens", budget=2048,
+                                  n_partitions=8)
+
+
 @q("smp_hash_split",
    sql="""
    SELECT doc_id,

@@ -1,0 +1,98 @@
+"""Sequence packing: budget invariant, exhaustive assignment, determinism,
+FFD efficiency bound, oversize flagging, batch-boundary carry."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_integration_celery_spark.operators import packing
+
+
+def _docs(spark, sizes, start_id=0):
+    return spark.createDataFrame(
+        [(start_id + i, s) for i, s in enumerate(sizes)],
+        "doc_id long, n_tokens long")
+
+
+def test_packs_respect_budget_and_cover_all_docs(spark):
+    import random
+    rnd = random.Random(11)
+    sizes = [rnd.randint(50, 900) for _ in range(2000)]
+    docs = _docs(spark, sizes)
+    out = packing.pack_documents(docs, "doc_id", "n_tokens", budget=2048)
+    rows = out.collect()
+    assert len(rows) == 2000                       # every doc assigned
+    per_pack = {}
+    for r in rows:
+        assert r["oversize"] == 0
+        per_pack.setdefault(r["pack_id"], 0)
+        per_pack[r["pack_id"]] += r["n_tokens"]
+    assert all(v <= 2048 for v in per_pack.values())
+    # FFD waste bound (loose): no more than 2x the volume lower bound
+    lower = -(-sum(sizes) // 2048)
+    assert len(per_pack) <= 2 * lower + out.rdd.getNumPartitions()
+
+
+def test_oversize_docs_get_singleton_flagged_packs(spark):
+    docs = _docs(spark, [100, 5000, 200, 9000])
+    out = packing.pack_documents(docs, "doc_id", "n_tokens", budget=1024)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["oversize"] == 1 and rows[3]["oversize"] == 1
+    assert rows[0]["oversize"] == 0 and rows[2]["oversize"] == 0
+    # oversize packs are singletons
+    packs = [r["pack_id"] for r in rows.values()]
+    assert packs.count(rows[1]["pack_id"]) == 1
+    assert packs.count(rows[3]["pack_id"]) == 1
+
+
+def test_packing_deterministic(spark):
+    import random
+    rnd = random.Random(3)
+    docs = _docs(spark, [rnd.randint(10, 500) for _ in range(800)])
+    a = {(r["doc_id"], r["pack_id"]) for r in packing.pack_documents(
+        docs, "doc_id", "n_tokens", budget=1024, n_partitions=8).collect()}
+    b = {(r["doc_id"], r["pack_id"]) for r in packing.pack_documents(
+        docs.repartition(17), "doc_id", "n_tokens", budget=1024,
+        n_partitions=8).collect()}
+    assert a == b, "packing must not depend on input partitioning"
+
+
+def test_nextfit_matches_reference_walk(spark):
+    """nextfit with one partition must equal the textbook sequential walk
+    over the (tokens desc, id) order — proves the batch-boundary carry."""
+    import random
+    rnd = random.Random(5)
+    sizes = [rnd.randint(100, 700) for _ in range(1500)]
+    docs = _docs(spark, sizes)
+    out = packing.pack_documents(docs, "doc_id", "n_tokens", budget=1000,
+                                 n_partitions=1, strategy="nextfit")
+    got = {r["doc_id"]: r["pack_id"] for r in out.collect()}
+
+    order = sorted(enumerate(sizes), key=lambda t: (-t[1], t[0]))
+    want, pack, used, nxt = {}, None, 0, 0
+    for i, s in order:
+        if pack is None or used + s > 1000:
+            pack, used = nxt, 0
+            nxt += 1
+        want[i] = pack
+        used += s
+    assert got == want
+
+
+def test_pack_stats(spark):
+    docs = _docs(spark, [600, 600, 600, 3000])
+    out = packing.pack_documents(docs, "doc_id", "n_tokens", budget=1024,
+                                 n_partitions=1)
+    st = packing.pack_stats(out, "n_tokens", 1024).collect()[0]
+    assert st["n_oversize"] == 1
+    assert st["n_packs"] == 4  # 600+600 never fits together? 1200>1024 -> 3 packs + oversize
+    assert st["padding_tokens"] == 3 * (1024 - 600)
+    assert abs(st["mean_fill"] - 600 / 1024) < 1e-9
+
+
+def test_packing_validates_args(spark):
+    docs = _docs(spark, [10])
+    with pytest.raises(ValueError, match="budget"):
+        packing.pack_documents(docs, "doc_id", "n_tokens", budget=0)
+    with pytest.raises(ValueError, match="strategy"):
+        packing.pack_documents(docs, "doc_id", "n_tokens", budget=10,
+                               strategy="bogus")
