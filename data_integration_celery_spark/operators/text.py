@@ -79,6 +79,38 @@ def lang_id(text: Column) -> Column:
     return expr
 
 
+# PII patterns shared by redaction and counting. RE2/Java-portable subset
+# (no lookarounds, ASCII \w) so the DuckDB oracle runs the SAME regexes —
+# redaction is exact-testable cross-engine, not a heuristic black box.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d{1,3}[- ]\d{3}[- ]\d{3,4}[- ]?\d{0,4}", "<PHONE>"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails / IPs / phone-shaped spans with typed placeholders.
+
+    Order matters (emails before phones so digits inside addresses are not
+    re-matched); patterns are deliberately conservative — a pretraining
+    pipeline prefers false negatives over shredding code/math text.
+    """
+    out = text
+    for _, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII span counts + the redacted text, all JVM-side."""
+    t = F.col(text_col)
+    out = df
+    for name, pat, _ in PII_PATTERNS:
+        out = out.withColumn(f"n_{name}", F.regexp_count(t, F.lit(pat)))
+    return out.withColumn("redacted", redact_pii(t))
+
+
 def normalized(text: Column) -> Column:
     """Canonical form for fingerprinting: lowercase, collapse non-alnum runs."""
     return F.trim(F.regexp_replace(F.lower(text), r"[^a-z0-9]+", " "))
@@ -126,6 +158,51 @@ def winnowing_fingerprints(docs: DataFrame, text_col: str = "text",
     short = (docs.join(hashes.select(id_col).distinct(), id_col, "left_anti")
                  .select(id_col, F.md5(normalized(F.col(text_col))).alias("fp")))
     return fps.unionByName(short)
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals per document: the fraction of bigram
+    mass claimed by the single most frequent bigram, and the fraction of
+    trigram occurrences that are repeats (1 − distinct/total).
+
+    Machine-generated / boilerplate text scores high on both; the Gopher
+    rules drop docs above thresholds (top-2-gram > 0.2, dup-3-gram
+    mass thresholds). One token explode feeds both gram sizes; two
+    (doc, gram) count shuffles then a per-doc rollup — linear in corpus
+    size, fully codegen, no UDFs. Docs with < 3 tokens (no trigram) are
+    excluded, mirroring the filters' domain.
+
+    Returns (id, n_bigrams, top_bigram_n, frac_top_bigram, n_trigrams,
+    n_tri_distinct, frac_dup_trigram); fractions are per-row double
+    divisions (IEEE-identical cross-engine, exact-oracle safe).
+    """
+    from pyspark.sql import Window
+    toks = docs.select(
+        id_col,
+        F.posexplode(F.split(normalized(F.col(text_col)), " "))
+         .alias("pos", "tok"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    l1, l2 = F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+    grams = toks.select(id_col, "tok", l1.alias("t1"), l2.alias("t2"))
+    b2 = (grams.where(F.col("t1").isNotNull())
+          .groupBy(id_col, F.concat_ws(" ", "tok", "t1").alias("g"))
+          .agg(F.count(F.lit(1)).alias("c"))
+          .groupBy(id_col)
+          .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram_n")))
+    t3 = (grams.where(F.col("t2").isNotNull())
+          .groupBy(id_col, F.concat_ws(" ", "tok", "t1", "t2").alias("g"))
+          .agg(F.count(F.lit(1)).alias("c"))
+          .groupBy(id_col)
+          .agg(F.sum("c").alias("n_trigrams"),
+               F.count(F.lit(1)).alias("n_tri_distinct")))
+    return (b2.join(t3, id_col)
+            .select(id_col, "n_bigrams", "top_bigram_n",
+                    (F.col("top_bigram_n") / F.col("n_bigrams"))
+                    .alias("frac_top_bigram"),
+                    "n_trigrams", "n_tri_distinct",
+                    (F.lit(1.0) - F.col("n_tri_distinct") / F.col("n_trigrams"))
+                    .alias("frac_dup_trigram")))
 
 
 def with_text_features(docs: DataFrame, text_col: str = "text") -> DataFrame:

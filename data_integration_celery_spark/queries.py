@@ -1955,6 +1955,92 @@ def dedup_simhash_hamming_q(spark, sf_dir):
                                         bits=63, k=3)
 
 
+@q("txt_repetition",
+   sql="""
+   WITH toks AS (
+     SELECT doc_id,
+            string_split_regex(trim(regexp_replace(lower(text),
+                               '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+     FROM documents),
+   big AS (
+     SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+     FROM toks, UNNEST(range(1, len(t))) AS u(i)),
+   tri AS (
+     SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+     FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
+   b2 AS (
+     SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+            CAST(max(c) AS BIGINT) AS top_bigram_n
+     FROM (SELECT doc_id, g, count(*) AS c FROM big GROUP BY 1, 2)
+     GROUP BY doc_id),
+   t3 AS (
+     SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_trigrams,
+            CAST(count(*) AS BIGINT) AS n_tri_distinct
+     FROM (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY 1, 2)
+     GROUP BY doc_id)
+   SELECT b2.doc_id, n_bigrams, top_bigram_n,
+          CAST(top_bigram_n AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+            AS frac_top_bigram,
+          n_trigrams, n_tri_distinct,
+          1.0 - CAST(n_tri_distinct AS DOUBLE) / CAST(n_trigrams AS DOUBLE)
+            AS frac_dup_trigram
+   FROM b2 JOIN t3 ON b2.doc_id = t3.doc_id
+   """,
+   doc="Gopher-style repetition filters: top-bigram mass fraction + "
+       "duplicate-trigram fraction per document — boilerplate/machine-text "
+       "signals. One explode, two (doc, gram) count shuffles, codegen "
+       "throughout; fractions are per-row IEEE divisions so the DuckDB "
+       "oracle is exact. LLM-pipeline op; no reference counterpart.")
+def txt_repetition_q(spark, sf_dir):
+    from .operators import text as T
+    return T.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+@q("txt_pii_redact",
+   sql=r"""
+   WITH aug AS (
+     SELECT doc_id,
+            text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                 || '@example.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                 || '.7 call +86 138 0013 '
+                 || CAST(1000 + doc_id % 9000 AS VARCHAR) AS t
+     FROM documents)
+   SELECT doc_id,
+          CAST(len(regexp_extract_all(t,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+          CAST(len(regexp_extract_all(t,
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ip,
+          md5(regexp_replace(regexp_replace(regexp_replace(t,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+            '\+?\d{1,3}[- ]\d{3}[- ]\d{3,4}[- ]?\d{0,4}', '<PHONE>', 'g'))
+            AS red_hash
+   FROM aug
+   """,
+   doc="PII redaction (emails/IPs/phones -> typed placeholders) with span "
+       "counts — pure regexp_count/regexp_replace chains, JVM-side, zero "
+       "UDFs. The oracle runs the SAME RE2/Java-portable regexes in DuckDB "
+       "and compares md5 of the redacted text per row — redaction is exact-"
+       "verified cross-engine, not a heuristic. PII synthesized per doc_id "
+       "(the corpus has none), so every row exercises all three patterns. "
+       "LLM-pipeline op; no reference counterpart.")
+def txt_pii_q(spark, sf_dir):
+    from .operators import text as T
+    aug = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" contact: user"),
+                 F.col("doc_id").cast("string"), F.lit("@example.com ip 10.0."),
+                 (F.col("doc_id") % 256).cast("string"),
+                 F.lit(".7 call +86 138 0013 "),
+                 (F.lit(1000) + F.col("doc_id") % 9000).cast("string")
+                 ).alias("text"))
+    out = T.pii_counts(aug)
+    return out.select("doc_id",
+                      F.col("n_email").cast("int"),
+                      F.col("n_ip").cast("int"),
+                      F.md5("redacted").alias("red_hash"))
+
+
 @q("smp_pack_sequences", sql=None,
    doc="Sequence packing: greedy first-fit-decreasing of documents into "
        "2048-token packs, one Arrow-batched mapInPandas scan per partition "

@@ -95,3 +95,44 @@ def test_quarterize_exact_invariants(spark, ytd):
                 and prev["report_date"].year == r["report_date"].year
                 and ytd[i - 1] is not None):
             assert r["season"] == (ytd[i] - ytd[i - 1]) / 1.0  # (3) diff
+
+
+def test_pii_redaction_and_counts(spark):
+    from pyspark.sql import functions as F
+
+    from data_integration_celery_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "mail me at john.doe+x@corp.example.com or call +86 138 0013 8000"),
+         (2, "server at 10.0.255.7 and 192.168.1.1; no mail"),
+         (3, "plain text, nothing sensitive"),
+         (4, "two mails a@b.io c@d.org one ip 1.2.3.4")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in T.pii_counts(docs).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1
+    assert out[2]["n_ip"] == 2 and out[2]["n_email"] == 0
+    assert out[3]["n_email"] == out[3]["n_ip"] == out[3]["n_phone"] == 0
+    assert out[4]["n_email"] == 2 and out[4]["n_ip"] == 1
+    assert "<EMAIL>" in out[1]["redacted"] and "<PHONE>" in out[1]["redacted"]
+    assert "john" not in out[1]["redacted"]
+    assert out[2]["redacted"].count("<IP>") == 2
+    assert out[3]["redacted"] == out[3]["text"]
+
+
+def test_repetition_stats_flags_boilerplate(spark):
+    from data_integration_celery_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "buy now " * 50),                       # pure boilerplate
+         (2, "the quick brown fox jumps over a lazy dog and then sleeps"),
+         (3, "ab")],                                 # < 3 tokens -> excluded
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in T.repetition_stats(docs).collect()}
+    assert 3 not in out
+    # doc 1: tokens = [buy now]*50 -> bigrams 'buy now' x50 + 'now buy' x49
+    assert out[1]["n_bigrams"] == 99 and out[1]["top_bigram_n"] == 50
+    assert out[1]["frac_dup_trigram"] > 0.95
+    # doc 2: every bigram/trigram unique
+    assert out[2]["top_bigram_n"] == 1
+    assert out[2]["frac_top_bigram"] == 1.0 / out[2]["n_bigrams"]
+    assert out[2]["frac_dup_trigram"] == 0.0
