@@ -53,6 +53,20 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
     "j8_interval_join": (
         [r"BroadcastHashJoin"],
         [r"CartesianProduct", r"BroadcastNestedLoopJoin"]),
+    # deterministic sampling: a pure map-only projection — NO shuffle at
+    # all, and the scan must prune to the id column alone
+    "smp_hash_split": (
+        [r"ReadSchema: struct<doc_id"],
+        [r"Exchange", r"CartesianProduct"]),
+    # PII redaction: regexp chains are a pure map — no shuffle, no UDF node
+    "txt_pii_redact": (
+        [r"Project"],
+        [r"Exchange", r"BatchEvalPython", r"ArrowEvalPython"]),
+    # repetition stats: two (doc, gram) count aggs with map-side partials,
+    # rolled up per doc — never a cartesian/join explosion
+    "txt_repetition": (
+        [r"partial", r"HashAggregate", r"hashpartitioning\(doc_id"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"]),
     # bucketed interval join (both sides large): the (key, bucket) equi-join
     # must plan as a shuffled or broadcast HASH join — the range predicate is
     # a post-filter, never the join strategy, so no nested-loop anywhere
