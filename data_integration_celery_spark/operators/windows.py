@@ -25,6 +25,58 @@ def rank_rows(df: DataFrame, order, partition=None, alias: str = "rn") -> DataFr
     return df.withColumn(alias, F.row_number().over(w))
 
 
+def rank_rows_scalable(df: DataFrame, order_col: str,
+                       tiebreaks: list[str] | None = None,
+                       alias: str = "rn", n_buckets: int = 32) -> DataFrame:
+    """Global ROW_NUMBER without the single-partition window (W1 at scale).
+
+    ``rank_rows`` with no partition plans as ``Exchange SinglePartition`` —
+    every row through one task, the classic global-sort bottleneck. This
+    variant is the textbook two-phase distributed rank, kept in ONE plan:
+
+    1. approximate percentiles of ``order_col`` → ``n_buckets`` range
+       boundaries (driver holds n_buckets-1 doubles — nothing else);
+    2. a ``<=`` CASE ladder assigns each row a bucket; equal values always
+       land in the SAME bucket, so the bucket order respects the total order
+       (ties are then broken inside one window by ``tiebreaks``);
+    3. row_number per bucket (parallel windows, hashpartitioning on the
+       bucket) + per-bucket counts → cumulative offsets (the only
+       single-partition step left runs over n_buckets COUNT ROWS, not data
+       rows; broadcast-joined back);
+    4. global rank = bucket offset + local row_number.
+
+    Boundary skew only affects balance, never correctness. ``order_col``
+    must be non-null (coalesce first); ``(order_col, *tiebreaks)`` must be
+    a strict total order — same contract the deterministic-gate w1 already
+    carries. Costs two shuffles (bucket window + the tiny count agg) vs the
+    single-partition sort; at 100 TB that is the difference between a job
+    and an OOM.
+    """
+    ties = tiebreaks or []
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.agg(F.percentile_approx(order_col, fracs, 10_000)
+                    .alias("b")).collect()[0]["b"]
+    bucket = None
+    for i, b in enumerate(bounds):
+        cond = F.col(order_col) <= F.lit(b)
+        bucket = F.when(cond, F.lit(i)) if bucket is None \
+            else bucket.when(cond, F.lit(i))
+    bucket = (F.lit(0) if bucket is None
+              else bucket.otherwise(F.lit(len(bounds)))).cast("int")
+    tagged = df.withColumn("__bkt", bucket)
+    wl = Window.partitionBy("__bkt").orderBy(order_col, *ties)
+    local = tagged.withColumn("__ln", F.row_number().over(wl))
+    wc = (Window.orderBy("__bkt")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (tagged.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__n"))
+               .withColumn("__off", F.coalesce(F.sum("__n").over(wc),
+                                               F.lit(0)))
+               .select("__bkt", "__off"))
+    return (local.join(F.broadcast(offsets), "__bkt")
+            .withColumn(alias, (F.col("__off") + F.col("__ln")).cast("int"))
+            .drop("__bkt", "__ln", "__off"))
+
+
 def argmax_per_group(df: DataFrame, partition, order) -> DataFrame:
     """Row with max(order) per key (J11) — row_number()==1, never a self-join
     (reference self-joins a grouped subquery, tasks/wind/future.py:85-107)."""

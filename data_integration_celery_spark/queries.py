@@ -1955,6 +1955,24 @@ def dedup_simhash_hamming_q(spark, sf_dir):
                                         bits=63, k=3)
 
 
+@q("w1b_rank_scalable",
+   sql="""
+   SELECT c_custkey, c_name, c_acctbal,
+          row_number() OVER (ORDER BY c_acctbal, c_custkey) AS rn
+   FROM customer
+   """,
+   doc="W1 at scale: global row_number via percentile range-bucketing + "
+       "per-bucket parallel windows + broadcast offsets — data rows never "
+       "pass through a SinglePartition exchange (only the 32-row bucket-"
+       "count cumsum does). w1's global window is the 100 TB bottleneck; "
+       "this is its distributed twin, same oracle.")
+def w1b_rank_scalable_q(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return windows.rank_rows_scalable(
+        c.select("c_custkey", "c_name", "c_acctbal"),
+        "c_acctbal", tiebreaks=["c_custkey"])
+
+
 @q("txt_repetition",
    sql="""
    WITH toks AS (

@@ -136,3 +136,33 @@ def test_repetition_stats_flags_boilerplate(spark):
     assert out[2]["top_bigram_n"] == 1
     assert out[2]["frac_top_bigram"] == 1.0 / out[2]["n_bigrams"]
     assert out[2]["frac_dup_trigram"] == 0.0
+
+
+def test_scalable_rank_equals_global_window(spark):
+    """Distributed range-bucket ranking must equal the single-partition
+    global window on skewed data with heavy ties (ties share a bucket via
+    the <= ladder; tiebreak resolves inside one window)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from data_integration_celery_spark.operators import windows
+
+    rnd = random.Random(13)
+    # heavy ties: values drawn from just 40 distinct doubles, plus skew
+    rows = [(i, float(rnd.choice(range(40)))) for i in range(5000)]
+    rows += [(10_000 + i, 7.0) for i in range(500)]   # one hot value
+    df = spark.createDataFrame(rows, "id long, v double").repartition(16)
+
+    want = {(r["id"], r["rn"]) for r in windows.rank_rows(
+        df, order=[F.col("v"), F.col("id")]).collect()}
+    got = {(r["id"], r["rn"]) for r in windows.rank_rows_scalable(
+        df, "v", tiebreaks=["id"]).collect()}
+    assert got == want
+
+    # tiny inputs (fewer rows than buckets) and constant columns still work
+    tiny = spark.createDataFrame([(1, 5.0), (2, 5.0), (3, 5.0)],
+                                 "id long, v double")
+    got_t = {(r["id"], r["rn"]) for r in windows.rank_rows_scalable(
+        tiny, "v", tiebreaks=["id"]).collect()}
+    assert got_t == {(1, 1), (2, 2), (3, 3)}

@@ -53,6 +53,11 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
     "j8_interval_join": (
         [r"BroadcastHashJoin"],
         [r"CartesianProduct", r"BroadcastNestedLoopJoin"]),
+    # scalable global rank: the data-row window must hashpartition on the
+    # bucket — never sort all rows in one partition (w1's known bottleneck)
+    "w1b_rank_scalable": (
+        [r"hashpartitioning\(__bkt"],
+        [r"CartesianProduct"]),
     # deterministic sampling: a pure map-only projection — NO shuffle at
     # all, and the scan must prune to the id column alone
     "smp_hash_split": (
