@@ -91,6 +91,77 @@ def extract_image_features(media: DataFrame, fake: bool = True,
                  .mapInPandas(run, IMAGE_FEATURES_SCHEMA))
 
 
+AUDIO_FEATURES_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("n_bytes", IntegerType()),
+    StructField("duration_s", IntegerType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("n_channels", IntegerType()),
+    StructField("loudness_proxy", IntegerType()),
+])
+
+
+def extract_audio_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Audio twin of ``extract_image_features`` — same Arrow-batched
+    mapInPandas shape; the decode kernel (ffmpeg/soundfile) is the injectable
+    stub (deterministic content-hash fake here), the Spark plumbing is real.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real audio decode requires ffmpeg/soundfile — not in this container")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                h = hashlib.sha256(c).digest()
+                rows.append((mid, len(c), 1 + h[2] % 300,
+                             (8000, 16000, 44100, 48000)[h[3] % 4],
+                             1 + h[4] % 2, h[5]))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "n_bytes", "duration_s", "sample_rate",
+                "n_channels", "loudness_proxy"])
+
+    return (media.select("media_id", "content")
+                 .mapInPandas(run, AUDIO_FEATURES_SCHEMA))
+
+
+RESIZED_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("content", BinaryType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+])
+
+
+def resize_images(media: DataFrame, max_dim: int = 256,
+                  fake: bool = True) -> DataFrame:
+    """binary→binary resize stage: the shape every multimodal pipeline needs
+    (normalise resolution before feature extraction / training).
+
+    mapInPandas keeps bytes executor-local; output dims scale the fake-decoded
+    dims to fit ``max_dim`` preserving aspect (integer floor, min 1). The
+    pixel kernel is the stub; with PIL present only ``_resize_bytes`` changes.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real image resize requires PIL/libvips — not in this container")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                w, h, _ = _fake_decode(c)
+                scale = min(1.0, max_dim / max(w, h))
+                rows.append((mid, c, max(1, int(w * scale)),
+                             max(1, int(h * scale))))
+            yield pd.DataFrame(rows, columns=["media_id", "content",
+                                              "width", "height"])
+
+    return (media.select("media_id", "content")
+                 .mapInPandas(run, RESIZED_SCHEMA))
+
+
 def frame_sample_plan(media: DataFrame, every_n_seconds: int = 5,
                       assumed_duration_s: int = 60) -> DataFrame:
     """Video frame-sampling *plan*: one output row per (media_id, frame_ts).

@@ -47,3 +47,54 @@ def test_frame_sample_plan(spark, sf_dir):
                                         assumed_duration_s=60)
     per = plan.groupBy("media_id").count().collect()
     assert all(r["count"] == 12 for r in per) and len(per) == 3
+
+
+def test_audio_features_deterministic_shape(spark):
+    from data_integration_celery_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame([(1, "aaa"), (2, "bbbb")],
+                                 "doc_id long, text string")
+    media = mm.to_media_table(docs)
+    rows = {r["media_id"]: r for r in mm.extract_audio_features(media).collect()}
+    assert set(rows) == {1, 2}
+    for r in rows.values():
+        assert r["duration_s"] >= 1
+        assert r["sample_rate"] in (8000, 16000, 44100, 48000)
+        assert r["n_channels"] in (1, 2)
+    again = {r["media_id"]: tuple(r)
+             for r in mm.extract_audio_features(media).collect()}
+    assert again == {k: tuple(v) for k, v in rows.items()}
+    assert rows[1]["n_bytes"] == 3 and rows[2]["n_bytes"] == 4
+
+
+def test_resize_respects_max_dim_and_aspect(spark):
+    from data_integration_celery_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame([(i, f"payload {i}") for i in range(20)],
+                                 "doc_id long, text string")
+    media = mm.to_media_table(docs)
+    orig = {r["media_id"]: (r["width"], r["height"])
+            for r in mm.extract_image_features(media).collect()}
+    rs = {r["media_id"]: r for r in mm.resize_images(media, max_dim=100).collect()}
+    for mid, r in rs.items():
+        w0, h0 = orig[mid]
+        assert max(r["width"], r["height"]) <= 100
+        # aspect preserved within integer floor
+        if w0 >= h0:
+            assert r["width"] >= r["height"]
+        else:
+            assert r["height"] >= r["width"]
+        assert r["content"] is not None
+
+
+def test_real_kernels_are_explicit_stubs(spark):
+    import pytest
+
+    from data_integration_celery_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    media = mm.to_media_table(docs)
+    with pytest.raises(NotImplementedError):
+        mm.extract_audio_features(media, fake=False)
+    with pytest.raises(NotImplementedError):
+        mm.resize_images(media, fake=False)
