@@ -22,7 +22,9 @@ LLM-pipeline extension surface, same tier as dedup/similarity/text.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import math
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _HEX_DIGITS = 8
@@ -97,3 +99,140 @@ def stratified_hash_sample(df: DataFrame, id_col: str, strata_col: str,
         thr = F.when(F.col(strata_col) == F.lit(value),
                      F.lit(_threshold(frac))).otherwise(thr)
     return df.where(b < thr)
+
+
+def _floor6(x: float) -> float:
+    """Truncate to 6 decimal places — ``floor(x*1e6)/1e6`` is unambiguous on
+    every engine (Python round() is banker's, SQL round() is half-away;
+    floor sidesteps both)."""
+    return math.floor(x * 1e6) / 1e6
+
+
+def mixture_fractions(counts: dict[str, int],
+                      target_shares: dict[str, float]) -> dict[str, float]:
+    """Per-stratum keep fractions that realize a target mixture by
+    downsampling only (no replication).
+
+    Given observed ``counts`` per stratum and desired ``target_shares``
+    (e.g. ``{"en": 0.5, "zh": 0.3, "de": 0.2}``), find the largest output
+    size T such that no stratum needs upsampling — ``T = min_s count_s /
+    share_s`` — then keep ``share_s * T / count_s`` of each listed stratum
+    (strata not listed get fraction 0). This is the standard data-mixing
+    recipe for pretraining corpora (source/language reweighting).
+
+    Fractions are floor-truncated to 6 dp so the threshold arithmetic is
+    reproducible bit-for-bit across engines.
+    """
+    if not target_shares:
+        raise ValueError("at least one stratum share required")
+    missing = [s for s in target_shares if s not in counts or counts[s] == 0]
+    if missing:
+        raise ValueError(f"strata with no rows cannot be targeted: {missing}")
+    t = min(counts[s] / target_shares[s] for s in target_shares)
+    return {s: min(1.0, _floor6(target_shares[s] * t / counts[s]))
+            for s in target_shares}
+
+
+def resample_to_mixture(df: DataFrame, id_col: str, strata_col: str,
+                        target_shares: dict[str, float],
+                        salt: str = "mix") -> DataFrame:
+    """Deterministically downsample to a target stratum mixture.
+
+    One tiny count aggregation (rows = #strata, collected to the driver —
+    the only driver-side data), then a map-only md5-threshold filter per
+    stratum (``stratified_hash_sample``). Adding rows to the corpus never
+    flips old rows' fates within a stratum; it only rescales T.
+
+    At 100 TB: the counts agg is a partial-aggregated shuffle over #strata
+    keys and the filter is embarrassingly parallel — no other shuffle.
+    """
+    counts = {r[strata_col]: r["n"] for r in
+              df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n"))
+                .collect()}
+    fractions = mixture_fractions(counts, target_shares)
+    return stratified_hash_sample(df, id_col, strata_col, fractions,
+                                  default_fraction=0.0, salt=salt)
+
+
+def cap_per_group(df: DataFrame, group_col: str, n: int,
+                  order, tiebreaks: list[str] | None = None,
+                  n_salts: int = 8) -> DataFrame:
+    """Keep at most ``n`` rows per group, by a deterministic preference
+    order — the per-domain / per-source quota every web-scale corpus
+    applies (cap documents per domain before training).
+
+    Scale shape: a plain ``row_number() OVER (PARTITION BY group)`` funnels
+    a hot group (one domain with 100M pages) through a single task. This
+    runs the textbook two-stage top-N instead: stage 1 ranks within
+    ``(group, salt)`` — ``n_salts`` parallel tasks per group — and keeps
+    ``n`` per salt, bounding the survivors to ``n_salts * n`` per group;
+    stage 2 re-ranks the survivors within the group and keeps ``n``. The
+    salt is a pure row hash, so the result is deterministic and identical
+    to the single-window form (any row outside its salt-local top-n is
+    outside the global top-n a fortiori); only the parallelism changes.
+
+    ``order`` is a list of Column expressions (include the direction, e.g.
+    ``[F.col("n_chars").desc(), F.col("doc_id")]``); it must be a strict
+    total order within each group — same determinism contract as w1.
+    ``tiebreaks`` (column names) feed the salt hash; defaults to the order
+    columns' string names where extractable.
+    """
+    ties = tiebreaks or []
+    salt_src = [F.col(c) for c in ties] or list(order)
+    salt = F.pmod(F.xxhash64(*salt_src), F.lit(n_salts))
+    w1 = Window.partitionBy(group_col, "__salt").orderBy(*order)
+    w2 = Window.partitionBy(group_col).orderBy(*order)
+    pruned = (df.withColumn("__salt", salt)
+                .withColumn("__rn", F.row_number().over(w1))
+                .where(F.col("__rn") <= n)
+                .drop("__rn"))
+    return (pruned.withColumn("rn", F.row_number().over(w2))
+            .where(F.col("rn") <= n)
+            .drop("__salt"))
+
+
+def select_token_budget(df: DataFrame, token_col: str, order_col: str,
+                        tiebreaks: list[str] | None = None,
+                        budget: int = 0, n_buckets: int = 32,
+                        cum_col: str = "cum_tokens") -> DataFrame:
+    """Select the best documents whose running token total fits a budget —
+    corpus selection for a fixed training-token target.
+
+    Semantics: order by ``(order_col ASC, *tiebreaks)``, keep every row
+    whose inclusive prefix sum of ``token_col`` is ≤ ``budget`` (callers
+    wanting "best first" pass a negated score as ``order_col``). The naive
+    form is ``SUM() OVER (ORDER BY ...)`` — an Exchange SinglePartition
+    over the whole corpus. This uses the same range-bucket decomposition as
+    ``windows.rank_rows_scalable``: approximate percentile boundaries
+    bucket the rows order-respectingly, per-bucket windows run in parallel,
+    and per-bucket token totals (n_buckets rows, broadcast) provide the
+    cumulative offsets. Bucket-boundary skew affects balance, never the
+    result. Integer token counts make the prefix sums exact on any engine.
+    """
+    ties = tiebreaks or []
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.agg(F.percentile_approx(order_col, fracs, 10_000)
+                    .alias("b")).collect()[0]["b"] if n_buckets > 1 else []
+    bucket = None
+    for i, b in enumerate(bounds):
+        cond = F.col(order_col) <= F.lit(b)
+        bucket = F.when(cond, F.lit(i)) if bucket is None \
+            else bucket.when(cond, F.lit(i))
+    bucket = (F.lit(0) if bucket is None
+              else bucket.otherwise(F.lit(len(bounds)))).cast("int")
+    tagged = df.withColumn("__bkt", bucket)
+    wl = (Window.partitionBy("__bkt").orderBy(order_col, *ties)
+          .rowsBetween(Window.unboundedPreceding, 0))
+    local = tagged.withColumn(
+        "__cum", F.sum(F.col(token_col).cast("long")).over(wl))
+    wo = (Window.orderBy("__bkt")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (tagged.groupBy("__bkt")
+               .agg(F.sum(F.col(token_col).cast("long")).alias("__n"))
+               .withColumn("__off", F.coalesce(F.sum("__n").over(wo),
+                                               F.lit(0).cast("long")))
+               .select("__bkt", "__off"))
+    return (local.join(F.broadcast(offsets), "__bkt")
+            .withColumn(cum_col, F.col("__off") + F.col("__cum"))
+            .where(F.col(cum_col) <= budget)
+            .drop("__bkt", "__cum", "__off"))

@@ -122,6 +122,27 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalized(text))
 
 
+def vocab_topk(docs: DataFrame, text_col: str = "text",
+               k: int = 100) -> DataFrame:
+    """Corpus vocabulary: top-``k`` tokens by frequency (the word-count that
+    seeds tokenizer training / vocab pruning).
+
+    ``explode(split(lower(text)))`` → one HashAggregate with map-side
+    partial combine → ``TakeOrderedAndProject`` for the top-k — no window,
+    no global sort; the shuffle carries only (token, partial_count) pairs.
+    Ties at the boundary are broken by token ASC, so the selected set is
+    deterministic on any engine.
+    """
+    tok = F.explode(F.split(F.lower(F.col(text_col)),
+                            r"[^a-z0-9]+")).alias("token")
+    return (docs.select(tok)
+            .where(F.col("token") != "")
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("token"))
+            .limit(k))
+
+
 def winnowing_fingerprints(docs: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", k: int = 3,
                            window: int = 4) -> DataFrame:

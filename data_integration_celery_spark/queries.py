@@ -2098,6 +2098,118 @@ def smp_hash_split_q(spark, sf_dir):
                                {"train": 0.8, "val": 0.1, "test": 0.1})
 
 
+@q("txt_vocab_topk",
+   sql="""
+   WITH words AS (
+     SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+     FROM documents)
+   SELECT token, count(*) AS n
+   FROM words WHERE token <> ''
+   GROUP BY token
+   ORDER BY n DESC, token
+   LIMIT 100
+   """,
+   doc="Corpus vocab top-k (tokenizer-training word count): explode + one "
+       "partial-combined HashAggregate + TakeOrderedAndProject; boundary "
+       "ties broken by token ASC for cross-engine determinism.")
+def txt_vocab_q(spark, sf_dir):
+    from .operators import text as T
+    return T.vocab_topk(_t(spark, sf_dir, "documents"), k=100)
+
+
+@q("smp_mixture_resample",
+   sql="""
+   WITH shares(lang, share) AS (
+     VALUES ('en', CAST(0.5 AS DOUBLE)), ('zh', CAST(0.3 AS DOUBLE)),
+            ('de', CAST(0.2 AS DOUBLE))),
+   cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+   t AS (SELECT min(CAST(n AS DOUBLE) / share) AS t
+         FROM cnt JOIN shares USING (lang)),
+   fr AS (SELECT lang,
+                 least(CAST(1.0 AS DOUBLE),
+                       floor(share * (SELECT t FROM t) / CAST(n AS DOUBLE)
+                             * CAST(1000000 AS DOUBLE))
+                       / CAST(1000000 AS DOUBLE)) AS f
+          FROM cnt JOIN shares USING (lang)),
+   thr AS (SELECT lang,
+                  CASE WHEN f >= CAST(1.0 AS DOUBLE) THEN 'g'
+                       ELSE printf('%08x',
+                                   CAST(floor(f * CAST(4294967296 AS DOUBLE))
+                                        AS BIGINT)) END AS thr
+           FROM fr)
+   SELECT d.doc_id, d.lang
+   FROM documents d JOIN thr ON d.lang = thr.lang
+   WHERE substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.thr
+   """,
+   doc="Data-mixing resample: downsample-only to a target language mixture "
+       "(en/zh/de = 50/30/20). One #strata-row counts agg on the driver, "
+       "then a map-only md5-threshold filter; fractions floor-truncated to "
+       "6 dp so both engines compute identical thresholds.")
+def smp_mixture_q(spark, sf_dir):
+    from .operators import sampling
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sampling.resample_to_mixture(
+        docs, "doc_id", "lang", {"en": 0.5, "zh": 0.3, "de": 0.2})
+
+
+@q("smp_source_quota",
+   sql="""
+   SELECT doc_id, source, n_chars, rn FROM (
+     SELECT doc_id, source, n_chars,
+            CAST(row_number() OVER (PARTITION BY source
+                                    ORDER BY n_chars DESC, doc_id)
+                 AS INTEGER) AS rn
+     FROM documents) WHERE rn <= 5
+   """,
+   doc="Per-source quota (cap docs per domain): two-stage salted top-N — "
+       "rank within (source, row-hash salt) first, survivors re-ranked per "
+       "source — identical result to the single window, but a hot source "
+       "fans out over n_salts tasks instead of one.")
+def smp_source_quota_q(spark, sf_dir):
+    from .operators import sampling
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source",
+                                                 "n_chars")
+    return sampling.cap_per_group(
+        docs, "source", 5,
+        order=[F.col("n_chars").desc(), F.col("doc_id")],
+        tiebreaks=["doc_id"])
+
+
+@q("smp_token_budget",
+   sql="""
+   WITH t AS (
+     SELECT doc_id, n_chars,
+            CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                 ELSE len(string_split_regex(trim(text), '\\s+')) END
+                 AS BIGINT) AS n_tokens
+     FROM documents),
+   c AS (
+     SELECT doc_id, n_chars, n_tokens,
+            SUM(n_tokens) OVER (ORDER BY -n_chars, doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum_tokens
+     FROM t)
+   SELECT doc_id, n_chars, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+   FROM c WHERE cum_tokens <= 20000
+   """,
+   doc="Token-budget corpus selection (longest docs first until 20k "
+       "tokens): global prefix sum WITHOUT the single-partition window — "
+       "percentile range-buckets + parallel per-bucket cumsum + broadcast "
+       "bucket offsets (rank_rows_scalable's decomposition applied to "
+       "SUM). Integer tokens keep it exact on both engines.")
+def smp_token_budget_q(spark, sf_dir):
+    from .operators import sampling, text as T
+    docs = (_t(spark, sf_dir, "documents")
+            .select("doc_id", "n_chars", "text")
+            .withColumn("n_tokens",
+                        T.token_count(F.col("text")).cast("long"))
+            .withColumn("__neg_chars", -F.col("n_chars")))
+    out = sampling.select_token_budget(
+        docs, token_col="n_tokens", order_col="__neg_chars",
+        tiebreaks=["doc_id"], budget=20_000)
+    return out.select("doc_id", "n_chars", "n_tokens", "cum_tokens")
+
+
 # --------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate may check only a prefix of
 # the registry (round 1 stopped at the first 50 entries), so order by signal

@@ -77,3 +77,101 @@ def test_full_fraction_keeps_everything(spark):
     ids = spark.range(1_000).withColumnRenamed("id", "doc_id")
     assert sampling.hash_sample(ids, "doc_id", 1.0).count() == 1_000
     assert sampling.hash_sample(ids, "doc_id", 0.0).count() == 0
+
+
+def test_mixture_fractions_math():
+    counts = {"en": 1000, "zh": 300, "de": 100, "fr": 50}
+    fr = sampling.mixture_fractions(counts, {"en": 0.5, "zh": 0.3, "de": 0.2})
+    # T = min(1000/.5, 300/.3, 100/.2) = min(2000, 1000, 500) = 500
+    assert fr["de"] == 1.0                    # the binding stratum keeps all
+    assert abs(fr["en"] - 0.25) < 1e-6        # 0.5*500/1000
+    assert abs(fr["zh"] - 0.5) < 1e-6         # 0.3*500/300
+    assert "fr" not in fr                     # unlisted strata excluded
+    with pytest.raises(ValueError):
+        sampling.mixture_fractions({"en": 10}, {"zh": 1.0})
+
+
+def test_resample_to_mixture_hits_target_shares(spark):
+    rows = ([(i, "en") for i in range(8_000)]
+            + [(i + 8_000, "zh") for i in range(1_500)]
+            + [(i + 9_500, "de") for i in range(500)])
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sampling.resample_to_mixture(df, "doc_id", "lang",
+                                       {"en": 0.5, "zh": 0.3, "de": 0.2})
+    got = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # T = min(8000/.5, 1500/.3, 500/.2) = 2500 → en 1250, zh 750, de 500
+    assert got["de"] == 500                   # binding stratum kept whole
+    assert abs(got["en"] - 1250) < 120        # hash-threshold tolerance
+    assert abs(got["zh"] - 750) < 100
+    # determinism: same rows on re-run
+    again = sampling.resample_to_mixture(df, "doc_id", "lang",
+                                         {"en": 0.5, "zh": 0.3, "de": 0.2})
+    assert again.count() == out.count()
+    assert again.exceptAll(out).count() == 0
+
+
+def test_cap_per_group_equals_single_window(spark):
+    # skewed: group 'hot' has 5000 rows, others 3 each
+    rows = ([(i, "hot", i % 997) for i in range(5_000)]
+            + [(10_000 + g * 10 + j, f"g{g}", j)
+               for g in range(50) for j in range(3)])
+    df = spark.createDataFrame(rows, "doc_id long, grp string, score long")
+    order = [F.col("score").desc(), F.col("doc_id")]
+    got = sampling.cap_per_group(df, "grp", 4, order, tiebreaks=["doc_id"],
+                                 n_salts=8)
+    from pyspark.sql import Window
+    w = Window.partitionBy("grp").orderBy(*order)
+    ref = (df.withColumn("rn", F.row_number().over(w))
+             .where(F.col("rn") <= 4))
+    assert got.count() == ref.count()
+    assert got.select("doc_id", "grp", "score", "rn") \
+              .exceptAll(ref.select("doc_id", "grp", "score", "rn")) \
+              .count() == 0
+    # no group ever exceeds the cap
+    mx = got.groupBy("grp").agg(F.count("*").alias("n")) \
+            .agg(F.max("n").alias("m")).collect()[0]["m"]
+    assert mx <= 4
+
+
+def test_select_token_budget_equals_global_window(spark):
+    import random
+    rnd = random.Random(7)
+    rows = [(i, rnd.randrange(1, 200)) for i in range(4_000)]
+    df = (spark.createDataFrame(rows, "doc_id long, tok long")
+          .withColumn("neg", -F.col("tok")))
+    got = sampling.select_token_budget(df, "tok", "neg",
+                                       tiebreaks=["doc_id"],
+                                       budget=50_000, n_buckets=16)
+    from pyspark.sql import Window
+    w = (Window.orderBy("neg", "doc_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    ref = (df.withColumn("cum_tokens", F.sum("tok").over(w))
+             .where(F.col("cum_tokens") <= 50_000))
+    assert got.count() == ref.count() > 0
+    assert got.select("doc_id", "cum_tokens") \
+              .exceptAll(ref.select("doc_id", "cum_tokens")).count() == 0
+    # degenerate bucketing (n_buckets=1) must agree too
+    one = sampling.select_token_budget(df, "tok", "neg",
+                                       tiebreaks=["doc_id"],
+                                       budget=50_000, n_buckets=1)
+    assert one.select("doc_id", "cum_tokens") \
+              .exceptAll(ref.select("doc_id", "cum_tokens")).count() == 0
+
+
+def test_vocab_topk_matches_counter(spark):
+    from collections import Counter
+
+    from data_integration_celery_spark.operators import text as T
+
+    rows = [(1, "The cat and the Cat sat"), (2, "cat! dog; the-dog"),
+            (3, None), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r["token"], r["n"]) for r in T.vocab_topk(df, k=3).collect()]
+    c = Counter()
+    for _, t in rows:
+        if t:
+            import re
+            c.update(w for w in re.split(r"[^a-z0-9]+", t.lower()) if w)
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert got == want
