@@ -26,6 +26,13 @@ _ENGINE_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
+    # Parquet naive timestamps (isAdjustedToUTC=false) must read as TIMESTAMP
+    # (LTZ), not TIMESTAMP_NTZ: streaming watermarks/windows require LTZ event
+    # time, and with the UTC session tz the wall-clock values are identical.
+    # Without this, files written by engines that store naive micros (the
+    # testdata generator, pandas/pyarrow defaults) flip the column type with
+    # Spark 4's NTZ inference and break withWatermark.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # Broadcast threshold: dimension tables (instrument info, calendars,
     # code_mapping) are ≤ a few hundred MB even at full scale — broadcast them.
     "spark.sql.autoBroadcastJoinThreshold": "64m",
