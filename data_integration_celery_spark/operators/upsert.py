@@ -40,44 +40,100 @@ def upsert_frames(base: DataFrame, updates: DataFrame, keys: list[str],
     )
 
 
-def _hadoop_rm(spark, path: str) -> None:
-    """Recursive delete via the Hadoop FS API — works on any scheme the
+def _fs(spark, path: str):
+    """(FileSystem, Path) via the Hadoop FS API — works on any scheme the
     cluster can write (local, HDFS, S3A), unlike shutil."""
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _hadoop_rm(spark, path: str) -> None:
+    fs, jpath = _fs(spark, path)
     fs.delete(jpath, True)
+
+
+def _exists(spark, path: str) -> bool:
+    fs, jpath = _fs(spark, path)
+    return fs.exists(jpath)
+
+
+def _rename(spark, src: str, dst: str) -> None:
+    """Directory rename — a single atomic metadata operation on HDFS and
+    local filesystems (the commit primitive; on S3 use a manifest instead)."""
+    fs, jsrc = _fs(spark, src)
+    if not fs.rename(jsrc, spark._jvm.org.apache.hadoop.fs.Path(dst)):
+        raise IOError(f"rename failed: {src} -> {dst}")
+
+
+_STAGING, _BACKUP = "__staging", "__backup"
+
+
+def recover_table(spark, path: str) -> str:
+    """Heal an interrupted ``write_upsert`` commit. Returns the action taken.
+
+    Invariant of the commit protocol below: at every instant either ``path``
+    or ``path__backup`` holds a complete, readable copy of the pre-merge
+    table. Recovery rolls BACK (restores the backup and discards staging);
+    the interrupted batch is simply re-applied by the caller — the merge is
+    idempotent (same keys, same batch_id → same result).
+    """
+    path = path.rstrip("/")
+    staging, backup = path + _STAGING, path + _BACKUP
+    if _exists(spark, path):
+        # Commit completed (or never started): staging/backup are stale.
+        action = "clean" if (_exists(spark, staging) or _exists(spark, backup)) else "noop"
+        _hadoop_rm(spark, staging)
+        _hadoop_rm(spark, backup)
+        return action
+    if _exists(spark, backup):
+        # Crashed between the two publish renames: roll the backup forward.
+        _rename(spark, backup, path)
+        _hadoop_rm(spark, staging)
+        return "restored"
+    return "noop"
 
 
 def write_upsert(spark, updates: DataFrame, path: str, keys: list[str],
                  order_col: str = "batch_id") -> None:
-    """Parquet-backed MERGE: read target if it exists, dedup, overwrite.
+    """Parquet-backed MERGE: read target if it exists, dedup, republish.
 
     (With a Delta/Iceberg catalog this becomes a real ``MERGE INTO``; plain
-    parquet needs the read-union-overwrite dance. Kept here so tests exercise
-    the idempotence property the reference relies on.)
+    parquet needs the read-union-republish dance. Kept here so tests exercise
+    the idempotence property the reference relies on — the per-statement
+    atomicity of its ``INSERT … ON DUPLICATE KEY UPDATE``,
+    tasks/backend/__init__.py:16-38.)
 
-    NOT atomic: a crash between the staging write and the final overwrite
-    leaves the target in its old state (safe), but a crash *during* the final
-    overwrite loses it — plain parquet has no commit protocol. Production
-    targets should be date-partitioned and use ``write_upsert_partitioned``,
-    which bounds both the rewrite and the blast radius to touched partitions.
+    Commit protocol (staging + atomic renames — data is written exactly once):
+      1. write merged output to ``path__staging``   (crash ⇒ target untouched)
+      2. rename ``path`` → ``path__backup``         (atomic metadata op)
+      3. rename ``path__staging`` → ``path``        (atomic metadata op)
+      4. delete ``path__backup``
+    A crash at any point leaves a complete table at ``path`` or at
+    ``path__backup``; ``recover_table`` restores it and the batch is replayed.
+    The unreadable window is two metadata renames, not a data-sized rewrite.
+    Single-writer protocol (the reference's Celery tasks are likewise
+    serialized per table); S3-class stores without atomic dir rename should
+    publish via a manifest file instead.
 
     O(target) per merge by construction (whole-table rewrite); prefer
     ``write_upsert_partitioned`` for anything that grows.
     """
+    path = path.rstrip("/")
+    recover_table(spark, path)
+    staging, backup = path + _STAGING, path + _BACKUP
     try:
         base = spark.read.parquet(path)
     except Exception:
-        updates.drop(order_col, "").write.mode("overwrite").parquet(path)
+        # First write: publish via staging+rename too, so a crashed initial
+        # load can never leave a partial table at the target path.
+        updates.drop(order_col).write.mode("overwrite").parquet(staging)
+        _rename(spark, staging, path)
         return
     merged = upsert_frames(base, updates, keys, order_col)
-    # Parquet cannot overwrite a path being read — stage through a temp dir.
-    tmp = path.rstrip("/") + "__tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    final = spark.read.parquet(tmp)
-    final.write.mode("overwrite").parquet(path)
-    _hadoop_rm(spark, tmp)
+    merged.write.mode("overwrite").parquet(staging)
+    _rename(spark, path, backup)
+    _rename(spark, staging, path)
+    _hadoop_rm(spark, backup)
 
 
 def write_upsert_partitioned(spark, updates: DataFrame, path: str,

@@ -49,6 +49,83 @@ def test_write_upsert_cleans_staging_dir(spark, tmp_path):
     assert leftovers == []
 
 
+def _crash_rename_on_call(monkeypatch, n):
+    """Make the n-th _rename call raise — simulates a process kill at the
+    corresponding point of the commit protocol."""
+    from data_integration_celery_spark.operators import upsert as U
+    real, calls = U._rename, [0]
+
+    def dying(spark, src, dst):
+        calls[0] += 1
+        if calls[0] == n:
+            raise RuntimeError("killed mid-commit")
+        real(spark, src, dst)
+    monkeypatch.setattr(U, "_rename", dying)
+
+
+def test_crash_before_publish_leaves_target_intact(spark, tmp_path, monkeypatch):
+    """Kill during the first publish rename (staging fully written, target
+    not yet touched): the old table must survive byte-for-byte and a plain
+    retry must converge."""
+    import pytest
+    path = str(tmp_path / "t")
+    upsert.write_upsert(spark, _df(spark, [("a", 1, 1.0), ("b", 1, 2.0)]),
+                        path, keys=["code", "d"])
+    _crash_rename_on_call(monkeypatch, 1)
+    with pytest.raises(RuntimeError, match="killed"):
+        upsert.write_upsert(spark, _df(spark, [("a", 1, 9.0)]),
+                            path, keys=["code", "d"])
+    got = {(r["code"], r["d"]): r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {("a", 1): 1.0, ("b", 1): 2.0}
+    monkeypatch.undo()
+    upsert.write_upsert(spark, _df(spark, [("a", 1, 9.0)]), path, keys=["code", "d"])
+    got = {(r["code"], r["d"]): r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {("a", 1): 9.0, ("b", 1): 2.0}
+    leftovers = [p.name for p in tmp_path.iterdir() if p.name != "t"]
+    assert leftovers == []
+
+
+def test_crash_between_renames_recovers_old_table(spark, tmp_path, monkeypatch):
+    """Kill in the window where the target dir is absent (old table parked at
+    __backup): recover_table must restore it, then the replayed batch lands."""
+    import pytest
+    path = str(tmp_path / "t2")
+    upsert.write_upsert(spark, _df(spark, [("a", 1, 1.0), ("b", 1, 2.0)]),
+                        path, keys=["code", "d"])
+    _crash_rename_on_call(monkeypatch, 2)
+    with pytest.raises(RuntimeError, match="killed"):
+        upsert.write_upsert(spark, _df(spark, [("a", 1, 9.0)]),
+                            path, keys=["code", "d"])
+    assert not (tmp_path / "t2").exists()           # the crash window
+    assert (tmp_path / "t2__backup").exists()       # complete copy parked
+    monkeypatch.undo()
+    assert upsert.recover_table(spark, path) == "restored"
+    got = {(r["code"], r["d"]): r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {("a", 1): 1.0, ("b", 1): 2.0}
+    # replay converges (write_upsert also self-heals via recover_table)
+    upsert.write_upsert(spark, _df(spark, [("a", 1, 9.0)]), path, keys=["code", "d"])
+    got = {(r["code"], r["d"]): r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {("a", 1): 9.0, ("b", 1): 2.0}
+    leftovers = [p.name for p in tmp_path.iterdir() if p.name != "t2"]
+    assert leftovers == []
+
+
+def test_write_upsert_self_heals_without_explicit_recover(spark, tmp_path,
+                                                          monkeypatch):
+    """A retry after a mid-window crash works even if the caller never calls
+    recover_table — write_upsert heals first."""
+    import pytest
+    path = str(tmp_path / "t3")
+    upsert.write_upsert(spark, _df(spark, [("a", 1, 1.0)]), path, keys=["code", "d"])
+    _crash_rename_on_call(monkeypatch, 2)
+    with pytest.raises(RuntimeError, match="killed"):
+        upsert.write_upsert(spark, _df(spark, [("a", 1, 9.0)]), path, keys=["code", "d"])
+    monkeypatch.undo()
+    upsert.write_upsert(spark, _df(spark, [("a", 1, 9.0)]), path, keys=["code", "d"])
+    got = {(r["code"], r["d"]): r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {("a", 1): 9.0}
+
+
 def _pdf(spark, rows):
     return spark.createDataFrame(rows, "code string, d int, v double")
 
