@@ -141,6 +141,24 @@ def select_contracts(cd: DataFrame, switch_by: str = "vol",
     return cd.groupBy("instrument_type").applyInPandas(run, _SELECT_SCHEMA)
 
 
+def main_sec_join(selected: DataFrame, cd: DataFrame) -> DataFrame:
+    """J14: enrich the continuous series with the secondary contract's md
+    (reference reversion_rights_md.py:88-94 self-joins with *Next suffixes).
+
+    ``selected`` is the (materialized or in-memory) output of
+    ``select_contracts`` — in a real DAG it is written once and joined many
+    times (the reference reuses the stored wind_future_continuous_* tables
+    the same way, reorg_md_2_db.py:130-193)."""
+    sec_md = cd.select(F.col("instrument_type"), F.col("trade_date"),
+                       F.col("contract").alias("sec_contract"),
+                       F.col("close").alias("sec_close"))
+    return (selected
+            .join(sec_md, ["instrument_type", "trade_date", "sec_contract"],
+                  "left")
+            .select("instrument_type", "trade_date", "main_contract",
+                    "main_close", "sec_contract", "sec_close"))
+
+
 def adj_factor_chain(selected: DataFrame, method: str = "division") -> DataFrame:
     """Reverse-chronological factor chain (W3) with the tushare shift(1)
     convention: the factor applies *from* the switch day backwards; the most

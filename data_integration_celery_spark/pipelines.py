@@ -75,3 +75,42 @@ def merge_vendor_daily(left: DataFrame, right: DataFrame,
             any_conflict = col if any_conflict is None else (any_conflict | col)
         conflicts = flagged.where(any_conflict)
     return merged, conflicts
+
+
+def materialize_continuous_selection(spark, cd: DataFrame, path: str) -> DataFrame:
+    """E3 as a DAG with a stored intermediate: run the stateful contract
+    selection ONCE, publish it partitioned by instrument_type, and return the
+    parquet-backed reader every downstream job (main/sec join, factor chains,
+    adjusted md) joins against.
+
+    Mirrors the reference, which stores wind_future_continuous_* per type and
+    reads it back for every consumer (tasks/wind/future_reorg/
+    reorg_md_2_db.py:130-193) instead of re-running the selection walk. Here
+    that means exactly one FlatMapGroupsInPandas across the whole derived-
+    analytics DAG; consumers plan plain scans with pushdown/pruning. The
+    per-type dynamic partition overwrite matches the reference's
+    delete-then-insert-per-type refresh, so rebuilding one instrument_type
+    never touches the others' files.
+    """
+    from .operators import continuous, upsert
+
+    sel = continuous.select_contracts(cd)
+    upsert.overwrite_partitions(sel, path, ["instrument_type"])
+    return spark.read.parquet(path)
+
+
+def continuous_analytics_from(selected: DataFrame, cd: DataFrame) -> dict[str, DataFrame]:
+    """Every selection consumer, built from the materialized table: the
+    reference's reorg job family (main/sec join, division- and diff-method
+    adjusted series) sharing one stored selection."""
+    from .operators import continuous
+
+    return {
+        "main_sec": continuous.main_sec_join(selected, cd),
+        "adjusted_division": continuous.adjusted_md(
+            continuous.adj_factor_chain(selected, method="division"),
+            method="division"),
+        "adjusted_diff": continuous.adjusted_md(
+            continuous.adj_factor_chain(selected, method="diff"),
+            method="diff"),
+    }

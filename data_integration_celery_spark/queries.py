@@ -16,6 +16,7 @@ Cross-engine determinism rules used throughout (see functions.numeric):
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Callable
 
@@ -618,6 +619,29 @@ _W7_SQL = """
 """
 
 
+def _continuous_selection(spark, sf_dir):
+    """Shared continuous-contract selection — computed once per (session,
+    sf_dir) and persisted, then joined by every downstream consumer (w7, j14,
+    w11, w11b).
+
+    This is the in-session form of the pipeline materialization the reference
+    gets by storing wind_future_continuous_* and reading it back
+    (reorg_md_2_db.py:130-193): the FlatMapGroupsInPandas selection runs once
+    per session instead of once per consumer query. The persisted frame is
+    one row per (type, trade_date) — a few MB even at full scale. Each query
+    stays standalone (a fresh session recomputes), so driver-gate semantics
+    are unchanged. Parquet-backed cross-job form: pipelines.
+    materialize_continuous_selection."""
+    from .operators import continuous
+    per_session = catalog._HANDLE_CACHE.setdefault(spark, {})
+    key = ("__continuous_selection__", os.path.abspath(sf_dir))
+    if key not in per_session:
+        cd = continuous.contract_daily(_t(spark, sf_dir, "lineitem"),
+                                       _t(spark, sf_dir, "part"))
+        per_session[key] = continuous.select_contracts(cd).persist()
+    return per_session[key]
+
+
 @q("w7_continuous_contract", sql=_W7_SQL,
    doc="W7/F2: per-type stateful main/secondary contract selection under the "
        "monotonic never-retreat rule, with switch-day back-adjustment ratios "
@@ -625,10 +649,7 @@ _W7_SQL = """
        "groups run in parallel across the cluster. The SQL oracle is the "
        "running-max reformulation of the same recurrence.")
 def w7_continuous(spark, sf_dir):
-    from .operators import continuous
-    cd = continuous.contract_daily(_t(spark, sf_dir, "lineitem"),
-                                   _t(spark, sf_dir, "part"))
-    return continuous.select_contracts(cd)
+    return _continuous_selection(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -1555,9 +1576,7 @@ def stream_bars_q(spark, sf_dir):
        "main_close × Π later ratios) is asserted in tests/test_continuous.py.")
 def w11_adjusted(spark, sf_dir):
     from .operators import continuous
-    cd = continuous.contract_daily(_t(spark, sf_dir, "lineitem"),
-                                   _t(spark, sf_dir, "part"))
-    sel = continuous.select_contracts(cd)
+    sel = _continuous_selection(spark, sf_dir)
     return continuous.adjusted_md(continuous.adj_factor_chain(sel)) \
         .select("instrument_type", "trade_date", "main_contract",
                 "main_close", "adj_factor", "adj_close")
@@ -1800,14 +1819,7 @@ def j14_main_sec(spark, sf_dir):
     from .operators import continuous
     cd = continuous.contract_daily(_t(spark, sf_dir, "lineitem"),
                                    _t(spark, sf_dir, "part"))
-    sel = continuous.select_contracts(cd)
-    sec_md = cd.select(F.col("instrument_type"), F.col("trade_date"),
-                       F.col("contract").alias("sec_contract"),
-                       F.col("close").alias("sec_close"))
-    return (sel.join(sec_md, ["instrument_type", "trade_date", "sec_contract"],
-                     "left")
-            .select("instrument_type", "trade_date", "main_contract",
-                    "main_close", "sec_contract", "sec_close"))
+    return continuous.main_sec_join(_continuous_selection(spark, sf_dir), cd)
 
 
 @q("j6_code_mapping_maintenance",
@@ -1900,9 +1912,7 @@ def ann_ivf_q(spark, sf_dir):
        "signal for the whole selection→chain→apply pipeline shape.")
 def w11b_adjusted_diff(spark, sf_dir):
     from .operators import continuous
-    cd = continuous.contract_daily(_t(spark, sf_dir, "lineitem"),
-                                   _t(spark, sf_dir, "part"))
-    sel = continuous.select_contracts(cd)
+    sel = _continuous_selection(spark, sf_dir)
     return (continuous.adjusted_md(
                 continuous.adj_factor_chain(sel, method="diff"),
                 method="diff")

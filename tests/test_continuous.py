@@ -124,3 +124,52 @@ def test_adj_factor_chain_diff_method(spark):
     assert abs(out[1]["adj_factor"] - 10.0) < 1e-9
     assert abs(out[1]["adj_close"] - 20.0) < 1e-9   # 10 + 10
     assert abs(out[3]["adj_close"] - 22.0) < 1e-9   # latest unadjusted
+
+
+def test_materialized_selection_pipeline(spark, tmp_path):
+    """The reference's reorg DAG stores the selection and every consumer
+    reads it back (reorg_md_2_db.py:130-193). Spark form: exactly ONE
+    FlatMapGroupsInPandas across the whole derived-analytics DAG — the
+    materialization job — and zero in any consumer plan; consumer results
+    match the standalone (recomputing) registry queries."""
+    from data_integration_celery_spark import catalog, pipelines
+    from data_integration_celery_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    cd = continuous.contract_daily(catalog.load(spark, "lineitem", sf),
+                                   catalog.load(spark, "part", sf))
+    path = str(tmp_path / "continuous_selection")
+    sel = pipelines.materialize_continuous_selection(spark, cd, path)
+    # per-type partition layout (reference's per-type refresh unit)
+    assert any(p.name.startswith("instrument_type=")
+               for p in (tmp_path / "continuous_selection").iterdir())
+
+    derived = pipelines.continuous_analytics_from(sel, cd)
+    for name, df in derived.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "FlatMapGroupsInPandas" not in plan, name
+
+    def key_rows(df, cols):
+        return sorted((tuple(r[c] for c in cols) for r in df.collect()))
+
+    j14_cols = ["instrument_type", "trade_date", "main_contract",
+                "main_close", "sec_contract", "sec_close"]
+    assert key_rows(derived["main_sec"], j14_cols) == \
+        key_rows(QUERIES["j14_main_sec_join"].spark(spark, sf), j14_cols)
+    w11_cols = ["instrument_type", "trade_date", "main_contract",
+                "main_close", "adj_factor", "adj_close"]
+    assert key_rows(derived["adjusted_diff"].select(*w11_cols), w11_cols) == \
+        key_rows(QUERIES["w11b_adjusted_diff"].spark(spark, sf), w11_cols)
+
+
+def test_shared_selection_is_reused_across_queries(spark):
+    """w7/j14/w11/w11b share one persisted selection per (session, sf_dir):
+    after w7 runs, j14's plan reads the in-memory relation instead of
+    re-running the applyInPandas walk."""
+    from data_integration_celery_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    QUERIES["w7_continuous_contract"].spark(spark, sf).count()  # warm
+    plan = (QUERIES["j14_main_sec_join"].spark(spark, sf)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "InMemoryTableScan" in plan
