@@ -169,10 +169,63 @@ def frame_sample_plan(media: DataFrame, every_n_seconds: int = 5,
     The plan is pure DataFrame ops (sequence+explode); the actual frame
     decode would be a mapInPandas stage keyed by this plan. Duration comes
     from metadata in a real pipeline; here a fixed assumption keeps the plan
-    deterministic.
+    deterministic. Executable form: ``extract_video_frames``.
     """
     return media.select(
         "media_id",
         F.explode(F.sequence(
             F.lit(0), F.lit(assumed_duration_s - 1), F.lit(every_n_seconds))
         ).alias("frame_offset_s"))
+
+
+VIDEO_FRAMES_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("frame_offset_s", IntegerType()),
+    StructField("duration_s", IntegerType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("frame_phash", StringType()),
+])
+
+
+def extract_video_frames(media: DataFrame, every_n_seconds: int = 5,
+                         fake: bool = True) -> DataFrame:
+    """Executable video frame-sampling: binary video → one row per sampled
+    frame, via the same Arrow-batched mapInPandas contract as image/audio.
+
+    Per video the kernel reads the container metadata (duration, dims) and
+    decodes one frame every ``every_n_seconds``; output fans out 1→N rows
+    inside the same mapInPandas pass, so frame extraction is a single
+    map-only stage — no join back to a sampling plan, no shuffle, and bytes
+    never leave the executor. At 100 TB: repartition upstream so a partition
+    holds O(100 MB) of video; the fan-out multiplies rows, not bytes (frames
+    here carry fingerprints; a real pipeline would emit JPEG bytes and
+    should budget partition sizes for the decoded payload instead).
+
+    The decode kernel is the injectable stub: the deterministic fake derives
+    duration/dims from the content hash (audio/image conventions) and each
+    frame's fingerprint from sha256(content || '#' || offset) — so the whole
+    1→N plumbing is oracle-matched end to end. With ffmpeg present only the
+    per-video kernel body changes.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real video decode requires ffmpeg — not in this container")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                h = hashlib.sha256(c).digest()
+                width, height = 64 + h[0] % 192, 64 + h[1] % 192
+                duration = 1 + h[2] % 300
+                for off in range(0, duration, every_n_seconds):
+                    fp = hashlib.sha256(
+                        c + b"#" + str(off).encode()).hexdigest()[:16]
+                    rows.append((mid, off, duration, width, height, fp))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "frame_offset_s", "duration_s", "width",
+                "height", "frame_phash"])
+
+    return (media.select("media_id", "content")
+                 .mapInPandas(run, VIDEO_FRAMES_SCHEMA))

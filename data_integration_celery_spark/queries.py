@@ -1796,6 +1796,45 @@ def mm_features_q(spark, sf_dir):
     return feats.select("media_id", "n_bytes", "width", "height", "phash")
 
 
+@q("mm_video_frames",
+   sql="""
+   WITH h AS (
+     SELECT doc_id AS media_id, text, sha256(text) AS hx
+     FROM documents),
+   b AS (
+     SELECT media_id, text, hx,
+            (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS b0,
+            (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) AS b1,
+            (strpos('0123456789abcdef', substr(hx, 5, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(hx, 6, 1)) - 1) AS b2
+     FROM h),
+   v AS (
+     SELECT media_id, text,
+            64 + b0 % 192 AS width, 64 + b1 % 192 AS height,
+            1 + b2 % 300 AS duration_s
+     FROM b)
+   SELECT media_id,
+          CAST(f.o AS INTEGER) AS frame_offset_s,
+          duration_s, width, height,
+          substr(sha256(text || '#' || CAST(f.o AS VARCHAR)), 1, 16)
+            AS frame_phash
+   FROM v, LATERAL (SELECT unnest(range(0, duration_s, 5)) AS o) f
+   """,
+   doc="Multimodal video: executable frame-sampling — binary video → one row "
+       "per sampled frame in a single Arrow-batched mapInPandas pass (1→N "
+       "fan-out inside the kernel, no shuffle). The deterministic fake "
+       "decoder (sha256-derived duration/dims, per-frame fingerprint "
+       "sha256(content||'#'||offset)) is oracle-matched, proving the whole "
+       "frame-extract plumbing; ffmpeg swaps in for the kernel body only "
+       "(operators/multimodal.py extract_video_frames).")
+def mm_video_frames_q(spark, sf_dir):
+    from .operators import multimodal
+    media = multimodal.to_media_table(_t(spark, sf_dir, "documents"))
+    return multimodal.extract_video_frames(media, every_n_seconds=5)
+
+
 @q("j14_main_sec_join",
    sql=f"""
    WITH w7 AS ({_W7_SQL}),
@@ -2244,7 +2283,7 @@ QUERY_PRIORITY: list[str] = [
     "j14_main_sec_join",
     # aggregations
     "a1_watermark_per_key", "a3_tick_to_bars", "a4_rebar",
-    "a7_two_level_agg", "a8_median_cross_section",
+    "a7_two_level_agg",
     "a11_accumulation_detect", "a13_sessionize",
     # sinks / ordering / sets
     "s6_upsert_last_write_wins", "o3_topk_worst", "u4_scd2_intervals",
@@ -2260,13 +2299,15 @@ QUERY_PRIORITY: list[str] = [
     "txt_contamination", "txt_features", "txt_winnowing",
     "txt_repetition", "txt_pii_redact", "txt_vocab_topk",
     "dedup_embedding_pairs", "ann_cosine_topk", "mm_image_features",
+    "mm_video_frames",
     "smp_hash_split", "smp_mixture_resample", "smp_source_quota",
     "smp_token_budget",
     # ---- position 51+: double-green history, sibling-covered, composite,
     # ---- or rows-only (no oracle) ----
     "w11_adjusted_continuous", "w1_rank_returns", "j8_interval_join",
     "dedup_components", "w3_cum_chain", "w12_pivot_status",
-    "p4_inlist_semijoin", "a2_agg_rollup", "a9_describe",
+    "p4_inlist_semijoin", "a2_agg_rollup", "a8_median_cross_section",
+    "a9_describe",
     "u1_union_distinct", "w2_lead_lag_gaps", "w4_ffill",
     "w10_monthly_sample",
     "ann_ivf_topk", "pipeline_quality_filter", "pipeline_dedup_survivors",

@@ -98,3 +98,39 @@ def test_real_kernels_are_explicit_stubs(spark):
         mm.extract_audio_features(media, fake=False)
     with pytest.raises(NotImplementedError):
         mm.resize_images(media, fake=False)
+
+
+def test_video_frame_extract_deterministic_and_complete(spark):
+    """extract_video_frames: one row per ceil(duration/step) offsets, stable
+    across runs and partitionings, per-frame fingerprints distinct."""
+    from data_integration_celery_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame([(i, f"video payload {i}") for i in range(12)],
+                                 "doc_id long, text string")
+    media = mm.to_media_table(docs)
+    step = 7
+    a = sorted(map(tuple, mm.extract_video_frames(media, step).collect()))
+    b = sorted(map(tuple,
+                   mm.extract_video_frames(media.repartition(5), step).collect()))
+    assert a == b and a
+    rows = mm.extract_video_frames(media, step).collect()
+    by_vid = {}
+    for r in rows:
+        by_vid.setdefault(r["media_id"], []).append(r)
+    for vid, frames in by_vid.items():
+        d = frames[0]["duration_s"]
+        expected = list(range(0, d, step))
+        assert sorted(f["frame_offset_s"] for f in frames) == expected
+        assert all(f["duration_s"] == d for f in frames)
+        # per-frame fingerprints are distinct (offset enters the hash)
+        assert len({f["frame_phash"] for f in frames}) == len(frames)
+
+
+def test_video_real_kernel_is_explicit_stub(spark):
+    import pytest
+
+    from data_integration_celery_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(NotImplementedError):
+        mm.extract_video_frames(mm.to_media_table(docs), fake=False)
