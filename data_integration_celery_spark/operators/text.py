@@ -181,6 +181,45 @@ def winnowing_fingerprints(docs: DataFrame, text_col: str = "text",
     return fps.unionByName(short)
 
 
+def winnowing_fingerprints_positional(docs: DataFrame, text_col: str = "text",
+                                      id_col: str = "doc_id", k: int = 3,
+                                      window: int = 4) -> DataFrame:
+    """Positional winnowing with the paper's rightmost-min tie-break
+    (Schleimer et al., SIGMOD'03 §2.2: "If there is more than one hash with
+    the minimum value, select the rightmost occurrence").
+
+    Value-dedup'd fingerprints (``winnowing_fingerprints``) are tie-rule
+    invariant — tied mins share the VALUE — so this variant exists for
+    positional consumers (plagiarism alignment, span matching), where the
+    recorded position matters. The argmin-with-rightmost-tie-break is ONE
+    codegen'd window expression: ``min(struct(h, -pos))`` over the sliding
+    frame orders lexicographically by (hash ASC, pos DESC) — no self-join
+    back to the window, no UDF, same single doc-key shuffle as the value
+    variant. Returns (id, fp, fp_pos) distinct.
+    """
+    from pyspark.sql import Window
+    toks = docs.select(id_col,
+                       F.posexplode(F.split(normalized(F.col(text_col)), " "))
+                        .alias("pos", "tok"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.lead("tok", i).over(w) for i in range(1, k)]
+    grams = (toks.withColumn("gram", F.concat_ws(" ", F.col("tok"), *leads))
+                 .withColumn("full", leads[-1].isNotNull()))
+    hashes = grams.where("full").select(
+        id_col, "pos", F.md5("gram").alias("h"))
+    roll = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    sel = F.min(F.struct(F.col("h").alias("v"),
+                         (-F.col("pos")).alias("np"))).over(roll)
+    fps = (hashes.withColumn("s", sel)
+                 .select(id_col, F.col("s.v").alias("fp"),
+                         (-F.col("s.np")).cast("int").alias("fp_pos"))
+                 .dropDuplicates())
+    short = (docs.join(hashes.select(id_col).distinct(), id_col, "left_anti")
+                 .select(id_col, F.md5(normalized(F.col(text_col))).alias("fp"),
+                         F.lit(0).alias("fp_pos")))
+    return fps.unionByName(short)
+
+
 def repetition_stats(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Gopher-style repetition signals per document: the fraction of bigram

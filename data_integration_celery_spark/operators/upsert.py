@@ -89,6 +89,7 @@ def recover_table(spark, path: str) -> str:
         # Crashed between the two publish renames: roll the backup forward.
         _rename(spark, backup, path)
         _hadoop_rm(spark, staging)
+        spark.catalog.refreshByPath(path)
         return "restored"
     return "noop"
 
@@ -134,6 +135,9 @@ def write_upsert(spark, updates: DataFrame, path: str, keys: list[str],
     _rename(spark, path, backup)
     _rename(spark, staging, path)
     _hadoop_rm(spark, backup)
+    # the publish replaced every file under `path`: drop any cached listing
+    # so readers in this session don't chase renamed-away part files
+    spark.catalog.refreshByPath(path)
 
 
 def write_upsert_partitioned(spark, updates: DataFrame, path: str,

@@ -223,3 +223,51 @@ def test_simhash_banded_max_bucket_drops_degenerate(spark):
 
     full = dedup.simhash_near_dup_pairs(docs, k=3).collect()
     assert len(full) >= 45 + 1  # 10-clique + the small pair
+
+
+def test_positional_winnowing_matches_value_variant(spark):
+    """Differential: per doc, the distinct fp-value set of the positional
+    (rightmost-min) variant equals the value variant's — tie rules only move
+    positions, never values (Schleimer et al. §2.2)."""
+    from data_integration_celery_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again"),
+         (2, "to be or not to be that is the question to be or not"),
+         (3, "short doc"),
+         (4, "aaa aaa aaa aaa aaa aaa aaa aaa")],  # heavy ties
+        "doc_id long, text string")
+    vals = {(r["doc_id"], r["fp"])
+            for r in T.winnowing_fingerprints(docs).collect()}
+    pos = T.winnowing_fingerprints_positional(docs).collect()
+    assert {(r["doc_id"], r["fp"]) for r in pos} == vals
+
+
+def test_positional_winnowing_rightmost_tie_break(spark):
+    """All-identical tokens → every gram hash ties; each window must record
+    its RIGHTMOST position, so selected positions are window-ends."""
+    from data_integration_celery_spark.operators import text as T
+
+    n_tokens, k, w = 10, 3, 4
+    docs = spark.createDataFrame([(1, " ".join(["tok"] * n_tokens))],
+                                 "doc_id long, text string")
+    rows = T.winnowing_fingerprints_positional(docs, k=k, window=w).collect()
+    n_grams = n_tokens - k + 1  # 8 grams, positions 0..7
+    # window starting at p covers [p, min(p+w-1, n_grams-1)]; rightmost of a
+    # tie = frame end. Distinct recorded positions = {3..7} (full windows'
+    # ends) ∪ shrinking tail frames' ends {7} → {3,4,5,6,7}
+    assert {r["fp_pos"] for r in rows} == set(range(w - 1, n_grams))
+    assert len({r["fp"] for r in rows}) == 1  # single tied value
+
+
+def test_positional_winnowing_positions_inside_window(spark):
+    """Every recorded position must lie inside the window that selected it
+    (sanity on the struct-min argmin formulation)."""
+    from data_integration_celery_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} with some shared text and unique suffix {i * 17}")
+         for i in range(1, 6)],
+        "doc_id long, text string")
+    for r in T.winnowing_fingerprints_positional(docs).collect():
+        assert r["fp_pos"] >= 0

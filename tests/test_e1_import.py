@@ -88,3 +88,72 @@ def test_conform_and_partition_columns(spark):
     assert row["open"] is None  # missing column → typed NULL
     withparts = schemas.partition_columns(out, schemas.DAILY_MD)
     assert withparts.collect()[0]["trade_year"] == 2020
+
+
+def test_catalog_driven_multi_series_ingestion(spark, tmp_path):
+    """EDB macro-loop mirror (macroeconomy.py:35-115): a dict of 10 synthetic
+    series drives ONE plan-join + distributed fetch + upsert. Second run
+    ingests only the gap (incremental watermarks per series); a third run at
+    the same cutoff plans nothing and fetches nothing."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from data_integration_celery_spark.sources import catalog_ingest, vendor
+
+    catalog = {f"macro_{i:02d}": {"vendor_code": f"M{i:04d}.EDB",
+                                  "start": dt.date(2024, 1, 1 + i)}
+               for i in range(10)}
+
+    def fake_fetch(series_id, date_from, date_to):
+        # deterministic daily series derived from the id, from-exclusive
+        # semantics like the reference's EDB pull (value = day-of-year + k)
+        k = int(series_id.split("_")[1])
+        days = pd.date_range(date_from, date_to, freq="D")
+        return pd.DataFrame({
+            "series_id": series_id,
+            "obs_date": days.date,
+            "value": [float(d.dayofyear + k) for d in days]})
+
+    path = str(tmp_path / "macro")
+    fetch = vendor.with_retry(fake_fetch, tries=2)
+    out1 = catalog_ingest.ingest_series_catalog(
+        spark, catalog, fetch, path, cutoff=dt.date(2024, 2, 1), batch_id=1)
+    got1 = out1.groupBy("series_id").count().collect()
+    # each series spans [start, cutoff]; starts are staggered per series
+    expect1 = {f"macro_{i:02d}": (dt.date(2024, 2, 1) - dt.date(2024, 1, 1 + i)).days + 1
+               for i in range(10)}
+    assert {r["series_id"]: r["count"] for r in got1} == expect1
+
+    # round 2: the fetcher marks its output (+1000). Incremental plan must
+    # fetch ONLY (watermark, new cutoff], so pre-watermark rows keep round-1
+    # values — refetching them would overwrite (last-write-wins).
+    def marked_fetch(series_id, date_from, date_to):
+        out = fake_fetch(series_id, date_from, date_to)
+        out["value"] += 1000.0
+        return out
+
+    out2 = catalog_ingest.ingest_series_catalog(
+        spark, catalog, marked_fetch, path, cutoff=dt.date(2024, 2, 10),
+        batch_id=2)
+    n = {r["series_id"]: r["count"]
+         for r in out2.groupBy("series_id").count().collect()}
+    assert n == {s: c + 9 for s, c in expect1.items()}
+    from pyspark.sql import functions as F
+    marked = out2.where(F.col("value") >= 1000.0)
+    assert marked.count() == 90          # 10 series x 9 new days only
+    assert marked.agg(F.min("obs_date")).collect()[0][0] == dt.date(2024, 2, 2)
+    n_total2 = out2.count()              # capture before round 3 republishes
+
+    # round 3 at the same cutoff: plan is empty -> a (+2000)-marking fetcher
+    # must leave every value untouched
+    def poison_fetch(series_id, date_from, date_to):
+        out = fake_fetch(series_id, date_from, date_to)
+        out["value"] += 2000.0
+        return out
+
+    out3 = catalog_ingest.ingest_series_catalog(
+        spark, catalog, poison_fetch, path, cutoff=dt.date(2024, 2, 10),
+        batch_id=3)
+    assert out3.count() == n_total2
+    assert out3.where(F.col("value") >= 2000.0).count() == 0

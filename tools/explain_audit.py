@@ -37,6 +37,13 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
         [r"BroadcastHashJoin"], [r"CartesianProduct"]),
     "j5_anti_join_new_codes": (
         [r"LeftAnti"], [r"CartesianProduct"]),
+    # code-mapping maintenance: broadcast fill-join + native anti-join for
+    # the insert set — never a sort-merge on the tiny mapping side
+    # (r2 bench flagged 3.3x growth here; plan verified clean, the growth
+    # was single-shot noise — medians in bench.py now pin it)
+    "j6_code_mapping_maintenance": (
+        [r"BroadcastHashJoin", r"LeftAnti"],
+        [r"CartesianProduct", r"SortMergeJoin"]),
     "w7_continuous_contract": (
         [r"FlatMapGroupsInPandas", r"BroadcastHashJoin"],
         [r"CartesianProduct"]),
