@@ -105,6 +105,11 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
     "w8b_quarterize_exact": (
         [r"MapInPandas", r"hashpartitioning\(code"],
         [r"CartesianProduct", r"FlatMapGroupsInPandas"]),
+    # video frame extraction: 1->N fan-out happens INSIDE one mapInPandas
+    # pass — a pure map stage, no shuffle, no join back to a sampling plan
+    "mm_video_frames": (
+        [r"MapInPandas"],
+        [r"Exchange", r"CartesianProduct", r"FlatMapGroupsInPandas"]),
 }
 
 
