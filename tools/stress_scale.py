@@ -81,6 +81,9 @@ def main() -> None:
         lambda: f"{text.winnowing_fingerprints(docs).count()} fingerprints")
     run("text_features",
         lambda: f"{text.with_text_features(docs).count()} rows")
+    from data_integration_celery_spark.operators import multimodal
+    run("video_frame_extract(1->N fan-out)",
+        lambda: f"{multimodal.extract_video_frames(multimodal.to_media_table(docs)).count()} frames")
     run("ann_brute_topk(20 queries)",
         lambda: f"{similarity.brute_force_topk(emb, emb.where(F.col('vec_id') % 2000 == 0), k=10).count()} results")
     run("embedding_all_pairs_topk",
