@@ -348,3 +348,46 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, planes: list[list[float]],
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "rank", "cand_id", "cos_sim"))
+
+
+def centroid_outlier_scores(emb: DataFrame, id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            label_col: str = "label",
+                            bottom_k: int | None = None,
+                            round_dp: int = 6) -> DataFrame:
+    """Per-vector cosine to its class centroid — the SemDeDup-style pruning
+    signal (Abbas et al. 2023: rank members of a cluster by similarity to
+    the cluster centroid; prune the tail as semantic outliers / keep one
+    representative of near-duplicate heads).
+
+    Distributed shape: posexplode the vectors once, aggregate per
+    (label, position) through DECIMAL(38,6) (exact, parallelism-proof — the
+    centroid must not depend on partial-agg order), rebuild each centroid
+    array, broadcast-join it back (n_labels arrays — tiny at any corpus
+    size), then a map-only JVM fold scores every vector. One shuffle on
+    (label, pos) partials + one on the optional per-label ranking window;
+    no vector ever reaches the driver.
+
+    With ``bottom_k`` set, returns only each label's k most-outlying
+    vectors (rank ascending by cos, vec-id tiebreak) — the prune list.
+    """
+    pv = emb.select(label_col,
+                    F.posexplode(F.col(vec_col)).alias("pos", "v"))
+    from ..functions.numeric import DEC
+    comp = (pv.groupBy(label_col, "pos")
+            .agg((F.sum(F.col("v").cast("double").cast(DEC)).cast("double")
+                  / F.count(F.lit(1))).alias("c")))
+    cent = (comp.groupBy(label_col)
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"]).alias("centroid")))
+    scored = (emb.join(F.broadcast(cent), label_col)
+              .select(id_col, label_col,
+                      F.round(cosine(F.col(vec_col), F.col("centroid")),
+                              round_dp).alias("cos_centroid")))
+    if bottom_k is None:
+        return scored
+    w = Window.partitionBy(label_col).orderBy(F.col("cos_centroid").asc(),
+                                              F.col(id_col))
+    return (scored.withColumn("outlier_rank", F.row_number().over(w))
+            .where(F.col("outlier_rank") <= bottom_k))

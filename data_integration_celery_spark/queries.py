@@ -924,6 +924,48 @@ def ann_topk_q(spark, sf_dir):
     return similarity.brute_force_topk(emb, emb.where(F.col("vec_id") % 100 == 0))
 
 
+@q("emb_centroid_outliers",
+   sql="""
+   WITH pv AS (
+     SELECT label, CAST(unnest(embedding) AS DOUBLE) AS v,
+            generate_subscripts(embedding, 1) AS pos
+     FROM embeddings),
+   comp AS (
+     SELECT label, pos,
+            CAST(sum(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS c
+     FROM pv GROUP BY label, pos),
+   cent AS (
+     SELECT label, list(c ORDER BY pos) AS centroid FROM comp GROUP BY label),
+   scored AS (
+     SELECT e.vec_id, e.label,
+            round(
+              list_dot_product(
+                list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                c.centroid)
+              / (sqrt(list_dot_product(
+                   list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                   list_transform(e.embedding, x -> CAST(x AS DOUBLE))))
+                 * sqrt(list_dot_product(c.centroid, c.centroid))),
+              6) AS cos_centroid
+     FROM embeddings e JOIN cent c USING (label))
+   SELECT vec_id, label, cos_centroid, outlier_rank FROM (
+     SELECT *, row_number() OVER (PARTITION BY label
+                                  ORDER BY cos_centroid ASC, vec_id)
+               AS outlier_rank
+     FROM scored) t
+   WHERE outlier_rank <= 20
+   """,
+   doc="Embedding-quality pruning signal (SemDeDup-style): cosine of every "
+       "vector to its class centroid, bottom-20 outliers per label. "
+       "Centroids aggregate through DECIMAL(38,6) per (label, position) — "
+       "exact and parallelism-proof — then broadcast back for a map-only "
+       "scoring fold (operators/similarity.py centroid_outlier_scores).")
+def emb_centroid_outliers_q(spark, sf_dir):
+    from .operators import similarity
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.centroid_outlier_scores(emb, bottom_k=20)
+
+
 @q("ann_lsh_topk", sql=None,
    doc="Cosine-LSH bucketed top-k (random hyperplanes) with 1-flip "
        "multi-probe (Lv et al. VLDB'07) — approximate; recall vs brute "
@@ -2284,7 +2326,7 @@ QUERY_PRIORITY: list[str] = [
     # aggregations
     "a1_watermark_per_key", "a3_tick_to_bars", "a4_rebar",
     "a7_two_level_agg",
-    "a11_accumulation_detect", "a13_sessionize",
+    "a11_accumulation_detect",
     # sinks / ordering / sets
     "s6_upsert_last_write_wins", "o3_topk_worst", "u4_scd2_intervals",
     "eav_unpivot_pivot",
@@ -2298,8 +2340,8 @@ QUERY_PRIORITY: list[str] = [
     "dedup_exact", "dedup_ngram_jaccard", "dedup_components_star",
     "txt_contamination", "txt_features", "txt_winnowing",
     "txt_repetition", "txt_pii_redact", "txt_vocab_topk",
-    "dedup_embedding_pairs", "ann_cosine_topk", "mm_image_features",
-    "mm_video_frames",
+    "dedup_embedding_pairs", "ann_cosine_topk", "emb_centroid_outliers",
+    "mm_image_features", "mm_video_frames",
     "smp_hash_split", "smp_mixture_resample", "smp_source_quota",
     "smp_token_budget",
     # ---- position 51+: double-green history, sibling-covered, composite,
@@ -2307,7 +2349,7 @@ QUERY_PRIORITY: list[str] = [
     "w11_adjusted_continuous", "w1_rank_returns", "j8_interval_join",
     "dedup_components", "w3_cum_chain", "w12_pivot_status",
     "p4_inlist_semijoin", "a2_agg_rollup", "a8_median_cross_section",
-    "a9_describe",
+    "a9_describe", "a13_sessionize",
     "u1_union_distinct", "w2_lead_lag_gaps", "w4_ffill",
     "w10_monthly_sample",
     "ann_ivf_topk", "pipeline_quality_filter", "pipeline_dedup_survivors",

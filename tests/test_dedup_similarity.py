@@ -156,3 +156,27 @@ def test_lsh_probe_ordering_budgeted(spark, sf_dir):
     assert r4 >= r2
     # the ordered half-budget should capture most of the 1-flip recall gain
     assert r2 >= r0 + 0.5 * (r4 - r0)
+
+
+def test_centroid_outlier_scores(spark):
+    """Members identical to their centroid score cos=1; an injected far-off
+    vector ranks as its label's top outlier."""
+    from data_integration_celery_spark.operators import similarity
+
+    dim = 8
+    rows = []
+    for vid in range(6):                      # label 0: identical vectors
+        rows.append((vid, [1.0] * dim, 0))
+    rows.append((100, [-1.0] * dim, 1))       # label 1: one opposed outlier
+    for vid in range(101, 105):
+        rows.append((vid, [1.0] * dim, 1))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    full = {r["vec_id"]: r["cos_centroid"]
+            for r in similarity.centroid_outlier_scores(emb).collect()}
+    assert all(abs(full[v] - 1.0) < 1e-6 for v in range(6))
+
+    top = {r["label"]: r["vec_id"]
+           for r in similarity.centroid_outlier_scores(emb, bottom_k=1).collect()}
+    assert top[1] == 100
+    assert full[100] < full[101]
