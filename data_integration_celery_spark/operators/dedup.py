@@ -228,6 +228,44 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
             .select(id_col, F.coalesce("sig", F.lit(0)).alias("sig")))
 
 
+def simhash_signatures_md5(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", bits: int = 16) -> DataFrame:
+    """SimHash signatures with an md5-derived token hash — the engine-
+    portable twin of ``simhash_signatures`` (same per-bit ±1 majority vote,
+    same exploded-agg plan shape).
+
+    Exists for hard correctness evidence: the production variant's xxhash64
+    has no DuckDB equivalent, so its driver check is rows-only; md5 exists
+    on both engines, making this variant exact-oracle-able end to end
+    (token hash bit i = bit (i mod 4) of md5 hex digit i/4 — mirrored as
+    strpos/div/mod arithmetic in SQL). Production keeps xxhash64 (one
+    64-bit JVM hash vs md5's string round-trip); the algorithm proven here
+    is bit-for-bit the same vote/assembly. Signature bit order matches the
+    xxhash64 form (bit i → weight 2^i). NULL text → signature 0.
+    """
+    if not 1 <= bits <= 60:
+        raise ValueError(f"bits must be in [1, 60] (15 hex digits), got {bits}")
+    toks = docs.select(
+        id_col,
+        F.explode(F.array_distinct(
+            F.split(normalized(F.col(text_col)), " "))).alias("tok"))
+    h = F.md5("tok")
+    digit = lambda i: (F.conv(F.substring(h, i // 4 + 1, 1), 16, 10)  # noqa: E731
+                       .cast("int"))
+    aggs = [F.sum(F.when(F.shiftright(digit(i), i % 4)
+                          .bitwiseAND(F.lit(1)) == 1,
+                         F.lit(1)).otherwise(F.lit(-1))).alias(f"__v{i}")
+            for i in range(bits)]
+    votes = toks.groupBy(id_col).agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig + F.when(F.col(f"__v{i}") > 0,
+                           F.lit(2 ** i)).otherwise(F.lit(0)).cast("long")
+    sigs = votes.select(id_col, sig.alias("sig"))
+    return (docs.select(id_col).join(sigs, id_col, "left")
+            .select(id_col, F.coalesce("sig", F.lit(0)).alias("sig")))
+
+
 def simhash_near_dup_pairs(docs: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", bits: int = 16,
                            k: int = 3,

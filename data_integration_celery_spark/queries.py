@@ -896,6 +896,56 @@ def dedup_simhash_q(spark, sf_dir):
     return dedup.simhash_dedup(_t(spark, sf_dir, "documents"))
 
 
+# md5-bit-vote SimHash oracle: token-hash bit i = bit (i mod 4) of md5 hex
+# digit i/4, mirrored below as strpos/div/mod arithmetic (same trick as the
+# mm_* decoders). 16 vote sums + signature assembly, generated to keep the
+# two engines' expressions in lockstep.
+_SIMHASH_MD5_VOTES = ",\n            ".join(
+    f"sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, {i // 4 + 1}, 1))"
+    f" - 1) // {2 ** (i % 4)}) % 2 = 1 THEN 1 ELSE -1 END) AS v{i}"
+    for i in range(16))
+_SIMHASH_MD5_SIG = " + ".join(
+    f"CASE WHEN v{i} > 0 THEN {2 ** i} ELSE 0 END" for i in range(16))
+
+
+@q("dedup_simhash_md5",
+   sql=f"""
+   WITH norm AS (
+     SELECT doc_id,
+            trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nt
+     FROM documents),
+   toks AS (
+     SELECT DISTINCT doc_id, unnest(string_split_regex(nt, '\\s+')) AS tok
+     FROM norm WHERE nt IS NOT NULL),
+   hs AS (SELECT doc_id, md5(tok) AS h FROM toks),
+   votes AS (
+     SELECT doc_id,
+            {_SIMHASH_MD5_VOTES}
+     FROM hs GROUP BY doc_id),
+   sigs0 AS (
+     SELECT doc_id, CAST({_SIMHASH_MD5_SIG} AS BIGINT) AS sig FROM votes),
+   sigs AS (
+     SELECT d.doc_id, COALESCE(s.sig, 0) AS sig
+     FROM documents d LEFT JOIN sigs0 s USING (doc_id))
+   SELECT sig AS simhash, min(doc_id) AS doc_id,
+          CAST(count(*) AS BIGINT) AS n_members
+   FROM sigs GROUP BY sig
+   """,
+   doc="SimHash blocking dedup, md5-bit-vote twin with an EXACT oracle — "
+       "hard evidence for the simhash algorithm itself (vote, assembly, "
+       "signature grouping), which the production xxhash64 variant can't "
+       "get because DuckDB lacks xxhash64 (rows-only). Same exploded-agg "
+       "plan; only the token hash differs "
+       "(operators/dedup.py simhash_signatures_md5).")
+def dedup_simhash_md5_q(spark, sf_dir):
+    from .operators import dedup
+    sigs = dedup.simhash_signatures_md5(_t(spark, sf_dir, "documents"))
+    return (sigs.withColumnRenamed("sig", "simhash")
+            .groupBy("simhash")
+            .agg(F.min("doc_id").alias("doc_id"),
+                 F.count(F.lit(1)).alias("n_members")))
+
+
 @q("ann_cosine_topk",
    sql="""
    WITH q AS (SELECT vec_id AS query_id,
@@ -2318,7 +2368,7 @@ QUERY_PRIORITY: list[str] = [
     "s1_filtered_scan", "p3_regex_filter", "f3_cleaning_exprs",
     # joins
     "j1_vendor_merge_full_outer", "j2_three_source_merge",
-    "j5_anti_join_new_codes", "j6_code_mapping_maintenance",
+    "j6_code_mapping_maintenance",
     "j7_code_extract_join", "j8b_interval_join_bucketed",
     "j9_asof_last_report", "j10_asof_point_lookup",
     "j11_argmax_latest_per_key", "j13_incremental_ranges",
@@ -2337,7 +2387,8 @@ QUERY_PRIORITY: list[str] = [
     # audits / streaming
     "f4_snapshot_audit", "stream_bars_1min",
     # LLM-pipeline operators
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_components_star",
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_simhash_md5",
+    "dedup_components_star",
     "txt_contamination", "txt_features", "txt_winnowing",
     "txt_repetition", "txt_pii_redact", "txt_vocab_topk",
     "dedup_embedding_pairs", "ann_cosine_topk", "emb_centroid_outliers",
@@ -2349,7 +2400,7 @@ QUERY_PRIORITY: list[str] = [
     "w11_adjusted_continuous", "w1_rank_returns", "j8_interval_join",
     "dedup_components", "w3_cum_chain", "w12_pivot_status",
     "p4_inlist_semijoin", "a2_agg_rollup", "a8_median_cross_section",
-    "a9_describe", "a13_sessionize",
+    "a9_describe", "a13_sessionize", "j5_anti_join_new_codes",
     "u1_union_distinct", "w2_lead_lag_gaps", "w4_ffill",
     "w10_monthly_sample",
     "ann_ivf_topk", "pipeline_quality_filter", "pipeline_dedup_survivors",

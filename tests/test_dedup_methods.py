@@ -271,3 +271,41 @@ def test_positional_winnowing_positions_inside_window(spark):
         "doc_id long, text string")
     for r in T.winnowing_fingerprints_positional(docs).collect():
         assert r["fp_pos"] >= 0
+
+
+def test_simhash_md5_twin_matches_python_reference(spark):
+    """The md5-bit-vote signature must equal a direct python reimplementation
+    of the same spec (vote per bit from md5 hex digits, 2^i assembly), and
+    identical texts must collide."""
+    import hashlib
+
+    from data_integration_celery_spark.operators import dedup
+
+    texts = [(1, "The quick brown fox! jumps-over 42 lazy dogs."),
+             (2, "the quick  brown fox jumps over 42 lazy dogs"),  # same norm
+             (3, "a completely different document about spark engines"),
+             (4, None)]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r["doc_id"]: r["sig"]
+           for r in dedup.simhash_signatures_md5(docs).collect()}
+
+    def ref_sig(text):
+        if text is None:
+            return 0
+        import re
+        norm = re.sub(r"[^a-z0-9]+", " ", text.lower()).strip()
+        toks = set(norm.split(" "))
+        sig = 0
+        for i in range(16):
+            vote = 0
+            for t in toks:
+                d = int(hashlib.md5(t.encode()).hexdigest()[i // 4], 16)
+                vote += 1 if (d >> (i % 4)) & 1 else -1
+            if vote > 0:
+                sig += 1 << i
+        return sig
+
+    for doc_id, text in texts:
+        assert got[doc_id] == ref_sig(text), doc_id
+    assert got[1] == got[2]          # identical normal forms collide
+    assert got[1] != got[3]
