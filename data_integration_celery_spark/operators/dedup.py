@@ -228,6 +228,56 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
             .select(id_col, F.coalesce("sig", F.lit(0)).alias("sig")))
 
 
+def minhash_lsh_candidates_md5(docs: DataFrame, text_col: str = "text",
+                               id_col: str = "doc_id", num_hashes: int = 16,
+                               bands: int = 4) -> DataFrame:
+    """MinHash+LSH candidate pairs with md5 permutation hashes — the
+    engine-portable twin of ``minhash_lsh_candidates`` (same postings, same
+    per-permutation min, same banded bucket join, same est_jaccard).
+
+    Exists for hard correctness evidence: xxhash64 has no DuckDB
+    equivalent, so the production variant's driver check is rows-only.
+    Permutation p's hash of shingle s is the STRING md5('p:' || s) —
+    lexicographic min is identical on any engine — and a band's bucket is
+    the md5 of its r joined mins. Production keeps seeded xxhash64 (64-bit
+    JVM ints vs hex-string round-trips); the banding/verify algorithm
+    proven here is the same.
+    """
+    r = num_hashes // bands
+    if r * bands != num_hashes:
+        raise ValueError("bands must divide num_hashes")
+    post = shingle_postings(docs, text_col, id_col)
+    sig = (post.groupBy(id_col)
+           .agg(*[F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s"))))
+                   .alias(f"h{i}") for i in range(num_hashes)]))
+    banded = sig.select(
+        id_col,
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.md5(F.concat_ws(",", *[F.col(f"h{b * r + i}")
+                                              for i in range(r)]))
+                      .alias("bucket"))
+            for b in range(bands)])).alias("bb")) \
+        .select(id_col, F.col("bb.band").alias("band"),
+                F.col("bb.bucket").alias("bucket"))
+    a, b_ = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b_, ["band", "bucket"])
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .dropDuplicates())
+    sa = sig.select(F.col(id_col).alias("id_a"),
+                    *[F.col(f"h{i}").alias(f"a{i}") for i in range(num_hashes)])
+    sb = sig.select(F.col(id_col).alias("id_b"),
+                    *[F.col(f"h{i}").alias(f"b{i}") for i in range(num_hashes)])
+    matches = sum(F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+                  for i in range(num_hashes))
+    return (cand.join(sa, "id_a").join(sb, "id_b")
+            .select("id_a", "id_b",
+                    (matches.cast("double") / F.lit(float(num_hashes)))
+                    .alias("est_jaccard")))
+
+
 def simhash_signatures_md5(docs: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", bits: int = 16) -> DataFrame:
     """SimHash signatures with an md5-derived token hash — the engine-

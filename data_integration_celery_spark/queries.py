@@ -896,6 +896,66 @@ def dedup_simhash_q(spark, sf_dir):
     return dedup.simhash_dedup(_t(spark, sf_dir, "documents"))
 
 
+# md5 MinHash+LSH oracle: 16 permutation hashes h_i = min(md5('i:' || s))
+# over the shingle set (string min — lexicographic on both engines), 4 bands
+# of 4, bucket = md5 of the band's joined mins. Generated to keep both
+# engines' expressions in lockstep.
+_MINHASH_P, _MINHASH_B = 16, 4
+_MINHASH_R = _MINHASH_P // _MINHASH_B
+_MINHASH_MINS = ",\n            ".join(
+    f"min(md5('{i}:' || s)) AS h{i}" for i in range(_MINHASH_P))
+_MINHASH_BANDS = "\n     UNION ALL ".join(
+    "SELECT doc_id, {b} AS band, md5({expr}) AS bucket FROM sig".format(
+        b=b, expr=" || ',' || ".join(f"h{b * _MINHASH_R + i}"
+                                     for i in range(_MINHASH_R)))
+    for b in range(_MINHASH_B))
+_MINHASH_EST = " + ".join(
+    f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END"
+    for i in range(_MINHASH_P))
+
+
+@q("dedup_minhash_md5",
+   sql=f"""
+   WITH norm AS (
+     SELECT doc_id,
+            string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                               '\\s+') AS tok
+     FROM documents),
+   shs AS (
+     SELECT doc_id,
+            CASE WHEN len(tok) >= 3
+                 THEN list_distinct(list_transform(range(1, len(tok) - 1),
+                                                   i -> array_to_string(tok[i:i+2], ' ')))
+                 ELSE [array_to_string(tok, ' ')] END AS sh
+     FROM norm),
+   post AS (SELECT doc_id, unnest(sh) AS s FROM shs),
+   sig AS (
+     SELECT doc_id,
+            {_MINHASH_MINS}
+     FROM post GROUP BY doc_id),
+   banded AS (
+     {_MINHASH_BANDS}),
+   cand AS (
+     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+     FROM banded a JOIN banded b
+       ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+   SELECT id_a, id_b,
+          CAST({_MINHASH_EST} AS DOUBLE) / {_MINHASH_P} AS est_jaccard
+   FROM cand
+   JOIN sig sa ON sa.doc_id = id_a
+   JOIN sig sb ON sb.doc_id = id_b
+   """,
+   doc="MinHash+LSH banded candidate pairs, md5-permutation twin with an "
+       "EXACT oracle — hard evidence for the banding algorithm (postings → "
+       "per-permutation min → band buckets → pair join → signature-match "
+       "estimate), which the production seeded-xxhash64 variant can't get "
+       "(rows-only). Same plan shape; only the permutation hash differs "
+       "(operators/dedup.py minhash_lsh_candidates_md5).")
+def dedup_minhash_md5_q(spark, sf_dir):
+    from .operators import dedup
+    return dedup.minhash_lsh_candidates_md5(_t(spark, sf_dir, "documents"))
+
+
 # md5-bit-vote SimHash oracle: token-hash bit i = bit (i mod 4) of md5 hex
 # digit i/4, mirrored below as strpos/div/mod arithmetic (same trick as the
 # mm_* decoders). 16 vote sums + signature assembly, generated to keep the
@@ -2375,7 +2435,6 @@ QUERY_PRIORITY: list[str] = [
     "j14_main_sec_join",
     # aggregations
     "a1_watermark_per_key", "a3_tick_to_bars", "a4_rebar",
-    "a7_two_level_agg",
     "a11_accumulation_detect",
     # sinks / ordering / sets
     "s6_upsert_last_write_wins", "o3_topk_worst", "u4_scd2_intervals",
@@ -2388,7 +2447,7 @@ QUERY_PRIORITY: list[str] = [
     "f4_snapshot_audit", "stream_bars_1min",
     # LLM-pipeline operators
     "dedup_exact", "dedup_ngram_jaccard", "dedup_simhash_md5",
-    "dedup_components_star",
+    "dedup_minhash_md5", "dedup_components_star",
     "txt_contamination", "txt_features", "txt_winnowing",
     "txt_repetition", "txt_pii_redact", "txt_vocab_topk",
     "dedup_embedding_pairs", "ann_cosine_topk", "emb_centroid_outliers",
@@ -2401,6 +2460,7 @@ QUERY_PRIORITY: list[str] = [
     "dedup_components", "w3_cum_chain", "w12_pivot_status",
     "p4_inlist_semijoin", "a2_agg_rollup", "a8_median_cross_section",
     "a9_describe", "a13_sessionize", "j5_anti_join_new_codes",
+    "a7_two_level_agg",
     "u1_union_distinct", "w2_lead_lag_gaps", "w4_ffill",
     "w10_monthly_sample",
     "ann_ivf_topk", "pipeline_quality_filter", "pipeline_dedup_survivors",

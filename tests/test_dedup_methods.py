@@ -309,3 +309,28 @@ def test_simhash_md5_twin_matches_python_reference(spark):
         assert got[doc_id] == ref_sig(text), doc_id
     assert got[1] == got[2]          # identical normal forms collide
     assert got[1] != got[3]
+
+
+def test_minhash_md5_twin_finds_planted_duplicates(spark):
+    """The md5-permutation twin must behave like the xxhash production
+    variant on planted duplicates: identical docs pair with est_jaccard 1.0;
+    unrelated docs never pair."""
+    from data_integration_celery_spark.operators import dedup
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "spark engine shuffles partitions across the cluster nodes")
+    docs = spark.createDataFrame(
+        [(1, base), (2, base),                      # exact dup pair
+         (3, base + " with one extra suffix token"),  # near dup of 1/2
+         (4, "completely unrelated text about databases and query planners "
+             "optimizing join orders with cost models")],
+        "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+           for r in dedup.minhash_lsh_candidates_md5(docs).collect()}
+    assert got[(1, 2)] == 1.0
+    assert all(4 not in pair for pair in got)
+    # near-dup 3 pairs with at least one of the identical docs
+    assert any(3 in pair for pair in got)
+    prod = {(r["id_a"], r["id_b"])
+            for r in dedup.minhash_lsh_candidates(docs).collect()}
+    assert (1, 2) in prod  # production variant agrees on the exact dup
