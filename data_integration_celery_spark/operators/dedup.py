@@ -319,7 +319,8 @@ def simhash_signatures_md5(docs: DataFrame, text_col: str = "text",
 def simhash_near_dup_pairs(docs: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", bits: int = 16,
                            k: int = 3,
-                           max_bucket: int | None = None) -> DataFrame:
+                           max_bucket: int | None = None,
+                           hasher: str = "xxhash64") -> DataFrame:
     """Near-dup pairs within Hamming distance ≤ k of the SimHash signature —
     banded blocking (Manku et al., WWW'07 "Detecting Near-Duplicates for Web
     Crawling"), never documents².
@@ -343,12 +344,18 @@ def simhash_near_dup_pairs(docs: DataFrame, text_col: str = "text",
     instead of pair emission). ``None`` keeps exact pigeonhole recall.
 
     Returns (id_a, id_b, hamming), id_a < id_b, hamming ≤ k.
+
+    ``hasher='md5'`` swaps in the engine-portable signature
+    (``simhash_signatures_md5``) so the banding construction itself is
+    exact-oracle-able; the banding/verify below is hash-agnostic.
     """
     n_bands = k + 1
     width = bits // n_bands
     if width == 0:
         raise ValueError(f"bits={bits} too small for k={k} (k+1 bands)")
-    sigs = (simhash_signatures(docs, text_col, id_col, bits)
+    sig_fn = (simhash_signatures_md5 if hasher == "md5"
+              else simhash_signatures)
+    sigs = (sig_fn(docs, text_col, id_col, bits)
             .select(F.col(id_col).alias("id"), "sig"))
     mask = (1 << width) - 1
     # last band absorbs the remainder bits so the whole signature is covered

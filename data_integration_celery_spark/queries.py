@@ -960,17 +960,16 @@ def dedup_minhash_md5_q(spark, sf_dir):
 # digit i/4, mirrored below as strpos/div/mod arithmetic (same trick as the
 # mm_* decoders). 16 vote sums + signature assembly, generated to keep the
 # two engines' expressions in lockstep.
-_SIMHASH_MD5_VOTES = ",\n            ".join(
-    f"sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, {i // 4 + 1}, 1))"
-    f" - 1) // {2 ** (i % 4)}) % 2 = 1 THEN 1 ELSE -1 END) AS v{i}"
-    for i in range(16))
-_SIMHASH_MD5_SIG = " + ".join(
-    f"CASE WHEN v{i} > 0 THEN {2 ** i} ELSE 0 END" for i in range(16))
-
-
-@q("dedup_simhash_md5",
-   sql=f"""
-   WITH norm AS (
+def _simhash_md5_sigs_cte(bits: int) -> str:
+    """Shared CTE chain: documents -> (doc_id, sig) with the md5 bit votes."""
+    votes = ",\n            ".join(
+        f"sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, {i // 4 + 1},"
+        f" 1)) - 1) // {2 ** (i % 4)}) % 2 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(bits))
+    sig = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN {2 ** i} ELSE 0 END" for i in range(bits))
+    return f"""
+   norm AS (
      SELECT doc_id,
             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nt
      FROM documents),
@@ -980,13 +979,21 @@ _SIMHASH_MD5_SIG = " + ".join(
    hs AS (SELECT doc_id, md5(tok) AS h FROM toks),
    votes AS (
      SELECT doc_id,
-            {_SIMHASH_MD5_VOTES}
+            {votes}
      FROM hs GROUP BY doc_id),
    sigs0 AS (
-     SELECT doc_id, CAST({_SIMHASH_MD5_SIG} AS BIGINT) AS sig FROM votes),
+     SELECT doc_id, CAST({sig} AS BIGINT) AS sig FROM votes),
    sigs AS (
      SELECT d.doc_id, COALESCE(s.sig, 0) AS sig
-     FROM documents d LEFT JOIN sigs0 s USING (doc_id))
+     FROM documents d LEFT JOIN sigs0 s USING (doc_id))"""
+
+
+_SIMHASH_MD5_SIGS_CTE = _simhash_md5_sigs_cte(16)
+
+
+@q("dedup_simhash_md5",
+   sql=f"""
+   WITH {_SIMHASH_MD5_SIGS_CTE}
    SELECT sig AS simhash, min(doc_id) AS doc_id,
           CAST(count(*) AS BIGINT) AS n_members
    FROM sigs GROUP BY sig
@@ -1004,6 +1011,42 @@ def dedup_simhash_md5_q(spark, sf_dir):
             .groupBy("simhash")
             .agg(F.min("doc_id").alias("doc_id"),
                  F.count(F.lit(1)).alias("n_members")))
+
+
+# Hamming twin at (bits=24, k=1): 2 bands x 12 bits. The synthetic corpus
+# draws from a ~50-word vocabulary, so signatures are globally close —
+# k=3 over 16 or 24 bits admits millions of true pairs at sf0.1; k=1 keeps
+# the pair set near-identical-only (bench-sized) while proving the same
+# pigeonhole banding + bit_count(xor) verify construction.
+_HAMMING_BANDS_SQL = "\n     UNION ALL ".join(
+    f"SELECT doc_id, sig, {b} AS band, (sig >> {b * 12}) & 4095 AS v FROM sigs"
+    for b in range(2))
+
+
+@q("dedup_simhash_hamming_md5",
+   sql=f"""
+   WITH {_simhash_md5_sigs_cte(24)},
+   banded AS (
+     {_HAMMING_BANDS_SQL}),
+   cand AS (
+     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+            a.sig AS sig_a, b.sig AS sig_b
+     FROM banded a JOIN banded b
+       ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id)
+   SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+   FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 1
+   """,
+   doc="Banded Hamming-ball near-dup pairs (Manku WWW'07 pigeonhole: k+1=2 "
+       "bands of 12 bits over a 24-bit signature — any pair within Hamming 1 "
+       "shares a band), md5-signature twin with an EXACT oracle. Proves the "
+       "banding + bit_count(xor) verify construction end to end; the "
+       "production xxhash64 variant (dedup_simhash_hamming) stays rows-only. "
+       "(operators/dedup.py simhash_near_dup_pairs(hasher='md5', bits=24, "
+       "k=1)).")
+def dedup_simhash_hamming_md5_q(spark, sf_dir):
+    from .operators import dedup
+    return dedup.simhash_near_dup_pairs(_t(spark, sf_dir, "documents"),
+                                        bits=24, k=1, hasher="md5")
 
 
 @q("ann_cosine_topk",
@@ -2430,7 +2473,7 @@ QUERY_PRIORITY: list[str] = [
     "j1_vendor_merge_full_outer", "j2_three_source_merge",
     "j6_code_mapping_maintenance",
     "j7_code_extract_join", "j8b_interval_join_bucketed",
-    "j9_asof_last_report", "j10_asof_point_lookup",
+    "j10_asof_point_lookup",
     "j11_argmax_latest_per_key", "j13_incremental_ranges",
     "j14_main_sec_join",
     # aggregations
@@ -2447,7 +2490,8 @@ QUERY_PRIORITY: list[str] = [
     "f4_snapshot_audit", "stream_bars_1min",
     # LLM-pipeline operators
     "dedup_exact", "dedup_ngram_jaccard", "dedup_simhash_md5",
-    "dedup_minhash_md5", "dedup_components_star",
+    "dedup_minhash_md5", "dedup_simhash_hamming_md5",
+    "dedup_components_star",
     "txt_contamination", "txt_features", "txt_winnowing",
     "txt_repetition", "txt_pii_redact", "txt_vocab_topk",
     "dedup_embedding_pairs", "ann_cosine_topk", "emb_centroid_outliers",
@@ -2460,7 +2504,7 @@ QUERY_PRIORITY: list[str] = [
     "dedup_components", "w3_cum_chain", "w12_pivot_status",
     "p4_inlist_semijoin", "a2_agg_rollup", "a8_median_cross_section",
     "a9_describe", "a13_sessionize", "j5_anti_join_new_codes",
-    "a7_two_level_agg",
+    "a7_two_level_agg", "j9_asof_last_report",
     "u1_union_distinct", "w2_lead_lag_gaps", "w4_ffill",
     "w10_monthly_sample",
     "ann_ivf_topk", "pipeline_quality_filter", "pipeline_dedup_survivors",
