@@ -122,3 +122,28 @@ def test_daily_run_dag(spark, tmp_path):
     w_ok = out.groupBy("code").agg(
         F.sum(F.col("close").isNull().cast("int")).alias("nulls"))
     assert w_ok.agg(F.max("nulls")).collect()[0][0] <= 2
+
+
+def test_continuous_reorg_dag_end_to_end(spark, tmp_path):
+    """E3 as a DAG: selection materialized once (job 1), three consumers run
+    as one concurrent wave off the stored table; results match the registry
+    queries that compute the same thing standalone."""
+    from data_integration_celery_spark.plans.reorg import continuous_reorg_pipeline
+    from data_integration_celery_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    wd = str(tmp_path / "reorg")
+    pipe = continuous_reorg_pipeline(sf, wd)
+    results = pipe.run(spark)
+    assert all(r.ok for r in results.values()), {
+        n: r.error for n, r in results.items() if not r.ok}
+
+    j14 = spark.read.parquet(f"{wd}/main_sec")
+    cols = ["instrument_type", "trade_date", "main_contract",
+            "main_close", "sec_contract", "sec_close"]
+    got = sorted(tuple(r[c] for c in cols) for r in j14.collect())
+    want = sorted(tuple(r[c] for c in cols)
+                  for r in QUERIES["j14_main_sec_join"].spark(spark, sf).collect())
+    assert got == want
+    diff = spark.read.parquet(f"{wd}/adjusted_diff")
+    assert diff.count() == spark.read.parquet(f"{wd}/continuous_selection").count()
