@@ -2456,14 +2456,18 @@ def smp_token_budget_q(spark, sf_dir):
 
 # --------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate checks only a prefix of
-# the registry (the first 50 entries), so order by *marginal* evidence value:
-# the top 50 holds every exact-oracle query that has NOT yet earned a green
-# driver CORRECTNESS row (round-2 additions: smp_*, txt_repetition/pii/vocab,
-# w1b, j8b, w11b, dedup_components_star) plus one in-window representative
-# per SURVEY §2 operator family. Queries whose hash-match is banked in BOTH
-# CORRECTNESS_r01 and _r02 (double-green) rotate to the tail when a sibling
-# covers their operator in-window: w1→w1b, j8→j8b, w3→w11b (same cum-chain
-# shape, harder), w12→eav_unpivot_pivot (same pivot), dedup_components→_star.
+# the registry (the first 50 entries), so order by *marginal* evidence value.
+# Round-4 window (per VERDICT r3 "Next round" items 1 and 6):
+#   IN  — the four pipeline_* composites (exact oracles, never driver-checked
+#         in r1-r3) and a re-rotation audit of five long-banked queries
+#         (w2, w4, w10, u1, a8: double-green r1+r2, out of window in r3) to
+#         prove banked greens stay green.
+#   OUT — nine triple-green (r1+r2+r3) singles whose operator family keeps an
+#         in-window representative: a1 (a3/a4/a11 stay), o3 (total order in
+#         every query), w5/w9 (w2/w4/w10 re-rotated; w1b/w7/w8b/w11b stay),
+#         w6 (a8 cross-sectional re-rotated), j7/j11/j13 (j1/j2/j6/j8b/j10/
+#         j14 stay), txt_features (5 txt_* siblings stay), dedup_exact
+#         (5 dedup_* siblings stay).
 # Rows-only queries (no SQL-expressible oracle) never occupy a top-50 slot —
 # their driver row is rows-only regardless of position.
 QUERY_PRIORITY: list[str] = [
@@ -2472,43 +2476,45 @@ QUERY_PRIORITY: list[str] = [
     # joins
     "j1_vendor_merge_full_outer", "j2_three_source_merge",
     "j6_code_mapping_maintenance",
-    "j7_code_extract_join", "j8b_interval_join_bucketed",
-    "j10_asof_point_lookup",
-    "j11_argmax_latest_per_key", "j13_incremental_ranges",
+    "j8b_interval_join_bucketed", "j10_asof_point_lookup",
     "j14_main_sec_join",
     # aggregations
-    "a1_watermark_per_key", "a3_tick_to_bars", "a4_rebar",
-    "a11_accumulation_detect",
+    "a3_tick_to_bars", "a4_rebar", "a11_accumulation_detect",
+    "a8_median_cross_section",
     # sinks / ordering / sets
-    "s6_upsert_last_write_wins", "o3_topk_worst", "u4_scd2_intervals",
-    "eav_unpivot_pivot",
-    # windows
-    "w1b_rank_scalable", "w5_rolling_mean", "w6_argmax_cross_section",
-    "w7_continuous_contract", "w8b_quarterize_exact", "w9_expand_calendar",
-    "w11b_adjusted_diff",
+    "s6_upsert_last_write_wins", "u4_scd2_intervals",
+    "eav_unpivot_pivot", "u1_union_distinct",
+    # windows (w2/w4/w10 re-rotated banked greens)
+    "w1b_rank_scalable", "w2_lead_lag_gaps", "w4_ffill",
+    "w7_continuous_contract", "w8b_quarterize_exact",
+    "w10_monthly_sample", "w11b_adjusted_diff",
+    # composites — exact oracles, first driver window appearance
+    "pipeline_quality_filter", "pipeline_dedup_survivors",
+    "pipeline_revenue_topk", "pipeline_region_revenue",
     # audits / streaming
     "f4_snapshot_audit", "stream_bars_1min",
     # LLM-pipeline operators
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_simhash_md5",
+    "dedup_ngram_jaccard", "dedup_simhash_md5",
     "dedup_minhash_md5", "dedup_simhash_hamming_md5",
     "dedup_components_star",
-    "txt_contamination", "txt_features", "txt_winnowing",
+    "txt_contamination", "txt_winnowing",
     "txt_repetition", "txt_pii_redact", "txt_vocab_topk",
     "dedup_embedding_pairs", "ann_cosine_topk", "emb_centroid_outliers",
     "mm_image_features", "mm_video_frames",
     "smp_hash_split", "smp_mixture_resample", "smp_source_quota",
     "smp_token_budget",
-    # ---- position 51+: double-green history, sibling-covered, composite,
+    # ---- position 51+: triple/double-green history, sibling-covered,
     # ---- or rows-only (no oracle) ----
+    "a1_watermark_per_key", "o3_topk_worst", "w5_rolling_mean",
+    "w6_argmax_cross_section", "w9_expand_calendar",
+    "j7_code_extract_join", "j11_argmax_latest_per_key",
+    "j13_incremental_ranges", "txt_features", "dedup_exact",
     "w11_adjusted_continuous", "w1_rank_returns", "j8_interval_join",
     "dedup_components", "w3_cum_chain", "w12_pivot_status",
-    "p4_inlist_semijoin", "a2_agg_rollup", "a8_median_cross_section",
+    "p4_inlist_semijoin", "a2_agg_rollup",
     "a9_describe", "a13_sessionize", "j5_anti_join_new_codes",
     "a7_two_level_agg", "j9_asof_last_report",
-    "u1_union_distinct", "w2_lead_lag_gaps", "w4_ffill",
-    "w10_monthly_sample",
-    "ann_ivf_topk", "pipeline_quality_filter", "pipeline_dedup_survivors",
-    "pipeline_revenue_topk", "pipeline_region_revenue", "txt_corpus_stats",
+    "ann_ivf_topk", "txt_corpus_stats",
     "w8_quarterize", "u4_membership_changepoints", "dedup_minhash_lsh",
     "dedup_simhash", "ann_lsh_topk", "dedup_simhash_hamming",
     "smp_pack_sequences",
