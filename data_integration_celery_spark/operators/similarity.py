@@ -272,13 +272,46 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .select("query_id", "rank", "cand_id", "cos_sim"))
 
 
-def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
-    """Random-hyperplane LSH bucket id: sign bits of ⟨v, p⟩ per plane."""
+def hyperplane_projections(vec: Column, planes: list[list[float]]) -> Column:
+    """All P hyperplane projections ⟨v, p_i⟩ as one array<double> column.
+
+    Each projection is a flat primitive fold (transform with positional
+    index into the plane literal, then aggregate) — measured faster than
+    both the zip_with form and a column-major struct-accumulator single
+    pass (interpreted struct allocation per element costs more than P
+    separate primitive folds; see NOTES.md round-4 microbench). Per-plane
+    accumulation order over positions is ascending j, so projection values
+    are bit-identical to the historical zip_with form.
+    """
+    projs = []
+    for p in planes:
+        lit = F.array(*[F.lit(float(x)) for x in p])
+        projs.append(F.aggregate(
+            F.transform(vec, lambda x, j: x.cast("double")
+                        * F.element_at(lit, j + 1)),
+            F.lit(0.0), lambda acc, v: acc + v))
+    return F.array(*projs)
+
+
+def hyperplane_signature(vec: Column, planes: list[list[float]],
+                         projections: Column | None = None) -> Column:
+    """Random-hyperplane LSH bucket id: sign bits of ⟨v, p⟩ per plane.
+
+    Pass ``projections`` (from :func:`hyperplane_projections`, materialized
+    via ``withColumn``) to derive the bucket from an already-computed
+    projection column instead of re-folding the vector."""
+    if projections is not None:
+        out = F.lit(0).cast("long")
+        for i in range(len(planes)):
+            out = out + F.when(F.element_at(projections, i + 1) > 0,
+                               F.lit(2 ** i)).otherwise(F.lit(0))
+        return out
     out = F.lit(0).cast("long")
     for i, p in enumerate(planes):
+        lit = F.array(*[F.lit(float(x)) for x in p])
         proj = F.aggregate(
-            F.zip_with(vec, F.array(*[F.lit(float(x)) for x in p]),
-                       lambda x, y: x.cast("double") * y),
+            F.transform(vec, lambda x, j: x.cast("double")
+                        * F.element_at(lit, j + 1)),
             F.lit(0.0), lambda acc, v: acc + v)
         out = out + F.when(proj > 0, F.lit(2 ** i)).otherwise(F.lit(0))
     return out
@@ -315,16 +348,13 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, planes: list[list[float]],
              .withColumn("bucket0", hyperplane_signature(F.col("qv"), planes)))
     if max_probes is not None:
         budget = min(max_probes, len(planes))
-        # |projection| per plane, ranked ascending — flip the closest planes
-        projs = F.array(*[
-            F.struct(
-                F.abs(F.aggregate(
-                    F.zip_with(F.col("qv"),
-                               F.array(*[F.lit(float(x)) for x in p]),
-                               lambda x, y: x.cast("double") * y),
-                    F.lit(0.0), lambda acc, v: acc + v)).alias("a"),
-                F.lit(i).alias("i"))
-            for i, p in enumerate(planes)])
+        # one projection array per query row; both the |proj| ranking and
+        # bucket0 could share it, but bucket0 stays an independent fold —
+        # Catalyst inlines withColumn refs (no interpreted-mode CSE), so
+        # "sharing" a column would duplicate the array build per reference
+        projs = F.transform(
+            hyperplane_projections(F.col("qv"), planes),
+            lambda p, i: F.struct(F.abs(p).alias("a"), i.alias("i")))
         pow2 = F.array(*[F.lit(2 ** i).cast("long") for i in range(len(planes))])
         flips = F.transform(
             F.slice(F.array_sort(projs), 1, budget),
