@@ -47,8 +47,10 @@ def replicate_incremental(spark: SparkSession, source: DataFrame,
 
     Reference: copy daily/min tables to the vnpy schema, whole-table first
     then `where datetime > (select max(datetime) from target)`
-    (tasks/wind/future.py:724-937). Here target is a parquet path; swap the
-    read/write for spark.read.jdbc/write.jdbc against a real secondary DB.
+    (tasks/wind/future.py:724-937). Here target is a parquet path (lake-to-
+    lake replication); the real-DB path is sinks.jdbc.replicate_jdbc_incremental
+    / export_bars_jdbc, exercised end-to-end against embedded Derby in
+    tests/test_jdbc_replication.py.
     """
     df = transform(source) if transform else source
     try:

@@ -1,0 +1,204 @@
+"""Real JDBC replication sinks (SURVEY S9) against an embedded Derby DB.
+
+The reference replicates market-data tables into two secondary MySQL
+schemas:
+
+- vnpy trading schema: per-code SELECT with column renames and a
+  ``close <> 0`` filter, constant symbol/exchange/interval columns, then
+  delete-and-replace of any symbol whose target row count differs
+  (/root/reference tasks/wind/future.py:724-771);
+- model-server schema: per-code high-watermark increments —
+  ``trade_date > (select max(trade_date) from target)`` plus the same
+  ``close <> 0`` filter (tasks/wind/future.py:775-817).
+
+Spark-first re-expression: no per-code driver loop — ONE ``read.jdbc`` /
+``write.jdbc`` pair per call, with the watermark computed per key in a
+single aggregation and the incremental predicate pushed down to the scan
+(visible as ``PushedFilters`` in the physical plan). Derby ships inside
+the pyspark distribution (``derby-*.jar`` on the driver/executor
+classpath) and Spark has a built-in DerbyDialect, so the tests exercise a
+genuine JDBC round trip, not a parquet stand-in. Against MySQL/Postgres
+only the URL/driver pair changes.
+
+Scale note: ``write.jdbc`` issues batched INSERTs from every partition in
+parallel — the bottleneck at 100 TB is the receiving DB, so callers
+should ``coalesce`` to the DB's comfortable connection count (the
+reference's single-threaded pandas ``to_sql`` is the degenerate case).
+Reads partition on a numeric column when given ``(column, lower, upper,
+n)`` bounds; the tiny control reads here (watermarks, counts) stay
+single-partition on purpose.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def derby_url(db_dir: str) -> str:
+    """Embedded-Derby JDBC url rooted at ``db_dir`` (created on first use)."""
+    return f"jdbc:derby:{db_dir};create=true"
+
+
+def _props(driver: str = DERBY_DRIVER) -> dict[str, str]:
+    return {"driver": driver}
+
+
+def _write(df: DataFrame, url: str, table: str,
+           driver: str = DERBY_DRIVER, mode: str = "append") -> None:
+    """JDBC append that creates comparable string columns.
+
+    Spark's DerbyDialect maps StringType to CLOB, and Derby cannot compare
+    CLOB with CHAR — which breaks every pushed-down string predicate and
+    DELETE ... WHERE on the replicated table. On table creation, override
+    string columns to VARCHAR(255) via ``createTableColumnTypes``
+    (dialect-portable: the option is parsed as Spark DDL, not vendor SQL).
+    """
+    strings = [f"`{f.name}` VARCHAR(255)" for f in df.schema.fields
+               if f.dataType.typeName() == "string"]
+    w = (df.write.format("jdbc")
+         .option("url", url).option("dbtable", table)
+         .option("driver", driver).mode(mode))
+    if strings:
+        w = w.option("createTableColumnTypes", ", ".join(strings))
+    w.save()
+
+
+@contextmanager
+def _driver_connection(spark: SparkSession, url: str,
+                       driver: str = DERBY_DRIVER):
+    """Raw java.sql connection on the driver for DDL/DELETE statements that
+    the DataFrame writer API cannot express (Spark's JDBC sink only INSERTs
+    or drops whole tables)."""
+    jvm = spark._jvm
+    jvm.java.lang.Class.forName(driver)
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        yield conn
+    finally:
+        conn.close()
+
+
+def table_exists(spark: SparkSession, url: str, table: str,
+                 driver: str = DERBY_DRIVER) -> bool:
+    """Existence probe via JDBC DatabaseMetaData (portable across dialects —
+    no subquery/FETCH syntax assumptions)."""
+    with _driver_connection(spark, url, driver) as conn:
+        rs = conn.getMetaData().getTables(None, None, table, None)
+        try:
+            return rs.next()
+        finally:
+            rs.close()
+
+
+def read_table(spark: SparkSession, url: str, table: str,
+               driver: str = DERBY_DRIVER) -> DataFrame:
+    return spark.read.jdbc(url, table, properties=_props(driver))
+
+
+def replicate_jdbc_incremental(spark: SparkSession, source: DataFrame,
+                               url: str, table: str, watermark_col: str,
+                               key_col: str | None = None,
+                               transform=None,
+                               driver: str = DERBY_DRIVER) -> int:
+    """High-watermark incremental copy into a JDBC table (S9).
+
+    First call copies the whole (transformed) source and lets Spark create
+    the table; subsequent calls append only rows past the watermark. With
+    ``key_col`` the watermark is tracked PER KEY (the reference's per-code
+    ``max(trade_date)`` loop, tasks/wind/future.py:788-801) via one
+    aggregation on the target and a broadcast anti-condition join — new
+    keys flow whole, existing keys flow incrementally, in one pass.
+
+    Returns the number of rows shipped. The incremental predicate is a
+    plain ``>`` comparison on source columns, so Catalyst pushes it into
+    the source scan (parquet or JDBC) — asserted in
+    tests/test_jdbc_replication.py.
+    """
+    df = transform(source) if transform else source
+    if not table_exists(spark, url, table, driver):
+        n = df.count()
+        _write(df, url, table, driver)
+        return n
+    target = read_table(spark, url, table, driver)
+    if key_col is None:
+        current_max = target.agg(F.max(watermark_col)).collect()[0][0]
+        if current_max is not None:
+            df = df.where(F.col(watermark_col) > F.lit(current_max))
+    else:
+        wm = (target.groupBy(key_col)
+              .agg(F.max(watermark_col).alias("__wm")))
+        df = (df.join(F.broadcast(wm), key_col, "left")
+              .where(F.col("__wm").isNull()
+                     | (F.col(watermark_col) > F.col("__wm")))
+              .drop("__wm"))
+    n = df.count()
+    if n:
+        _write(df, url, table, driver)
+    return n
+
+
+def export_bars_jdbc(spark: SparkSession, source: DataFrame, url: str,
+                     table: str, code_col: str, rename_map: dict[str, str],
+                     exchange_map: dict[str, str] | None = None,
+                     interval: str = "1d", nonzero_col: str | None = "close",
+                     driver: str = DERBY_DRIVER) -> int:
+    """vnpy-schema bar export (tasks/wind/future.py:724-771), set-based.
+
+    Shapes the source like the reference's per-code SELECT: columns renamed
+    via ``rename_map``, ``close <> 0`` rows dropped, ``symbol``/``exchange``
+    (exchange code mapped through ``exchange_map``) and ``interval`` columns
+    added from ``code_col`` (format ``SYMBOL.EXCHANGE``). Refresh semantics
+    match the reference: a symbol whose target row count already equals its
+    source count is left untouched; otherwise its rows are deleted and
+    re-inserted — but computed for ALL symbols in one count-aggregation
+    diff, then one batched DELETE and one ``write.jdbc`` append for just
+    the changed symbols. Returns rows written.
+    """
+    shaped = source
+    if nonzero_col is not None:
+        shaped = shaped.where(F.col(nonzero_col) != 0)
+    shaped = shaped.select(
+        *[F.col(src).alias(dst) for src, dst in rename_map.items()],
+        F.split(F.col(code_col), r"\.").getItem(0).alias("symbol"),
+        F.split(F.col(code_col), r"\.").getItem(1).alias("exchange"))
+    if exchange_map:
+        mapping = F.create_map(
+            *[F.lit(x) for kv in exchange_map.items() for x in kv])
+        shaped = shaped.withColumn(
+            "exchange", F.coalesce(mapping[F.col("exchange")],
+                                   F.col("exchange")))
+    shaped = shaped.withColumn("interval", F.lit(interval))
+
+    if not table_exists(spark, url, table, driver):
+        n = shaped.count()
+        _write(shaped, url, table, driver)
+        return n
+
+    src_counts = shaped.groupBy("symbol").agg(F.count(F.lit(1)).alias("__n"))
+    tgt = read_table(spark, url, table, driver).where(
+        F.col("interval") == interval)
+    tgt_counts = tgt.groupBy("symbol").agg(F.count(F.lit(1)).alias("__m"))
+    changed = [r["symbol"] for r in
+               (src_counts.join(tgt_counts, "symbol", "left")
+                .where(F.col("__m").isNull() | (F.col("__m") != F.col("__n")))
+                .select("symbol").collect())]
+    if not changed:
+        return 0
+    with _driver_connection(spark, url, driver) as conn:
+        st = conn.prepareStatement(
+            f'DELETE FROM {table} WHERE "symbol" = ? AND "interval" = ?')
+        for sym in changed:
+            st.setString(1, sym)
+            st.setString(2, interval)
+            st.addBatch()
+        st.executeBatch()
+        st.close()
+    out = shaped.where(F.col("symbol").isin(changed))
+    n = out.count()
+    _write(out, url, table, driver)
+    return n

@@ -1,0 +1,124 @@
+"""S9 real-JDBC replication against embedded Derby (sinks/jdbc.py).
+
+Mirrors the reference's two secondary-schema exports
+(/root/reference tasks/wind/future.py:724-817): whole-then-incremental
+watermark parity, per-key watermarks, pushdown of the incremental filter,
+and the vnpy delete-and-replace-if-changed refresh.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from data_integration_celery_spark.sinks import jdbc as J
+
+
+def _bars(spark, rows):
+    return spark.createDataFrame(
+        [Row(wind_code=c, trade_date=dt.date.fromisoformat(d),
+             open=o, high=o + 1.0, low=o - 1.0, close=cl,
+             volume=100.0, position=10.0)
+         for c, d, o, cl in rows])
+
+
+BASE = [
+    ("RB2401.SHF", "2024-01-02", 10.0, 11.0),
+    ("RB2401.SHF", "2024-01-03", 11.0, 12.0),
+    ("RB2401.SHF", "2024-01-04", 12.0, 0.0),   # close==0: must be dropped
+    ("CU2402.SHF", "2024-01-02", 70.0, 71.0),
+    ("AP2403.CZC", "2024-01-02", 8.0, 9.0),
+]
+
+
+def test_incremental_roundtrip_and_pushdown(spark, tmp_path):
+    url = J.derby_url(str(tmp_path / "md"))
+    src1 = _bars(spark, BASE).where(F.col("close") != 0)
+    n1 = J.replicate_jdbc_incremental(
+        spark, src1, url, "FUT_DAILY", watermark_col="trade_date")
+    assert n1 == 4
+    assert J.read_table(spark, url, "FUT_DAILY").count() == 4
+
+    # second run with two new rows + one stale row (below watermark)
+    extra = [("RB2401.SHF", "2024-01-05", 13.0, 14.0),
+             ("CU2402.SHF", "2024-01-05", 72.0, 73.0),
+             ("CU2402.SHF", "2024-01-01", 69.0, 70.0)]  # stale, skipped
+    src2 = _bars(spark, BASE + extra).where(F.col("close") != 0)
+    n2 = J.replicate_jdbc_incremental(
+        spark, src2, url, "FUT_DAILY", watermark_col="trade_date")
+    assert n2 == 2
+    got = J.read_table(spark, url, "FUT_DAILY")
+    assert got.count() == 6
+    # parity with a from-scratch filtered copy, minus the stale row
+    want = {(r["wind_code"], str(r["trade_date"]))
+            for r in src2.where(F.col("trade_date") > dt.date(2024, 1, 1))
+            .collect()}
+    assert {(r["wind_code"], str(r["trade_date"]))
+            for r in got.collect()} == want
+
+    # the global-watermark incremental predicate must reach the source scan
+    current_max = dt.date(2024, 1, 4)
+    plan = (src2.where(F.col("trade_date") > F.lit(current_max))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "trade_date" in plan
+
+
+def test_incremental_per_key_watermark(spark, tmp_path):
+    url = J.derby_url(str(tmp_path / "mdk"))
+    src1 = _bars(spark, BASE[:2]).where(F.col("close") != 0)  # RB only
+    J.replicate_jdbc_incremental(spark, src1, url, "FUT_K",
+                                 watermark_col="trade_date",
+                                 key_col="wind_code")
+    # RB gains one newer row; CU is a brand-new key (flows whole);
+    # RB's 01-02 row is already there (skipped per-key)
+    src2 = _bars(spark, BASE[:2] + [
+        ("RB2401.SHF", "2024-01-05", 13.0, 14.0),
+        ("CU2402.SHF", "2024-01-02", 70.0, 71.0),
+        ("CU2402.SHF", "2024-01-03", 71.0, 72.0)])
+    n = J.replicate_jdbc_incremental(spark, src2, url, "FUT_K",
+                                     watermark_col="trade_date",
+                                     key_col="wind_code")
+    assert n == 3
+    got = J.read_table(spark, url, "FUT_K")
+    assert got.count() == 5
+    per_key = {r["wind_code"]: r["n"] for r in
+               got.groupBy("wind_code").agg(F.count("*").alias("n")).collect()}
+    assert per_key == {"RB2401.SHF": 3, "CU2402.SHF": 2}
+
+
+RENAME = {"trade_date": "datetime", "open": "open_price", "high": "high_price",
+          "low": "low_price", "close": "close_price", "volume": "volume",
+          "position": "open_interest"}
+EXCHANGE_MAP = {"SHF": "SHFE", "CZC": "CZCE"}
+
+
+def test_vnpy_export_replace_if_changed(spark, tmp_path):
+    url = J.derby_url(str(tmp_path / "vnpy"))
+    src = _bars(spark, BASE)
+    n = J.export_bars_jdbc(spark, src, url, "DBBARDATA",
+                           code_col="wind_code", rename_map=RENAME,
+                           exchange_map=EXCHANGE_MAP)
+    assert n == 4  # close==0 row dropped
+    got = J.read_table(spark, url, "DBBARDATA")
+    row = got.where(F.col("symbol") == "AP2403").collect()[0]
+    assert row["exchange"] == "CZCE" and row["interval"] == "1d"
+    assert row["open_price"] == 8.0 and row["close_price"] == 9.0
+
+    # unchanged source: every symbol's count matches -> nothing written
+    assert J.export_bars_jdbc(spark, src, url, "DBBARDATA",
+                              code_col="wind_code", rename_map=RENAME,
+                              exchange_map=EXCHANGE_MAP) == 0
+
+    # one symbol gains a row -> only that symbol is deleted+rewritten
+    src2 = _bars(spark, BASE + [("RB2401.SHF", "2024-01-05", 13.0, 14.0)])
+    n2 = J.export_bars_jdbc(spark, src2, url, "DBBARDATA",
+                            code_col="wind_code", rename_map=RENAME,
+                            exchange_map=EXCHANGE_MAP)
+    assert n2 == 3  # RB2401's three nonzero-close rows
+    got2 = J.read_table(spark, url, "DBBARDATA")
+    assert got2.count() == 5
+    assert got2.where(F.col("symbol") == "RB2401").count() == 3
+    # untouched symbols kept exactly one copy
+    assert got2.where(F.col("symbol") == "CU2402").count() == 1
