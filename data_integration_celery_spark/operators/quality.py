@@ -215,3 +215,74 @@ def completeness_anti_join(expected: DataFrame, actual: DataFrame,
     """Keys expected but absent from the data — missing-contract check
     (tasks/tushare/tushare_future/continuse_contract_md.py:449-478)."""
     return expected.join(actual.select(key).distinct(), on=key, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# U5: cross-store schema reconciliation
+# ---------------------------------------------------------------------------
+
+_CANON_TYPES = {
+    "string": "varchar", "int": "integer", "long": "bigint",
+    "bigint": "bigint", "short": "smallint", "byte": "tinyint",
+    "float": "real", "timestamp_ntz": "timestamp",
+}
+
+
+def canonical_type(spark_simple: str) -> str:
+    """Engine-neutral SQL type name for a Spark ``simpleString`` type, the
+    same vocabulary ``lower(information_schema.columns.data_type)`` yields
+    in ANSI stores — so two engines' schemas compare textually."""
+    return _CANON_TYPES.get(spark_simple, spark_simple)
+
+
+def reconcile_schemas(spark, schema_a, schema_b,
+                      match_pairs: list[tuple[str, str]] | None = None
+                      ) -> DataFrame:
+    """U5: diff two table schemas into an action list (reference
+    ``check_match_column``, /root/reference tasks/utils/to_sqlite.py:771-830).
+
+    Columns match case-insensitively by name OR through the symmetric
+    ``match_pairs`` alias map (the reference pre-seeds trade_date↔Date,
+    vol↔Volume), consuming each right-hand column at most once in left
+    positional order (the reference's greedy loop). Output one row per
+    column of either side:
+
+    - matched + same canonical type  -> action 'ok'
+    - matched + differing types      -> action 'cast'  (the reference's
+      manual ALTER step; types via :func:`canonical_type`)
+    - left-only                      -> status 'a_only', action 'add_to_b'
+    - right-only                     -> status 'b_only', action 'add_to_a'
+
+    Schemas are driver-side metadata (O(columns), never data), so this
+    builds rows in Python and returns a DataFrame for composition with the
+    audit queries; at 100 TB nothing changes.
+    """
+    alias: dict[str, set[str]] = {}
+    for x, y in (match_pairs or []):
+        alias.setdefault(x.lower(), set()).add(y.lower())
+        alias.setdefault(y.lower(), set()).add(x.lower())
+
+    a_fields = [(i, f.name, canonical_type(f.dataType.simpleString()))
+                for i, f in enumerate(schema_a.fields)]
+    b_left = {i: (f.name, canonical_type(f.dataType.simpleString()))
+              for i, f in enumerate(schema_b.fields)}
+    rows = []
+    for pos_a, col_a, type_a in a_fields:
+        targets = alias.get(col_a.lower(), set())
+        hit = next((i for i, (n, _) in sorted(b_left.items())
+                    if n.lower() == col_a.lower() or n.lower() in targets),
+                   None)
+        if hit is None:
+            rows.append((col_a, pos_a, type_a, None, None, None,
+                         "a_only", "add_to_b"))
+        else:
+            col_b, type_b = b_left.pop(hit)
+            rows.append((col_a, pos_a, type_a, col_b, hit, type_b,
+                         "matched", "ok" if type_a == type_b else "cast"))
+    for pos_b, (col_b, type_b) in sorted(b_left.items()):
+        rows.append((None, None, None, col_b, pos_b, type_b,
+                     "b_only", "add_to_a"))
+    return spark.createDataFrame(
+        rows, "col_a string, pos_a int, type_a string, "
+              "col_b string, pos_b int, type_b string, "
+              "status string, action string")

@@ -2454,6 +2454,58 @@ def smp_token_budget_q(spark, sf_dir):
     return out.select("doc_id", "n_chars", "n_tokens", "cum_tokens")
 
 
+@q("u5_schema_reconcile",
+   sql="""
+   WITH a AS (
+     SELECT CAST(ordinal_position - 1 AS INTEGER) AS pos_a,
+            column_name AS col_a, lower(data_type) AS type_a
+     FROM information_schema.columns WHERE table_name = 'orders'),
+   b AS (
+     SELECT CAST(ordinal_position - 1 AS INTEGER) AS pos_b,
+            column_name AS col_b, lower(data_type) AS type_b
+     FROM information_schema.columns WHERE table_name = 'lineitem'),
+   alias_map AS (
+     SELECT * FROM (VALUES
+       ('o_orderkey', 'l_orderkey'),
+       ('o_totalprice', 'l_extendedprice'),
+       ('o_orderdate', 'l_shipdate'),
+       ('o_orderstatus', 'l_linenumber')) t(ca, cb)),
+   ax AS (
+     SELECT pos_a, col_a, type_a,
+            coalesce(m.cb, lower(col_a)) AS canon
+     FROM a LEFT JOIN alias_map m ON m.ca = lower(col_a))
+   SELECT col_a, pos_a, type_a, col_b, pos_b, type_b,
+          CASE WHEN col_a IS NULL THEN 'b_only'
+               WHEN col_b IS NULL THEN 'a_only'
+               ELSE 'matched' END AS status,
+          CASE WHEN col_a IS NULL THEN 'add_to_a'
+               WHEN col_b IS NULL THEN 'add_to_b'
+               WHEN type_a = type_b THEN 'ok'
+               ELSE 'cast' END AS action
+   FROM ax FULL OUTER JOIN b ON ax.canon = lower(b.col_b)
+   ORDER BY status, pos_a, pos_b
+   """,
+   doc="U5 schema reconciliation (reference check_match_column, "
+       "tasks/utils/to_sqlite.py:771-830): greedy case-insensitive column "
+       "matching with a symmetric alias map, typed action list out "
+       "(ok/cast/add_to_*). Oracle recomputes it relationally from DuckDB "
+       "information_schema.columns — alias names are unique here, so the "
+       "greedy loop degenerates to the equi-join the SQL does. Exercises "
+       "all four outcomes: 3 ok, 1 cast (varchar vs integer), 2 a_only, "
+       "7 b_only.")
+def u5_schema_reconcile_q(spark, sf_dir):
+    from .operators import quality
+    out = quality.reconcile_schemas(
+        spark,
+        _t(spark, sf_dir, "orders").schema,
+        _t(spark, sf_dir, "lineitem").schema,
+        match_pairs=[("o_orderkey", "l_orderkey"),
+                     ("o_totalprice", "l_extendedprice"),
+                     ("o_orderdate", "l_shipdate"),
+                     ("o_orderstatus", "l_linenumber")])
+    return out.orderBy("status", "pos_a", "pos_b")
+
+
 # --------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate checks only a prefix of
 # the registry (the first 50 entries), so order by *marginal* evidence value.
@@ -2503,6 +2555,7 @@ QUERY_PRIORITY: list[str] = [
     "mm_image_features", "mm_video_frames",
     "smp_hash_split", "smp_mixture_resample", "smp_source_quota",
     "smp_token_budget",
+    "u5_schema_reconcile",
     # ---- position 51+: triple/double-green history, sibling-covered,
     # ---- or rows-only (no oracle) ----
     "a1_watermark_per_key", "o3_topk_worst", "w5_rolling_mean",

@@ -113,3 +113,39 @@ def test_quarterize_exact_all_null_group(spark):
     out = quality.quarterize_exact(df, "code", "report_date", "revenue")
     for r in out.collect():
         assert r["value_filled"] is None and r["season"] is None
+
+
+def test_reconcile_schemas_greedy_alias(spark):
+    from pyspark.sql.types import (StructType, StructField, StringType,
+                                   LongType, DoubleType, DateType)
+    a = StructType([StructField("trade_date", DateType()),
+                    StructField("vol", DoubleType()),
+                    StructField("Close", DoubleType()),
+                    StructField("extra_a", StringType())])
+    b = StructType([StructField("Date", DateType()),
+                    StructField("Volume", LongType()),
+                    StructField("close", StringType()),
+                    StructField("extra_b", StringType())])
+    out = quality.reconcile_schemas(
+        spark, a, b,
+        match_pairs=[("trade_date", "Date"), ("vol", "Volume")])
+    rows = {r["col_a"] or r["col_b"]: r for r in out.collect()}
+    # alias-map matches (the reference's pre-seeded pairs)
+    assert rows["trade_date"]["col_b"] == "Date"
+    assert rows["trade_date"]["action"] == "ok"
+    # alias match with differing types -> cast
+    assert rows["vol"]["col_b"] == "Volume"
+    assert rows["vol"]["type_a"] == "double"
+    assert rows["vol"]["type_b"] == "bigint"
+    assert rows["vol"]["action"] == "cast"
+    # case-insensitive name match
+    assert rows["Close"]["col_b"] == "close"
+    assert rows["Close"]["action"] == "cast"  # double vs varchar
+    # one-sided columns
+    assert rows["extra_a"]["status"] == "a_only"
+    assert rows["extra_a"]["action"] == "add_to_b"
+    assert rows["extra_b"]["status"] == "b_only"
+    assert rows["extra_b"]["action"] == "add_to_a"
+    # greedy consumption: each B column used at most once
+    assert out.where("col_b is not null").groupBy("col_b").count() \
+              .where("count > 1").count() == 0
