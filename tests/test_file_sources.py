@@ -89,10 +89,16 @@ def test_pytdx_gpcw_parse_schema_and_values(spark, tmp_path):
     }
     pytdx_fin.make_gpcw_zip(str(zdir / "gpcw20210331.zip"), rd, recs)
     df = pytdx_fin.read_stock_fin(spark, str(zdir / "*.zip"))
-    assert df.columns == ["ts_code", "report_date", "EPS", "deductEPS",
-                          "undistributedProfitPerShare", "netAssetsPerShare",
-                          "capitalReservePerShare", "ROE",
-                          "operatingCashFlowPerShare", "moneyFunds"]
+    # one stable wide schema from the full 282-field declarative mapping
+    assert len(df.columns) == 2 + 282
+    assert df.columns[:12] == ["ts_code", "report_date", "EPS", "deductEPS",
+                               "undistributedProfitPerShare",
+                               "netAssetsPerShare", "capitalReservePerShare",
+                               "ROE", "operatingCashFlowPerShare",
+                               "moneyFunds", "tradingFinancialAssets",
+                               "billsReceivables"]
+    assert df.columns[-1] == "nonEPSSingle"  # field 282
+    assert dict(df.dtypes)["EPS"] == "double"
     rows = {r["ts_code"]: r for r in df.collect()}
     assert set(rows) == {"600000.SH", "000001.SZ"}
     sh = rows["600000.SH"]
@@ -100,6 +106,9 @@ def test_pytdx_gpcw_parse_schema_and_values(spark, tmp_path):
     assert abs(sh["EPS"] - 0.5) < 1e-6
     assert abs(sh["ROE"] - 0.11) < 1e-6
     assert abs(sh["moneyFunds"] - 1e6) < 1e-3
+    assert abs(sh["tradingFinancialAssets"] - 7.7) < 1e-6  # field 9, now named
+    assert sh["totalLiquidAssets"] is None  # field 21: absent in a 10-field file
+    assert sh["nonEPSSingle"] is None
     sz = rows["000001.SZ"]
     assert abs(sz["deductEPS"] - 0.2) < 1e-6
 
