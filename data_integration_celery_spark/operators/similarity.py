@@ -198,6 +198,9 @@ def ivf_build(corpus: DataFrame, n_centroids: int = 16, iters: int = 3,
     centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
     sc = corpus.sparkSession.sparkContext
 
+    # every Lloyd iteration re-reads the corpus (assign + centroid update);
+    # persist once for the loop so `iters` passes scan parquet exactly once
+    corpus = corpus.persist()
     assignments = None
     for it in range(iters):
         bc = sc.broadcast(centroids)
@@ -228,6 +231,11 @@ def ivf_build(corpus: DataFrame, n_centroids: int = 16, iters: int = 3,
             n = np.linalg.norm(v)
             if n > 0:
                 centroids[int(row["bucket"])] = v / n
+    # materialize the index (it IS the product — at scale it would be
+    # written to storage) so the corpus cache can be released
+    assignments = assignments.persist()
+    assignments.count()
+    corpus.unpersist()
     return assignments, centroids
 
 

@@ -91,6 +91,9 @@ def recover_table(spark, path: str) -> str:
         _hadoop_rm(spark, staging)
         spark.catalog.refreshByPath(path)
         return "restored"
+    # Neither target nor backup: crash during the very first staging write.
+    # Clean the orphaned staging dir instead of leaving it for the next write.
+    _hadoop_rm(spark, staging)
     return "noop"
 
 
@@ -122,14 +125,15 @@ def write_upsert(spark, updates: DataFrame, path: str, keys: list[str],
     path = path.rstrip("/")
     recover_table(spark, path)
     staging, backup = path + _STAGING, path + _BACKUP
-    try:
-        base = spark.read.parquet(path)
-    except Exception:
+    # branch on existence, not on read failure: a transient read error on an
+    # EXISTING table must propagate, not silently rename staging onto it
+    if not _exists(spark, path):
         # First write: publish via staging+rename too, so a crashed initial
         # load can never leave a partial table at the target path.
         updates.drop(order_col).write.mode("overwrite").parquet(staging)
         _rename(spark, staging, path)
         return
+    base = spark.read.parquet(path)
     merged = upsert_frames(base, updates, keys, order_col)
     merged.write.mode("overwrite").parquet(staging)
     _rename(spark, path, backup)

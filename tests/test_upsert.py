@@ -2,6 +2,8 @@
 ``_test_bunch_insert_sqlite`` (/root/reference tasks/utils/to_sqlite.py:650-687):
 insert N rows, upsert an overlapping batch, assert final values per PK."""
 
+from pyspark.sql import functions as F
+
 from data_integration_celery_spark.operators import upsert
 
 
@@ -172,3 +174,31 @@ def test_partitioned_upsert_idempotent_replay(spark, tmp_path):
                                         keys=["code", "d"], partition_cols=["d"])
     got = {(r["code"], r["d"]): r["v"] for r in spark.read.parquet(path).collect()}
     assert got == {("a", 1): 7.0, ("b", 2): 2.0}
+
+
+def test_recover_noop_cleans_orphan_staging(spark, tmp_path):
+    """Crash during the very first staging write (no target, no backup):
+    recovery must remove the orphaned __staging dir, not leave it for the
+    next writer."""
+    import os
+    path = str(tmp_path / "t_orphan")
+    staging = path + "__staging"
+    os.makedirs(staging)
+    open(os.path.join(staging, "part-00000.parquet"), "wb").write(b"junk")
+    assert upsert.recover_table(spark, path) == "noop"
+    assert not os.path.exists(staging)
+
+
+def test_write_upsert_propagates_read_error_on_existing_target(spark, tmp_path):
+    """A corrupt EXISTING target must surface the read error, not silently
+    take the first-write path and rename staging over it."""
+    import os
+    import pytest
+    path = str(tmp_path / "t_corrupt")
+    os.makedirs(path)
+    open(os.path.join(path, "part-00000.parquet"), "wb").write(b"not parquet")
+    df = spark.range(3).withColumn("batch_id", F.lit(1))
+    with pytest.raises(Exception):
+        upsert.write_upsert(spark, df, path, keys=["id"])
+    # the corrupt target is still in place — nothing was renamed over it
+    assert os.path.exists(os.path.join(path, "part-00000.parquet"))
