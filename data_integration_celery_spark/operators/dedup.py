@@ -119,23 +119,46 @@ def lsh_params(num_hashes: int, threshold: float,
     return best[1], best[2]
 
 
-def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
-                           id_col: str = "doc_id", num_hashes: int = 32,
-                           bands: int = 8) -> DataFrame:
-    """LSH candidate pairs: docs sharing any band of the minhash signature.
+def _perm_hash_xxhash64(s: Column, i: int) -> Column:
+    """Permutation i's shingle hash, production form: seeded 64-bit JVM hash."""
+    return F.xxhash64(s, F.lit(i))
 
-    rows_per_band = num_hashes/bands; a band's bucket key is the hash of its
-    signature slice. Self-join per (band, bucket) → (id_a < id_b) pairs with
-    the estimated Jaccard (fraction of matching minhashes).
+
+def _perm_hash_md5(s: Column, i: int) -> Column:
+    """Permutation i's shingle hash, engine-portable twin: STRING
+    md5('i:' || s) — lexicographic min is identical on any engine."""
+    return F.md5(F.concat(F.lit(f"{i}:"), s))
+
+
+def _bucket_hash_xxhash64(parts: list[Column]) -> Column:
+    return F.xxhash64(F.concat_ws(",", *[p.cast("string") for p in parts]))
+
+
+def _bucket_hash_md5(parts: list[Column]) -> Column:
+    return F.md5(F.concat_ws(",", *[p.cast("string") for p in parts]))
+
+
+def minhash_banded_pairs(docs: DataFrame, text_col: str, id_col: str,
+                         num_hashes: int, bands: int,
+                         perm_hash, bucket_hash) -> DataFrame:
+    """THE MinHash+LSH banding construction, hash-family-agnostic — the
+    single code path behind ``minhash_lsh_candidates`` (xxhash64) and
+    ``minhash_lsh_candidates_md5`` (md5 oracle twin), so the two can never
+    drift (tests/test_property.py pins wrapper ≡ builder per family).
+
+    ``perm_hash(shingle, i)`` hashes a shingle under permutation i;
+    ``bucket_hash(cols)`` keys a band's signature slice. Postings →
+    codegen'd per-permutation min-aggregates (one shuffle on the doc id,
+    map-side partials) → banded explode → equi-join on (band, bucket) —
+    only colliding bands ever shuffle, never documents² — → distinct
+    (id_a < id_b) pairs with est_jaccard = fraction of matching minhashes.
     """
     r = num_hashes // bands
-    # signature via postings + codegen'd min-aggregates — the higher-order
-    # array expressions evaluate interpreted and are ~5-7x slower at corpus
-    # scale; the posting form is one shuffle on the doc id with map-side
-    # partial mins.
+    if r * bands != num_hashes:
+        raise ValueError("bands must divide num_hashes")
     exploded = shingle_postings(docs, text_col, id_col)
     sig = (exploded.groupBy(id_col)
-           .agg(*[F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}")
+           .agg(*[F.min(perm_hash(F.col("s"), i)).alias(f"h{i}")
                   for i in range(num_hashes)])
            .select(id_col, F.array(*[F.col(f"h{i}")
                                      for i in range(num_hashes)]).alias("sig")))
@@ -143,22 +166,39 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
         id_col, "sig",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
-                     F.xxhash64(F.concat_ws(",", *[
-                         F.element_at("sig", b * r + i + 1).cast("string")
-                         for i in range(r)])).alias("bucket"))
-            for b in range(bands)])).alias("bb"))
+                     bucket_hash([F.element_at("sig", b * r + i + 1)
+                                  for i in range(r)]).alias("bucket"))
+            for b in range(bands)])).alias("bb")) \
+        .select(id_col, "sig", F.col("bb.band").alias("band"),
+                F.col("bb.bucket").alias("bucket"))
     a, b = banded.alias("a"), banded.alias("b")
-    pairs = (a.join(b, (F.col("a.bb") == F.col("b.bb"))
-                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+    pairs = (a.join(b, ["band", "bucket"])
+             .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
              .select(F.col(f"a.{id_col}").alias("id_a"),
                      F.col(f"b.{id_col}").alias("id_b"),
-                     F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+                     F.col("a.sig").alias("sig_a"),
+                     F.col("b.sig").alias("sig_b"))
              .dropDuplicates(["id_a", "id_b"]))
-    return pairs.withColumn("est_jaccard",
-                            F.size(F.filter(F.zip_with("sig_a", "sig_b",
-                                                       lambda x, y: (x == y).cast("int")),
-                                            lambda v: v == 1))
-                            / F.size("sig_a")).drop("sig_a", "sig_b")
+    return (pairs.withColumn(
+        "est_jaccard",
+        F.size(F.filter(F.zip_with("sig_a", "sig_b",
+                                   lambda x, y: (x == y).cast("int")),
+                        lambda v: v == 1))
+        / F.size("sig_a")).drop("sig_a", "sig_b"))
+
+
+def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", num_hashes: int = 32,
+                           bands: int = 8) -> DataFrame:
+    """LSH candidate pairs: docs sharing any band of the minhash signature.
+
+    rows_per_band = num_hashes/bands; a band's bucket key is the hash of its
+    signature slice. Self-join per (band, bucket) → (id_a < id_b) pairs with
+    the estimated Jaccard (fraction of matching minhashes). Construction
+    shared with the md5 oracle twin via ``minhash_banded_pairs``.
+    """
+    return minhash_banded_pairs(docs, text_col, id_col, num_hashes, bands,
+                                _perm_hash_xxhash64, _bucket_hash_xxhash64)
 
 
 def simhash(text: Column, bits: int = 16) -> Column:
@@ -192,28 +232,36 @@ def simhash_dedup(docs: DataFrame, text_col: str = "text",
             .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_members")))
 
 
-def simhash_signatures(docs: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id", bits: int = 16) -> DataFrame:
-    """(id, sig): SimHash computed the fast way — explode distinct tokens,
-    one codegen'd HashAggregate with ``bits`` conditional sums.
+def _token_bit_xxhash64(tok: Column, i: int) -> Column:
+    """Bit i of the production 64-bit JVM token hash."""
+    return F.shiftright(F.xxhash64(tok), i).bitwiseAND(F.lit(1))
 
-    Bit-identical to ``simhash(col, bits)`` but ~4x faster at 32 bits on
-    sf0.1: the Column form re-walks the token array once per bit through a
-    higher-order function (no whole-stage codegen), while this form touches
-    each token once and gets map-side partial aggregation for free. The
-    extra doc_id shuffle is the partial-agg one — tiny, since partials
-    collapse to one row per (doc, partition).
 
-    NULL text yields signature 0, matching the Column form's null algebra.
+def _token_bit_md5(tok: Column, i: int) -> Column:
+    """Bit i of the engine-portable token hash: bit (i mod 4) of md5 hex
+    digit i/4 — mirrored as strpos/div/mod arithmetic in the SQL oracle."""
+    digit = F.conv(F.substring(F.md5(tok), i // 4 + 1, 1), 16, 10).cast("int")
+    return F.shiftright(digit, i % 4).bitwiseAND(F.lit(1))
+
+
+def simhash_vote_signatures(docs: DataFrame, text_col: str, id_col: str,
+                            bits: int, token_bit) -> DataFrame:
+    """THE SimHash vote/assembly, hash-family-agnostic — the single code
+    path behind ``simhash_signatures`` (xxhash64) and
+    ``simhash_signatures_md5`` (md5 oracle twin), so the two can never
+    drift (tests/test_property.py pins wrapper ≡ builder per family).
+
+    ``token_bit(tok, i)`` → bit i (0/1) of the token's hash. Explode
+    distinct tokens once, one codegen'd HashAggregate with ``bits``
+    conditional ±1 sums (map-side partials collapse to one row per
+    (doc, partition)), sign of each vote → signature bit i with weight 2^i.
+    NULL text yields signature 0 (the Column form's null algebra).
     """
-    if not 1 <= bits <= 63:
-        raise ValueError(f"bits must be in [1, 63], got {bits}")
     toks = docs.select(
         id_col,
         F.explode(F.array_distinct(
             F.split(normalized(F.col(text_col)), " "))).alias("tok"))
-    h = F.xxhash64("tok")
-    aggs = [F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1,
+    aggs = [F.sum(F.when(token_bit(F.col("tok"), i) == 1,
                          F.lit(1)).otherwise(F.lit(-1))).alias(f"__v{i}")
             for i in range(bits)]
     votes = toks.groupBy(id_col).agg(*aggs)
@@ -226,6 +274,23 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
     # form assigns (all votes null -> every bit 0)
     return (docs.select(id_col).join(sigs, id_col, "left")
             .select(id_col, F.coalesce("sig", F.lit(0)).alias("sig")))
+
+
+def simhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", bits: int = 16) -> DataFrame:
+    """(id, sig): SimHash computed the fast way — explode distinct tokens,
+    one codegen'd HashAggregate with ``bits`` conditional sums.
+
+    Bit-identical to ``simhash(col, bits)`` but ~4x faster at 32 bits on
+    sf0.1: the Column form re-walks the token array once per bit through a
+    higher-order function (no whole-stage codegen), while this form touches
+    each token once and gets map-side partial aggregation for free.
+    Vote/assembly shared with the md5 twin via ``simhash_vote_signatures``.
+    """
+    if not 1 <= bits <= 63:
+        raise ValueError(f"bits must be in [1, 63], got {bits}")
+    return simhash_vote_signatures(docs, text_col, id_col, bits,
+                                   _token_bit_xxhash64)
 
 
 def minhash_lsh_candidates_md5(docs: DataFrame, text_col: str = "text",
@@ -243,39 +308,8 @@ def minhash_lsh_candidates_md5(docs: DataFrame, text_col: str = "text",
     JVM ints vs hex-string round-trips); the banding/verify algorithm
     proven here is the same.
     """
-    r = num_hashes // bands
-    if r * bands != num_hashes:
-        raise ValueError("bands must divide num_hashes")
-    post = shingle_postings(docs, text_col, id_col)
-    sig = (post.groupBy(id_col)
-           .agg(*[F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s"))))
-                   .alias(f"h{i}") for i in range(num_hashes)]))
-    banded = sig.select(
-        id_col,
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     F.md5(F.concat_ws(",", *[F.col(f"h{b * r + i}")
-                                              for i in range(r)]))
-                      .alias("bucket"))
-            for b in range(bands)])).alias("bb")) \
-        .select(id_col, F.col("bb.band").alias("band"),
-                F.col("bb.bucket").alias("bucket"))
-    a, b_ = banded.alias("a"), banded.alias("b")
-    cand = (a.join(b_, ["band", "bucket"])
-            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            .select(F.col(f"a.{id_col}").alias("id_a"),
-                    F.col(f"b.{id_col}").alias("id_b"))
-            .dropDuplicates())
-    sa = sig.select(F.col(id_col).alias("id_a"),
-                    *[F.col(f"h{i}").alias(f"a{i}") for i in range(num_hashes)])
-    sb = sig.select(F.col(id_col).alias("id_b"),
-                    *[F.col(f"h{i}").alias(f"b{i}") for i in range(num_hashes)])
-    matches = sum(F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
-                  for i in range(num_hashes))
-    return (cand.join(sa, "id_a").join(sb, "id_b")
-            .select("id_a", "id_b",
-                    (matches.cast("double") / F.lit(float(num_hashes)))
-                    .alias("est_jaccard")))
+    return minhash_banded_pairs(docs, text_col, id_col, num_hashes, bands,
+                                _perm_hash_md5, _bucket_hash_md5)
 
 
 def simhash_signatures_md5(docs: DataFrame, text_col: str = "text",
@@ -295,25 +329,8 @@ def simhash_signatures_md5(docs: DataFrame, text_col: str = "text",
     """
     if not 1 <= bits <= 60:
         raise ValueError(f"bits must be in [1, 60] (15 hex digits), got {bits}")
-    toks = docs.select(
-        id_col,
-        F.explode(F.array_distinct(
-            F.split(normalized(F.col(text_col)), " "))).alias("tok"))
-    h = F.md5("tok")
-    digit = lambda i: (F.conv(F.substring(h, i // 4 + 1, 1), 16, 10)  # noqa: E731
-                       .cast("int"))
-    aggs = [F.sum(F.when(F.shiftright(digit(i), i % 4)
-                          .bitwiseAND(F.lit(1)) == 1,
-                         F.lit(1)).otherwise(F.lit(-1))).alias(f"__v{i}")
-            for i in range(bits)]
-    votes = toks.groupBy(id_col).agg(*aggs)
-    sig = F.lit(0).cast("long")
-    for i in range(bits):
-        sig = sig + F.when(F.col(f"__v{i}") > 0,
-                           F.lit(2 ** i)).otherwise(F.lit(0)).cast("long")
-    sigs = votes.select(id_col, sig.alias("sig"))
-    return (docs.select(id_col).join(sigs, id_col, "left")
-            .select(id_col, F.coalesce("sig", F.lit(0)).alias("sig")))
+    return simhash_vote_signatures(docs, text_col, id_col, bits,
+                                   _token_bit_md5)
 
 
 def simhash_near_dup_pairs(docs: DataFrame, text_col: str = "text",

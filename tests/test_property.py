@@ -166,3 +166,56 @@ def test_scalable_rank_equals_global_window(spark):
     got_t = {(r["id"], r["rn"]) for r in windows.rank_rows_scalable(
         tiny, "v", tiebreaks=["id"]).collect()}
     assert got_t == {(1, 1), (2, 2), (3, 3)}
+
+
+def test_md5_twin_lockstep_by_construction(spark):
+    """The md5 oracle twins and the xxhash64 production variants share ONE
+    banding/vote builder (minhash_banded_pairs / simhash_vote_signatures);
+    with identical hash inputs the outputs are identical — so any edit to
+    the shared construction moves production and twin together."""
+    from data_integration_celery_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy cat"),
+         (3, "completely different text about spark engines"),
+         (4, "the quick brown fox jumps over the lazy dog"),
+         (5, None)],
+        "doc_id long, text string")
+
+    # twin wrapper ≡ builder with the md5 family (signature drift guard)
+    twin = D.minhash_lsh_candidates_md5(docs, num_hashes=16, bands=4)
+    built = D.minhash_banded_pairs(docs, "text", "doc_id", 16, 4,
+                                   D._perm_hash_md5, D._bucket_hash_md5)
+    assert sorted(map(tuple, twin.collect())) == \
+           sorted(map(tuple, built.collect()))
+
+    # production wrapper ≡ builder with the xxhash64 family
+    prod = D.minhash_lsh_candidates(docs, num_hashes=16, bands=4)
+    built_x = D.minhash_banded_pairs(docs, "text", "doc_id", 16, 4,
+                                     D._perm_hash_xxhash64,
+                                     D._bucket_hash_xxhash64)
+    assert sorted(map(tuple, prod.collect())) == \
+           sorted(map(tuple, built_x.collect()))
+
+    # exact duplicates surface in BOTH families with est_jaccard 1.0
+    for pairs in (twin, prod):
+        hit = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs.collect()}
+        assert hit.get((1, 4)) == 1.0
+
+    # same for simhash: wrapper ≡ builder per family, and identical docs
+    # get identical signatures in both families
+    s_twin = D.simhash_signatures_md5(docs, bits=16)
+    s_built = D.simhash_vote_signatures(docs, "text", "doc_id", 16,
+                                        D._token_bit_md5)
+    assert sorted(map(tuple, s_twin.collect())) == \
+           sorted(map(tuple, s_built.collect()))
+    s_prod = D.simhash_signatures(docs, bits=16)
+    s_built_x = D.simhash_vote_signatures(docs, "text", "doc_id", 16,
+                                          D._token_bit_xxhash64)
+    assert sorted(map(tuple, s_prod.collect())) == \
+           sorted(map(tuple, s_built_x.collect()))
+    for sigs in (s_twin, s_prod):
+        by_id = {r["doc_id"]: r["sig"] for r in sigs.collect()}
+        assert by_id[1] == by_id[4]
+        assert by_id[5] == 0  # NULL text → signature 0 in both families
