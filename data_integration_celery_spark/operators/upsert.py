@@ -192,8 +192,16 @@ def overwrite_partitions(df: DataFrame, path: str, partition_cols: list[str]) ->
     (tasks/wind/future_reorg/reorg_md_2_db.py:176-193). Spark-native form is
     dynamic partition overwrite — only the partitions present in ``df`` are
     replaced, so a per-type rebuild never touches other types.
+
+    Rows are repartitioned on the partition columns first, so every
+    partition value lands in one task → ONE data file per partition instead
+    of one per (input-task × partition) — without this, a 32-partition
+    update frame writes 32 small files into every touched date and the
+    table needs ``sinks.compact_table`` immediately. Callers with a single
+    huge partition value can pre-split by salting before the write.
     """
-    (df.write.mode("overwrite")
+    (df.repartition(*[F.col(c) for c in partition_cols])
+       .write.mode("overwrite")
        .option("partitionOverwriteMode", "dynamic")
        .partitionBy(*partition_cols)
        .parquet(path))

@@ -215,3 +215,73 @@ def test_compact_table_partitioned(spark, tmp_path):
     after = sorted((r["id"], r["dt"], r["v"])
                    for r in spark.read.parquet(path).collect())
     assert after == before
+
+
+def test_compact_table_honors_target_size(spark, tmp_path):
+    """Bin-packing respects target_file_mb: a table larger than the target
+    packs into ceil(total/target) files, each near the target size — not
+    into one giant file."""
+    from data_integration_celery_spark import sinks
+
+    path = str(tmp_path / "sized")
+    # ~8 MB of incompressible-ish data in 16 small files
+    for i in range(16):
+        (spark.range(60_000)
+         .withColumn("payload",
+                     F.md5(F.concat(F.col("id").cast("string"),
+                                    F.lit(f"-{i}"))))
+         .coalesce(1).write.mode("append").parquet(path))
+    files = sinks.list_data_files(spark, path)
+    total_mb = sum(sz for _, sz in files) / 1024 / 1024
+    assert len(files) == 16
+
+    n_after = sinks.compact_table(spark, path, target_file_mb=2)
+    expect = -(-int(total_mb) // 2)  # ceil
+    assert abs(n_after - expect) <= 1
+    after = sinks.list_data_files(spark, path)
+    assert len(after) == n_after
+    # no file wildly over target (parquet encoding slack allowed)
+    assert max(sz for _, sz in after) < 4 * 1024 * 1024
+
+
+def test_compact_after_partitioned_upserts(spark, tmp_path):
+    """S11 maintenance on the S6 sink. write_upsert_partitioned itself never
+    fragments (it repartitions on the partition cols — one file per touched
+    partition, asserted below); the small files come from streaming-style
+    micro-batch APPENDS of disjoint keys between upserts. Compaction packs
+    each partition back to one file, and a post-compaction upsert still
+    merges correctly."""
+    from data_integration_celery_spark import sinks
+    from data_integration_celery_spark.operators import upsert
+
+    path = str(tmp_path / "ups_compact")
+    dt = (F.when(F.col("id") % 2 == 0, "2020-01-01").otherwise("2020-01-02"))
+    base = (spark.range(0, 40).withColumn("dt", dt)
+            .withColumn("v", F.col("id") * 1.0)
+            .withColumn("batch_id", F.lit(0)))
+    upsert.write_upsert_partitioned(spark, base, path, keys=["id"],
+                                    partition_cols=["dt"])
+    # the upsert sink is already compact: one file per partition
+    assert len(sinks.list_data_files(spark, path)) == 2
+    # 4 micro-batch appends of NEW key ranges fragment the partitions
+    for b in range(1, 5):
+        (spark.range(b * 100, b * 100 + 20).withColumn("dt", dt)
+         .withColumn("v", F.col("id") * 1.0)
+         .repartition(2)
+         .write.mode("append").partitionBy("dt").parquet(path))
+    assert len(sinks.list_data_files(spark, path)) > 2
+    before = sorted((r["id"], r["dt"], r["v"])
+                    for r in spark.read.parquet(path).collect())
+
+    n_after = sinks.compact_table(spark, path, partition_cols=["dt"])
+    assert n_after == 2  # one file per date partition again
+    after = sorted((r["id"], r["dt"], r["v"])
+                   for r in spark.read.parquet(path).collect())
+    assert after == before
+    # upsert semantics intact post-compaction: update two existing keys
+    upd = (spark.createDataFrame([(0, 99.0), (101, 88.0)], "id long, v double")
+           .withColumn("dt", dt).withColumn("batch_id", F.lit(9)))
+    upsert.write_upsert_partitioned(spark, upd, path, keys=["id"],
+                                    partition_cols=["dt"])
+    rows = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert rows[0] == 99.0 and rows[101] == 88.0 and len(rows) == 120
