@@ -138,6 +138,47 @@ def _bucket_hash_md5(parts: list[Column]) -> Column:
     return F.md5(F.concat_ws(",", *[p.cast("string") for p in parts]))
 
 
+def banded_signatures(docs: DataFrame, text_col: str, id_col: str,
+                      num_hashes: int, bands: int,
+                      perm_hash, bucket_hash) -> DataFrame:
+    """Banded minhash rows ``(id, sig, band, bucket)`` — the LSH *index*.
+
+    One row per (document, band); ``bucket`` is the hash of that band's
+    signature slice. This is the persistable state of incremental dedup: at
+    corpus scale you write these rows out partitioned/bucketed by
+    ``(band, bucket)`` and each increment probes only the buckets its new
+    documents land in (see ``incremental_minhash_pairs``), instead of
+    re-hashing 100 TB per day.
+    """
+    r = num_hashes // bands
+    if r * bands != num_hashes:
+        raise ValueError("bands must divide num_hashes")
+    exploded = shingle_postings(docs, text_col, id_col)
+    sig = (exploded.groupBy(id_col)
+           .agg(*[F.min(perm_hash(F.col("s"), i)).alias(f"h{i}")
+                  for i in range(num_hashes)])
+           .select(id_col, F.array(*[F.col(f"h{i}")
+                                     for i in range(num_hashes)]).alias("sig")))
+    return sig.select(
+        id_col, "sig",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     bucket_hash([F.element_at("sig", b * r + i + 1)
+                                  for i in range(r)]).alias("bucket"))
+            for b in range(bands)])).alias("bb")) \
+        .select(id_col, "sig", F.col("bb.band").alias("band"),
+                F.col("bb.bucket").alias("bucket"))
+
+
+def _est_jaccard(sig_a: Column, sig_b: Column) -> Column:
+    """Fraction of matching minhashes — symmetric, so safe under any pair
+    canonicalization."""
+    return (F.size(F.filter(F.zip_with(sig_a, sig_b,
+                                       lambda x, y: (x == y).cast("int")),
+                            lambda v: v == 1))
+            / F.size(sig_a))
+
+
 def minhash_banded_pairs(docs: DataFrame, text_col: str, id_col: str,
                          num_hashes: int, bands: int,
                          perm_hash, bucket_hash) -> DataFrame:
@@ -153,24 +194,8 @@ def minhash_banded_pairs(docs: DataFrame, text_col: str, id_col: str,
     only colliding bands ever shuffle, never documents² — → distinct
     (id_a < id_b) pairs with est_jaccard = fraction of matching minhashes.
     """
-    r = num_hashes // bands
-    if r * bands != num_hashes:
-        raise ValueError("bands must divide num_hashes")
-    exploded = shingle_postings(docs, text_col, id_col)
-    sig = (exploded.groupBy(id_col)
-           .agg(*[F.min(perm_hash(F.col("s"), i)).alias(f"h{i}")
-                  for i in range(num_hashes)])
-           .select(id_col, F.array(*[F.col(f"h{i}")
-                                     for i in range(num_hashes)]).alias("sig")))
-    banded = sig.select(
-        id_col, "sig",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     bucket_hash([F.element_at("sig", b * r + i + 1)
-                                  for i in range(r)]).alias("bucket"))
-            for b in range(bands)])).alias("bb")) \
-        .select(id_col, "sig", F.col("bb.band").alias("band"),
-                F.col("bb.bucket").alias("bucket"))
+    banded = banded_signatures(docs, text_col, id_col, num_hashes, bands,
+                               perm_hash, bucket_hash)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (a.join(b, ["band", "bucket"])
              .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -179,12 +204,49 @@ def minhash_banded_pairs(docs: DataFrame, text_col: str, id_col: str,
                      F.col("a.sig").alias("sig_a"),
                      F.col("b.sig").alias("sig_b"))
              .dropDuplicates(["id_a", "id_b"]))
-    return (pairs.withColumn(
-        "est_jaccard",
-        F.size(F.filter(F.zip_with("sig_a", "sig_b",
-                                   lambda x, y: (x == y).cast("int")),
-                        lambda v: v == 1))
-        / F.size("sig_a")).drop("sig_a", "sig_b"))
+    return (pairs.withColumn("est_jaccard",
+                             _est_jaccard(F.col("sig_a"), F.col("sig_b")))
+            .drop("sig_a", "sig_b"))
+
+
+def incremental_minhash_pairs(new_docs: DataFrame, index: DataFrame,
+                              text_col: str = "text", id_col: str = "doc_id",
+                              num_hashes: int = 32, bands: int = 8,
+                              perm_hash=_perm_hash_xxhash64,
+                              bucket_hash=_bucket_hash_xxhash64) -> DataFrame:
+    """Candidate pairs touching at least one NEW document, probing a
+    persisted banded index — the operational form of MinHash dedup at
+    corpus scale (reference runs full-table dedup per load,
+    tasks/merge/__init__.py; that shape dies at 100 TB).
+
+    ``index`` is a prior ``banded_signatures`` output (read back from its
+    bucketed parquet). Only the increment is shingled and hashed; the join
+    probes index rows by (band, bucket) — with the index written bucketed
+    on those keys the probe is a co-located join and the old corpus is
+    never re-shuffled. Old-vs-old pairs (already known) are never
+    recomputed or re-emitted. New-vs-new pairs appear in both join orders
+    (both sides carry them), so pairs are canonicalized with
+    least/greatest before the distinct. After the probe, append the new
+    banded rows to the index — state grows by exactly the increment.
+
+    Returns (id_a, id_b, est_jaccard), same contract as
+    ``minhash_lsh_candidates`` restricted to pairs with a new side.
+    """
+    new_banded = banded_signatures(new_docs, text_col, id_col,
+                                   num_hashes, bands, perm_hash, bucket_hash)
+    all_banded = index.select(id_col, "sig", "band", "bucket") \
+        .unionByName(new_banded)
+    a, b = new_banded.alias("a"), all_banded.alias("b")
+    pairs = (a.join(b, ["band", "bucket"])
+             .where(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+             .select(F.least(F.col(f"a.{id_col}"),
+                             F.col(f"b.{id_col}")).alias("id_a"),
+                     F.greatest(F.col(f"a.{id_col}"),
+                                F.col(f"b.{id_col}")).alias("id_b"),
+                     _est_jaccard(F.col("a.sig"),
+                                  F.col("b.sig")).alias("est_jaccard"))
+             .dropDuplicates(["id_a", "id_b"]))
+    return pairs
 
 
 def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
@@ -310,6 +372,29 @@ def minhash_lsh_candidates_md5(docs: DataFrame, text_col: str = "text",
     """
     return minhash_banded_pairs(docs, text_col, id_col, num_hashes, bands,
                                 _perm_hash_md5, _bucket_hash_md5)
+
+
+def minhash_index_md5(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", num_hashes: int = 16,
+                      bands: int = 4) -> DataFrame:
+    """md5-twin banded index rows (see ``banded_signatures``) — pairs with
+    ``incremental_minhash_pairs_md5`` for an exact-oracle incremental run."""
+    return banded_signatures(docs, text_col, id_col, num_hashes, bands,
+                             _perm_hash_md5, _bucket_hash_md5)
+
+
+def incremental_minhash_pairs_md5(new_docs: DataFrame, index: DataFrame,
+                                  text_col: str = "text",
+                                  id_col: str = "doc_id",
+                                  num_hashes: int = 16,
+                                  bands: int = 4) -> DataFrame:
+    """Engine-portable twin of ``incremental_minhash_pairs`` (md5 hashes,
+    same parameters as ``minhash_lsh_candidates_md5``) — lets the driver
+    oracle-check the incremental probe exactly: the oracle computes all
+    banded pairs over old∪new and keeps those with ≥1 new side."""
+    return incremental_minhash_pairs(new_docs, index, text_col, id_col,
+                                     num_hashes, bands,
+                                     _perm_hash_md5, _bucket_hash_md5)
 
 
 def simhash_signatures_md5(docs: DataFrame, text_col: str = "text",
@@ -467,6 +552,63 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
     return (verified.select("id_a", "id_b", jac.alias("jaccard"))
                     .where(F.col("jaccard") >= threshold))
+
+
+def frequent_ngram_stats(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", n: int = 3,
+                         min_docs: int = 3,
+                         hash_grams: bool = True) -> DataFrame:
+    """Per-document duplicated-span coverage: the fraction of n-gram
+    positions whose gram occurs in ≥ ``min_docs`` distinct documents —
+    the corpus-level exact-substring dedup signal of Lee et al. 2021
+    ("Deduplicating Training Data Makes Language Models Better"): docs
+    dominated by corpus-frequent spans (boilerplate, licenses, templates)
+    get a high ``dup_fraction`` and can be dropped or span-masked.
+
+    Plan: positional n-grams (posexplode + lead, whole-stage codegen) →
+    one shuffle on the gram for the distinct-doc frequency count
+    (map-side partials) → join postings back to the (small, thresholded)
+    frequent-gram set — AQE broadcasts it when it fits — → per-doc counts
+    aggregated on the doc id. Nothing is quadratic; state is the frequent
+    set, not the corpus.
+
+    ``hash_grams=True`` (production) joins/aggregates on xxhash64(gram) —
+    8-byte shuffle keys instead of full gram strings (a 64-bit collision
+    merging two grams' doc-counts is ~1e-8 even at 1e9 distinct grams).
+    ``hash_grams=False`` keeps the exact string keys (the oracle-checked
+    form); results are identical absent a hash collision.
+
+    Returns (id, n_grams, n_dup, dup_fraction); docs with fewer than n
+    tokens have 0 grams and dup_fraction 0.0.
+    """
+    from pyspark.sql import Window
+    toks = docs.select(
+        id_col,
+        F.posexplode(F.split(normalized(F.col(text_col)), " "))
+         .alias("pos", "tok"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.lead("tok", i).over(w) for i in range(1, n)]
+    grams = (toks.select(id_col,
+                         F.concat_ws(" ", F.col("tok"), *leads).alias("s"),
+                         leads[-1].isNotNull().alias("full"))
+             .where("full"))
+    key = F.xxhash64("s") if hash_grams else F.col("s")
+    grams = grams.select(id_col, key.alias("g"))
+    freq = (grams.groupBy("g")
+            .agg(F.countDistinct(id_col).alias("nd"))
+            .where(F.col("nd") >= min_docs)
+            .select("g", F.lit(1).alias("dup")))
+    per_doc = (grams.join(freq, "g", "left")
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_grams"),
+                    F.count("dup").alias("n_dup")))
+    return (docs.select(id_col).join(per_doc, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+                    F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
+                    F.when(F.coalesce("n_grams", F.lit(0)) > 0,
+                           F.col("n_dup").cast("double") / F.col("n_grams"))
+                     .otherwise(F.lit(0.0)).alias("dup_fraction")))
 
 
 def contamination_scores(corpus: DataFrame, benchmark: DataFrame,

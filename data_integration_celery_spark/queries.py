@@ -956,6 +956,95 @@ def dedup_minhash_md5_q(spark, sf_dir):
     return dedup.minhash_lsh_candidates_md5(_t(spark, sf_dir, "documents"))
 
 
+@q("dedup_minhash_incremental_md5",
+   sql=f"""
+   WITH norm AS (
+     SELECT doc_id,
+            string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                               '\\s+') AS tok
+     FROM documents),
+   shs AS (
+     SELECT doc_id,
+            CASE WHEN len(tok) >= 3
+                 THEN list_distinct(list_transform(range(1, len(tok) - 1),
+                                                   i -> array_to_string(tok[i:i+2], ' ')))
+                 ELSE [array_to_string(tok, ' ')] END AS sh
+     FROM norm),
+   post AS (SELECT doc_id, unnest(sh) AS s FROM shs),
+   sig AS (
+     SELECT doc_id,
+            {_MINHASH_MINS}
+     FROM post GROUP BY doc_id),
+   banded AS (
+     {_MINHASH_BANDS}),
+   cand AS (
+     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+     FROM banded a JOIN banded b
+       ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+     WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)
+   SELECT id_a, id_b,
+          CAST({_MINHASH_EST} AS DOUBLE) / {_MINHASH_P} AS est_jaccard
+   FROM cand
+   JOIN sig sa ON sa.doc_id = id_a
+   JOIN sig sb ON sb.doc_id = id_b
+   """,
+   doc="Incremental MinHash dedup against a persisted banded index — the "
+       "operational 100 TB form: only the increment (doc_id%10==0 here) is "
+       "shingled/hashed; the probe joins its band buckets against the index "
+       "built from the rest of the corpus, and old-vs-old pairs are never "
+       "recomputed. The oracle computes all banded pairs over old∪new and "
+       "keeps those with ≥1 new side — exactly the incremental contract. "
+       "md5 twin of operators/dedup.py incremental_minhash_pairs "
+       "(production is xxhash64, checked by the lockstep builder test).")
+def dedup_minhash_incremental_md5_q(spark, sf_dir):
+    from .operators import dedup
+    docs = _t(spark, sf_dir, "documents")
+    index = dedup.minhash_index_md5(docs.where(F.col("doc_id") % 10 != 0))
+    return dedup.incremental_minhash_pairs_md5(
+        docs.where(F.col("doc_id") % 10 == 0), index)
+
+
+@q("dedup_frequent_ngrams",
+   sql="""
+   WITH norm AS (
+     SELECT doc_id,
+            string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                               '\\s+') AS tok
+     FROM documents),
+   g AS (
+     SELECT doc_id,
+            CASE WHEN len(tok) >= 3
+                 THEN list_transform(range(1, len(tok) - 1),
+                                     i -> array_to_string(tok[i:i+2], ' '))
+                 ELSE CAST([] AS VARCHAR[]) END AS grams
+     FROM norm),
+   post AS (SELECT doc_id, unnest(grams) AS s FROM g),
+   freq AS (SELECT s FROM post GROUP BY s HAVING count(DISTINCT doc_id) >= 3)
+   SELECT d.doc_id,
+          CAST(count(p.s) AS BIGINT) AS n_grams,
+          CAST(count(f.s) AS BIGINT) AS n_dup,
+          CASE WHEN count(p.s) > 0
+               THEN CAST(count(f.s) AS DOUBLE) / count(p.s)
+               ELSE 0.0 END AS dup_fraction
+   FROM documents d
+   LEFT JOIN post p USING (doc_id)
+   LEFT JOIN freq f ON p.s = f.s
+   GROUP BY d.doc_id
+   """,
+   doc="Exact-substring dedup signal (Lee et al. 2021): per-document "
+       "fraction of 3-gram positions whose gram appears in ≥3 distinct "
+       "docs — flags boilerplate/template-dominated documents. Positional "
+       "grams stay in codegen; one shuffle on the gram for the frequency "
+       "count; the thresholded frequent set joins back small (AQE "
+       "broadcast). Oracle-checked with string gram keys; production "
+       "defaults to xxhash64 gram keys for 8-byte shuffles "
+       "(operators/dedup.py frequent_ngram_stats).")
+def dedup_frequent_ngrams_q(spark, sf_dir):
+    from .operators import dedup
+    return dedup.frequent_ngram_stats(_t(spark, sf_dir, "documents"),
+                                      hash_grams=False)
+
+
 # md5-bit-vote SimHash oracle: token-hash bit i = bit (i mod 4) of md5 hex
 # digit i/4, mirrored below as strpos/div/mod arithmetic (same trick as the
 # mm_* decoders). 16 vote sums + signature assembly, generated to keep the
@@ -2545,19 +2634,26 @@ QUERY_PRIORITY: list[str] = [
     "pipeline_revenue_topk", "pipeline_region_revenue",
     # audits / streaming
     "f4_snapshot_audit", "stream_bars_1min",
-    # LLM-pipeline operators
-    "dedup_ngram_jaccard", "dedup_simhash_md5",
+    # LLM-pipeline operators (r4: dedup_frequent_ngrams +
+    # dedup_minhash_incremental_md5 are NEW — in-window for their first
+    # driver check; dedup_ngram_jaccard [triple-green r1+r2+r3, shingle
+    # machinery re-exercised by the frequent-ngram query] and
+    # mm_image_features [green r2+r3, mm_video_frames stays as the
+    # multimodal rep] rotate to the tail)
+    "dedup_frequent_ngrams", "dedup_simhash_md5",
     "dedup_minhash_md5", "dedup_simhash_hamming_md5",
+    "dedup_minhash_incremental_md5",
     "dedup_components_star",
     "txt_contamination", "txt_winnowing",
     "txt_repetition", "txt_pii_redact", "txt_vocab_topk",
     "dedup_embedding_pairs", "ann_cosine_topk", "emb_centroid_outliers",
-    "mm_image_features", "mm_video_frames",
+    "mm_video_frames",
     "smp_hash_split", "smp_mixture_resample", "smp_source_quota",
     "smp_token_budget",
     "u5_schema_reconcile",
     # ---- position 51+: triple/double-green history, sibling-covered,
     # ---- or rows-only (no oracle) ----
+    "dedup_ngram_jaccard", "mm_image_features",
     "a1_watermark_per_key", "o3_topk_worst", "w5_rolling_mean",
     "w6_argmax_cross_section", "w9_expand_calendar",
     "j7_code_extract_join", "j11_argmax_latest_per_key",

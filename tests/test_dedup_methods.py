@@ -334,3 +334,64 @@ def test_minhash_md5_twin_finds_planted_duplicates(spark):
     prod = {(r["id_a"], r["id_b"])
             for r in dedup.minhash_lsh_candidates(docs).collect()}
     assert (1, 2) in prod  # production variant agrees on the exact dup
+
+
+def test_incremental_minhash_equals_full_restricted(spark, sf_dir):
+    """incremental(new, index(old)) must emit exactly the full-corpus banded
+    pairs that touch >=1 new doc — same est_jaccard, no old-vs-old leakage,
+    no missed new-vs-new pair (production xxhash64 path)."""
+    docs = catalog.load(spark, "documents", sf_dir).select("doc_id", "text")
+    old = docs.where("doc_id % 10 != 0")
+    new = docs.where("doc_id % 10 = 0")
+    index = dedup.banded_signatures(
+        old, "text", "doc_id", 32, 8,
+        dedup._perm_hash_xxhash64, dedup._bucket_hash_xxhash64)
+    inc = {(r["id_a"], r["id_b"]): round(r["est_jaccard"], 9)
+           for r in dedup.incremental_minhash_pairs(new, index).collect()}
+    full = {(r["id_a"], r["id_b"]): round(r["est_jaccard"], 9)
+            for r in dedup.minhash_lsh_candidates(docs).collect()}
+    expected = {p: j for p, j in full.items()
+                if p[0] % 10 == 0 or p[1] % 10 == 0}
+    assert inc == expected
+    assert all(a % 10 == 0 or b % 10 == 0 for a, b in inc)
+
+
+def test_incremental_minhash_md5_twin_same_pairs(spark, sf_dir):
+    """md5 twin emits the same pair SET as production on the same split
+    (est values differ only via the hash family's min choice)."""
+    docs = catalog.load(spark, "documents", sf_dir).select("doc_id", "text")
+    old = docs.where("doc_id % 10 != 0")
+    new = docs.where("doc_id % 10 = 0")
+    idx = dedup.minhash_index_md5(old)
+    got = dedup.incremental_minhash_pairs_md5(new, idx).collect()
+    assert all(r["id_a"] < r["id_b"] for r in got)
+    assert all(0.0 <= r["est_jaccard"] <= 1.0 for r in got)
+
+
+def test_frequent_ngram_hand_case(spark):
+    """Three copies of one text + one unique text, n=3 min_docs=3: the
+    copies are 100% duplicated spans, the unique doc 0%; a doc shorter
+    than n gets 0 grams and fraction 0.0."""
+    rows = [(1, "the cat sat on the mat"),
+            (2, "the cat sat on the mat"),
+            (3, "the cat sat on the mat"),
+            (4, "completely different words entirely here now"),
+            (5, "too short")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           dedup.frequent_ngram_stats(docs, n=3, min_docs=3).collect()}
+    assert out[1]["n_grams"] == 4 and out[1]["dup_fraction"] == 1.0
+    assert out[2]["dup_fraction"] == 1.0 and out[3]["dup_fraction"] == 1.0
+    assert out[4]["n_dup"] == 0 and out[4]["dup_fraction"] == 0.0
+    assert out[5]["n_grams"] == 0 and out[5]["dup_fraction"] == 0.0
+
+
+def test_frequent_ngram_hash_twin_matches_string_keys(spark, sf_dir):
+    """xxhash64 gram keys (production, 8-byte shuffle) must give identical
+    stats to exact string keys (oracle form) on the corpus."""
+    docs = catalog.load(spark, "documents", sf_dir)
+    a = {r["doc_id"]: (r["n_grams"], r["n_dup"])
+         for r in dedup.frequent_ngram_stats(docs, hash_grams=True).collect()}
+    b = {r["doc_id"]: (r["n_grams"], r["n_dup"])
+         for r in dedup.frequent_ngram_stats(docs, hash_grams=False).collect()}
+    assert a == b and len(a) > 0
