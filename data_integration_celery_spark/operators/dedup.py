@@ -234,8 +234,20 @@ def incremental_minhash_pairs(new_docs: DataFrame, index: DataFrame,
     """
     new_banded = banded_signatures(new_docs, text_col, id_col,
                                    num_hashes, bands, perm_hash, bucket_hash)
+    return incremental_pairs_from_banded(new_banded, index, id_col)
+
+
+def incremental_pairs_from_banded(new_banded: DataFrame, index: DataFrame,
+                                  id_col: str = "doc_id") -> DataFrame:
+    """The probe half of ``incremental_minhash_pairs``, over already-banded
+    increment rows — lets callers that need the banded rows twice (probe,
+    then index append — e.g. the streaming job) hash the increment once.
+    Idempotent under replay: re-probing after the increment's rows were
+    already appended to the index yields the identical pair set (self-pairs
+    are excluded, duplicate orders collapse in the canonicalized distinct).
+    """
     all_banded = index.select(id_col, "sig", "band", "bucket") \
-        .unionByName(new_banded)
+        .unionByName(new_banded.select(id_col, "sig", "band", "bucket"))
     a, b = new_banded.alias("a"), all_banded.alias("b")
     pairs = (a.join(b, ["band", "bucket"])
              .where(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))

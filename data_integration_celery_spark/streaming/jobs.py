@@ -133,3 +133,56 @@ def stream_running_stats(ticks: DataFrame, key_col: str, value_col: str,
             .applyInPandasWithState(update, schema,
                                     "n long, total double, peak double",
                                     "update", GroupStateTimeout.NoTimeout))
+
+
+def stream_incremental_dedup(docs: DataFrame, index_path: str,
+                             pairs_path: str, checkpoint: str,
+                             text_col: str = "text", id_col: str = "doc_id",
+                             num_hashes: int = 32,
+                             bands: int = 8) -> DataStreamWriter:
+    """Streaming near-dup detection against a persisted MinHash index — the
+    arrival-time form of batch incremental dedup (operators.dedup.
+    incremental_minhash_pairs): each micro-batch of new documents is banded
+    ONCE, probes the index for candidate pairs touching the batch, then
+    extends the index with its own rows. The corpus is never re-hashed; the
+    index grows by exactly the increment.
+
+    Exactly-once without a transaction log: both outputs land under a
+    ``batch_id=N`` partition via dynamic partition overwrite
+    (operators.upsert.overwrite_partitions), so a replayed batch rewrites
+    its own partitions and nothing else; re-probing an index that already
+    contains the batch's rows from a failed attempt yields the identical
+    pair set (see incremental_pairs_from_banded). At scale, write the index
+    bucketed by (band, bucket) so probes co-locate with index partitions.
+    """
+    from ..operators.dedup import (banded_signatures,
+                                   incremental_pairs_from_banded,
+                                   _perm_hash_xxhash64,
+                                   _bucket_hash_xxhash64)
+    from ..operators.upsert import overwrite_partitions
+
+    def probe_and_extend(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new_banded = banded_signatures(
+            batch_df, text_col, id_col, num_hashes, bands,
+            _perm_hash_xxhash64, _bucket_hash_xxhash64).persist()
+        try:
+            try:
+                index = spark.read.parquet(index_path) \
+                    .select(id_col, "sig", "band", "bucket")
+            except Exception:
+                index = new_banded.limit(0)  # first batch: empty index
+            pairs = incremental_pairs_from_banded(new_banded, index, id_col)
+            overwrite_partitions(
+                pairs.withColumn("batch_id", F.lit(batch_id)),
+                pairs_path, ["batch_id"])
+            overwrite_partitions(
+                new_banded.withColumn("batch_id", F.lit(batch_id)),
+                index_path, ["batch_id"])
+        finally:
+            new_banded.unpersist()
+
+    return (docs.writeStream
+            .foreachBatch(probe_and_extend)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append"))

@@ -234,3 +234,40 @@ def test_stream_session_merge_on_late_event(spark, tmp_path):
                      F.col("session_window.end").alias("session_end"), "n_events"))
     b = [tuple(r) for r in batch.collect()]
     assert b == [(1, s["session_start"], s["session_end"], 3)]
+
+
+def test_stream_incremental_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """Micro-batched arrival of the documents corpus through the streaming
+    incremental-dedup job must discover exactly the full-batch LSH pair
+    set, each pair exactly once (in the batch where its later doc arrives),
+    and leave an index covering the whole corpus."""
+    from data_integration_celery_spark.operators import dedup
+
+    docs = catalog.load(spark, "documents", sf_dir).select("doc_id", "text")
+    src_dir = str(tmp_path / "docs_src")
+    # three files -> three micro-batches with maxFilesPerTrigger=1
+    for i in range(3):
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1) \
+            .write.mode("append").parquet(src_dir)
+    schema = docs.schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src_dir))
+    index_path = str(tmp_path / "index")
+    pairs_path = str(tmp_path / "pairs")
+    q = jobs.stream_incremental_dedup(
+        stream, index_path, pairs_path, str(tmp_path / "ckpt")) \
+        .trigger(availableNow=True).start()
+    q.awaitTermination(300)
+
+    got_rows = spark.read.parquet(pairs_path).collect()
+    got = {(r["id_a"], r["id_b"]): round(r["est_jaccard"], 9)
+           for r in got_rows}
+    assert len(got) == len(got_rows), "a pair was emitted in two batches"
+    full = {(r["id_a"], r["id_b"]): round(r["est_jaccard"], 9)
+            for r in dedup.minhash_lsh_candidates(docs).collect()}
+    assert got == full and len(full) > 0
+    # index covers every document exactly once per band
+    idx = spark.read.parquet(index_path)
+    assert idx.select("doc_id").distinct().count() == docs.count()
+    assert idx.groupBy("doc_id", "band").count() \
+              .where("count > 1").count() == 0
