@@ -773,12 +773,14 @@ def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
         mins = (edges.groupBy("src")
                 .agg(F.min("dst").alias("m")))
         joined = edges.join(mins, "src")
+        # lazy checkpoint: the checksum action below materializes it, so
+        # each round runs ONE job (plan truncation + fixpoint check), not two
         edges = (joined.select(F.col("dst").alias("src"),
                                F.col("m").alias("dst"))
                  .union(joined.select("src", F.col("m").alias("dst")))
                  .where(F.col("src") != F.col("dst"))
                  .distinct()
-                 .localCheckpoint(eager=True))
+                 .localCheckpoint(eager=False))
         row = edges.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("chk")

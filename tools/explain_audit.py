@@ -110,6 +110,19 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
     "mm_video_frames": (
         [r"MapInPandas"],
         [r"Exchange", r"CartesianProduct", r"FlatMapGroupsInPandas"]),
+    # frequent-ngram coverage: positional grams stay in codegen windows;
+    # the doc-frequency count aggregates with map-side partials; the
+    # frequent-set join back is an equi-join (AQE upgrades it to broadcast
+    # at runtime once the thresholded set proves small) — never a cartesian
+    "dedup_frequent_ngrams": (
+        [r"partial", r"HashAggregate", r"Window"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"]),
+    # incremental index probe: per-permutation min aggregates for the NEW
+    # side only, then an equi-join on (band, bucket) against the index —
+    # a pure hash/merge join, never any nested-loop shape
+    "dedup_minhash_incremental_md5": (
+        [r"partial_min", r"HashAggregate"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"]),
 }
 
 
