@@ -2049,6 +2049,93 @@ def pipeline_dedup(spark, sf_dir):
     return kept_docs.select("doc_id").join(removed, "doc_id", "left_anti")
 
 
+@q("pipeline_cluster_survivors",
+   sql=f"""
+   WITH RECURSIVE norm AS (
+     SELECT doc_id,
+            string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                               '\\s+') AS tok
+     FROM documents),
+   shs AS (
+     SELECT doc_id,
+            CASE WHEN len(tok) >= 3
+                 THEN list_distinct(list_transform(range(1, len(tok) - 1),
+                                                   i -> array_to_string(tok[i:i+2], ' ')))
+                 ELSE [array_to_string(tok, ' ')] END AS sh
+     FROM norm),
+   post AS (SELECT doc_id, unnest(sh) AS s FROM shs),
+   sig AS (
+     SELECT doc_id,
+            {_MINHASH_MINS}
+     FROM post GROUP BY doc_id),
+   banded AS (
+     {_MINHASH_BANDS}),
+   cand AS (
+     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+     FROM banded a JOIN banded b
+       ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+   pairs AS (
+     SELECT id_a, id_b FROM cand
+     JOIN sig sa ON sa.doc_id = id_a
+     JOIN sig sb ON sb.doc_id = id_b
+     WHERE CAST({_MINHASH_EST} AS DOUBLE) / {_MINHASH_P} >= 0.5),
+   sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+           UNION ALL SELECT id_b, id_a FROM pairs),
+   reach(node, r) AS (
+     SELECT a, b FROM sym
+     UNION
+     SELECT reach.node, s.b FROM reach JOIN sym s ON reach.r = s.a
+     WHERE s.b <> reach.node),
+   comp AS (
+     SELECT node, least(node, min(r)) AS component FROM reach GROUP BY node),
+   sizes AS (
+     SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+     FROM comp GROUP BY component),
+   reps AS (
+     SELECT comp.node AS doc_id, sizes.cluster_size
+     FROM comp
+     JOIN documents d ON d.doc_id = comp.node
+     JOIN sizes USING (component)
+     QUALIFY row_number() OVER (PARTITION BY component
+                                ORDER BY d.n_chars DESC, d.doc_id) = 1)
+   SELECT d.doc_id, CAST(1 AS BIGINT) AS cluster_size
+   FROM documents d WHERE d.doc_id NOT IN (SELECT node FROM comp)
+   UNION ALL
+   SELECT doc_id, cluster_size FROM reps
+   """,
+   doc="The full near-dup removal pipeline as one composite: MinHash+LSH "
+       "candidate pairs (md5 twin, est_jaccard ≥ 0.5) → connected "
+       "components (large/small-star contraction) → keep ONE survivor per "
+       "cluster by best quality (longest n_chars, doc_id tiebreak — "
+       "keep-best beats keep-min-id in real corpus curation) + all "
+       "unclustered docs. Oracle computes components via a recursive-CTE "
+       "transitive closure — it verifies the distributed contraction on "
+       "REAL corpus pairs, not a synthetic graph. Integer-only survivor "
+       "ordering: zero float risk.")
+def pipeline_cluster_survivors(spark, sf_dir):
+    from .operators import dedup
+    docs = _t(spark, sf_dir, "documents")
+    pairs = (dedup.minhash_lsh_candidates_md5(docs)
+             .where(F.col("est_jaccard") >= 0.5)
+             .select("id_a", "id_b"))
+    comp = dedup.connected_components_star(pairs)
+    clustered = (docs.select("doc_id", "n_chars")
+                 .join(comp, docs.doc_id == comp.node)
+                 .select("doc_id", "component", "n_chars"))
+    wsz = Window.partitionBy("component")
+    wrn = Window.partitionBy("component") \
+                .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    reps = (clustered
+            .withColumn("cluster_size", F.count(F.lit(1)).over(wsz))
+            .withColumn("rn", F.row_number().over(wrn))
+            .where(F.col("rn") == 1)
+            .select("doc_id", "cluster_size"))
+    singletons = (docs.join(comp.select(F.col("node").alias("doc_id")),
+                            "doc_id", "left_anti")
+                  .select("doc_id", F.lit(1).cast("long").alias("cluster_size")))
+    return singletons.unionByName(reps)
+
+
 @q("mm_image_features",
    sql="""
    WITH h AS (
@@ -2645,7 +2732,8 @@ QUERY_PRIORITY: list[str] = [
     "dedup_minhash_incremental_md5",
     "dedup_components_star",
     "txt_contamination", "txt_winnowing",
-    "txt_repetition", "txt_pii_redact", "txt_vocab_topk",
+    "txt_repetition", "txt_pii_redact",
+    "pipeline_cluster_survivors",
     "dedup_embedding_pairs", "ann_cosine_topk", "emb_centroid_outliers",
     "mm_video_frames",
     "smp_hash_split", "smp_mixture_resample", "smp_source_quota",
@@ -2653,6 +2741,7 @@ QUERY_PRIORITY: list[str] = [
     "u5_schema_reconcile",
     # ---- position 51+: triple/double-green history, sibling-covered,
     # ---- or rows-only (no oracle) ----
+    "txt_vocab_topk",
     "dedup_ngram_jaccard", "mm_image_features",
     "a1_watermark_per_key", "o3_topk_worst", "w5_rolling_mean",
     "w6_argmax_cross_section", "w9_expand_calendar",
