@@ -2167,6 +2167,45 @@ def mm_features_q(spark, sf_dir):
     return feats.select("media_id", "n_bytes", "width", "height", "phash")
 
 
+@q("mm_audio_features",
+   sql="""
+   WITH h AS (
+     SELECT doc_id AS media_id,
+            octet_length(encode(text)) AS n_bytes,
+            sha256(text) AS hx
+     FROM documents),
+   b AS (
+     SELECT media_id, n_bytes,
+            (strpos('0123456789abcdef', substr(hx, 5, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(hx, 6, 1)) - 1) AS b2,
+            (strpos('0123456789abcdef', substr(hx, 7, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(hx, 8, 1)) - 1) AS b3,
+            (strpos('0123456789abcdef', substr(hx, 9, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(hx, 10, 1)) - 1) AS b4,
+            (strpos('0123456789abcdef', substr(hx, 11, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(hx, 12, 1)) - 1) AS b5
+     FROM h)
+   SELECT media_id, CAST(n_bytes AS INTEGER) AS n_bytes,
+          CAST(1 + b2 % 300 AS INTEGER) AS duration_s,
+          CAST(CASE b3 % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+               WHEN 2 THEN 44100 ELSE 48000 END AS INTEGER) AS sample_rate,
+          CAST(1 + b4 % 2 AS INTEGER) AS n_channels,
+          CAST(b5 AS INTEGER) AS loudness_proxy
+   FROM b
+   """,
+   doc="Multimodal audio: binary column → Arrow-batched mapInPandas feature "
+       "extraction (duration/sample-rate/channels/loudness). Same "
+       "oracle-matched fake-decoder evidence structure as mm_image_features "
+       "(sha256 digest bytes 2-5 mirrored as hex arithmetic in SQL) — "
+       "proves the audio plumbing end to end; a real deployment swaps the "
+       "ffmpeg/soundfile kernel only (operators/multimodal.py "
+       "extract_audio_features).")
+def mm_audio_q(spark, sf_dir):
+    from .operators import multimodal
+    media = multimodal.to_media_table(_t(spark, sf_dir, "documents"))
+    return multimodal.extract_audio_features(media)
+
+
 @q("mm_video_frames",
    sql="""
    WITH h AS (
@@ -2732,16 +2771,16 @@ QUERY_PRIORITY: list[str] = [
     "dedup_minhash_incremental_md5",
     "dedup_components_star",
     "txt_contamination", "txt_winnowing",
-    "txt_repetition", "txt_pii_redact",
+    "txt_pii_redact",
     "pipeline_cluster_survivors",
     "dedup_embedding_pairs", "ann_cosine_topk", "emb_centroid_outliers",
-    "mm_video_frames",
+    "mm_audio_features", "mm_video_frames",
     "smp_hash_split", "smp_mixture_resample", "smp_source_quota",
     "smp_token_budget",
     "u5_schema_reconcile",
     # ---- position 51+: triple/double-green history, sibling-covered,
     # ---- or rows-only (no oracle) ----
-    "txt_vocab_topk",
+    "txt_vocab_topk", "txt_repetition",
     "dedup_ngram_jaccard", "mm_image_features",
     "a1_watermark_per_key", "o3_topk_worst", "w5_rolling_mean",
     "w6_argmax_cross_section", "w9_expand_calendar",
