@@ -395,3 +395,24 @@ def test_frequent_ngram_hash_twin_matches_string_keys(spark, sf_dir):
     b = {r["doc_id"]: (r["n_grams"], r["n_dup"])
          for r in dedup.frequent_ngram_stats(docs, hash_grams=False).collect()}
     assert a == b and len(a) > 0
+
+
+def test_incremental_probe_replay_idempotent(spark, sf_dir):
+    """The exactly-once claim of the streaming job rests on this: probing an
+    index that ALREADY contains the increment's banded rows (a replayed
+    batch after a mid-write crash) must yield the identical pair set."""
+    docs = catalog.load(spark, "documents", sf_dir).select("doc_id", "text")
+    old = docs.where("doc_id % 10 != 0")
+    new = docs.where("doc_id % 10 = 0")
+    args = ("text", "doc_id", 32, 8,
+            dedup._perm_hash_xxhash64, dedup._bucket_hash_xxhash64)
+    idx_clean = dedup.banded_signatures(old, *args)
+    new_banded = dedup.banded_signatures(new, *args)
+    idx_dirty = idx_clean.unionByName(new_banded)  # failed attempt landed
+    clean = {(r["id_a"], r["id_b"]): round(r["est_jaccard"], 9)
+             for r in dedup.incremental_pairs_from_banded(
+                 new_banded, idx_clean).collect()}
+    dirty = {(r["id_a"], r["id_b"]): round(r["est_jaccard"], 9)
+             for r in dedup.incremental_pairs_from_banded(
+                 new_banded, idx_dirty).collect()}
+    assert clean == dirty and len(clean) > 0
