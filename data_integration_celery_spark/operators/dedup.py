@@ -170,13 +170,21 @@ def banded_signatures(docs: DataFrame, text_col: str, id_col: str,
                 F.col("bb.bucket").alias("bucket"))
 
 
-def _est_jaccard(sig_a: Column, sig_b: Column) -> Column:
+def _est_jaccard(sig_a: Column, sig_b: Column, num_hashes: int) -> Column:
     """Fraction of matching minhashes — symmetric, so safe under any pair
-    canonicalization."""
-    return (F.size(F.filter(F.zip_with(sig_a, sig_b,
-                                       lambda x, y: (x == y).cast("int")),
-                            lambda v: v == 1))
-            / F.size(sig_a))
+    canonicalization.
+
+    Flat sum of per-position comparisons, NOT a zip_with/filter HOF: HOFs
+    run interpreted per element (allocation per lambda step), which
+    measured ~20s for 250k md5-string pairs at ~sf1 vs ~1s for this
+    codegen'd form — same lesson as the LSH flat-fold note in NOTES.md.
+    int/int division in Spark yields double, identical to the HOF form.
+    """
+    matches = F.lit(0)
+    for i in range(num_hashes):
+        matches = matches + (F.element_at(sig_a, i + 1)
+                             == F.element_at(sig_b, i + 1)).cast("int")
+    return matches / F.lit(num_hashes)
 
 
 def minhash_banded_pairs(docs: DataFrame, text_col: str, id_col: str,
@@ -205,7 +213,8 @@ def minhash_banded_pairs(docs: DataFrame, text_col: str, id_col: str,
                      F.col("b.sig").alias("sig_b"))
              .dropDuplicates(["id_a", "id_b"]))
     return (pairs.withColumn("est_jaccard",
-                             _est_jaccard(F.col("sig_a"), F.col("sig_b")))
+                             _est_jaccard(F.col("sig_a"), F.col("sig_b"),
+                                          num_hashes))
             .drop("sig_a", "sig_b"))
 
 
@@ -234,11 +243,13 @@ def incremental_minhash_pairs(new_docs: DataFrame, index: DataFrame,
     """
     new_banded = banded_signatures(new_docs, text_col, id_col,
                                    num_hashes, bands, perm_hash, bucket_hash)
-    return incremental_pairs_from_banded(new_banded, index, id_col)
+    return incremental_pairs_from_banded(new_banded, index, id_col,
+                                         num_hashes=num_hashes)
 
 
 def incremental_pairs_from_banded(new_banded: DataFrame, index: DataFrame,
-                                  id_col: str = "doc_id") -> DataFrame:
+                                  id_col: str = "doc_id",
+                                  num_hashes: int = 32) -> DataFrame:
     """The probe half of ``incremental_minhash_pairs``, over already-banded
     increment rows — lets callers that need the banded rows twice (probe,
     then index append — e.g. the streaming job) hash the increment once.
@@ -255,8 +266,8 @@ def incremental_pairs_from_banded(new_banded: DataFrame, index: DataFrame,
                              F.col(f"b.{id_col}")).alias("id_a"),
                      F.greatest(F.col(f"a.{id_col}"),
                                 F.col(f"b.{id_col}")).alias("id_b"),
-                     _est_jaccard(F.col("a.sig"),
-                                  F.col("b.sig")).alias("est_jaccard"))
+                     _est_jaccard(F.col("a.sig"), F.col("b.sig"),
+                                  num_hashes).alias("est_jaccard"))
              .dropDuplicates(["id_a", "id_b"]))
     return pairs
 

@@ -159,7 +159,7 @@ def stream_incremental_dedup(docs: DataFrame, index_path: str,
                                    incremental_pairs_from_banded,
                                    _perm_hash_xxhash64,
                                    _bucket_hash_xxhash64)
-    from ..operators.upsert import overwrite_partitions
+    from ..operators.upsert import _exists, overwrite_partitions
 
     def probe_and_extend(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -167,12 +167,16 @@ def stream_incremental_dedup(docs: DataFrame, index_path: str,
             batch_df, text_col, id_col, num_hashes, bands,
             _perm_hash_xxhash64, _bucket_hash_xxhash64).persist()
         try:
-            try:
+            # existence-branch, not read-exception branch: a transient read
+            # error on a real index must propagate, never silently restart
+            # the index from empty (same rule as operators.upsert)
+            if _exists(spark, index_path):
                 index = spark.read.parquet(index_path) \
                     .select(id_col, "sig", "band", "bucket")
-            except Exception:
+            else:
                 index = new_banded.limit(0)  # first batch: empty index
-            pairs = incremental_pairs_from_banded(new_banded, index, id_col)
+            pairs = incremental_pairs_from_banded(new_banded, index, id_col,
+                                                  num_hashes=num_hashes)
             overwrite_partitions(
                 pairs.withColumn("batch_id", F.lit(batch_id)),
                 pairs_path, ["batch_id"])
