@@ -501,14 +501,17 @@ def simhash_near_dup_pairs(docs: DataFrame, text_col: str = "text",
         keyed = (keyed.withColumn("__sz", sz)
                  .where(F.col("__sz") <= max_bucket).drop("__sz"))
     a, b_ = keyed.alias("a"), keyed.alias("b")
-    cand = (a.join(b_, ["b", "v"])
+    # verify BEFORE the distinct: hamming is determined by the pair (one sig
+    # per id), so the filter commutes with dropDuplicates — false candidates
+    # and the sig payload never enter the distinct shuffle (the band
+    # redundancy factor is k+1 rows per surviving pair)
+    ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    return (a.join(b_, ["b", "v"])
             .where(F.col("a.id") < F.col("b.id"))
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                    F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+                    ham.alias("hamming"))
+            .where(F.col("hamming") <= k)
             .dropDuplicates(["id_a", "id_b"]))
-    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (cand.select("id_a", "id_b", ham.alias("hamming"))
-                .where(F.col("hamming") <= k))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
@@ -632,6 +635,59 @@ def frequent_ngram_stats(docs: DataFrame, text_col: str = "text",
                     F.when(F.coalesce("n_grams", F.lit(0)) > 0,
                            F.col("n_dup").cast("double") / F.col("n_grams"))
                      .otherwise(F.lit(0.0)).alias("dup_fraction")))
+
+
+def remove_duplicated_spans(docs: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", span_words: int = 8,
+                            min_docs: int = 2,
+                            hash_spans: bool = True) -> DataFrame:
+    """Corpus-level duplicated-span REMOVAL with document reassembly — the
+    C4/RefinedWeb line-dedup shape (Raffel et al. 2020 drop repeated
+    3-sentence spans; Penedo et al. 2023 remove lines duplicated across
+    documents). ``frequent_ngram_stats`` only *scores* documents; this
+    operator produces the cleaned corpus: every exact ``span_words``-word
+    span occurring in ≥ ``min_docs`` distinct documents is cut from ALL of
+    them and the survivors are rejoined in original order. (Newline-
+    delimited corpora would segment on '\\n' instead; the fixed word window
+    is the separator-free equivalent and keeps the span set disjoint, so
+    removals never overlap.)
+
+    Plan: per-doc span list (sequence + slice + array_join, a few elements
+    per row) → posexplode → one shuffle on the span key for the
+    distinct-doc count → thresholded hot-span set joins back (small; AQE
+    broadcasts it) → one groupBy(doc) rebuilds clean text with
+    array_sort(collect_list(struct(pos, span))). Two shuffles total, both
+    map-side combinable; state is the hot-span set, never the corpus.
+
+    ``hash_spans=True`` (production) keys the count/join on xxhash64(span)
+    — 8-byte shuffle keys; ``False`` is the string-keyed oracle twin.
+
+    Returns (id, clean_text, n_spans, n_removed); a fully-boilerplate
+    document comes back with clean_text = ''.
+    """
+    w = span_words
+    spans = (docs
+             .select(id_col, F.split(F.col(text_col), " ").alias("ws"))
+             .select(id_col, F.posexplode(F.transform(
+                 F.sequence(F.lit(0),
+                            F.ceil(F.size("ws") / w).cast("int") - 1),
+                 lambda i: F.array_join(F.slice("ws", i * w + 1, w), " ")))
+                 .alias("pos", "span")))
+    key = F.xxhash64("span") if hash_spans else F.col("span")
+    keyed = spans.select(id_col, "pos", "span", key.alias("k"))
+    hot = (keyed.groupBy("k")
+           .agg(F.countDistinct(id_col).alias("nd"))
+           .where(F.col("nd") >= min_docs)
+           .select("k", F.lit(1).alias("dup")))
+    return (keyed.join(hot, "k", "left")
+            .groupBy(id_col)
+            .agg(F.array_join(F.transform(
+                     F.array_sort(F.collect_list(
+                         F.when(F.col("dup").isNull(),
+                                F.struct("pos", "span")))),
+                     lambda s: s["span"]), " ").alias("clean_text"),
+                 F.count(F.lit(1)).alias("n_spans"),
+                 F.count("dup").alias("n_removed")))
 
 
 def contamination_scores(corpus: DataFrame, benchmark: DataFrame,
