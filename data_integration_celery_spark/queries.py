@@ -1045,6 +1045,45 @@ def dedup_frequent_ngrams_q(spark, sf_dir):
                                       hash_grams=False)
 
 
+@q("dedup_span_removal",
+   sql="""
+   WITH words AS (
+     SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+   g AS (
+     SELECT doc_id,
+            unnest(list_transform(
+                range(0, CAST(ceil(len(ws) / 8.0) AS INT)),
+                i -> {'pos': i,
+                      'span': array_to_string(ws[i*8+1:i*8+8], ' ')})) AS sp
+     FROM words),
+   spans AS (SELECT doc_id, sp.pos AS pos, sp.span AS span FROM g),
+   hot AS (SELECT span FROM spans
+           GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
+   marked AS (
+     SELECT s.doc_id, s.pos, s.span, h.span IS NOT NULL AS is_dup
+     FROM spans s LEFT JOIN hot h ON s.span = h.span)
+   SELECT doc_id,
+          coalesce(string_agg(CASE WHEN NOT is_dup THEN span END,
+                              ' ' ORDER BY pos), '') AS clean_text,
+          CAST(count(*) AS BIGINT) AS n_spans,
+          CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_removed
+   FROM marked GROUP BY doc_id
+   """,
+   doc="Duplicated-span REMOVAL with reassembly (C4 / RefinedWeb line "
+       "dedup): every exact 8-word span occurring in ≥2 distinct documents "
+       "is cut from all of them and the survivors rejoin in original "
+       "order — the cleaned-corpus producer, where dedup_frequent_ngrams "
+       "only scores. Two map-side-combinable shuffles (span count, doc "
+       "reassembly); the hot-span set is the only state. String span keys "
+       "here for the exact oracle; production keys on xxhash64(span) "
+       "(operators/dedup.py remove_duplicated_spans).")
+def dedup_span_removal_q(spark, sf_dir):
+    from .operators import dedup
+    return dedup.remove_duplicated_spans(_t(spark, sf_dir, "documents"),
+                                         hash_spans=False)
+
+
 # md5-bit-vote SimHash oracle: token-hash bit i = bit (i mod 4) of md5 hex
 # digit i/4, mirrored below as strpos/div/mod arithmetic (same trick as the
 # mm_* decoders). 16 vote sums + signature assembly, generated to keep the
@@ -2738,8 +2777,10 @@ def u5_schema_reconcile_q(spark, sf_dir):
 # Rows-only queries (no SQL-expressible oracle) never occupy a top-50 slot —
 # their driver row is rows-only regardless of position.
 QUERY_PRIORITY: list[str] = [
-    # scans / predicates / cleaning
-    "s1_filtered_scan", "p3_regex_filter", "f3_cleaning_exprs",
+    # scans / predicates / cleaning (s1 [triple-green r1+r2+r3] rotates to
+    # the tail — scan+predicate+projection shape is exercised by every
+    # in-window plan — making room for dedup_span_removal's first check)
+    "p3_regex_filter", "f3_cleaning_exprs",
     # joins
     "j1_vendor_merge_full_outer", "j2_three_source_merge",
     "j6_code_mapping_maintenance",
@@ -2766,6 +2807,7 @@ QUERY_PRIORITY: list[str] = [
     # machinery re-exercised by the frequent-ngram query] and
     # mm_image_features [green r2+r3, mm_video_frames stays as the
     # multimodal rep] rotate to the tail)
+    "dedup_span_removal",
     "dedup_frequent_ngrams", "dedup_simhash_md5",
     "dedup_minhash_md5", "dedup_simhash_hamming_md5",
     "dedup_minhash_incremental_md5",
@@ -2781,7 +2823,7 @@ QUERY_PRIORITY: list[str] = [
     # ---- position 51+: triple/double-green history, sibling-covered,
     # ---- or rows-only (no oracle) ----
     "txt_vocab_topk", "txt_repetition",
-    "dedup_ngram_jaccard", "mm_image_features",
+    "dedup_ngram_jaccard", "mm_image_features", "s1_filtered_scan",
     "a1_watermark_per_key", "o3_topk_worst", "w5_rolling_mean",
     "w6_argmax_cross_section", "w9_expand_calendar",
     "j7_code_extract_join", "j11_argmax_latest_per_key",

@@ -397,6 +397,39 @@ def test_frequent_ngram_hash_twin_matches_string_keys(spark, sf_dir):
     assert a == b and len(a) > 0
 
 
+def test_span_removal_hand_case(spark):
+    """2-word spans, min_docs=2: the shared leading span is cut from both
+    carriers, a fully-boilerplate doc collapses to '', a remainder span
+    (odd word count) survives intact, unique docs pass through."""
+    rows = [(1, "aa bb cc dd"),       # shares "aa bb" with docs 2 and 4
+            (2, "aa bb xx yy"),
+            (3, "zz ww"),             # unique
+            (4, "aa bb"),             # nothing but the hot span
+            (5, "pp qq rr")]          # odd length: remainder span "rr"
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dedup.remove_duplicated_spans(
+        docs, span_words=2, min_docs=2).collect()}
+    assert out[1]["clean_text"] == "cc dd" and out[1]["n_removed"] == 1
+    assert out[2]["clean_text"] == "xx yy" and out[2]["n_spans"] == 2
+    assert out[3]["clean_text"] == "zz ww" and out[3]["n_removed"] == 0
+    assert out[4]["clean_text"] == "" and out[4]["n_removed"] == 1
+    assert out[5]["clean_text"] == "pp qq rr" and out[5]["n_spans"] == 2
+
+
+def test_span_removal_hash_twin_matches_string_keys(spark, sf_dir):
+    """xxhash64 span keys (production, 8-byte shuffle) must rebuild the
+    identical cleaned corpus as exact string keys (oracle form)."""
+    docs = catalog.load(spark, "documents", sf_dir)
+    a = {r["doc_id"]: (r["clean_text"], r["n_spans"], r["n_removed"])
+         for r in dedup.remove_duplicated_spans(
+             docs, hash_spans=True).collect()}
+    b = {r["doc_id"]: (r["clean_text"], r["n_spans"], r["n_removed"])
+         for r in dedup.remove_duplicated_spans(
+             docs, hash_spans=False).collect()}
+    assert a == b and len(a) > 0
+    assert any(v[2] > 0 for v in a.values())  # corpus really has hot spans
+
+
 def test_incremental_probe_replay_idempotent(spark, sf_dir):
     """The exactly-once claim of the streaming job rests on this: probing an
     index that ALREADY contains the increment's banded rows (a replayed
