@@ -102,6 +102,47 @@ def stream_sessionize(events: DataFrame, key_cols: list[str], ts_col: str,
             .drop("session_window"))
 
 
+def stream_click_view_attribution(events: DataFrame,
+                                  max_delay: str = "10 minutes",
+                                  watermark: str = "10 minutes") -> DataFrame:
+    """Stream-stream inner join: each click joined to the views the same
+    user produced within ``max_delay`` after it (event-time attribution).
+
+    The canonical Structured Streaming two-stream join: both sides carry a
+    watermark and the join condition bounds ``view_ts`` relative to
+    ``click_ts`` in BOTH directions, so the state store can evict — a click
+    older than watermark+delay can never match a future view and is
+    dropped; unbounded conditions would accumulate state forever. At scale
+    the join shuffles both streams on user_id once; state per key is the
+    in-horizon rows only.
+
+    Returns (user_id, click_id, click_ts, view_id, view_ts, lag_s); exact
+    batch twin asserted in tests/test_streaming.py (same join expressed
+    statically).
+    """
+    clicks = (events.where(F.col("event_type") == "click")
+              .select("user_id",
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts"))
+              .withWatermark("click_ts", watermark))
+    views = (events.where(F.col("event_type") == "view")
+             .select(F.col("user_id").alias("view_user_id"),
+                     F.col("event_id").alias("view_id"),
+                     F.col("ts").alias("view_ts"))
+             .withWatermark("view_ts", watermark))
+    return (clicks.join(
+                views,
+                (F.col("user_id") == F.col("view_user_id"))
+                & (F.col("view_ts") >= F.col("click_ts"))
+                & (F.col("view_ts")
+                   <= F.col("click_ts") + F.expr(f"INTERVAL {max_delay}")),
+                "inner")
+            .drop("view_user_id")
+            .withColumn("lag_s",
+                        F.col("view_ts").cast("double")
+                        - F.col("click_ts").cast("double")))
+
+
 def stream_running_stats(ticks: DataFrame, key_col: str, value_col: str,
                          out_schema: str | None = None) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-key running

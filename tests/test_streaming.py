@@ -66,6 +66,40 @@ def test_stream_upsert_sink(spark, events_dir, tmp_path):
     assert got.count() == got.select("event_id").distinct().count()
 
 
+def test_stream_stream_join_matches_batch(spark, sf_dir, events_dir,
+                                          tmp_path):
+    """Stream-stream attribution join ≡ the same join run statically: every
+    (click, view-within-window) pair appears exactly once — across
+    micro-batch boundaries (1 file per trigger, time-range-split files, so
+    a click's matching view routinely arrives in a later batch and must be
+    matched from the state store)."""
+    src = spark.read.parquet(events_dir)
+    split_dir = str(tmp_path / "attr_split")
+    src.repartitionByRange(4, "ts").write.mode("overwrite").parquet(split_dir)
+    stream = (spark.readStream.schema(src.schema)
+              .option("maxFilesPerTrigger", 1).parquet(split_dir))
+    # the sf0.001 event stream is sparse (1k events/month): a 4h window
+    # yields a meaningful pair set where the production-default 10min is
+    # dry. Watermark exceeds the table's 30-day span because the file
+    # source does NOT deliver the range files in time order — this test
+    # pins cross-batch state matching; late-event drop semantics are
+    # pinned by test_stream_watermark_bounds_dedup_state.
+    out = jobs.stream_click_view_attribution(stream, max_delay="4 hours",
+                                             watermark="35 days")
+    q = (out.writeStream.format("memory").queryName("attr_test")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["click_id"], r["view_id"]): round(r["lag_s"], 6)
+           for r in spark.sql("select * from attr_test").collect()}
+
+    ev = catalog.load(spark, "events", sf_dir)
+    batch = jobs.stream_click_view_attribution(  # same body, static input
+        ev, max_delay="4 hours", watermark="35 days")
+    want = {(r["click_id"], r["view_id"]): round(r["lag_s"], 6)
+            for r in batch.collect()}
+    assert got == want and len(got) > 0
+
+
 def test_stream_rate_limited_microbatches(spark, events_dir, tmp_path):
     """maxFilesPerTrigger bounds per-batch intake (the streaming analogue of
     the reference's vendor rate caps): the same result arrives over several
