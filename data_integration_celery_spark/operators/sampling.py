@@ -236,3 +236,56 @@ def select_token_budget(df: DataFrame, token_col: str, order_col: str,
             .withColumn(cum_col, F.col("__off") + F.col("__cum"))
             .where(F.col(cum_col) <= budget)
             .drop("__bkt", "__cum", "__off"))
+
+
+def epoch_shuffle(df: DataFrame, id_col: str = "doc_id",
+                  n_epochs: int = 1, seed: int = 0,
+                  hasher: str = "xxhash64",
+                  n_buckets: int = 256) -> DataFrame:
+    """Deterministic per-epoch global training order — the "shuffle each
+    epoch" a training-data pipeline needs, as a pure function of
+    (seed, epoch, id): reproducible across re-runs, engines and any
+    repartitioning, unlike ``df.orderBy(rand())``.
+
+    Each document's epoch-e sort key is ``hash(seed, epoch, id)``; the
+    global position is its rank under (key, id). No single-partition sort:
+    because the key is a uniform hash, FIXED equal-width key-prefix ranges
+    are balanced buckets by construction (no percentile pass needed, cf.
+    windows.rank_rows_scalable) — rank = per-bucket row_number (parallel
+    windows) + cumulative bucket offsets (n_epochs x n_buckets count rows,
+    broadcast back). At 100 TB the writer would drop explicit positions and
+    range-partition on the key directly; positions are for when consumers
+    need an addressable order (sharding, resume offsets).
+
+    ``hasher='md5'`` is the engine-portable twin (hex-string keys, prefix
+    buckets — lexicographic hex order IS the numeric order); production
+    xxhash64 buckets by the top signed byte (signed shiftright order
+    matches bigint sort order).
+
+    Returns (epoch, pos, id) — pos is the 1-based rank within the epoch.
+    """
+    base = (df.select(id_col)
+            .withColumn("epoch", F.explode(
+                F.sequence(F.lit(0), F.lit(n_epochs - 1)))))
+    if hasher == "md5":
+        k = F.md5(F.concat_ws(",", F.lit(seed), F.col("epoch"),
+                              F.col(id_col)))
+        bkt = F.conv(F.substring(k, 1, 2), 16, 10).cast("int")
+    else:
+        k = F.xxhash64(F.lit(seed), F.col("epoch"), F.col(id_col))
+        bkt = F.shiftright(k, 56).cast("int")
+    tagged = base.withColumn("__k", k).withColumn("__b", bkt)
+    wl = Window.partitionBy("epoch", "__b").orderBy("__k", id_col)
+    local = tagged.withColumn("__ln", F.row_number().over(wl))
+    wo = (Window.partitionBy("epoch").orderBy("__b")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (tagged.groupBy("epoch", "__b")
+               .agg(F.count(F.lit(1)).alias("__c"))
+               .withColumn("__off", F.coalesce(F.sum("__c").over(wo),
+                                               F.lit(0).cast("long")))
+               .select("epoch", "__b", "__off"))
+    return (local.join(F.broadcast(offsets), ["epoch", "__b"])
+            .select("epoch",
+                    (F.col("__off") + F.col("__ln")).cast("bigint")
+                    .alias("pos"),
+                    id_col))

@@ -2708,6 +2708,32 @@ def smp_token_budget_q(spark, sf_dir):
     return out.select("doc_id", "n_chars", "n_tokens", "cum_tokens")
 
 
+@q("smp_epoch_shuffle",
+   sql="""
+   WITH e AS (SELECT unnest(range(0, 2)) AS epoch),
+   keyed AS (
+     SELECT e.epoch, d.doc_id,
+            md5(concat_ws(',', 42, e.epoch, d.doc_id)) AS k
+     FROM documents d CROSS JOIN e)
+   SELECT epoch,
+          CAST(row_number() OVER (PARTITION BY epoch
+                                  ORDER BY k, doc_id) AS BIGINT) AS pos,
+          doc_id
+   FROM keyed
+   """,
+   doc="Deterministic per-epoch training order: global rank under "
+       "hash(seed, epoch, id) — reproducible across engines/re-runs, "
+       "unlike orderBy(rand()). No single-partition sort: uniform hash "
+       "keys make fixed key-prefix ranges balanced buckets, so rank = "
+       "parallel per-bucket row_number + broadcast cumulative offsets. "
+       "md5 keys here for the exact oracle; production keys on xxhash64 "
+       "(operators/sampling.py epoch_shuffle, lockstep-shaped twin).")
+def smp_epoch_shuffle_q(spark, sf_dir):
+    from .operators import sampling
+    return sampling.epoch_shuffle(_t(spark, sf_dir, "documents"),
+                                  n_epochs=2, seed=42, hasher="md5")
+
+
 @q("u5_schema_reconcile",
    sql="""
    WITH a AS (
@@ -2786,8 +2812,9 @@ QUERY_PRIORITY: list[str] = [
     "j6_code_mapping_maintenance",
     "j8b_interval_join_bucketed", "j10_asof_point_lookup",
     "j14_main_sec_join",
-    # aggregations
-    "a3_tick_to_bars", "a4_rebar", "a11_accumulation_detect",
+    # aggregations (a4_rebar [triple-green r1-r3; bars family keeps a3 +
+    # stream_bars_1min in-window] rotates out for smp_epoch_shuffle)
+    "a3_tick_to_bars", "a11_accumulation_detect",
     "a8_median_cross_section",
     # sinks / ordering / sets
     "s6_upsert_last_write_wins", "u4_scd2_intervals",
@@ -2818,12 +2845,13 @@ QUERY_PRIORITY: list[str] = [
     "dedup_embedding_pairs", "ann_cosine_topk", "emb_centroid_outliers",
     "mm_audio_features", "mm_video_frames",
     "smp_hash_split", "smp_mixture_resample", "smp_source_quota",
-    "smp_token_budget",
+    "smp_token_budget", "smp_epoch_shuffle",
     "u5_schema_reconcile",
     # ---- position 51+: triple/double-green history, sibling-covered,
     # ---- or rows-only (no oracle) ----
     "txt_vocab_topk", "txt_repetition",
     "dedup_ngram_jaccard", "mm_image_features", "s1_filtered_scan",
+    "a4_rebar",
     "a1_watermark_per_key", "o3_topk_worst", "w5_rolling_mean",
     "w6_argmax_cross_section", "w9_expand_calendar",
     "j7_code_extract_join", "j11_argmax_latest_per_key",

@@ -175,3 +175,47 @@ def test_vocab_topk_matches_counter(spark):
             c.update(w for w in re.split(r"[^a-z0-9]+", t.lower()) if w)
     want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
     assert got == want
+
+
+def test_epoch_shuffle_permutation_and_repartition_stable(spark):
+    """Each epoch is a full 1..N permutation; the order differs between
+    epochs; and the assignment is a pure function of (seed, epoch, id) —
+    identical under any input partitioning."""
+    docs = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    out = sampling.epoch_shuffle(docs, n_epochs=2, seed=7).collect()
+    by_epoch = {}
+    for r in out:
+        by_epoch.setdefault(r["epoch"], {})[r["doc_id"]] = r["pos"]
+    assert set(by_epoch) == {0, 1}
+    for e, m in by_epoch.items():
+        assert sorted(m.values()) == list(range(1, 201))
+    assert by_epoch[0] != by_epoch[1]  # epochs reshuffle
+
+    again = {(r["epoch"], r["doc_id"]): r["pos"]
+             for r in sampling.epoch_shuffle(
+                 docs.repartition(7), n_epochs=2, seed=7).collect()}
+    assert again == {(e, d): p for e, m in by_epoch.items()
+                     for d, p in m.items()}
+
+
+def test_epoch_shuffle_bucketed_rank_equals_single_window(spark):
+    """The fixed-prefix-bucket rank decomposition must equal the naive
+    single-partition row_number over (key, id) — for both hash families."""
+    from pyspark.sql import Window
+
+    docs = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    for hasher in ("xxhash64", "md5"):
+        got = {(r["epoch"], r["doc_id"]): r["pos"]
+               for r in sampling.epoch_shuffle(
+                   docs, n_epochs=2, seed=3, hasher=hasher).collect()}
+        base = docs.withColumn(
+            "epoch", F.explode(F.sequence(F.lit(0), F.lit(1))))
+        k = (F.md5(F.concat_ws(",", F.lit(3), F.col("epoch"),
+                               F.col("doc_id")))
+             if hasher == "md5"
+             else F.xxhash64(F.lit(3), F.col("epoch"), F.col("doc_id")))
+        w = Window.partitionBy("epoch").orderBy(k, F.col("doc_id"))
+        want = {(r["epoch"], r["doc_id"]): r["pos"]
+                for r in base.withColumn(
+                    "pos", F.row_number().over(w).cast("bigint")).collect()}
+        assert got == want
