@@ -123,6 +123,19 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
     "dedup_minhash_incremental_md5": (
         [r"partial_min", r"HashAggregate"],
         [r"CartesianProduct", r"BroadcastNestedLoopJoin"]),
+    # span removal: span count + doc reassembly are hash aggregations with
+    # map-side partials; the hot-span set joins back broadcast; the whole
+    # plan stays JVM-side (no Python nodes) and never goes quadratic
+    "dedup_span_removal": (
+        [r"partial", r"HashAggregate", r"BroadcastHashJoin"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin",
+         r"BatchEvalPython", r"ArrowEvalPython", r"SinglePartition"]),
+    # epoch shuffle: rank windows hashpartition on (epoch, bucket) — the
+    # global order NEVER plans as a single-partition sort; bucket offsets
+    # broadcast back
+    "smp_epoch_shuffle": (
+        [r"hashpartitioning\(epoch.*__b", r"BroadcastHashJoin"],
+        [r"CartesianProduct", r"SinglePartition"]),
 }
 
 
