@@ -286,3 +286,34 @@ def reconcile_schemas(spark, schema_a, schema_b,
         rows, "col_a string, pos_a int, type_a string, "
               "col_b string, pos_b int, type_b string, "
               "status string, action string")
+
+
+def sketch_profile(df: DataFrame, group_col: str, id_col: str,
+                   value_col: str,
+                   fracs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+                   rsd: float = 0.02,
+                   accuracy: int = 10_000) -> DataFrame:
+    """Sketch-based per-group profile: approximate distinct ids (HLL++)
+    and approximate value quantiles (Greenwald-Khanna via
+    percentile_approx) plus exact count/mean.
+
+    a9_describe is the exact twin; this is the form that survives 100 TB:
+    both sketches are fixed-size mergeable state, so the whole profile is
+    one map-side-combinable aggregation pass — no sort, no exact-distinct
+    shuffle of the id universe, memory O(groups x sketch), never O(rows).
+    Approximate by construction, so driver-checked rows-only; the error
+    bounds vs exact (HLL rsd, GK rank error <= 1/accuracy) are pinned by
+    tests/test_quality.py.
+
+    Returns (group, n_rows, n_distinct_approx, mean, q25/q50/q75/q95).
+    """
+    from ..functions.numeric import DEC
+    qcols = [F.percentile_approx(value_col, f, accuracy)
+             .alias(f"q{int(f * 100)}") for f in fracs]
+    return (df.groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.approx_count_distinct(id_col, rsd)
+                 .alias("n_distinct_approx"),
+                 (F.sum(F.col(value_col).cast(DEC))
+                  / F.count(value_col)).cast("double").alias("mean"),
+                 *qcols))

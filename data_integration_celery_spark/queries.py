@@ -1957,7 +1957,11 @@ def pipeline_q3(spark, sf_dir):
    """,
    doc="TPC-H Q5 shape: a 5-table snowflake join chain — three broadcast "
        "dims feeding a fact-fact sort-merge join, grouped per nation. "
-       "Exercises Catalyst join reordering + AQE.")
+       "The orders-lineitem join carries an explicit merge hint: at ~sf1 "
+       "the 64m broadcast threshold silently 'upgraded' it to a 1.5M-row "
+       "broadcast whose single-threaded build cost 10.7s vs 2.4s for the "
+       "designed SMJ (and at 100 TB a fact-side broadcast is impossible "
+       "anyway); the dims stay broadcast.")
 def pipeline_q5(spark, sf_dir):
     r = _t(spark, sf_dir, "region")
     n = _t(spark, sf_dir, "nation")
@@ -1969,7 +1973,7 @@ def pipeline_q5(spark, sf_dir):
             .join(n, n.n_regionkey == r.r_regionkey)
             .join(c, c.c_nationkey == n.n_nationkey)
             .join(o, o.o_custkey == c.c_custkey)
-            .join(li, li.l_orderkey == o.o_orderkey)
+            .join(li.hint("merge"), li.l_orderkey == o.o_orderkey)
             .groupBy("r_name", "n_name")
             .agg(F.sum(rev).cast("double").alias("revenue"),
                  F.count(F.lit(1)).alias("n_items")))
@@ -2734,6 +2738,23 @@ def smp_epoch_shuffle_q(spark, sf_dir):
                                   n_epochs=2, seed=42, hasher="md5")
 
 
+@q("a14_sketch_profile",
+   sql=None,  # HLL++/GK sketches are approximate + engine-specific: no
+              # exact cross-engine oracle exists by construction. Error
+              # bounds vs the exact profile are pinned in test_quality.py;
+              # a9_describe is the exact-oracle twin of this shape.
+   doc="Sketch-based per-type event profile: approx_count_distinct "
+       "(HLL++, rsd 2%) + percentile_approx (Greenwald-Khanna) + exact "
+       "count/mean in ONE map-side-combinable aggregation — fixed-size "
+       "mergeable state, memory O(groups x sketch) never O(rows); the "
+       "100 TB profiling form of a9_describe "
+       "(operators/quality.py sketch_profile).")
+def a14_sketch_profile_q(spark, sf_dir):
+    from .operators import quality
+    ev = _t(spark, sf_dir, "events")
+    return quality.sketch_profile(ev, "event_type", "user_id", "value")
+
+
 @q("u5_schema_reconcile",
    sql="""
    WITH a AS (
@@ -2864,7 +2885,7 @@ QUERY_PRIORITY: list[str] = [
     "ann_ivf_topk", "txt_corpus_stats",
     "w8_quarterize", "u4_membership_changepoints", "dedup_minhash_lsh",
     "dedup_simhash", "ann_lsh_topk", "dedup_simhash_hamming",
-    "smp_pack_sequences",
+    "smp_pack_sequences", "a14_sketch_profile",
 ]
 
 

@@ -219,3 +219,43 @@ def test_md5_twin_lockstep_by_construction(spark):
         by_id = {r["doc_id"]: r["sig"] for r in sigs.collect()}
         assert by_id[1] == by_id[4]
         assert by_id[5] == 0  # NULL text → signature 0 in both families
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.lists(st.sampled_from("ab cd ef gh ij".split()),
+                         min_size=1, max_size=9),
+                min_size=1, max_size=10),
+       st.integers(1, 3), st.integers(2, 3))
+def test_span_removal_matches_python_model(spark, word_lists, w, min_docs):
+    """remove_duplicated_spans ≡ a direct python model on random tiny
+    corpora over a 5-word alphabet (dense span collisions), across span
+    widths and thresholds."""
+    from collections import Counter
+
+    from data_integration_celery_spark.operators import dedup
+
+    docs = [(i, " ".join(ws)) for i, ws in enumerate(word_lists)]
+
+    def model():
+        spans = {}  # doc_id -> [span, ...]
+        for i, text in docs:
+            ws = text.split(" ")
+            spans[i] = [" ".join(ws[j * w:(j + 1) * w])
+                        for j in range(math.ceil(len(ws) / w))]
+        df_count = Counter()
+        for i, ss in spans.items():
+            for s in set(ss):
+                df_count[s] += 1
+        hot = {s for s, c in df_count.items() if c >= min_docs}
+        out = {}
+        for i, ss in spans.items():
+            kept = [s for s in ss if s not in hot]
+            out[i] = (" ".join(kept), len(ss),
+                      sum(1 for s in ss if s in hot))
+        return out
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: (r["clean_text"], r["n_spans"], r["n_removed"])
+           for r in dedup.remove_duplicated_spans(
+               df, span_words=w, min_docs=min_docs).collect()}
+    assert got == model()

@@ -149,3 +149,40 @@ def test_reconcile_schemas_greedy_alias(spark):
     # greedy consumption: each B column used at most once
     assert out.where("col_b is not null").groupBy("col_b").count() \
               .where("count > 1").count() == 0
+
+
+def test_sketch_profile_error_bounds(spark, sf_dir):
+    """HLL distinct within 3x the configured rsd of exact; GK quantiles
+    within the documented rank-error bound; count/mean exact."""
+    from data_integration_celery_spark import catalog
+    from data_integration_celery_spark.operators import quality
+
+    ev = catalog.load(spark, "events", sf_dir)
+    got = {r["event_type"]: r for r in quality.sketch_profile(
+        ev, "event_type", "user_id", "value").collect()}
+
+    import pyspark.sql.functions as F
+    exact = {r["event_type"]: r for r in ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("user_id").alias("nd"),
+        F.avg("value").alias("mean"),
+        F.sort_array(F.collect_list("value")).alias("vals")).collect()}
+    assert set(got) == set(exact) and len(got) > 1
+    for k, e in exact.items():
+        g = got[k]
+        assert g["n_rows"] == e["n"]
+        assert abs(g["n_distinct_approx"] - e["nd"]) <= max(2, 0.06 * e["nd"])
+        # sketch_profile's mean goes through DECIMAL(38,6) (determinism
+        # contract) → exact to 6 dp, not full double precision
+        assert abs(g["mean"] - e["mean"]) < 5e-6
+        vals, n = e["vals"], len(e["vals"])
+        for frac, col in [(0.25, "q25"), (0.5, "q50"),
+                          (0.75, "q75"), (0.95, "q95")]:
+            # GK guarantee: returned value's rank within n/accuracy of
+            # ceil(frac*n); allow +-1 extra for boundary convention
+            import bisect
+            lo = bisect.bisect_left(vals, g[col])
+            hi = bisect.bisect_right(vals, g[col])
+            target = frac * n
+            tol = n / 10_000 + 2
+            assert lo - tol <= target <= hi + tol, (k, col, g[col])

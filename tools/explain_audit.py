@@ -33,8 +33,12 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
     "pipeline_revenue_topk": (
         [r"BroadcastHashJoin", r"TakeOrderedAndProject"],
         [r"CartesianProduct"]),
+    # Q5 shape: dims broadcast, but the orders-lineitem FACT join must be
+    # a sort-merge — a fact-side broadcast (64m threshold at ~sf1) costs a
+    # single-threaded 1.5M-row build (measured 10.7s vs 2.4s) and is
+    # impossible at 100 TB
     "pipeline_region_revenue": (
-        [r"BroadcastHashJoin"], [r"CartesianProduct"]),
+        [r"BroadcastHashJoin", r"SortMergeJoin"], [r"CartesianProduct"]),
     "j5_anti_join_new_codes": (
         [r"LeftAnti"], [r"CartesianProduct"]),
     # code-mapping maintenance: broadcast fill-join + native anti-join for
