@@ -256,20 +256,31 @@ def incremental_pairs_from_banded(new_banded: DataFrame, index: DataFrame,
     Idempotent under replay: re-probing after the increment's rows were
     already appended to the index yields the identical pair set (self-pairs
     are excluded, duplicate orders collapse in the canonicalized distinct).
+
+    The probe is TWO joins — increment-vs-index and increment-vs-increment
+    — not one join against ``index UNION increment``: a union of a bucketed
+    index table with a fresh increment has no bucketing guarantee, so the
+    single-join form re-shuffles every index row on each increment (found
+    by the plan test; the two-join form is the same relation because joins
+    distribute over unions). With the index written bucketed on
+    (band, bucket), its scan feeds the join co-located and only the
+    increment side plans an Exchange.
     """
-    all_banded = index.select(id_col, "sig", "band", "bucket") \
-        .unionByName(new_banded.select(id_col, "sig", "band", "bucket"))
-    a, b = new_banded.alias("a"), all_banded.alias("b")
-    pairs = (a.join(b, ["band", "bucket"])
-             .where(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
-             .select(F.least(F.col(f"a.{id_col}"),
-                             F.col(f"b.{id_col}")).alias("id_a"),
-                     F.greatest(F.col(f"a.{id_col}"),
-                                F.col(f"b.{id_col}")).alias("id_b"),
-                     _est_jaccard(F.col("a.sig"), F.col("b.sig"),
-                                  num_hashes).alias("est_jaccard"))
-             .dropDuplicates(["id_a", "id_b"]))
-    return pairs
+    a = new_banded.alias("a")
+
+    def probe(side: DataFrame) -> DataFrame:
+        b = side.select(id_col, "sig", "band", "bucket").alias("b")
+        return (a.join(b, ["band", "bucket"])
+                .where(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+                .select(F.least(F.col(f"a.{id_col}"),
+                                F.col(f"b.{id_col}")).alias("id_a"),
+                        F.greatest(F.col(f"a.{id_col}"),
+                                   F.col(f"b.{id_col}")).alias("id_b"),
+                        _est_jaccard(F.col("a.sig"), F.col("b.sig"),
+                                     num_hashes).alias("est_jaccard")))
+
+    return (probe(index).unionByName(probe(new_banded))
+            .dropDuplicates(["id_a", "id_b"]))
 
 
 def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",

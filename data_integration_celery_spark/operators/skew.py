@@ -35,15 +35,19 @@ def salted_join(fact: DataFrame, dim: DataFrame, key: str,
     return out.drop("__salt")
 
 
-def write_bucketed(df: DataFrame, table: str, key: str, buckets: int = 32,
+def write_bucketed(df: DataFrame, table: str, key: str | list[str],
+                   buckets: int = 32,
                    sort_by: str | None = None) -> None:
-    """Land a table bucketed (and optionally sorted) on the join key.
+    """Land a table bucketed (and optionally sorted) on the join key(s).
 
     Reads of two tables bucketed identically join without any Exchange —
     the shuffle was paid once at write time, amortised over every later
     join/agg on that key (the reference pays it per-query in MySQL).
+    Composite keys (e.g. the LSH index's (band, bucket)) bucket on the
+    tuple hash, so equi-joins on the full key list stay co-located.
     """
-    w = df.write.mode("overwrite").bucketBy(buckets, key)
+    keys = [key] if isinstance(key, str) else list(key)
+    w = df.write.mode("overwrite").bucketBy(buckets, *keys)
     if sort_by:
         w = w.sortBy(sort_by)
     w.format("parquet").saveAsTable(table)

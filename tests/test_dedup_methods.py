@@ -449,3 +449,50 @@ def test_incremental_probe_replay_idempotent(spark, sf_dir):
              for r in dedup.incremental_pairs_from_banded(
                  new_banded, idx_dirty).collect()}
     assert clean == dirty and len(clean) > 0
+
+
+def test_incremental_probe_on_bucketed_index_no_index_shuffle(spark, sf_dir):
+    """The docstring claim of incremental_minhash_pairs, executed: with the
+    banded index WRITTEN bucketed on (band, bucket), the probe join reads
+    the index co-located — only the increment side plans an Exchange — and
+    emits the identical pair set as the unbucketed probe."""
+    from data_integration_celery_spark.operators import skew
+
+    docs = catalog.load(spark, "documents", sf_dir).select("doc_id", "text")
+    old = docs.where("doc_id % 10 != 0")
+    new = docs.where("doc_id % 10 = 0")
+    args = ("text", "doc_id", 32, 8,
+            dedup._perm_hash_xxhash64, dedup._bucket_hash_xxhash64)
+    idx_rows = dedup.banded_signatures(old, *args)
+    skew.write_bucketed(idx_rows, "b_minhash_index", ["band", "bucket"],
+                        buckets=8)
+    idx_rows.write.mode("overwrite").format("parquet") \
+        .saveAsTable("p_minhash_index")  # plain twin: the counterfactual
+    new_banded = dedup.banded_signatures(new, *args) \
+        .localCheckpoint()  # freeze the increment: isolate the probe plan
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        import re
+
+        def n_band_exchanges(index):
+            plan = dedup.incremental_pairs_from_banded(new_banded, index) \
+                ._jdf.queryExecution().executedPlan().toString()
+            return len(re.findall(r"Exchange hashpartitioning\(band", plan))
+
+        n_bucketed = n_band_exchanges(spark.table("b_minhash_index"))
+        n_plain = n_band_exchanges(spark.table("p_minhash_index"))
+        # the ONLY difference is the index side of the probe join: bucketed
+        # feeds it co-located, plain must re-shuffle every index row
+        assert n_bucketed == n_plain - 1, (n_bucketed, n_plain)
+
+        pairs = dedup.incremental_pairs_from_banded(
+            new_banded, spark.table("b_minhash_index"))
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        want = {(r["id_a"], r["id_b"])
+                for r in dedup.incremental_pairs_from_banded(
+                    new_banded, idx_rows).collect()}
+        assert got == want and len(got) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+        spark.sql("DROP TABLE IF EXISTS b_minhash_index")
+        spark.sql("DROP TABLE IF EXISTS p_minhash_index")
