@@ -673,13 +673,14 @@ def remove_duplicated_spans(docs: DataFrame, text_col: str = "text",
     ``hash_spans=True`` (production) keys the count/join on xxhash64(span)
     — 8-byte shuffle keys; ``False`` is the string-keyed oracle twin.
 
-    Returns (id, clean_text, n_spans, n_removed); a fully-boilerplate
-    document comes back with clean_text = ''.
+    Returns (id, clean_text, n_spans, n_removed) — one row per input row,
+    including null-text documents (clean_text '', 0 spans); a
+    fully-boilerplate document comes back with clean_text = ''.
     """
     w = span_words
     spans = (docs
              .select(id_col, F.split(F.col(text_col), " ").alias("ws"))
-             .select(id_col, F.posexplode(F.transform(
+             .select(id_col, F.posexplode_outer(F.transform(
                  F.sequence(F.lit(0),
                             F.ceil(F.size("ws") / w).cast("int") - 1),
                  lambda i: F.array_join(F.slice("ws", i * w + 1, w), " ")))
@@ -694,10 +695,11 @@ def remove_duplicated_spans(docs: DataFrame, text_col: str = "text",
             .groupBy(id_col)
             .agg(F.array_join(F.transform(
                      F.array_sort(F.collect_list(
-                         F.when(F.col("dup").isNull(),
+                         F.when(F.col("dup").isNull()
+                                & F.col("span").isNotNull(),
                                 F.struct("pos", "span")))),
                      lambda s: s["span"]), " ").alias("clean_text"),
-                 F.count(F.lit(1)).alias("n_spans"),
+                 F.count("span").alias("n_spans"),
                  F.count("dup").alias("n_removed")))
 
 

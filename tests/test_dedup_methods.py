@@ -496,3 +496,17 @@ def test_incremental_probe_on_bucketed_index_no_index_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
         spark.sql("DROP TABLE IF EXISTS b_minhash_index")
         spark.sql("DROP TABLE IF EXISTS p_minhash_index")
+
+
+def test_span_removal_null_and_empty_text(spark):
+    """Null-text docs stay in the output (clean '', 0 spans) instead of
+    silently disappearing; empty-string docs behave as one ''-span."""
+    rows = [(1, "aa bb"), (2, "aa bb"), (3, None), (4, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.remove_duplicated_spans(
+        docs, span_words=2, min_docs=2).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[3]["clean_text"] == "" and out[3]["n_spans"] == 0 \
+        and out[3]["n_removed"] == 0
+    assert out[4]["n_spans"] == 1 and out[4]["n_removed"] == 0
+    assert out[1]["clean_text"] == "" and out[1]["n_removed"] == 1

@@ -202,3 +202,28 @@ def test_write_upsert_propagates_read_error_on_existing_target(spark, tmp_path):
         upsert.write_upsert(spark, df, path, keys=["id"])
     # the corrupt target is still in place — nothing was renamed over it
     assert os.path.exists(os.path.join(path, "part-00000.parquet"))
+
+
+def test_write_upsert_schema_evolution(spark, tmp_path):
+    """The vendor added a column (the reference ALTERs MySQL tables by
+    hand): upserting a wider frame onto an existing table keeps old rows
+    (new column null) and a later narrower upsert keeps the column."""
+    path = str(tmp_path / "evolve")
+    v1 = spark.createDataFrame([("a", 1, 1.0), ("b", 1, 2.0)],
+                               "code string, d int, v double")
+    upsert.write_upsert(spark, v1, path, keys=["code", "d"])
+    v2 = spark.createDataFrame([("b", 1, 20.0, "NEW"), ("c", 1, 30.0, "X")],
+                               "code string, d int, v double, flag string")
+    upsert.write_upsert(spark, v2, path, keys=["code", "d"])
+    got = {(r["code"], r["d"]): (r["v"], r["flag"])
+           for r in spark.read.parquet(path).collect()}
+    assert got == {("a", 1): (1.0, None), ("b", 1): (20.0, "NEW"),
+                   ("c", 1): (30.0, "X")}
+    # narrower late batch: existing wide rows keep their extra column
+    v3 = spark.createDataFrame([("a", 1, 100.0)],
+                               "code string, d int, v double")
+    upsert.write_upsert(spark, v3, path, keys=["code", "d"])
+    got = {(r["code"], r["d"]): (r["v"], r["flag"])
+           for r in spark.read.parquet(path).collect()}
+    assert got == {("a", 1): (100.0, None), ("b", 1): (20.0, "NEW"),
+                   ("c", 1): (30.0, "X")}
