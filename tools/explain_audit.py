@@ -140,6 +140,13 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
     "smp_epoch_shuffle": (
         [r"hashpartitioning\(epoch.*__b", r"BroadcastHashJoin"],
         [r"CartesianProduct", r"SinglePartition"]),
+    # sketch profile: HLL + GK sketches are mergeable aggregation state —
+    # the whole profile must be ONE two-phase aggregation (partial → final,
+    # a single exchange on the group key), no sort, no join, no distinct
+    # expansion
+    "a14_sketch_profile": (
+        [r"partial_approx_count_distinct", r"ObjectHashAggregate"],
+        [r"CartesianProduct", r"Sort ", r"Join", r"Expand"]),
 }
 
 
