@@ -2039,6 +2039,63 @@ def pipeline_sector_median_q(spark, sf_dir):
                  F.count(F.lit(1)).alias("n_members")))
 
 
+@q("pipeline_worst_window_return",
+   sql="""
+   WITH f AS (
+     SELECT o_custkey AS code, o_orderdate, o_totalprice,
+            row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate DESC, o_orderkey DESC) rn
+     FROM orders WHERE o_orderdate <= TIMESTAMP '1996-01-01'),
+   t AS (
+     SELECT o_custkey AS code, o_orderdate, o_totalprice,
+            row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate DESC, o_orderkey DESC) rn
+     FROM orders WHERE o_orderdate <= TIMESTAMP '1997-01-01'),
+   j AS (
+     SELECT f.code,
+            CAST(f.o_orderdate AS DATE) AS date_from,
+            CAST(t.o_orderdate AS DATE) AS date_to,
+            f.o_totalprice AS nav_from, t.o_totalprice AS nav_to,
+            t.o_totalprice / f.o_totalprice AS pct_chg
+     FROM f JOIN t ON f.code = t.code AND f.rn = 1 AND t.rn = 1),
+   k AS (SELECT * FROM j WHERE pct_chg != 1 AND pct_chg < 2)
+   SELECT CAST(row_number() OVER (ORDER BY pct_chg, code) AS BIGINT)
+              AS row_no,
+          code, date_from, date_to, nav_from, nav_to, pct_chg
+   FROM k ORDER BY pct_chg, code LIMIT 20
+   """,
+   doc="The reference's worst-fund report shape "
+       "(tasks/report/fund/worst_fund.py:21-57: as-of value at two "
+       "boundary dates per code via argmax-row, window return ratio, "
+       "quirky != 1 / < 2 filters, worst-first MySQL @rowNum ranking) — "
+       "two J10 as-of lookups joined, per-row IEEE-exact division, "
+       "TakeOrdered top-20 then row_number over the 20 survivors only "
+       "(never a global single-partition window over the corpus).")
+def pipeline_worst_window_return_q(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+
+    def asof(t, suffix):
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+        return (o.where(F.col("o_orderdate") <= F.lit(t).cast("timestamp"))
+                .withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .select(F.col("o_custkey").alias("code"),
+                        F.col("o_orderdate").cast("date")
+                         .alias(f"date_{suffix}"),
+                        F.col("o_totalprice").alias(f"nav_{suffix}")))
+
+    j = (asof("1996-01-01", "from").join(asof("1997-01-01", "to"), "code")
+         .withColumn("pct_chg", F.col("nav_to") / F.col("nav_from"))
+         .where((F.col("pct_chg") != 1) & (F.col("pct_chg") < 2))
+         .orderBy("pct_chg", "code").limit(20))
+    w20 = Window.orderBy("pct_chg", "code")  # 20 rows post-limit: O(1)
+    return (j.withColumn("row_no",
+                         F.row_number().over(w20).cast("bigint"))
+            .select("row_no", "code", "date_from", "date_to",
+                    "nav_from", "nav_to", "pct_chg"))
+
+
 @q("txt_winnowing",
    sql="""
    WITH norm AS (
@@ -2893,9 +2950,10 @@ QUERY_PRIORITY: list[str] = [
     "j6_code_mapping_maintenance",
     "j8b_interval_join_bucketed", "j10_asof_point_lookup",
     "j14_main_sec_join",
-    # aggregations (a4_rebar [triple-green r1-r3; bars family keeps a3 +
-    # stream_bars_1min in-window] rotates out for smp_epoch_shuffle)
-    "a3_tick_to_bars", "a11_accumulation_detect",
+    # aggregations (a4_rebar and a3_tick_to_bars [triple-green r1-r3; the
+    # OHLC aggregation body stays in-window via stream_bars_1min] rotate
+    # out for smp_epoch_shuffle + pipeline_worst_window_return)
+    "pipeline_worst_window_return", "a11_accumulation_detect",
     "a8_median_cross_section",
     # sinks / ordering / sets
     "s6_upsert_last_write_wins", "u4_scd2_intervals",
@@ -2947,7 +3005,7 @@ QUERY_PRIORITY: list[str] = [
     "ann_ivf_topk", "txt_corpus_stats",
     "w8_quarterize", "u4_membership_changepoints", "dedup_minhash_lsh",
     "dedup_simhash", "ann_lsh_topk", "dedup_simhash_hamming",
-    "smp_pack_sequences", "a14_sketch_profile",
+    "smp_pack_sequences", "a14_sketch_profile", "a3_tick_to_bars",
 ]
 
 
