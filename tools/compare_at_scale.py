@@ -36,6 +36,7 @@ SUBSET = [
     "dedup_simhash_hamming_md5", "dedup_span_removal",
     "dedup_components_star", "pipeline_cluster_survivors",
     "pipeline_region_revenue", "smp_epoch_shuffle",
+    "pipeline_sector_median", "pipeline_worst_window_return",
 ]
 
 

@@ -140,6 +140,21 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
     "smp_epoch_shuffle": (
         [r"hashpartitioning\(epoch.*__b", r"BroadcastHashJoin"],
         [r"CartesianProduct", r"SinglePartition"]),
+    # sector-median report composite: SCD2 windows hash-partition on the
+    # member key, the interval membership is a broadcast equi-join with the
+    # range as post-filter, the median a two-phase ObjectHashAggregate —
+    # and at no point a single-partition exchange or nested loop
+    "pipeline_sector_median": (
+        [r"Window", r"ObjectHashAggregate", r"BroadcastHashJoin"],
+        [r"CartesianProduct", r"SinglePartition",
+         r"BroadcastNestedLoopJoin"]),
+    # worst-window report composite: the rn=1 as-of lookups must plan as
+    # WindowGroupLimit (top-1 pushed below the window sort) and the final
+    # ranking as TakeOrderedAndProject — row_number never runs over the
+    # full corpus in one partition
+    "pipeline_worst_window_return": (
+        [r"WindowGroupLimit", r"TakeOrderedAndProject"],
+        [r"CartesianProduct", r"SinglePartition"]),
     # sketch profile: HLL + GK sketches are mergeable aggregation state —
     # the whole profile must be ONE two-phase aggregation (partial → final,
     # a single exchange on the group key), no sort, no join, no distinct
