@@ -194,7 +194,10 @@ def stream_incremental_dedup(docs: DataFrame, index_path: str,
     its own partitions and nothing else; re-probing an index that already
     contains the batch's rows from a failed attempt yields the identical
     pair set (see incremental_pairs_from_banded). At scale, write the index
-    bucketed by (band, bucket) so probes co-locate with index partitions.
+    bucketed by (band, bucket) so probes co-locate with index partitions —
+    the probe's two-join form keeps the bucketed scan Exchange-free
+    (proven by tests/test_dedup_methods.py
+    test_incremental_probe_on_bucketed_index_no_index_shuffle).
     """
     from ..operators.dedup import (banded_signatures,
                                    incremental_pairs_from_banded,
