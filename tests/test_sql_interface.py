@@ -22,6 +22,8 @@ PORTABLE = [
     "pipeline_region_revenue",
     "u4_scd2_intervals",
     "a13_sessionize",
+    "pipeline_sector_median",
+    "pipeline_worst_window_return",
 ]
 
 
