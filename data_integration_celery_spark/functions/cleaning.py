@@ -40,6 +40,50 @@ def lower_columns(df: DataFrame) -> DataFrame:
     return df.toDF(*[c.lower() for c in df.columns])
 
 
+def fuzzy_canonicalize(c: Column, candidates: list[str]) -> Column:
+    """Value-level ``rename_by_dic`` (reference tasks/cmc/coin.py:188-195):
+    lower-case the value, return the FIRST candidate that occurs as a
+    substring, else the lowered value unchanged. One when(contains())
+    ladder — whole-stage codegen, first-match-wins order preserved.
+    """
+    low = F.lower(c)
+    expr = None
+    for cand in candidates:
+        branch = F.when(low.contains(cand.lower()), F.lit(cand))
+        expr = branch if expr is None else expr.when(
+            low.contains(cand.lower()), F.lit(cand))
+    return expr.otherwise(low) if expr is not None else low
+
+
+def rename_columns_by_dic(df: DataFrame, candidates: list[str]) -> DataFrame:
+    """Column-name form of ``rename_by_dic`` as the reference applies it
+    (tasks/cmc/coin.py:275: vendor JSON keys → canonical column names by
+    fuzzy containment). Driver-side metadata only — no plan change, no
+    shuffle; duplicate post-rename names raise rather than silently
+    collide (pandas would have produced duplicate columns)."""
+    def ren(name: str) -> str:
+        low = name.lower()
+        for cand in candidates:
+            if cand.lower() in low:
+                return cand
+        return low
+    new = [ren(c) for c in df.columns]
+    dupes = {n for n in new if new.count(n) > 1}
+    if dupes:
+        raise ValueError(f"rename_by_dic collision on {sorted(dupes)}")
+    return df.toDF(*new)
+
+
+def epoch_seconds_to_ts(c: Column) -> Column:
+    """None-safe epoch-seconds → timestamp (reference tasks/cmc/coin.py:
+    171-172: ``None if x is None else datetime.fromtimestamp(float(x))``).
+    ``timestamp_seconds`` is already NULL-propagating; fractional seconds
+    keep microsecond precision. The reference used the machine's local
+    zone; here the session zone is pinned UTC (session.py), which is the
+    reproducible choice for a cluster."""
+    return F.timestamp_seconds(c.cast("double"))
+
+
 def drop_all_null_leading(df: DataFrame, value_cols: list[str]) -> DataFrame:
     """Drop rows where every value column is NULL.
 

@@ -42,6 +42,17 @@ def prefer_right(left: Column, right: Column) -> Column:
     return F.coalesce(_clean(right), _clean(left))
 
 
+def prefer_left_any(left: Column, right: Column) -> Column:
+    """prefer_left for non-float columns (strings, dates, codes): NaN cannot
+    occur there, missing is NULL-only — plain coalesce, no double cast (the
+    NaN probe would not even analyze for DATE inputs)."""
+    return F.coalesce(left, right)
+
+
+def prefer_right_any(left: Column, right: Column) -> Column:
+    return F.coalesce(right, left)
+
+
 def get_value(col: Column) -> Column:
     """Pass-through of a single vendor's column."""
     return col
@@ -86,12 +97,44 @@ def max_up_or_down(left: Column, right: Column) -> Column:
     )
 
 
+def ths_limit_label_code(label: Column) -> Column:
+    """Decode the ths Chinese limit-move label to {-1, 1, NULL}
+    (reference tasks/merge/stock.py:187-199): '跌停' (limit-down) → -1,
+    '涨停' (limit-up) → 1, anything else → NULL.
+
+    NOTE the reference's ``ths_val == ('非涨跌停', '停牌')`` compares a
+    string against a *tuple* and is never true, so those labels (no
+    limit move / suspended) also decode to None in the shipped code; we
+    reproduce that actual behavior and document the dead branch rather
+    than silently "fixing" the semantics.
+    """
+    return (F.when(label == "跌停", F.lit(-1.0))
+             .when(label == "涨停", F.lit(1.0)))
+
+
+def wind_limit_code(v: Column) -> Column:
+    """wind ``maxupordown`` passes through only when in {1, -1, 0}
+    (reference tasks/merge/stock.py:201-205); anything else → NULL."""
+    return F.when(v.isin(1.0, -1.0, 0.0), v)
+
+
+def max_up_or_down_labels(ths_label: Column, wind_value: Column) -> Column:
+    """The full reference kernel: decode both vendors' raw limit-move
+    columns (string label / numeric code), then merge with the
+    {-2 unknown, -3 conflict} encoding (tasks/merge/stock.py:187-227)."""
+    return max_up_or_down(ths_limit_label_code(ths_label),
+                          wind_limit_code(wind_value))
+
+
 KERNELS = {
     "prefer_left": prefer_left,
     "prefer_right": prefer_right,
+    "prefer_left_any": prefer_left_any,
+    "prefer_right_any": prefer_right_any,
     "mean_value": mean_value,
     "get_value": get_value,
     "max_up_or_down": max_up_or_down,
+    "max_up_or_down_labels": max_up_or_down_labels,
 }
 
 

@@ -619,16 +619,22 @@ def frequent_ngram_stats(docs: DataFrame, text_col: str = "text",
     tokens have 0 grams and dup_fraction 0.0.
     """
     from pyspark.sql import Window
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
     toks = docs.select(
         id_col,
         F.posexplode(F.split(normalized(F.col(text_col)), " "))
          .alias("pos", "tok"))
-    w = Window.partitionBy(id_col).orderBy("pos")
-    leads = [F.lead("tok", i).over(w) for i in range(1, n)]
-    grams = (toks.select(id_col,
-                         F.concat_ws(" ", F.col("tok"), *leads).alias("s"),
-                         leads[-1].isNotNull().alias("full"))
-             .where("full"))
+    if n == 1:
+        # unigrams: every token position is a full gram; no lead window.
+        grams = toks.select(id_col, F.col("tok").alias("s"))
+    else:
+        w = Window.partitionBy(id_col).orderBy("pos")
+        leads = [F.lead("tok", i).over(w) for i in range(1, n)]
+        grams = (toks.select(id_col,
+                             F.concat_ws(" ", F.col("tok"), *leads).alias("s"),
+                             leads[-1].isNotNull().alias("full"))
+                 .where("full"))
     key = F.xxhash64("s") if hash_grams else F.col("s")
     grams = grams.select(id_col, key.alias("g"))
     freq = (grams.groupBy("g")

@@ -259,21 +259,34 @@ def epoch_shuffle(df: DataFrame, id_col: str = "doc_id",
 
     ``hasher='md5'`` is the engine-portable twin (hex-string keys, prefix
     buckets — lexicographic hex order IS the numeric order); production
-    xxhash64 buckets by the top signed byte (signed shiftright order
+    xxhash64 buckets by the top signed bits (signed shiftright order
     matches bigint sort order).
+
+    ``n_buckets`` must be a power of two (bucket = top log2(n_buckets)
+    key bits, so boundaries stay aligned with the key sort order in both
+    hash forms). Size it so each bucket's rows fit one task comfortably:
+    rows / n_buckets ≲ a few million.
 
     Returns (epoch, pos, id) — pos is the 1-based rank within the epoch.
     """
+    nbits = n_buckets.bit_length() - 1
+    if n_buckets < 2 or (1 << nbits) != n_buckets:
+        raise ValueError(f"n_buckets must be a power of two >= 2, got {n_buckets}")
     base = (df.select(id_col)
             .withColumn("epoch", F.explode(
                 F.sequence(F.lit(0), F.lit(n_epochs - 1)))))
     if hasher == "md5":
+        # take ceil(nbits/4) hex chars, then drop the excess low bits —
+        # monotonic in the hex prefix, so bucket boundaries align with the
+        # lexicographic order of the full key.
+        nhex = -(-nbits // 4)
         k = F.md5(F.concat_ws(",", F.lit(seed), F.col("epoch"),
                               F.col(id_col)))
-        bkt = F.conv(F.substring(k, 1, 2), 16, 10).cast("int")
+        bkt = F.shiftright(F.conv(F.substring(k, 1, nhex), 16, 10)
+                            .cast("long"), 4 * nhex - nbits).cast("int")
     else:
         k = F.xxhash64(F.lit(seed), F.col("epoch"), F.col(id_col))
-        bkt = F.shiftright(k, 56).cast("int")
+        bkt = F.shiftright(k, 64 - nbits).cast("int")
     tagged = base.withColumn("__k", k).withColumn("__b", bkt)
     wl = Window.partitionBy("epoch", "__b").orderBy("__k", id_col)
     local = tagged.withColumn("__ln", F.row_number().over(wl))

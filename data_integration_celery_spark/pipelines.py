@@ -77,6 +77,125 @@ def merge_vendor_daily(left: DataFrame, right: DataFrame,
     return merged, conflicts
 
 
+# Full-fidelity merge_stock_daily rule table — a 1:1 transcription of the
+# reference's col_merge_dic (/root/reference tasks/merge/stock.py:121-176):
+# {out_col: (dtype, kernel, sources, warning_accuracy)}. ``sources`` names
+# columns on the joined two-vendor frame ({'left','right'}, or {'col'} for
+# get_value). warning_accuracy only fires for mean_value — the reference's
+# prefer_* kernels accept but ignore it (tasks/merge/__init__.py:21-37), so
+# close (prefer_left, acc 0.01) and pe_ttm (prefer_right, acc 0.01) emit no
+# conflict rows; that nuance is reproduced, not "fixed". The _x/_y suffixes
+# are the joined frame's disambiguated names for columns both vendors carry
+# (pandas suffixes=('_x','_y') made explicit).
+STOCK_DAILY_FULL_RULES: dict[str, tuple[str, str, dict, float | None]] = {
+    "unique_code": ("string", "prefer_left",
+                    {"left": "ths_code", "right": "wind_code"}, None),
+    "trade_date": ("date", "prefer_left",
+                   {"left": "time", "right": "trade_date"}, None),
+    "open": ("double", "mean_value",
+             {"left": "open_x", "right": "open_y"}, 0.01),
+    "high": ("double", "mean_value",
+             {"left": "high_x", "right": "high_y"}, 0.01),
+    "low": ("double", "mean_value",
+            {"left": "low_x", "right": "low_y"}, 0.01),
+    # wind close is unreliable per the reference's own TODO (stock.py:139)
+    "close": ("double", "prefer_left",
+              {"left": "close_x", "right": "close_y"}, None),
+    "volume": ("double", "mean_value",
+               {"left": "volume_x", "right": "volume_y"}, 1.0),
+    "amount": ("double", "mean_value",
+               {"left": "amount", "right": "amt"}, 1.0),
+    # ths totalShares keys on change date, wind on announcement date —
+    # wind wins conflicts (stock.py:148-150)
+    "total_shares": ("double", "prefer_right",
+                     {"left": "totalShares", "right": "total_shares"}, None),
+    "max_up_or_down": ("int", "max_up_or_down_labels",
+                       {"left": "ths_up_and_down_status_stock",
+                        "right": "maxupordown"}, None),
+    "total_capital": ("double", "get_value", {"col": "totalCapital"}, None),
+    "float_capital": ("double", "get_value",
+                      {"col": "floatCapitalOfAShares"}, None),
+    "pct_chg": ("double", "mean_value",
+                {"left": "changeRatio", "right": "pct_chg"}, 0.01),
+    "float_a_shares": ("double", "get_value",
+                       {"col": "floatSharesOfAShares"}, None),
+    "free_float_shares": ("double", "get_value",
+                          {"col": "free_float_shares"}, None),
+    # ths pe_ttm keys on report date, wind on period — wind wins (stock.py:166)
+    "pe_ttm": ("double", "prefer_right",
+               {"left": "ths_pe_ttm_stock", "right": "pe_ttm"}, None),
+    "pe": ("double", "get_value", {"col": "pe"}, None),
+    "pb": ("double", "get_value", {"col": "pb"}, None),
+    "ps": ("double", "get_value", {"col": "ps"}, None),
+    "pcf": ("double", "get_value", {"col": "pcf"}, None),
+}
+
+
+def merge_stock_daily(ifind: DataFrame, wind: DataFrame,
+                      left_on: tuple[str, str] = ("ths_code", "time"),
+                      right_on: tuple[str, str] = ("wind_code", "trade_date"),
+                      rules: dict[str, tuple[str, str, dict, float | None]]
+                      = STOCK_DAILY_FULL_RULES,
+                      audit: bool = True
+                      ) -> tuple[DataFrame, DataFrame | None]:
+    """The reference's flagship E2 entry point (merge_stock_daily,
+    tasks/merge/stock.py:85-184) with its complete 17-column rule table:
+    full-outer join on differently-named vendor keys + merge indicator
+    (pandas ``indicator='indicator_column'``), one codegen'd kernel
+    projection replacing the row-wise ``merge_data`` interpreter, and the
+    mean_value tolerance warnings routed to a conflict side-output table
+    instead of log lines.
+
+    Returns (merged, conflicts): ``merged`` carries every rule-table output
+    plus ``indicator_column`` ∈ {both, left_only, right_only}; ``conflicts``
+    has the merged key columns plus one boolean per toleranced mean_value
+    rule, filtered to rows where any fired (None when ``audit=False`` or no
+    rule has a tolerance). At scale this is one shuffle (the join); the
+    projection and the conflict filter are map-side.
+    """
+    cond = None
+    for lk, rk in zip(left_on, right_on):
+        c = ifind[lk] == wind[rk]
+        cond = c if cond is None else (cond & c)
+    joined = ifind.join(wind, cond, "full_outer")
+    indicator = (F.when(wind[right_on[0]].isNull(), "left_only")
+                  .when(ifind[left_on[0]].isNull(), "right_only")
+                  .otherwise("both").alias("indicator_column"))
+
+    out_cols: list = []
+    key_exprs: list = []
+    conflict_cols: dict[str, object] = {}
+    non_numeric = ("string", "date", "timestamp", "boolean", "binary")
+    for out, (dtype, kernel, src, tol) in rules.items():
+        if kernel in ("prefer_left", "prefer_right") and dtype in non_numeric:
+            kernel = kernel + "_any"  # NaN impossible; plain coalesce
+        fn = mk.KERNELS[kernel]
+        if kernel == "get_value":
+            expr = fn(F.col(src["col"]))
+        else:
+            l, r = F.col(src["left"]), F.col(src["right"])
+            expr = fn(l, r)
+            if (src["left"], src["right"]) in (tuple(zip(left_on, right_on))):
+                key_exprs.append(expr.cast(dtype).alias(out))
+            if kernel == "mean_value" and tol is not None and audit:
+                conflict_cols[f"{out}_conflict"] = \
+                    mk.mean_value_warning(l, r, tol)
+        out_cols.append(expr.cast(dtype).alias(out))
+
+    merged = joined.select(*out_cols, indicator)
+    conflicts = None
+    if audit and conflict_cols:
+        flagged = joined.select(
+            *key_exprs,
+            *[c.alias(name) for name, c in conflict_cols.items()])
+        any_conflict = None
+        for name in conflict_cols:
+            col = F.col(name)
+            any_conflict = col if any_conflict is None else (any_conflict | col)
+        conflicts = flagged.where(any_conflict)
+    return merged, conflicts
+
+
 def materialize_continuous_selection(spark, cd: DataFrame, path: str) -> DataFrame:
     """E3 as a DAG with a stored intermediate: run the stateful contract
     selection ONCE, publish it partitioned by instrument_type, and return the

@@ -180,7 +180,8 @@ def stream_incremental_dedup(docs: DataFrame, index_path: str,
                              pairs_path: str, checkpoint: str,
                              text_col: str = "text", id_col: str = "doc_id",
                              num_hashes: int = 32,
-                             bands: int = 8) -> DataStreamWriter:
+                             bands: int = 8,
+                             hasher: str = "xxhash64") -> DataStreamWriter:
     """Streaming near-dup detection against a persisted MinHash index — the
     arrival-time form of batch incremental dedup (operators.dedup.
     incremental_minhash_pairs): each micro-batch of new documents is banded
@@ -201,15 +202,21 @@ def stream_incremental_dedup(docs: DataFrame, index_path: str,
     """
     from ..operators.dedup import (banded_signatures,
                                    incremental_pairs_from_banded,
-                                   _perm_hash_xxhash64,
-                                   _bucket_hash_xxhash64)
+                                   _perm_hash_md5, _perm_hash_xxhash64,
+                                   _bucket_hash_md5, _bucket_hash_xxhash64)
     from ..operators.upsert import _exists, overwrite_partitions
+
+    # 'md5' is the engine-portable twin form (exact-oracle evidence for the
+    # streaming probe, see queries.stream_dedup_incremental_md5); production
+    # stays on seeded xxhash64 (8-byte keys).
+    perm, bkt = ((_perm_hash_md5, _bucket_hash_md5) if hasher == "md5"
+                 else (_perm_hash_xxhash64, _bucket_hash_xxhash64))
 
     def probe_and_extend(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         new_banded = banded_signatures(
             batch_df, text_col, id_col, num_hashes, bands,
-            _perm_hash_xxhash64, _bucket_hash_xxhash64).persist()
+            perm, bkt).persist()
         try:
             # existence-branch, not read-exception branch: a transient read
             # error on a real index must propagate, never silently restart

@@ -386,6 +386,21 @@ def test_frequent_ngram_hand_case(spark):
     assert out[5]["n_grams"] == 0 and out[5]["dup_fraction"] == 0.0
 
 
+def test_frequent_ngram_unigrams_and_bad_n(spark):
+    """n=1 is the unigram special case (no lead window); n=0 raises."""
+    import pytest
+
+    rows = [(1, "a b a"), (2, "a c"), (3, "a d")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           dedup.frequent_ngram_stats(docs, n=1, min_docs=3).collect()}
+    # 'a' occurs in all 3 docs -> dup; doc 1 has it at 2 of 3 positions.
+    assert out[1]["n_grams"] == 3 and out[1]["n_dup"] == 2
+    assert out[2]["n_grams"] == 2 and out[2]["n_dup"] == 1
+    with pytest.raises(ValueError):
+        dedup.frequent_ngram_stats(docs, n=0)
+
+
 def test_frequent_ngram_hash_twin_matches_string_keys(spark, sf_dir):
     """xxhash64 gram keys (production, 8-byte shuffle) must give identical
     stats to exact string keys (oracle form) on the corpus."""

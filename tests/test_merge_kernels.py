@@ -59,3 +59,43 @@ def test_compile_merge_rules(spark):
         key_cols=["k"])
     rows = {r["k"]: (r["merged"], r["raw"]) for r in out.collect()}
     assert rows == {1: (15.0, 20.0), 2: (5.0, 5.0)}
+
+
+def test_max_up_or_down_labels_decode(spark):
+    # string-label decode matrix (stock.py:187-227) incl. the dead
+    # '非涨跌停' tuple-compare branch and invalid wind codes
+    df = spark.createDataFrame(
+        [("涨停", 1.0), ("跌停", 1.0), ("非涨跌停", None), ("停牌", 7.0),
+         (None, 0.0), (None, None)],
+        "lbl string, mud double")
+    got = [r["c"] for r in df.select(
+        mk.max_up_or_down_labels(F.col("lbl"), F.col("mud")).alias("c")
+    ).collect()]
+    assert got == [1.0, -3.0, -2.0, -2.0, 0.0, -2.0]
+
+
+def test_fuzzy_canonicalize_first_match_and_fallthrough(spark):
+    from data_integration_celery_spark.functions import cleaning
+
+    df = spark.createDataFrame(
+        [("Large BRASS widget",), ("brass and copper mix",),
+         ("Titanium Thing",)], "s string")
+    got = [r["c"] for r in df.select(
+        cleaning.fuzzy_canonicalize(F.col("s"), ["brass", "copper"])
+        .alias("c")).collect()]
+    # first-containment-wins; unmatched falls through to lower(value)
+    assert got == ["brass", "brass", "titanium thing"]
+
+
+def test_rename_columns_by_dic(spark):
+    from data_integration_celery_spark.functions import cleaning
+
+    df = spark.createDataFrame([(1, 2.0, "x")],
+                               ["CoinPriceUSD", "volume24h", "Misc"])
+    out = cleaning.rename_columns_by_dic(df, ["price_usd", "volume"])
+    assert out.columns == ["coinpriceusd", "volume", "misc"]
+
+    import pytest
+    with pytest.raises(ValueError):
+        cleaning.rename_columns_by_dic(
+            df.toDF("price_a", "price_b", "m"), ["price"])

@@ -198,6 +198,28 @@ def test_epoch_shuffle_permutation_and_repartition_stable(spark):
                      for d, p in m.items()}
 
 
+def test_epoch_shuffle_n_buckets_honored(spark):
+    """Any power-of-two n_buckets yields the identical permutation (the
+    bucket split is rank-invariant); non-powers raise."""
+    import pytest
+
+    docs = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    want = {(r["epoch"], r["doc_id"]): r["pos"]
+            for r in sampling.epoch_shuffle(docs, n_epochs=1, seed=5).collect()}
+    for hasher in ("xxhash64", "md5"):
+        for nb in (4, 32, 1024):
+            got = {(r["epoch"], r["doc_id"]): r["pos"]
+                   for r in sampling.epoch_shuffle(
+                       docs, n_epochs=1, seed=5, hasher=hasher,
+                       n_buckets=nb).collect()}
+            if hasher == "xxhash64":
+                assert got == want, (hasher, nb)
+            else:
+                assert sorted(got.values()) == sorted(want.values())
+    with pytest.raises(ValueError):
+        sampling.epoch_shuffle(docs, n_buckets=100)
+
+
 def test_epoch_shuffle_bucketed_rank_equals_single_window(spark):
     """The fixed-prefix-bucket rank decomposition must equal the naive
     single-partition row_number over (key, id) — for both hash families."""
