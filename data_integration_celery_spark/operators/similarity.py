@@ -94,6 +94,10 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .select("query_id", "rank", "cand_id", "cos_sim"))
 
 
+# block-count memo for all_pairs_topk, keyed by DataFrame.semanticHash()
+_BLOCK_COUNT_CACHE: dict[int, int] = {}
+
+
 def all_pairs_topk(emb: DataFrame, k: int = 20, id_col: str = "vec_id",
                    vec_col: str = "embedding", round_dp: int = 6,
                    block_rows: int = 8192, n_blocks: int | None = None) -> DataFrame:
@@ -120,7 +124,19 @@ def all_pairs_topk(emb: DataFrame, k: int = 20, id_col: str = "vec_id",
 
     spark = emb.sparkSession
     if n_blocks is None:
-        n = emb.count()
+        # sizing action kept cheap: ids-only projection (column pruning
+        # keeps the vectors out of the scan) and memoized per logical plan,
+        # so repeated invocations over the same frame do zero extra jobs.
+        # Block sizing tolerates staleness — it only balances task grain.
+        try:
+            key = emb.semanticHash()
+        except Exception:
+            key = None
+        n = _BLOCK_COUNT_CACHE.get(key) if key is not None else None
+        if n is None:
+            n = emb.select(id_col).count()
+            if key is not None:
+                _BLOCK_COUNT_CACHE[key] = n
         n_blocks = max(1, -(-n // block_rows))
     B = int(n_blocks)
     src = emb.select(

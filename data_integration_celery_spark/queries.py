@@ -1345,17 +1345,24 @@ def w12_pivot(spark, sf_dir):
    sql="""
    SELECT c_custkey, s_suppkey, c_name, s_name
    FROM customer c JOIN supplier s
-     ON CAST(regexp_extract(c_name, '(\\d+)', 1) AS BIGINT)
-      = CAST(regexp_extract(s_name, '(\\d+)', 1) AS BIGINT)
+     ON CAST(NULLIF(regexp_extract(c_name, '([0-9]+)', 1), '') AS BIGINT)
+      = CAST(NULLIF(regexp_extract(s_name, '([0-9]+)', 1), '') AS BIGINT)
    """,
    doc="J7: entity join on a normalized derived key (regex-extracted code) — "
        "the fuzzy full-name vendor join (code_mapping.py:85-93) as an "
-       "equi-join on the normal form.")
+       "equi-join on the normal form. NULLIF guards the no-match case: "
+       "regexp_extract returns '' for digitless names, which an ANSI cast "
+       "rejects; a NULL key drops the row from the inner join identically "
+       "on both engines. The [0-9] class (not \\d) keeps the pattern "
+       "escape-free — Spark SQL string literals eat lone backslashes, "
+       "DuckDB's don't.")
 def j7_code_join(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     s = _t(spark, sf_dir, "supplier")
-    ck = F.regexp_extract(F.col("c_name"), r"(\d+)", 1).cast("bigint")
-    sk = F.regexp_extract(F.col("s_name"), r"(\d+)", 1).cast("bigint")
+    ck = F.nullif(F.regexp_extract(F.col("c_name"), "([0-9]+)", 1),
+                  F.lit("")).cast("bigint")
+    sk = F.nullif(F.regexp_extract(F.col("s_name"), "([0-9]+)", 1),
+                  F.lit("")).cast("bigint")
     return (c.withColumn("__ck", ck)
              .join(s.withColumn("__sk", sk), F.col("__ck") == F.col("__sk"))
              .select("c_custkey", "s_suppkey", "c_name", "s_name"))
@@ -1980,14 +1987,15 @@ def stream_bars_q(spark, sf_dir):
        "foreachBatch probe+extend job (streaming/jobs.py "
        "stream_incremental_dedup — per-micro-batch banding, index probe, "
        "exactly-once batch_id partition overwrite) replayed over the "
-       "documents corpus as three micro-batches (maxFilesPerTrigger=1). "
-       "Each pair is emitted exactly once, in the batch where its later "
-       "doc arrives, so the union across batches equals the full-corpus "
-       "banded pair set — which is precisely what the oracle computes. "
-       "md5 twin hashes make it engine-portable; est_jaccard is "
+       "documents corpus as two micro-batches (maxFilesPerTrigger=1), "
+       "covering all three probe branches: empty index, probe-vs-index, "
+       "probe-vs-increment. Each pair is emitted exactly once, in the "
+       "batch where its later doc arrives, so the union across batches "
+       "equals the full-corpus banded pair set — precisely what the oracle "
+       "computes. md5 twin hashes make it engine-portable; est_jaccard is "
        "batch-composition-independent (signatures depend only on the doc). "
-       "Stream≡batch and exactly-once-across-restart remain pinned by "
-       "tests/test_streaming.py.")
+       "Stream≡batch across 3 batches and exactly-once-across-restart "
+       "remain pinned by tests/test_streaming.py.")
 def stream_dedup_incremental_md5_q(spark, sf_dir):
     import tempfile
 
@@ -1996,9 +2004,11 @@ def stream_dedup_incremental_md5_q(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     root = tempfile.mkdtemp(prefix="stream_inc_dedup_")
     src_dir = f"{root}/src"
-    for i in range(3):
-        docs.where(F.col("doc_id") % 3 == i).coalesce(1) \
-            .write.mode("append").parquet(src_dir)
+    # one landing write, one file per arrival bucket (partition dirs are
+    # separate files to the stream source → one micro-batch each)
+    (docs.withColumn("arrival", (F.col("doc_id") % 2).cast("int"))
+         .repartition("arrival")
+         .write.partitionBy("arrival").parquet(src_dir))
     stream = (spark.readStream.schema(docs.schema)
               .option("maxFilesPerTrigger", "1").parquet(src_dir))
     qh = jobs.stream_incremental_dedup(
@@ -2139,7 +2149,7 @@ def _e2_vendor_frames(spark, sf_dir):
             CASE WHEN maxupordown IN (1.0, -1.0, 0.0) THEN maxupordown END AS wnd
      FROM j)
    SELECT
-     CAST(COALESCE(ths_code, wind_code) AS VARCHAR) AS unique_code,
+     CAST(COALESCE(ths_code, wind_code) AS STRING) AS unique_code,
      CAST(COALESCE(time, wtrade_date) AS DATE) AS trade_date,
      CASE WHEN open_x IS NOT NULL AND open_y IS NOT NULL
           THEN (open_x + open_y) / 2.0

@@ -3,16 +3,19 @@
 COMPARE.md's sf0.1 table shows DuckDB winning most sub-second queries on
 fixed overhead. The claim that matters for this repo is the asymptotic one:
 as data grows, the Spark plans hold and the single-node engine falls off.
-This tool runs a family-representative subset of the oracle-matched queries
-at the `tools/scaling_exponents.py` replica scale (~6M lineitem / 50k docs)
-with a per-query DuckDB wall cap (interrupt from a watchdog thread) and
-emits a markdown section for COMPARE.md.
+This tool runs EVERY oracle-matched query (all entries with SQL; pass
+names to restrict) at the `tools/scaling_exponents.py` replica scale
+(~6M lineitem / 50k docs) with a per-query DuckDB wall cap (interrupt from
+a watchdog thread), prints the markdown section, and rewrites the block
+between the `at-scale:begin/end` markers in COMPARE.md in place (the
+hand-written reading notes below the end marker are preserved).
 
-Usage: python tools/compare_at_scale.py [scaled_dir] [cap_seconds]
+Usage: python tools/compare_at_scale.py [scaled_dir] [cap_seconds] [name ...]
 """
 
 from __future__ import annotations
 
+import os
 import sys
 import threading
 import time
@@ -21,23 +24,15 @@ import duckdb
 
 sys.path.insert(0, "/root/repo")
 
-SCALED = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scaled_sf1_x10"
-CAP = float(sys.argv[2]) if len(sys.argv) > 2 else 120.0
+_args = sys.argv[1:]
+SCALED = _args.pop(0) if _args and "/" in _args[0] else "/tmp/scaled_sf1_x10"
+CAP = float(_args.pop(0)) if _args and _args[0].replace(".", "").isdigit() \
+    else 120.0
+ONLY = list(_args)
+COMPARE_MD = "/root/repo/COMPARE.md"
+BEGIN, END = "<!-- at-scale:begin -->", "<!-- at-scale:end -->"
 TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
-
-# family-representative picks: scans, multi-source merge, contract
-# selection, bars, rank, calendar expansion, streaming twin, the dedup
-# suite's heavy hitters, components, composites, sampling
-SUBSET = [
-    "s1_filtered_scan", "j2_three_source_merge", "j14_main_sec_join",
-    "a3_tick_to_bars", "w1b_rank_scalable", "w9_expand_calendar",
-    "stream_bars_1min", "dedup_ngram_jaccard", "dedup_minhash_md5",
-    "dedup_simhash_hamming_md5", "dedup_span_removal",
-    "dedup_components_star", "pipeline_cluster_survivors",
-    "pipeline_region_revenue", "smp_epoch_shuffle",
-    "pipeline_sector_median", "pipeline_worst_window_return",
-]
 
 
 def run_duck_capped(con, sql: str, cap: float) -> float | None:
@@ -72,8 +67,10 @@ def main() -> None:
                     f"read_parquet('{SCALED}/{t}.parquet')")
     QUERIES["s1_filtered_scan"].spark(spark, SCALED).count()  # warm JVM
 
+    subset = [n for n, q in QUERIES.items()
+              if q.sql is not None and (not ONLY or n in ONLY)]
     rows = []
-    for name in SUBSET:
+    for name in subset:
         q = QUERIES[name]
         t_spark = float("inf")  # min of 2: long sessions accumulate GC/
         for _ in range(2):      # memory pressure that single shots inherit
@@ -87,23 +84,50 @@ def main() -> None:
         print(f"{name}: spark {t_spark:.2f}s duckdb {duck}s",
               file=sys.stderr)
 
-    print(f"\n## At ~sf1 (10x replica, {SCALED}) — Spark local[32] vs "
-          f"single-node DuckDB, {CAP:.0f}s cap\n")
-    print("| query | spark s | duckdb s | spark/duckdb |")
-    print("|---|---|---|---|")
-    n_spark_wins = 0
+    lines = [f"## At ~sf1 (10x replica, {SCALED}) — Spark local[32] vs "
+             f"single-node DuckDB, {CAP:.0f}s cap, all "
+             f"{len(rows)} exact oracles", "",
+             "| query | spark s | duckdb s | spark/duckdb |",
+             "|---|---|---|---|"]
+    n_spark_wins, n_killed = 0, 0
     for name, ts, td in rows:
         if td is None:
-            print(f"| {name} | {ts:.2f} | >{CAP:.0f} (killed) | <"
-                  f"{ts / CAP:.2f}x |")
+            lines.append(f"| {name} | {ts:.2f} | >{CAP:.0f} (killed) | <"
+                         f"{ts / CAP:.2f}x |")
             n_spark_wins += 1
+            n_killed += 1
         else:
-            print(f"| {name} | {ts:.2f} | {td:.2f} | {ts / td:.2f}x |")
+            lines.append(f"| {name} | {ts:.2f} | {td:.2f} | {ts / td:.2f}x |")
             n_spark_wins += ts < td
     total_s = sum(ts for _, ts, _ in rows)
     total_d = sum(td if td is not None else CAP for _, _, td in rows)
-    print(f"\nSpark suite {total_s:.1f}s vs DuckDB >= {total_d:.1f}s "
-          f"(capped); Spark faster on {n_spark_wins}/{len(rows)}.")
+    lines.append("")
+    lines.append(f"Spark suite {total_s:.1f}s vs DuckDB >= {total_d:.1f}s "
+                 f"(capped, {n_killed} kills); Spark faster on "
+                 f"{n_spark_wins}/{len(rows)}.")
+    section = "\n".join(lines)
+    print("\n" + section)
+    _patch_compare_md(section)
+
+
+def _patch_compare_md(section: str) -> None:
+    """Rewrite the at-scale block in COMPARE.md between the markers,
+    preserving everything around them (notably the hand-written reading
+    notes after the end marker)."""
+    if not os.path.exists(COMPARE_MD):
+        return
+    with open(COMPARE_MD) as fh:
+        text = fh.read()
+    block = f"{BEGIN}\n{section}\n{END}"
+    if BEGIN in text and END in text:
+        head, rest = text.split(BEGIN, 1)
+        _, tail = rest.split(END, 1)
+        text = head + block + tail
+    else:
+        text = text.rstrip() + "\n\n" + block + "\n"
+    with open(COMPARE_MD, "w") as fh:
+        fh.write(text)
+    print(f"\n(patched {COMPARE_MD})", file=sys.stderr)
 
 
 if __name__ == "__main__":
