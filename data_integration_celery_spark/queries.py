@@ -1876,7 +1876,7 @@ def f3_cleaning(spark, sf_dir):
                ELSE lower(p_name) END AS color_kind,
           CASE WHEN p_partkey % 100 <> 0
                THEN TIMESTAMP '1970-01-01'
-                    + (p_partkey * 86400 + 3) * INTERVAL 1 SECOND
+                    + ((p_partkey % 20000) * 86400 + 3) * INTERVAL 1 SECOND
           END AS listed_ts
    FROM part
    """,
@@ -1891,8 +1891,10 @@ def f3_cleaning(spark, sf_dir):
 def f5_rename_ladder_q(spark, sf_dir):
     from .functions import cleaning
     p = _t(spark, sf_dir, "part")
+    # % 20000 keeps the synthetic epoch under DuckDB's 32-bit
+    # interval-multiply range at any replica scale
     epoch = F.when(F.col("p_partkey") % 100 != 0,
-                   F.col("p_partkey") * 86400 + 3)
+                   (F.col("p_partkey") % 20000) * 86400 + 3)
     return p.select(
         "p_partkey",
         cleaning.fuzzy_canonicalize(

@@ -35,8 +35,11 @@ TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 
 
-def run_duck_capped(con, sql: str, cap: float) -> float | None:
-    """Seconds, or None if the watchdog interrupted at the cap."""
+def run_duck_capped(con, sql: str, cap: float):
+    """Seconds; None if the watchdog interrupted at the cap; an error
+    string if DuckDB rejected the query at this scale (e.g. 32-bit range
+    limits the replica keys exceed) — one bad oracle must not kill a
+    40-minute sweep."""
     done = threading.Event()
 
     def watchdog():
@@ -51,6 +54,8 @@ def run_duck_capped(con, sql: str, cap: float) -> float | None:
         return time.time() - t0
     except duckdb.InterruptException:
         return None
+    except duckdb.Error as exc:
+        return f"ERR {type(exc).__name__}"
     finally:
         done.set()
 
@@ -80,7 +85,8 @@ def main() -> None:
             t_spark = min(t_spark, time.time() - t0)
         t_duck = run_duck_capped(con, q.sql, CAP)
         rows.append((name, t_spark, t_duck))
-        duck = f"{t_duck:.2f}" if t_duck is not None else f">{CAP:.0f} (killed)"
+        duck = (f"{t_duck:.2f}" if isinstance(t_duck, float)
+                else f">{CAP:.0f} (killed)" if t_duck is None else t_duck)
         print(f"{name}: spark {t_spark:.2f}s duckdb {duck}s",
               file=sys.stderr)
 
@@ -96,11 +102,14 @@ def main() -> None:
                          f"{ts / CAP:.2f}x |")
             n_spark_wins += 1
             n_killed += 1
+        elif isinstance(td, str):
+            lines.append(f"| {name} | {ts:.2f} | {td} | n/a |")
+            n_spark_wins += 1
         else:
             lines.append(f"| {name} | {ts:.2f} | {td:.2f} | {ts / td:.2f}x |")
             n_spark_wins += ts < td
     total_s = sum(ts for _, ts, _ in rows)
-    total_d = sum(td if td is not None else CAP for _, _, td in rows)
+    total_d = sum(td if isinstance(td, float) else CAP for _, _, td in rows)
     lines.append("")
     lines.append(f"Spark suite {total_s:.1f}s vs DuckDB >= {total_d:.1f}s "
                  f"(capped, {n_killed} kills); Spark faster on "

@@ -41,6 +41,21 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
         [r"BroadcastHashJoin", r"SortMergeJoin"], [r"CartesianProduct"]),
     "j5_anti_join_new_codes": (
         [r"LeftAnti"], [r"CartesianProduct"]),
+    # E2 full-rule-table merge: ONE full-outer SMJ on the composite vendor
+    # key + a codegen kernel projection; any Python eval node would mean
+    # the reference's row-wise merge_data interpreter crept back in
+    "pipeline_e2_merge_daily": (
+        # (full-outer SMJ is not a whole-stage-codegen operator, so no
+        # codegen-id requirement; the expression-only contract is the
+        # absence of every Python eval node)
+        [r"SortMergeJoin", r"FullOuter", r"Project"],
+        [r"CartesianProduct", r"BatchEvalPython", r"ArrowEvalPython",
+         r"FlatMapGroupsInPandas"]),
+    # §2.8 rename ladder: a single codegen projection over the scan —
+    # no join, no shuffle
+    "f5_rename_ladder": (
+        [r"codegen id"],
+        [r"Exchange", r"Join", r"CartesianProduct"]),
     # code-mapping maintenance: broadcast fill-join + native anti-join for
     # the insert set — never a sort-merge on the tiny mapping side
     # (r2 bench flagged 3.3x growth here; plan verified clean, the growth

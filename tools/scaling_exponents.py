@@ -54,11 +54,13 @@ _SHIFTS = {
 _COPY_AS_IS = ["region", "nation"]
 
 
-def build_scaled_dir(replicas: int) -> str:
+def build_scaled_dir(replicas: int, reuse: bool = False) -> str:
     import duckdb
 
     out = os.path.join(tempfile.gettempdir(), f"scaled_sf1_x{replicas}")
     if os.path.isdir(out):
+        if reuse:
+            return out
         shutil.rmtree(out)
     os.makedirs(out)
     con = duckdb.connect()
@@ -124,15 +126,29 @@ def time_query(qry, spark, sf_dir: str, repeats: int) -> float:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=10)
+    ap.add_argument("--base-replicas", type=int, default=None,
+                    help="measure against an Nx replica instead of sf0.1 — "
+                         "the 'does alpha hold past 10x' decade check "
+                         "(alpha = ln(t_big/t_base)/ln(replicas/base))")
+    ap.add_argument("--reuse", action="store_true",
+                    help="keep existing scaled dirs instead of rebuilding")
     ap.add_argument("--skip", nargs="*", default=[])
     ap.add_argument("--only", nargs="*", default=None)
+    ap.add_argument("--out", default="/root/repo/SCALE_EXPONENTS.json")
     args = ap.parse_args()
 
     from data_integration_celery_spark.queries import QUERIES
     from data_integration_celery_spark.session import get_spark
 
-    scaled = build_scaled_dir(args.replicas)
+    scaled = build_scaled_dir(args.replicas, reuse=args.reuse)
     print(f"scaled dir built: {scaled}", file=sys.stderr)
+    if args.base_replicas:
+        base_dir = build_scaled_dir(args.base_replicas, reuse=args.reuse)
+        base_label = f"{args.base_replicas}x"
+        ratio = args.replicas / args.base_replicas
+    else:
+        base_dir, base_label, ratio = SF_DIR, "sf0.1", float(args.replicas)
+    big_label = f"{args.replicas}x"
 
     spark = get_spark("scaling")
     spark.sparkContext.setLogLevel("ERROR")
@@ -142,15 +158,15 @@ def main() -> None:
         names = [n for n in names if n in set(args.only)]
 
     # warm both directions (JVM, parquet footers)
-    QUERIES["a1_watermark_per_key"].spark(spark, SF_DIR).count()
+    QUERIES["a1_watermark_per_key"].spark(spark, base_dir).count()
     QUERIES["a1_watermark_per_key"].spark(spark, scaled).count()
 
     results = {}
-    ln_r = math.log(args.replicas)
+    ln_r = math.log(ratio)
     for i, name in enumerate(names):
         q = QUERIES[name]
         try:
-            t_small = time_query(q, spark, SF_DIR, repeats=2)
+            t_small = time_query(q, spark, base_dir, repeats=2)
             t_big = time_query(q, spark, scaled, repeats=1)
         except Exception as exc:  # keep the sweep going
             results[name] = {"error": str(exc)[:200]}
@@ -158,26 +174,27 @@ def main() -> None:
                   file=sys.stderr)
             continue
         alpha = math.log(t_big / t_small) / ln_r
-        results[name] = {"t_sf0.1": round(t_small, 3),
-                         "t_10x": round(t_big, 3),
+        results[name] = {f"t_{base_label}": round(t_small, 3),
+                         f"t_{big_label}": round(t_big, 3),
                          "alpha": round(alpha, 2)}
         print(f"[{i+1}/{len(names)}] {name}: {t_small:.2f}s -> "
               f"{t_big:.2f}s  alpha={alpha:.2f}", file=sys.stderr)
 
-    with open("/root/repo/SCALE_EXPONENTS.json", "w") as f:
-        json.dump({"replicas": args.replicas, "queries": results}, f,
+    with open(args.out, "w") as f:
+        json.dump({"replicas": args.replicas,
+                   "base": base_label, "queries": results}, f,
                   indent=1, sort_keys=True)
 
     ok = {n: r for n, r in results.items() if "alpha" in r}
-    print(f"\n## Scaling exponents — sf0.1 vs {args.replicas}x (~sf1)\n")
-    print("| query | t @ sf0.1 | t @ 10x | alpha |")
+    print(f"\n## Scaling exponents — {base_label} vs {big_label}\n")
+    print(f"| query | t @ {base_label} | t @ {big_label} | alpha |")
     print("|---|---|---|---|")
     for n, r in sorted(ok.items(), key=lambda kv: -kv[1]["alpha"]):
-        print(f"| {n} | {r['t_sf0.1']:.2f}s | {r['t_10x']:.2f}s | "
-              f"{r['alpha']:.2f} |")
+        print(f"| {n} | {r[f't_{base_label}']:.2f}s | "
+              f"{r[f't_{big_label}']:.2f}s | {r['alpha']:.2f} |")
     lin = sum(1 for r in ok.values() if r["alpha"] <= 1.05)
     print(f"\n{lin}/{len(ok)} queries at alpha <= 1.05 "
-          f"(linear or better); see SCALE_EXPONENTS.json.")
+          f"(linear or better); see {args.out}.")
 
 
 if __name__ == "__main__":
