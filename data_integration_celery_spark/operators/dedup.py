@@ -494,6 +494,19 @@ def simhash_near_dup_pairs(docs: DataFrame, text_col: str = "text",
     sigs = (sig_fn(docs, text_col, id_col, bits)
             .select(F.col(id_col).alias("id"), "sig"))
     mask = (1 << width) - 1
+    # Exact-duplicate contraction: the banded self-join runs over DISTINCT
+    # signatures, never documents. A boilerplate cluster of B identical docs
+    # costs 1 row per band in candidate generation (was B rows → B² candidate
+    # pairs, each paying the verify) — the pair set is still emitted in full,
+    # but via output-proportional expansion joins below. The 30x-replica
+    # decade sweep measured the uncontracted form at alpha 2.5 (46→742 s,
+    # well above the alpha 2.07 of pure pair-output growth) because
+    # dup-saturated band buckets paid quadratic candidate generation;
+    # contracted, candidate work scales with distinct signatures (invariant
+    # under duplication) and everything else with output size. Bucket-cap
+    # semantics are preserved by weighting each signature with its member
+    # count (bucket size = member ROWS, as before).
+    usig = sigs.groupBy("sig").agg(F.count(F.lit(1)).alias("cnt"))
     # last band absorbs the remainder bits so the whole signature is covered
     bands = F.array(*[
         F.struct(
@@ -503,26 +516,46 @@ def simhash_near_dup_pairs(docs: DataFrame, text_col: str = "text",
                       else (1 << (bits - (n_bands - 1) * width)) - 1)))
             .alias("v"))
         for b in range(n_bands)])
-    keyed = (sigs.select("id", "sig", F.explode(bands).alias("bk"))
-             .select("id", "sig", F.col("bk.b").alias("b"),
+    keyed = (usig.select("sig", "cnt", F.explode(bands).alias("bk"))
+             .select("sig", "cnt", F.col("bk.b").alias("b"),
                      F.col("bk.v").alias("v")))
     if max_bucket is not None:
         from pyspark.sql import Window
-        sz = F.count(F.lit(1)).over(Window.partitionBy("b", "v"))
+        sz = F.sum("cnt").over(Window.partitionBy("b", "v"))
         keyed = (keyed.withColumn("__sz", sz)
                  .where(F.col("__sz") <= max_bucket).drop("__sz"))
     a, b_ = keyed.alias("a"), keyed.alias("b")
-    # verify BEFORE the distinct: hamming is determined by the pair (one sig
-    # per id), so the filter commutes with dropDuplicates — false candidates
-    # and the sig payload never enter the distinct shuffle (the band
-    # redundancy factor is k+1 rows per surviving pair)
+    # verify BEFORE the distinct: hamming is determined by the signature
+    # pair, so the filter commutes with dropDuplicates — false candidates
+    # never enter the distinct shuffle (band redundancy ≤ k+1 rows per
+    # surviving signature pair)
     ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
-    return (a.join(b_, ["b", "v"])
-            .where(F.col("a.id") < F.col("b.id"))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                    ham.alias("hamming"))
-            .where(F.col("hamming") <= k)
-            .dropDuplicates(["id_a", "id_b"]))
+    sig_pairs = (a.join(b_, ["b", "v"])
+                 .where(F.col("a.sig") < F.col("b.sig"))
+                 .select(F.col("a.sig").alias("sig_a"),
+                         F.col("b.sig").alias("sig_b"),
+                         ham.alias("hamming"))
+                 .where(F.col("hamming") <= k)
+                 .dropDuplicates(["sig_a", "sig_b"]))
+    # cross-signature pairs: expand each surviving signature pair to its
+    # member id pairs (each id has exactly one signature, so no duplicates)
+    ma = sigs.select(F.col("sig").alias("sig_a"), F.col("id").alias("ia"))
+    mb = sigs.select(F.col("sig").alias("sig_b"), F.col("id").alias("ib"))
+    cross = (sig_pairs.join(ma, "sig_a").join(mb, "sig_b")
+             .select(F.least("ia", "ib").alias("id_a"),
+                     F.greatest("ia", "ib").alias("id_b"), "hamming"))
+    # same-signature pairs (hamming 0): members of one signature group.
+    # Under a bucket cap, identical signatures share every band, so the
+    # group pairs iff at least one of its band buckets survived the cap.
+    eligible = sigs
+    if max_bucket is not None:
+        eligible = sigs.join(keyed.select("sig"), "sig", "left_semi")
+    same = (eligible.select("sig", F.col("id").alias("id_a"))
+            .join(eligible.select("sig", F.col("id").alias("id_b")), "sig")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    F.lit(0).cast("int").alias("hamming")))
+    return cross.unionByName(same)
 
 
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",

@@ -170,6 +170,18 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
     "pipeline_worst_window_return": (
         [r"WindowGroupLimit", r"TakeOrderedAndProject"],
         [r"CartesianProduct", r"SinglePartition"]),
+    # banded Hamming pairs: the quadratic candidate join runs over DISTINCT
+    # signatures (exact-duplicate contraction — a groupBy(sig) aggregate
+    # with map-side partials feeds the band explode), never over raw docs;
+    # the 30x-replica decade sweep measured the uncontracted form at
+    # alpha 2.5 (742s) vs 0.94 (34s) contracted. Member expansion is
+    # output-proportional equi-joins — no nested-loop shape anywhere
+    # (with max_bucket=None the member count is pruned, so the aggregate
+    # plans as a distinct-on-sig — the hashpartitioning(sig) exchange IS
+    # the contraction signature)
+    "dedup_simhash_hamming_md5": (
+        [r"hashpartitioning\(sig", r"HashAggregate"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"]),
     # sketch profile: HLL + GK sketches are mergeable aggregation state —
     # the whole profile must be ONE two-phase aggregation (partial → final,
     # a single exchange on the group key), no sort, no join, no distinct

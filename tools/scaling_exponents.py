@@ -134,6 +134,11 @@ def main() -> None:
                     help="keep existing scaled dirs instead of rebuilding")
     ap.add_argument("--skip", nargs="*", default=[])
     ap.add_argument("--only", nargs="*", default=None)
+    ap.add_argument("--count-rows", action="store_true",
+                    help="also count output rows at both scales and record "
+                         "alpha_out — adjudicates alpha>1 as output growth "
+                         "(alpha <= alpha_out: output-bound, fine) vs a "
+                         "compute blowup (alpha >> alpha_out: investigate)")
     ap.add_argument("--out", default="/root/repo/SCALE_EXPONENTS.json")
     args = ap.parse_args()
 
@@ -177,8 +182,21 @@ def main() -> None:
         results[name] = {f"t_{base_label}": round(t_small, 3),
                          f"t_{big_label}": round(t_big, 3),
                          "alpha": round(alpha, 2)}
+        if args.count_rows:
+            try:
+                n_small = q.spark(spark, base_dir).count()
+                n_big = q.spark(spark, scaled).count()
+                results[name].update(
+                    {f"rows_{base_label}": n_small,
+                     f"rows_{big_label}": n_big,
+                     "alpha_out": (round(math.log(n_big / n_small) / ln_r, 2)
+                                   if n_small and n_big else None)})
+            except Exception as exc:
+                results[name]["alpha_out_error"] = str(exc)[:200]
         print(f"[{i+1}/{len(names)}] {name}: {t_small:.2f}s -> "
-              f"{t_big:.2f}s  alpha={alpha:.2f}", file=sys.stderr)
+              f"{t_big:.2f}s  alpha={alpha:.2f}"
+              + (f"  alpha_out={results[name].get('alpha_out')}"
+                 if args.count_rows else ""), file=sys.stderr)
 
     with open(args.out, "w") as f:
         json.dump({"replicas": args.replicas,
