@@ -134,6 +134,12 @@ def main() -> None:
                     help="keep existing scaled dirs instead of rebuilding")
     ap.add_argument("--skip", nargs="*", default=[])
     ap.add_argument("--only", nargs="*", default=None)
+    ap.add_argument("--big-repeats", type=int, default=1,
+                    help="repeats at the big scale (min taken). Single-shot "
+                         "big-scale numbers on a shared host absorb "
+                         "intermittent CPU contention — the same queries "
+                         "measured 4s isolated vs 164s in one sweep window; "
+                         "min-of-2+ adjudicates the burst away")
     ap.add_argument("--count-rows", action="store_true",
                     help="also count output rows at both scales and record "
                          "alpha_out — adjudicates alpha>1 as output growth "
@@ -172,7 +178,7 @@ def main() -> None:
         q = QUERIES[name]
         try:
             t_small = time_query(q, spark, base_dir, repeats=2)
-            t_big = time_query(q, spark, scaled, repeats=1)
+            t_big = time_query(q, spark, scaled, repeats=args.big_repeats)
         except Exception as exc:  # keep the sweep going
             results[name] = {"error": str(exc)[:200]}
             print(f"[{i+1}/{len(names)}] {name}: ERROR {exc}",
