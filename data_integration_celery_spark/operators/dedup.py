@@ -150,24 +150,116 @@ def banded_signatures(docs: DataFrame, text_col: str, id_col: str,
     documents land in (see ``incremental_minhash_pairs``), instead of
     re-hashing 100 TB per day.
     """
+    return _band_explode(
+        minhash_signature_table(docs, text_col, id_col, num_hashes,
+                                perm_hash),
+        [id_col], num_hashes, bands, bucket_hash)
+
+
+def minhash_signature_table(docs: DataFrame, text_col: str, id_col: str,
+                            num_hashes: int, perm_hash) -> DataFrame:
+    """One minhash signature array per document: ``(id, sig)``.
+
+    Codegen'd per-permutation min-aggregates over the shingle postings —
+    one shuffle on the doc id with map-side partials. Shared by the banded
+    index (``banded_signatures``) and the contracted cluster path
+    (``minhash_clusters``)."""
+    exploded = shingle_postings(docs, text_col, id_col)
+    return (exploded.groupBy(id_col)
+            .agg(*[F.min(perm_hash(F.col("s"), i)).alias(f"h{i}")
+                   for i in range(num_hashes)])
+            .select(id_col, F.array(*[F.col(f"h{i}")
+                                      for i in range(num_hashes)])
+                    .alias("sig")))
+
+
+def _band_explode(sig_df: DataFrame, key_cols: list[str], num_hashes: int,
+                  bands: int, bucket_hash) -> DataFrame:
+    """Explode ``(keys…, sig)`` rows to ``(keys…, sig, band, bucket)``."""
     r = num_hashes // bands
     if r * bands != num_hashes:
         raise ValueError("bands must divide num_hashes")
-    exploded = shingle_postings(docs, text_col, id_col)
-    sig = (exploded.groupBy(id_col)
-           .agg(*[F.min(perm_hash(F.col("s"), i)).alias(f"h{i}")
-                  for i in range(num_hashes)])
-           .select(id_col, F.array(*[F.col(f"h{i}")
-                                     for i in range(num_hashes)]).alias("sig")))
-    return sig.select(
-        id_col, "sig",
+    return sig_df.select(
+        *key_cols, "sig",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
                      bucket_hash([F.element_at("sig", b * r + i + 1)
                                   for i in range(r)]).alias("bucket"))
             for b in range(bands)])).alias("bb")) \
-        .select(id_col, "sig", F.col("bb.band").alias("band"),
+        .select(*key_cols, "sig", F.col("bb.band").alias("band"),
                 F.col("bb.bucket").alias("bucket"))
+
+
+def minhash_clusters(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", num_hashes: int = 32,
+                     bands: int = 8, threshold: float = 0.5,
+                     perm_hash=_perm_hash_xxhash64,
+                     bucket_hash=_bucket_hash_xxhash64) -> DataFrame:
+    """Near-dup cluster labels ``(id, component)`` for every document in a
+    cluster of ≥2, component = min doc id of the cluster — the composition
+    ``minhash_banded_pairs → est_jaccard ≥ threshold →
+    connected_components_star`` with **exact-duplicate contraction**, and
+    bit-identical output to that composition.
+
+    Why it is identical: ``est_jaccard`` is a function of the two
+    signatures alone, and same-signature documents collide in every band
+    and verify at est = 1.0, so the verified pair graph over documents is
+    the blow-up of the verified pair graph over DISTINCT signatures.
+    Connected components commute with blow-ups, and min-labels agree
+    because each signature group's representative is its min doc id.
+
+    Why it scales where the naive composition cannot: a duplicate cluster
+    of B identical documents contributes B²·(collision bands) candidate
+    pairs to the naive pair join but ONE row here — banding, est verify
+    and star contraction all run on distinct signatures (invariant under
+    duplication); the only document-proportional work is the signature
+    computation and two slim expansion joins. On the 100x-replica sweep
+    the naive composite measured alpha 1.39 with constant OUTPUT
+    (394 s at ~sf10) — the quadratic intermediate was the entire excess.
+
+    The signature table is materialized once (lazy localCheckpoint, same
+    convention as the components fixpoint): it feeds the distinct-sig
+    aggregate, the banded self-join and the member expansion, and without
+    truncation each consumer — multiplied again by the composite's
+    reps/singletons double-use — re-runs the 32-min-agg shingle pipeline.
+    At 100 TB this is the persisted signature/index table anyway
+    (``banded_signatures`` stores the same rows bucketed).
+    """
+    sig_df = minhash_signature_table(docs, text_col, id_col, num_hashes,
+                                     perm_hash).localCheckpoint(eager=False)
+    usig = sig_df.groupBy("sig").agg(F.min(id_col).alias("rep"))
+    rep_banded = _band_explode(usig.select("rep", "sig"), ["rep"],
+                               num_hashes, bands, bucket_hash)
+    a, b = rep_banded.alias("a"), rep_banded.alias("b")
+    rep_pairs = (a.join(b, ["band", "bucket"])
+                 .where(F.col("a.rep") < F.col("b.rep"))
+                 .select(F.col("a.rep").alias("id_a"),
+                         F.col("b.rep").alias("id_b"),
+                         _est_jaccard(F.col("a.sig"), F.col("b.sig"),
+                                      num_hashes).alias("est_jaccard"))
+                 .where(F.col("est_jaccard") >= threshold)
+                 .select("id_a", "id_b")
+                 .dropDuplicates())
+    comp = connected_components_star(rep_pairs)
+    members = sig_df.join(usig, "sig").select(id_col, "rep")
+    gsz = members.groupBy("rep").agg(F.count(F.lit(1)).alias("__n"))
+    rep_comp = comp.select(F.col("node").alias("rep"), "component")
+    return (members.join(gsz, "rep")
+            .join(rep_comp, "rep", "left")
+            .withColumn("component",
+                        F.coalesce(F.col("component"),
+                                   F.when(F.col("__n") >= 2, F.col("rep"))))
+            .where(F.col("component").isNotNull())
+            .select(id_col, "component"))
+
+
+def minhash_clusters_md5(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", num_hashes: int = 32,
+                         bands: int = 8, threshold: float = 0.5) -> DataFrame:
+    """Engine-portable twin of ``minhash_clusters`` (md5 hash family —
+    same construction as ``minhash_lsh_candidates_md5``)."""
+    return minhash_clusters(docs, text_col, id_col, num_hashes, bands,
+                            threshold, _perm_hash_md5, _bucket_hash_md5)
 
 
 def _est_jaccard(sig_a: Column, sig_b: Column, num_hashes: int) -> Column:
@@ -205,17 +297,20 @@ def minhash_banded_pairs(docs: DataFrame, text_col: str, id_col: str,
     banded = banded_signatures(docs, text_col, id_col, num_hashes, bands,
                                perm_hash, bucket_hash)
     a, b = banded.alias("a"), banded.alias("b")
-    pairs = (a.join(b, ["band", "bucket"])
-             .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-             .select(F.col(f"a.{id_col}").alias("id_a"),
-                     F.col(f"b.{id_col}").alias("id_b"),
-                     F.col("a.sig").alias("sig_a"),
-                     F.col("b.sig").alias("sig_b"))
-             .dropDuplicates(["id_a", "id_b"]))
-    return (pairs.withColumn("est_jaccard",
-                             _est_jaccard(F.col("sig_a"), F.col("sig_b"),
-                                          num_hashes))
-            .drop("sig_a", "sig_b"))
+    # est_jaccard is computed IN the join projection, before the pair
+    # distinct — it is determined by the pair (one sig per id), so it
+    # commutes with dropDuplicates, and the quadratic candidate stream
+    # then carries (id_a, id_b, double) instead of two full signature
+    # arrays (~8 KB/candidate for the 128-hash md5 twin — the payload
+    # that OOM'd the 100x-replica sweep; same verify-before-distinct
+    # lesson as simhash_near_dup_pairs)
+    return (a.join(b, ["band", "bucket"])
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    _est_jaccard(F.col("a.sig"), F.col("b.sig"),
+                                 num_hashes).alias("est_jaccard"))
+            .dropDuplicates(["id_a", "id_b"]))
 
 
 def incremental_minhash_pairs(new_docs: DataFrame, index: DataFrame,

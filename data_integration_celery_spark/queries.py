@@ -2588,12 +2588,14 @@ def pipeline_dedup(spark, sf_dir):
 def pipeline_cluster_survivors(spark, sf_dir):
     from .operators import dedup
     docs = _t(spark, sf_dir, "documents")
-    pairs = (dedup.minhash_lsh_candidates_md5(docs)
-             .where(F.col("est_jaccard") >= 0.5)
-             .select("id_a", "id_b"))
-    comp = dedup.connected_components_star(pairs)
+    # contracted form: banding + est verify + star contraction over
+    # DISTINCT signatures, members expanded afterward — bit-identical to
+    # the naive pairs→components composition (see minhash_clusters
+    # docstring), but the quadratic dup-cluster intermediate never
+    # materializes (100x replica: alpha 1.39 → sub-linear)
+    labeled = dedup.minhash_clusters_md5(docs, threshold=0.5)
     clustered = (docs.select("doc_id", "n_chars")
-                 .join(comp, docs.doc_id == comp.node)
+                 .join(labeled, "doc_id")
                  .select("doc_id", "component", "n_chars"))
     wsz = Window.partitionBy("component")
     wrn = Window.partitionBy("component") \
@@ -2603,8 +2605,7 @@ def pipeline_cluster_survivors(spark, sf_dir):
             .withColumn("rn", F.row_number().over(wrn))
             .where(F.col("rn") == 1)
             .select("doc_id", "cluster_size"))
-    singletons = (docs.join(comp.select(F.col("node").alias("doc_id")),
-                            "doc_id", "left_anti")
+    singletons = (docs.join(labeled.select("doc_id"), "doc_id", "left_anti")
                   .select("doc_id", F.lit(1).cast("long").alias("cluster_size")))
     return singletons.unionByName(reps)
 

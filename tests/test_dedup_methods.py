@@ -525,3 +525,50 @@ def test_span_removal_null_and_empty_text(spark):
         and out[3]["n_removed"] == 0
     assert out[4]["n_spans"] == 1 and out[4]["n_removed"] == 0
     assert out[1]["clean_text"] == "" and out[1]["n_removed"] == 1
+
+
+def test_minhash_clusters_equals_naive_composition(spark, sf_dir):
+    """Differential: the contracted cluster path (distinct-signature
+    banding + est verify + star contraction + member expansion) must
+    produce the EXACT (doc_id, component) labeling of the naive
+    pairs -> threshold -> connected_components_star composition — on a
+    corpus with exact-dup groups, near-dups, and singletons. The blow-up
+    argument in the minhash_clusters docstring is what this pins."""
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "beyond the river bank every single morning")
+    rows = []
+    for g in range(4):                       # 4 exact-dup groups of 5
+        for i in range(5):
+            rows.append((g * 100 + i, base + f" variant {g}"))
+    rows += [(900, base + " variant 0 extra"),   # near-dup of group 0
+             (901, "a completely unrelated document about spark joins"),
+             (902, "another unrelated text on parquet row group layout")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    naive_pairs = (dedup.minhash_lsh_candidates_md5(docs)
+                   .where("est_jaccard >= 0.5").select("id_a", "id_b"))
+    comp = dedup.connected_components_star(naive_pairs)
+    want = {(r["node"], r["component"]) for r in comp.collect()}
+
+    got = {(r["doc_id"], r["component"]) for r in
+           dedup.minhash_clusters_md5(docs, threshold=0.5).collect()}
+    assert got == want
+    # sanity: the dup groups really did cluster (the shared base text makes
+    # all four variant-groups near-dups of each other — one merged cluster
+    # holding every variant member, singletons excluded)
+    from collections import Counter
+    sizes = Counter(c for _, c in got)
+    assert max(sizes.values()) >= 20 and len(got) >= 21
+
+
+def test_minhash_clusters_same_sig_group_without_lsh_neighbors(spark):
+    """A signature group of >= 2 with no cross-signature LSH partner must
+    still form its own cluster (internal est=1.0 pairs exist in the naive
+    graph even when no banded join row survives the rep-level filter)."""
+    rows = [(10, "alpha beta gamma delta epsilon zeta eta theta"),
+            (11, "alpha beta gamma delta epsilon zeta eta theta"),
+            (20, "one two three four five six seven eight nine ten")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_id"], r["component"]) for r in
+           dedup.minhash_clusters_md5(docs, threshold=0.9).collect()}
+    assert got == {(10, 10), (11, 10)}
