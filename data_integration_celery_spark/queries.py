@@ -1834,6 +1834,66 @@ def dedup_embedding(spark, sf_dir):
     return all_pairs_topk(_t(spark, sf_dir, "embeddings"), k=20)
 
 
+@q("dedup_semdedup",
+   sql="""
+   WITH RECURSIVE e AS (
+     SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+     FROM embeddings),
+   v AS (SELECT vec_id,
+                list_transform(ev, x -> x / sqrt(list_dot_product(ev, ev))) AS nv
+         FROM e),
+   seeds AS (SELECT vec_id AS cid, nv AS sv FROM v ORDER BY vec_id LIMIT 8),
+   scored AS (
+     SELECT v.vec_id AS id, s.cid,
+            round(list_dot_product(v.nv, s.sv), 6) AS cos_c
+     FROM v CROSS JOIN seeds s),
+   assigned AS (
+     SELECT id, cos_c AS cos_centroid, cid AS cluster
+     FROM scored
+     QUALIFY row_number() OVER (PARTITION BY id
+                                ORDER BY cos_c DESC, cid) = 1),
+   member AS (SELECT a.id, a.cluster, v.nv
+              FROM assigned a JOIN v ON v.vec_id = a.id),
+   pairs AS (
+     SELECT a.id AS id_a, b.id AS id_b
+     FROM member a JOIN member b ON a.cluster = b.cluster AND a.id < b.id
+     WHERE round(list_dot_product(a.nv, b.nv), 6) >= 0.4),
+   sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+           UNION ALL SELECT id_b, id_a FROM pairs),
+   reach(node, r) AS (
+     SELECT a, b FROM sym
+     UNION
+     SELECT reach.node, s.b FROM reach JOIN sym s ON reach.r = s.a
+     WHERE s.b <> reach.node),
+   comp AS (
+     SELECT node, least(node, min(r)) AS component FROM reach GROUP BY node),
+   labeled AS (
+     SELECT a.id, a.cluster, a.cos_centroid,
+            coalesce(c.component, a.id) AS component
+     FROM assigned a LEFT JOIN comp c ON c.node = a.id),
+   rep AS (
+     SELECT component, id AS rep_id FROM labeled
+     QUALIFY row_number() OVER (PARTITION BY component
+                                ORDER BY cos_centroid, id) = 1)
+   SELECT l.id, l.cluster, l.cos_centroid, l.component,
+          l.id = r.rep_id AS keep
+   FROM labeled l JOIN rep r USING (component)
+   """,
+   doc="SemDeDup (Abbas et al. 2023): deterministic seed-cluster "
+       "assignment (argmax cosine to the 8 lowest-id vectors), "
+       "within-cluster semantic-duplicate groups at cos ≥ 0.4 via the "
+       "star-contraction components, keep-one-per-group (the member LEAST "
+       "similar to its centroid — the paper's edge-of-cluster exemplar "
+       "rule). The cluster id is the blocking key: the only quadratic "
+       "work is the intra-cluster pair join, and components/argmin reuse "
+       "its partitioning. Oracle mirrors the whole pipeline incl. a "
+       "recursive-CTE closure. Net-new LLM-pipeline operator (no "
+       "reference counterpart).")
+def dedup_semdedup_q(spark, sf_dir):
+    from .operators.similarity import semdedup
+    return semdedup(_t(spark, sf_dir, "embeddings"), n_clusters=8, tau=0.4)
+
+
 @q("f3_cleaning_exprs",
    sql="""
    SELECT p_partkey,
@@ -3275,7 +3335,7 @@ QUERY_PRIORITY: list[str] = [
     "eav_unpivot_pivot", "u4_membership_changepoints",
     # windows
     "w1b_rank_scalable", "w3_cum_chain", "w8_quarterize",
-    "w7_continuous_contract", "w8b_quarterize_exact",
+    "w7_continuous_contract",
     "w12_pivot_status", "w11b_adjusted_diff",
     # composites
     "pipeline_quality_filter", "pipeline_dedup_survivors",
@@ -3292,7 +3352,7 @@ QUERY_PRIORITY: list[str] = [
     "txt_corpus_stats", "txt_winnowing",
     "txt_pii_redact",
     "pipeline_cluster_survivors",
-    "dedup_embedding_pairs", "emb_centroid_outliers",
+    "dedup_embedding_pairs", "dedup_semdedup", "emb_centroid_outliers",
     "mm_audio_features", "mm_video_frames",
     "smp_hash_split", "smp_mixture_resample", "smp_source_quota",
     "smp_token_budget", "smp_epoch_shuffle",
@@ -3311,6 +3371,7 @@ QUERY_PRIORITY: list[str] = [
     "j7_code_extract_join", "j11_argmax_latest_per_key",
     "j13_incremental_ranges", "txt_features", "dedup_exact",
     "w11_adjusted_continuous", "w1_rank_returns", "j8_interval_join",
+    "w8b_quarterize_exact",
     "dedup_components",
     "a9_describe", "a13_sessionize", "j5_anti_join_new_codes",
     "a7_two_level_agg",

@@ -180,3 +180,60 @@ def test_centroid_outlier_scores(spark):
            for r in similarity.centroid_outlier_scores(emb, bottom_k=1).collect()}
     assert top[1] == 100
     assert full[100] < full[101]
+
+
+def test_semdedup_prunes_planted_duplicates(spark):
+    """Two planted near-duplicate groups inside distinct clusters: each
+    group keeps exactly its least-centroid-similar member, cross-cluster
+    near-parallel vectors are NOT grouped (cluster is the blocking key),
+    and isolated vectors keep themselves."""
+    import math
+    rows = []
+    # cluster A around e0: seeds come from the lowest ids, so id 0 and
+    # id 1 (orthogonal) become the two centroids
+    rows.append((0, [1.0, 0.0, 0.0, 0.0]))
+    rows.append((1, [0.0, 1.0, 0.0, 0.0]))
+    # dup group in cluster 0: three tiny rotations of e0
+    for i, eps in ((10, 0.01), (11, 0.02), (12, 0.03)):
+        n = math.sqrt(1 + eps * eps)
+        rows.append((i, [1.0 / n, eps / n, 0.0, 0.0]))
+    # dup pair in cluster 1
+    for i, eps in ((20, 0.01), (21, 0.02)):
+        n = math.sqrt(1 + eps * eps)
+        rows.append((i, [eps / n, 1.0 / n, 0.0, 0.0]))
+    # isolated vector, its own cluster-1 member but far from everything
+    rows.append((30, [0.0, 0.5, 0.0, 0.86]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["id"]: r for r in
+           similarity.semdedup(emb, n_clusters=2, tau=0.9).collect()}
+    assert len(out) == 8
+    # group {0,10,11,12}: all near-identical to centroid 0 -> one component
+    comp0 = {out[i]["component"] for i in (0, 10, 11, 12)}
+    assert comp0 == {0}
+    # keep-rule: member with LOWEST cos_centroid wins -> id 12 (largest eps)
+    keepers0 = [i for i in (0, 10, 11, 12) if out[i]["keep"]]
+    assert keepers0 == [12]
+    # group {1,20,21}: centroid-1 dups; lowest cos_centroid is id 21
+    assert {out[i]["component"] for i in (1, 20, 21)} == {1}
+    assert [i for i in (1, 20, 21) if out[i]["keep"]] == [21]
+    # isolated vector: own singleton component, kept
+    assert out[30]["component"] == 30 and out[30]["keep"]
+
+
+def test_semdedup_edges_never_cross_clusters(spark, sf_dir):
+    """Every duplicate group lives inside one cluster (the blocking
+    invariant the 100 TB plan relies on): all members of any component
+    share the component root's cluster."""
+    emb = catalog.load(spark, "embeddings", sf_dir)
+    out = similarity.semdedup(emb, n_clusters=8, tau=0.35)
+    n_bad = (out.groupBy("component")
+             .agg(F.countDistinct("cluster").alias("nc"))
+             .where(F.col("nc") > 1).count())
+    assert n_bad == 0
+    # and the prune list is non-trivial at this tau on the test corpus
+    assert out.where(~F.col("keep")).count() > 0
+    # exactly one keeper per component
+    bad_keep = (out.groupBy("component")
+                .agg(F.sum(F.col("keep").cast("int")).alias("k"))
+                .where(F.col("k") != 1).count())
+    assert bad_keep == 0

@@ -189,6 +189,16 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
     "a14_sketch_profile": (
         [r"partial_approx_count_distinct", r"ObjectHashAggregate"],
         [r"CartesianProduct", r"Sort ", r"Join", r"Expand"]),
+    # SemDeDup: seed selection must be a top-k (never a global sort),
+    # the n×K assignment fan-out a broadcast of the 8-row seed frame
+    # (IdentityBroadcastMode NLJ — bounded build side, NOT a cartesian),
+    # the argmax a two-phase max(struct) with map-side partials; all
+    # scoring stays JVM-side (no Python eval nodes)
+    "dedup_semdedup": (
+        [r"TakeOrderedAndProject", r"BroadcastExchange",
+         r"partial_max\(struct"],
+        [r"CartesianProduct", r"BatchEvalPython", r"ArrowEvalPython",
+         r"FlatMapGroupsInPandas"]),
 }
 
 
