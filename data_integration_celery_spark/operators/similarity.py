@@ -481,40 +481,58 @@ def semdedup(emb: DataFrame, n_clusters: int = 8, tau: float = 0.7,
     rounds). Reference has no counterpart (pandas-era engine); this is a
     net-new LLM-pipeline operator per the build brief.
 
-    ``method='blas'`` (default) scores the within-cluster pairs with one
-    Arrow-batched applyInPandas per cluster — a tiled numpy matmul over
-    the cluster's member matrix, exactly the paper's per-cluster kernel.
-    The Python crossing is justified statefully: the pair stage needs the
-    whole cluster in one place by construction (that is WHAT clustering
-    is for in SemDeDup), and the dense c×c similarity block is a BLAS
-    primitive that the interpreted per-pair HOF fold loses to by ~8x
-    (sf0.1, 2k vectors, K=8: 32s expr vs 4s blas; same interpreted-HOF
-    lesson as est_jaccard in operators/dedup.py). ``method='expr'`` keeps
-    the all-JVM Column-expression join — differentially tested equal.
+    ``method='blas'`` (default) runs both dense kernels through numpy:
+    assignment is a map-only Arrow pass against the broadcast K×dim seed
+    matrix (no n×K row fan-out, no argmax shuffle — the K=250 sweep
+    showed the interpreted fan-out dominating at 5M fold rows), and the
+    within-cluster pairs are one Arrow-batched applyInPandas per cluster
+    — a tiled matmul over the cluster's member matrix, exactly the
+    paper's kernel. The Python crossings are justified statefully: the
+    pair stage needs the whole cluster co-located by construction (that
+    is WHAT clustering is for in SemDeDup), and dense similarity blocks
+    are BLAS primitives the interpreted per-pair HOF fold loses to by
+    ~8x (sf0.1, 2k vectors, K=8: 32s expr vs 4s blas; same
+    interpreted-HOF lesson as est_jaccard in operators/dedup.py).
+    np.argmax ties resolve to the FIRST max and the seed ids ascend, so
+    tie-breaks match the expr path bit-for-bit. ``method='expr'`` keeps
+    the all-JVM Column-expression pipeline — differentially tested equal.
     """
     from .dedup import connected_components_star
 
     nv = F.transform(F.col(vec_col),
                      lambda x: x.cast("double") / _norm(F.col(vec_col)))
     vecs = emb.select(F.col(id_col).alias("id"), nv.alias("nv"))
-    seeds = (vecs.orderBy("id").limit(n_clusters)
-             .select(F.col("id").alias("cid"), F.col("nv").alias("sv")))
-    # assignment: argmax over rounded cos via one max(struct) agg —
-    # map-side partials, one shuffle on id; rounding keeps cross-engine
-    # float noise out of the argmax boundary (same rule as brute_force)
-    scored = (vecs.join(F.broadcast(seeds))
-              .select("id", "nv", "cid",
-                      F.round(_dot(F.col("nv"), F.col("sv")),
-                              round_dp).alias("cos_c")))
-    assigned = (scored.groupBy("id")
-                .agg(F.max(F.struct(F.col("cos_c"),
-                                    (-F.col("cid")).alias("nc"))).alias("m"))
-                .select("id", F.col("m.cos_c").alias("cos_centroid"),
-                        (-F.col("m.nc")).alias("cluster")))
-    member = assigned.join(vecs, "id")
     if method == "blas":
         import numpy as np
         import pandas as pd
+
+        # seed matrix to the driver: K×dim doubles — same bounded collect
+        # as ivf_build's centroid state, tiny at any corpus size
+        seed_pdf = vecs.orderBy("id").limit(n_clusters).toPandas()
+        cids = seed_pdf["id"].to_numpy()          # ascending by construction
+        smat = np.stack(seed_pdf["nv"].to_numpy()).astype("float64")
+        bc = emb.sparkSession.sparkContext.broadcast((cids, smat))
+
+        def assign(batches):
+            # map-only n×K argmax against the broadcast seed matrix — no
+            # fan-out rows, no shuffle; np.argmax returns the FIRST max,
+            # and cids ascend, so ties go to the lowest centroid id
+            # exactly like the expr path's max(struct(cos, -cid))
+            ids_c, sm = bc.value
+            for pdf in batches:
+                m = np.stack(pdf["nv"].to_numpy()).astype("float64")
+                sims = np.round(m @ sm.T, round_dp)
+                j = np.argmax(sims, axis=1)
+                yield pd.DataFrame({
+                    "id": pdf["id"].to_numpy(),
+                    "cluster": ids_c[j],
+                    "cos_centroid": sims[np.arange(len(j)), j],
+                    "nv": pdf["nv"]})
+
+        member = vecs.mapInPandas(
+            assign, "id long, cluster long, cos_centroid double, "
+                    "nv array<double>")
+        assigned = member.select("id", "cluster", "cos_centroid")
 
         def cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
             ids = pdf["id"].to_numpy()
@@ -527,8 +545,8 @@ def semdedup(emb: DataFrame, n_clusters: int = 8, tau: float = 0.7,
                 ra, rb = np.nonzero(sims >= tau)
                 ra += lo
                 keep = ids[ra] < ids[rb]
-                out_a.append(np.minimum(ids[ra][keep], ids[rb][keep]))
-                out_b.append(np.maximum(ids[ra][keep], ids[rb][keep]))
+                out_a.append(ids[ra][keep])
+                out_b.append(ids[rb][keep])
             return pd.DataFrame({"id_a": np.concatenate(out_a),
                                  "id_b": np.concatenate(out_b)})
 
@@ -536,6 +554,22 @@ def semdedup(emb: DataFrame, n_clusters: int = 8, tau: float = 0.7,
                  .groupBy("cluster")
                  .applyInPandas(cluster_pairs, "id_a long, id_b long"))
     else:
+        seeds = (vecs.orderBy("id").limit(n_clusters)
+                 .select(F.col("id").alias("cid"), F.col("nv").alias("sv")))
+        # assignment: argmax over rounded cos via one max(struct) agg —
+        # map-side partials, one shuffle on id; rounding keeps
+        # cross-engine float noise out of the argmax boundary
+        scored = (vecs.join(F.broadcast(seeds))
+                  .select("id", "nv", "cid",
+                          F.round(_dot(F.col("nv"), F.col("sv")),
+                                  round_dp).alias("cos_c")))
+        assigned = (scored.groupBy("id")
+                    .agg(F.max(F.struct(F.col("cos_c"),
+                                        (-F.col("cid")).alias("nc")))
+                         .alias("m"))
+                    .select("id", F.col("m.cos_c").alias("cos_centroid"),
+                            (-F.col("m.nc")).alias("cluster")))
+        member = assigned.join(vecs, "id")
         a = member.select(F.col("cluster").alias("cl"),
                           F.col("id").alias("ia"), F.col("nv").alias("va"))
         b = member.select(F.col("cluster").alias("cl"),

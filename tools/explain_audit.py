@@ -189,21 +189,18 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
     "a14_sketch_profile": (
         [r"partial_approx_count_distinct", r"ObjectHashAggregate"],
         [r"CartesianProduct", r"Sort ", r"Join", r"Expand"]),
-    # SemDeDup: seed selection must be a top-k (never a global sort),
-    # the n×K assignment fan-out a broadcast of the 8-row seed frame
-    # (IdentityBroadcastMode NLJ — bounded build side, NOT a cartesian),
-    # the argmax a two-phase max(struct) with map-side partials. The
-    # within-cluster pair stage is ONE Arrow-batched per-cluster BLAS
-    # kernel (FlatMapGroupsInPandas — the paper's own design; 8x over the
-    # interpreted per-pair fold), but it executes eagerly inside the
-    # star-contraction fixpoint and the final plan only sees the
-    # checkpointed edge RDD — the kernel is pinned by
-    # test_semdedup_blas_equals_expr instead. Row-at-a-time Python stays
-    # banned in the visible plan
+    # SemDeDup (blas path): assignment must be the map-only Arrow pass
+    # against the broadcast seed matrix (MapInPandas; NO n×K
+    # BroadcastNestedLoopJoin fan-out — the K=250 sweep showed it
+    # dominating), per-cluster pair kernel is FlatMapGroupsInPandas but
+    # executes eagerly inside the star-contraction fixpoint, so the
+    # final plan only sees the checkpointed edge RDD — that kernel is
+    # pinned by test_semdedup_blas_equals_expr. Row-at-a-time Python and
+    # cartesian products stay banned in the visible plan
     "dedup_semdedup": (
-        [r"TakeOrderedAndProject", r"BroadcastExchange",
-         r"partial_max\(struct"],
-        [r"CartesianProduct", r"BatchEvalPython"]),
+        [r"MapInPandas", r"BroadcastExchange"],
+        [r"CartesianProduct", r"BatchEvalPython",
+         r"BroadcastNestedLoopJoin"]),
 }
 
 
