@@ -254,10 +254,15 @@ def minhash_clusters(docs: DataFrame, text_col: str = "text",
 
 
 def minhash_clusters_md5(docs: DataFrame, text_col: str = "text",
-                         id_col: str = "doc_id", num_hashes: int = 32,
-                         bands: int = 8, threshold: float = 0.5) -> DataFrame:
-    """Engine-portable twin of ``minhash_clusters`` (md5 hash family —
-    same construction as ``minhash_lsh_candidates_md5``)."""
+                         id_col: str = "doc_id", num_hashes: int = 16,
+                         bands: int = 4, threshold: float = 0.5) -> DataFrame:
+    """Engine-portable twin of ``minhash_clusters`` (md5 hash family).
+
+    Defaults MUST stay 16/4 — the parameters of the whole md5 twin family
+    (``minhash_lsh_candidates_md5``) and of the queries.py oracle CTEs
+    (_MINHASH_P/_MINHASH_B); a different banding changes which borderline
+    near-dup pairs collide, so the "bit-identical to the naive
+    composition" contract only holds at matching parameters."""
     return minhash_clusters(docs, text_col, id_col, num_hashes, bands,
                             threshold, _perm_hash_md5, _bucket_hash_md5)
 

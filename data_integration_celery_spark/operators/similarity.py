@@ -499,6 +499,10 @@ def semdedup(emb: DataFrame, n_clusters: int = 8, tau: float = 0.7,
     """
     from .dedup import connected_components_star
 
+    # rows without a valid embedding can be neither clustered nor
+    # deduplicated — excluded up front so both methods (and the kernels'
+    # np.stack) see the same well-formed input
+    emb = emb.where(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
     nv = F.transform(F.col(vec_col),
                      lambda x: x.cast("double") / _norm(F.col(vec_col)))
     vecs = emb.select(F.col(id_col).alias("id"), nv.alias("nv"))
@@ -506,9 +510,21 @@ def semdedup(emb: DataFrame, n_clusters: int = 8, tau: float = 0.7,
         import numpy as np
         import pandas as pd
 
+        # HALF_UP like Spark's F.round / DuckDB's round — np.round is
+        # banker's half-to-even, which flips decimal-half tie values
+        # (e.g. 0.0078125 → .007812 vs .007813) across tau / argmax
+        # boundaries relative to the expr path and the SQL oracle
+        def _round_up(a):
+            scale = 10.0 ** round_dp
+            return np.sign(a) * np.floor(np.abs(a) * scale + 0.5) / scale
+
         # seed matrix to the driver: K×dim doubles — same bounded collect
         # as ivf_build's centroid state, tiny at any corpus size
         seed_pdf = vecs.orderBy("id").limit(n_clusters).toPandas()
+        if not len(seed_pdf):
+            return emb.sparkSession.createDataFrame(
+                [], "id long, cluster long, cos_centroid double, "
+                    "component long, keep boolean")
         cids = seed_pdf["id"].to_numpy()          # ascending by construction
         smat = np.stack(seed_pdf["nv"].to_numpy()).astype("float64")
         bc = emb.sparkSession.sparkContext.broadcast((cids, smat))
@@ -520,8 +536,10 @@ def semdedup(emb: DataFrame, n_clusters: int = 8, tau: float = 0.7,
             # exactly like the expr path's max(struct(cos, -cid))
             ids_c, sm = bc.value
             for pdf in batches:
+                if not len(pdf):
+                    continue
                 m = np.stack(pdf["nv"].to_numpy()).astype("float64")
-                sims = np.round(m @ sm.T, round_dp)
+                sims = _round_up(m @ sm.T)
                 j = np.argmax(sims, axis=1)
                 yield pd.DataFrame({
                     "id": pdf["id"].to_numpy(),
@@ -529,9 +547,13 @@ def semdedup(emb: DataFrame, n_clusters: int = 8, tau: float = 0.7,
                     "cos_centroid": sims[np.arange(len(j)), j],
                     "nv": pdf["nv"]})
 
+        # one lazy materialization: member feeds the pair kernel (executed
+        # eagerly inside the components fixpoint) AND the final labeled
+        # join — without truncation the dense assignment pass runs twice
+        # (the multi-consumer lesson minhash_clusters documents)
         member = vecs.mapInPandas(
             assign, "id long, cluster long, cos_centroid double, "
-                    "nv array<double>")
+                    "nv array<double>").localCheckpoint(eager=False)
         assigned = member.select("id", "cluster", "cos_centroid")
 
         def cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -541,7 +563,7 @@ def semdedup(emb: DataFrame, n_clusters: int = 8, tau: float = 0.7,
             # tile the c×c block: bounded memory even for a hot cluster
             tile = 2048
             for lo in range(0, len(ids), tile):
-                sims = np.round(m[lo:lo + tile] @ m.T, round_dp)
+                sims = _round_up(m[lo:lo + tile] @ m.T)
                 ra, rb = np.nonzero(sims >= tau)
                 ra += lo
                 keep = ids[ra] < ids[rb]
@@ -569,7 +591,9 @@ def semdedup(emb: DataFrame, n_clusters: int = 8, tau: float = 0.7,
                          .alias("m"))
                     .select("id", F.col("m.cos_c").alias("cos_centroid"),
                             (-F.col("m.nc")).alias("cluster")))
-        member = assigned.join(vecs, "id")
+        # same multi-consumer truncation as the blas path
+        member = assigned.join(vecs, "id").localCheckpoint(eager=False)
+        assigned = member.select("id", "cluster", "cos_centroid")
         a = member.select(F.col("cluster").alias("cl"),
                           F.col("id").alias("ia"), F.col("nv").alias("va"))
         b = member.select(F.col("cluster").alias("cl"),
