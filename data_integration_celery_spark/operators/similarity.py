@@ -18,6 +18,16 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _np_round_half_up(a, dp: int):
+    """HALF_UP rounding like Spark's F.round / DuckDB's round — np.round
+    is banker's half-to-even, which disagrees on exact decimal halves
+    (np.round(0.0078125, 6) = .007812; both engines give .007813).
+    Oracle-matched kernels must round the same way the SQL side does."""
+    import numpy as np
+    scale = 10.0 ** dp
+    return np.sign(a) * np.floor(np.abs(a) * scale + 0.5) / scale
+
+
 def _dot(a: Column, b: Column) -> Column:
     # index-ordered reduction → deterministic across engines (double math)
     return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -75,7 +85,7 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 yield pd.DataFrame({
                     "query_id": ids_q[keep[:, 0]],
                     "cand_id": c_ids[keep[:, 1]],
-                    "cos_sim": np.round(sims[keep[:, 0], keep[:, 1]], round_dp)})
+                    "cos_sim": _np_round_half_up(sims[keep[:, 0], keep[:, 1]], round_dp)})
 
         scored = corpus.select(id_col, vec_col).mapInPandas(
             gen, "query_id long, cand_id long, cos_sim double")
@@ -188,7 +198,7 @@ def all_pairs_topk(emb: DataFrame, k: int = 20, id_col: str = "vec_id",
             out.append(pd.DataFrame({
                 "id_a": np.minimum(ia, ib),
                 "id_b": np.maximum(ia, ib),
-                "cos_sim": np.round(sims[keep[:, 0], keep[:, 1]], round_dp),
+                "cos_sim": _np_round_half_up(sims[keep[:, 0], keep[:, 1]], round_dp),
             }))
         return pd.concat(out, ignore_index=True) if out else empty
 
@@ -510,14 +520,6 @@ def semdedup(emb: DataFrame, n_clusters: int = 8, tau: float = 0.7,
         import numpy as np
         import pandas as pd
 
-        # HALF_UP like Spark's F.round / DuckDB's round — np.round is
-        # banker's half-to-even, which flips decimal-half tie values
-        # (e.g. 0.0078125 → .007812 vs .007813) across tau / argmax
-        # boundaries relative to the expr path and the SQL oracle
-        def _round_up(a):
-            scale = 10.0 ** round_dp
-            return np.sign(a) * np.floor(np.abs(a) * scale + 0.5) / scale
-
         # seed matrix to the driver: K×dim doubles — same bounded collect
         # as ivf_build's centroid state, tiny at any corpus size
         seed_pdf = vecs.orderBy("id").limit(n_clusters).toPandas()
@@ -539,7 +541,7 @@ def semdedup(emb: DataFrame, n_clusters: int = 8, tau: float = 0.7,
                 if not len(pdf):
                     continue
                 m = np.stack(pdf["nv"].to_numpy()).astype("float64")
-                sims = _round_up(m @ sm.T)
+                sims = _np_round_half_up(m @ sm.T, round_dp)
                 j = np.argmax(sims, axis=1)
                 yield pd.DataFrame({
                     "id": pdf["id"].to_numpy(),
@@ -563,7 +565,7 @@ def semdedup(emb: DataFrame, n_clusters: int = 8, tau: float = 0.7,
             # tile the c×c block: bounded memory even for a hot cluster
             tile = 2048
             for lo in range(0, len(ids), tile):
-                sims = _round_up(m[lo:lo + tile] @ m.T)
+                sims = _np_round_half_up(m[lo:lo + tile] @ m.T, round_dp)
                 ra, rb = np.nonzero(sims >= tau)
                 ra += lo
                 keep = ids[ra] < ids[rb]
