@@ -17,7 +17,7 @@ Cross-round adjudication ("queries_isolated"): round-robin medians still
 absorb scheduler interference from neighboring queries — three phantom
 regressions in round 4, one in round 3, all with zero code diff. So after
 the rounds, any query whose median regressed >40% (and >0.3s absolute)
-against the newest BENCH_r*.json in the repo root is re-run ISOLATED
+against the self-persisted BENCH_LAST_{sf}.json baseline is re-run ISOLATED
 (back-to-back, min of 3) and recorded as
 {name: {"median": s, "prev": s, "isolated": s}} — the isolated number is
 the adjudicated one; a real regression shows up there, interference does
@@ -60,7 +60,10 @@ def _latest_recorded_queries() -> dict[str, float]:
     try:
         with open(_baseline_path()) as fh:
             rec = json.load(fh)
-        return {k: float(v) for k, v in rec.get("queries", {}).items()}
+        # queries_baseline carries isolation-adjudicated values (phantom
+        # medians replaced); fall back to raw medians for old payloads
+        q = rec.get("queries_baseline") or rec.get("queries", {})
+        return {k: float(v) for k, v in q.items()}
     except Exception:
         return {}
 
@@ -107,12 +110,21 @@ def main() -> None:
         isolated[name] = {"median": med[name], "prev": prev[name],
                           "isolated": round(min(runs), 3)}
 
+    # the persisted baseline must carry the ADJUDICATED number: keeping the
+    # interference-inflated median would raise next round's 1.4x flag bar
+    # above a real regression of the same size (a phantom 2x this round
+    # would let a genuine 2.7x ship unflagged next round)
+    baseline_q = dict(med)
+    for name, adj in isolated.items():
+        baseline_q[name] = min(adj["median"], adj["isolated"])
+
     # key order matters: the driver records only the LAST 2000 chars of
     # stdout, so the big per-query dicts go first and the headline scalars
     # + the isolation adjudications go last, where they always survive.
     payload = {
         "queries": med,
         "queries_cold": rounds[0],
+        "queries_baseline": baseline_q,
         "metric": "operator_suite_wall_clock",
         "unit": "sec",
         "n_queries": len(med),

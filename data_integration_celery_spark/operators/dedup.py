@@ -56,7 +56,6 @@ def shingle_postings(docs: DataFrame, text_col: str = "text",
     whole-stage codegen: one shuffle on the doc id, no interpreted lambdas.
     This is the corpus-scale path shared by Jaccard and MinHash.
     """
-    from pyspark.sql import Window
     extra = extra_cols or []
     toks = docs.select(id_col, *extra,
                        F.posexplode(F.split(normalized(F.col(text_col)), " "))
@@ -620,7 +619,6 @@ def simhash_near_dup_pairs(docs: DataFrame, text_col: str = "text",
              .select("sig", "cnt", F.col("bk.b").alias("b"),
                      F.col("bk.v").alias("v")))
     if max_bucket is not None:
-        from pyspark.sql import Window
         sz = F.sum("cnt").over(Window.partitionBy("b", "v"))
         keyed = (keyed.withColumn("__sz", sz)
                  .where(F.col("__sz") <= max_bucket).drop("__sz"))
@@ -681,7 +679,6 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     """
     if threshold <= 0:
         raise ValueError("inverted-index Jaccard needs threshold > 0")
-    from pyspark.sql import Window
     blocks = [block_col] if block_col else []
     post = (shingle_postings(docs, text_col, id_col, n, extra_cols=blocks)
             .withColumn("n_sh",
@@ -751,7 +748,6 @@ def frequent_ngram_stats(docs: DataFrame, text_col: str = "text",
     Returns (id, n_grams, n_dup, dup_fraction); docs with fewer than n
     tokens have 0 grams and dup_fraction 0.0.
     """
-    from pyspark.sql import Window
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     toks = docs.select(
@@ -760,7 +756,12 @@ def frequent_ngram_stats(docs: DataFrame, text_col: str = "text",
          .alias("pos", "tok"))
     if n == 1:
         # unigrams: every token position is a full gram; no lead window.
-        grams = toks.select(id_col, F.col("tok").alias("s"))
+        # The empty-string token of an empty/punctuation-only document is
+        # NOT a gram (the n>=2 path drops it via the 'full' predicate;
+        # without this filter empty docs would count one shared '' gram
+        # and score dup_fraction 1.0 instead of the documented 0 grams).
+        grams = (toks.where(F.col("tok") != "")
+                 .select(id_col, F.col("tok").alias("s")))
     else:
         w = Window.partitionBy(id_col).orderBy("pos")
         leads = [F.lead("tok", i).over(w) for i in range(1, n)]

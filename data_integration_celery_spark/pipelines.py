@@ -153,13 +153,19 @@ def merge_stock_daily(ifind: DataFrame, wind: DataFrame,
     rule has a tolerance). At scale this is one shuffle (the join); the
     projection and the conflict filter are map-side.
     """
+    # provenance sentinels, not key-nullness: pandas' indicator is
+    # merge-metadata-based, so an unmatched RIGHT row whose own join key is
+    # NULL must still read right_only — inspecting wind[right_key].isNull()
+    # would misattribute it as left_only
+    ifind = ifind.withColumn("__from_left", F.lit(1))
+    wind = wind.withColumn("__from_right", F.lit(1))
     cond = None
     for lk, rk in zip(left_on, right_on):
         c = ifind[lk] == wind[rk]
         cond = c if cond is None else (cond & c)
     joined = ifind.join(wind, cond, "full_outer")
-    indicator = (F.when(wind[right_on[0]].isNull(), "left_only")
-                  .when(ifind[left_on[0]].isNull(), "right_only")
+    indicator = (F.when(F.col("__from_right").isNull(), "left_only")
+                  .when(F.col("__from_left").isNull(), "right_only")
                   .otherwise("both").alias("indicator_column"))
 
     out_cols: list = []

@@ -2009,7 +2009,9 @@ def stream_bars_q(spark, sf_dir):
     qname = "stream_bars_1min_out"
     qh = (bars_s.writeStream.format("memory").queryName(qname)
           .outputMode("complete").trigger(availableNow=True).start())
-    qh.awaitTermination(300)
+    if not qh.awaitTermination(300):
+        qh.stop()
+        raise TimeoutError("stream_ohlc_bars did not drain in 300s")
     return spark.table(qname).select("event_type", "bar_start", "open",
                                      "high", "low", "close", "n_ticks", "vol")
 
@@ -2059,10 +2061,17 @@ def stream_bars_q(spark, sf_dir):
        "Stream≡batch across 3 batches and exactly-once-across-restart "
        "remain pinned by tests/test_streaming.py.")
 def stream_dedup_incremental_md5_q(spark, sf_dir):
+    import glob
+    import shutil
     import tempfile
 
     from .streaming import jobs
 
+    # every invocation lands a fresh corpus copy + index + checkpoint;
+    # reap prior invocations' trees first so repeated bench/compare runs
+    # hold at most one tree instead of accumulating tens of corpus copies
+    for old in glob.glob(f"{tempfile.gettempdir()}/stream_inc_dedup_*"):
+        shutil.rmtree(old, ignore_errors=True)
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     root = tempfile.mkdtemp(prefix="stream_inc_dedup_")
     src_dir = f"{root}/src"
@@ -2077,7 +2086,11 @@ def stream_dedup_incremental_md5_q(spark, sf_dir):
         stream, f"{root}/index", f"{root}/pairs", f"{root}/ckpt",
         num_hashes=16, bands=4, hasher="md5") \
         .trigger(availableNow=True).start()
-    qh.awaitTermination(300)
+    if not qh.awaitTermination(300):
+        # reading the pair dir while batch 1 is mid-write would return a
+        # silently partial set → phantom oracle mismatch; fail loudly
+        qh.stop()
+        raise TimeoutError("stream_incremental_dedup did not drain in 300s")
     return (spark.read.parquet(f"{root}/pairs")
             .select("id_a", "id_b", "est_jaccard"))
 
@@ -2159,7 +2172,7 @@ def _e2_vendor_frames(spark, sf_dir):
 @q("pipeline_e2_merge_daily",
    sql="""
    WITH a AS (
-     SELECT o_orderkey AS ths_code, o_orderdate AS time,
+     SELECT 1 AS __l, o_orderkey AS ths_code, o_orderdate AS time,
             CASE WHEN o_orderkey % 5 <> 0 THEN o_totalprice * 0.5 END AS open_x,
             o_totalprice * 0.51 AS high_x,
             o_totalprice * 0.49 AS low_x,
@@ -2177,7 +2190,7 @@ def _e2_vendor_frames(spark, sf_dir):
             o_totalprice * 0.01 AS pe_ttm_l
      FROM orders WHERE o_orderkey % 2 = 0),
    b AS (
-     SELECT o_orderkey AS wind_code, o_orderdate AS wtrade_date,
+     SELECT 1 AS __r, o_orderkey AS wind_code, o_orderdate AS wtrade_date,
             o_totalprice * 0.5 + CASE WHEN o_orderkey % 11 = 0
                                       THEN 0.02 ELSE 0.001 END AS open_y,
             o_totalprice * 0.51 AS high_y,
@@ -2242,8 +2255,8 @@ def _e2_vendor_frames(spark, sf_dir):
      float_a_shares, free_float_shares,
      COALESCE(pe_ttm_r, pe_ttm_l) AS pe_ttm,
      pe, pb, ps, pcf,
-     CASE WHEN wind_code IS NULL THEN 'left_only'
-          WHEN ths_code IS NULL THEN 'right_only'
+     CASE WHEN __r IS NULL THEN 'left_only'
+          WHEN __l IS NULL THEN 'right_only'
           ELSE 'both' END AS indicator_column,
      CASE WHEN open_x IS NOT NULL AND open_y IS NOT NULL
                AND abs(open_x - open_y) >= 0.01 THEN 1 ELSE 0 END AS open_conflict,

@@ -399,6 +399,17 @@ def test_frequent_ngram_unigrams_and_bad_n(spark):
     assert out[2]["n_grams"] == 2 and out[2]["n_dup"] == 1
     with pytest.raises(ValueError):
         dedup.frequent_ngram_stats(docs, n=0)
+    # empty / punctuation-only docs have ZERO unigrams — the shared ''
+    # token must not count as a corpus-frequent gram (dup_fraction would
+    # read 1.0 for every empty doc)
+    rows2 = [(1, ""), (2, "!!!"), (3, "???"), (4, "aa bb")]
+    docs2 = spark.createDataFrame(rows2, ["doc_id", "text"])
+    out2 = {r["doc_id"]: r for r in
+            dedup.frequent_ngram_stats(docs2, n=1, min_docs=3).collect()}
+    for d in (1, 2, 3):
+        assert (out2[d]["n_grams"], out2[d]["n_dup"],
+                out2[d]["dup_fraction"]) == (0, 0, 0.0)
+    assert out2[4]["n_grams"] == 2 and out2[4]["n_dup"] == 0
 
 
 def test_frequent_ngram_hash_twin_matches_string_keys(spark, sf_dir):

@@ -226,10 +226,16 @@ def test_epoch_shuffle_bucketed_rank_equals_single_window(spark):
     from pyspark.sql import Window
 
     docs = spark.range(0, 300).withColumnRenamed("id", "doc_id")
-    for hasher in ("xxhash64", "md5"):
+    # nb=32 exercises the non-default prefix shift (md5: a non-nibble-
+    # aligned 5-bit prefix; xxhash64: shiftright 59) — the multiset test
+    # alone cannot catch a wrong shift because any bucket assignment
+    # yields a bijection onto 1..n
+    for hasher, nb in (("xxhash64", 256), ("md5", 256),
+                       ("xxhash64", 32), ("md5", 32)):
         got = {(r["epoch"], r["doc_id"]): r["pos"]
                for r in sampling.epoch_shuffle(
-                   docs, n_epochs=2, seed=3, hasher=hasher).collect()}
+                   docs, n_epochs=2, seed=3, hasher=hasher,
+                   n_buckets=nb).collect()}
         base = docs.withColumn(
             "epoch", F.explode(F.sequence(F.lit(0), F.lit(1))))
         k = (F.md5(F.concat_ws(",", F.lit(3), F.col("epoch"),

@@ -72,6 +72,11 @@ def main() -> None:
                     f"read_parquet('{SCALED}/{t}.parquet')")
     QUERIES["s1_filtered_scan"].spark(spark, SCALED).count()  # warm JVM
 
+    unknown = [n for n in ONLY if n not in QUERIES]
+    if unknown:
+        sys.exit(f"unknown query name(s): {unknown} — a typo'd name or a "
+                 f"relative dir (dirs must contain '/') would otherwise "
+                 f"silently run an empty sweep")
     subset = [n for n, q in QUERIES.items()
               if q.sql is not None and (not ONLY or n in ONLY)]
     rows = []
@@ -95,7 +100,7 @@ def main() -> None:
              f"{len(rows)} exact oracles", "",
              "| query | spark s | duckdb s | spark/duckdb |",
              "|---|---|---|---|"]
-    n_spark_wins, n_killed = 0, 0
+    n_spark_wins, n_killed, n_err = 0, 0, 0
     for name, ts, td in rows:
         if td is None:
             lines.append(f"| {name} | {ts:.2f} | >{CAP:.0f} (killed) | <"
@@ -103,20 +108,28 @@ def main() -> None:
             n_spark_wins += 1
             n_killed += 1
         elif isinstance(td, str):
+            # DuckDB rejected the query at this scale (e.g. 32-bit range
+            # limits): excluded from totals and the win count — an instant
+            # error must not contribute CAP seconds to the DuckDB bound
             lines.append(f"| {name} | {ts:.2f} | {td} | n/a |")
-            n_spark_wins += 1
+            n_err += 1
         else:
             lines.append(f"| {name} | {ts:.2f} | {td:.2f} | {ts / td:.2f}x |")
             n_spark_wins += ts < td
-    total_s = sum(ts for _, ts, _ in rows)
-    total_d = sum(td if isinstance(td, float) else CAP for _, _, td in rows)
+    scored = [(ts, td) for _, ts, td in rows if not isinstance(td, str)]
+    total_s = sum(ts for ts, _ in scored)
+    total_d = sum(td if isinstance(td, float) else CAP for _, td in scored)
     lines.append("")
     lines.append(f"Spark suite {total_s:.1f}s vs DuckDB >= {total_d:.1f}s "
-                 f"(capped, {n_killed} kills); Spark faster on "
-                 f"{n_spark_wins}/{len(rows)}.")
+                 f"(capped, {n_killed} kills"
+                 + (f", {n_err} DuckDB errors excluded" if n_err else "")
+                 + f"); Spark faster on {n_spark_wins}/{len(scored)}.")
     section = "\n".join(lines)
     print("\n" + section)
-    _patch_compare_md(section)
+    if ONLY:
+        print("(subset run: COMPARE.md NOT patched)", file=sys.stderr)
+    else:
+        _patch_compare_md(section)
 
 
 def _patch_compare_md(section: str) -> None:
