@@ -459,7 +459,8 @@ def centroid_outlier_scores(emb: DataFrame, id_col: str = "vec_id",
 
 def semdedup(emb: DataFrame, n_clusters: int = 8, tau: float = 0.7,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             round_dp: int = 6, method: str = "blas") -> DataFrame:
+             round_dp: int = 6, method: str = "blas",
+             iters: int = 0) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication"): cluster the embedding
     space, find semantic-duplicate groups WITHIN each cluster (cosine ≥
@@ -472,12 +473,15 @@ def semdedup(emb: DataFrame, n_clusters: int = 8, tau: float = 0.7,
     duplicate-group label (min member id; singletons label themselves),
     ``keep=false`` rows are the semantic duplicates to prune.
 
-    Clustering here is the deterministic seed-assignment round of
-    ``ivf_build`` (centroid j = the j-th lowest-id vector, assignment =
-    argmax cosine, ties to the lowest centroid id) — no Lloyd iterations,
-    so the whole pipeline is closed-form and exactly mirrorable in SQL for
-    the correctness oracle. Swapping in ``ivf_build(iters=k)`` assignments
-    changes recall/grouping, not the algebra.
+    Clustering with ``iters=0`` (default) is the deterministic
+    seed-assignment round of ``ivf_build`` (centroid j = the j-th
+    lowest-id vector, assignment = argmax cosine, ties to the lowest
+    centroid id) — no Lloyd iterations, so the whole pipeline is
+    closed-form and exactly mirrorable in SQL for the correctness oracle.
+    ``iters>0`` (blas only) is the production form the paper runs: real
+    k-means via ``ivf_build`` — better-balanced clusters and recall, same
+    downstream algebra (rows-only; the keep-rule/blocking invariants are
+    property-tested instead of oracle-matched).
 
     Scale shape (the reason SemDeDup works at 100 TB where all-pairs
     cannot): the cluster id is the blocking key. The only quadratic work
@@ -516,47 +520,82 @@ def semdedup(emb: DataFrame, n_clusters: int = 8, tau: float = 0.7,
     nv = F.transform(F.col(vec_col),
                      lambda x: x.cast("double") / _norm(F.col(vec_col)))
     vecs = emb.select(F.col(id_col).alias("id"), nv.alias("nv"))
+    if iters > 0 and method != "blas":
+        raise ValueError("iters>0 (Lloyd k-means clustering) requires "
+                         "method='blas'")
     if method == "blas":
         import numpy as np
         import pandas as pd
 
-        # seed matrix to the driver: K×dim doubles — same bounded collect
-        # as ivf_build's centroid state, tiny at any corpus size
-        seed_pdf = vecs.orderBy("id").limit(n_clusters).toPandas()
-        if not len(seed_pdf):
-            return emb.sparkSession.createDataFrame(
-                [], "id long, cluster long, cos_centroid double, "
-                    "component long, keep boolean")
-        cids = seed_pdf["id"].to_numpy()          # ascending by construction
-        smat = np.stack(seed_pdf["nv"].to_numpy()).astype("float64")
-        bc = emb.sparkSession.sparkContext.broadcast((cids, smat))
+        if iters > 0:
+            # production form: real k-means clusters from ivf_build; the
+            # centroid matrix broadcasts and one Arrow pass scores each
+            # member against ITS centroid (cos_centroid drives the
+            # keep-rule below exactly as in the seed form)
+            assignments, centroids = ivf_build(
+                emb, n_clusters, iters, id_col, vec_col)
+            bcc = emb.sparkSession.sparkContext.broadcast(centroids)
 
-        def assign(batches):
-            # map-only n×K argmax against the broadcast seed matrix — no
-            # fan-out rows, no shuffle; np.argmax returns the FIRST max,
-            # and cids ascend, so ties go to the lowest centroid id
-            # exactly like the expr path's max(struct(cos, -cid))
-            ids_c, sm = bc.value
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                m = np.stack(pdf["nv"].to_numpy()).astype("float64")
-                sims = _np_round_half_up(m @ sm.T, round_dp)
-                j = np.argmax(sims, axis=1)
-                yield pd.DataFrame({
-                    "id": pdf["id"].to_numpy(),
-                    "cluster": ids_c[j],
-                    "cos_centroid": sims[np.arange(len(j)), j],
-                    "nv": pdf["nv"]})
+            def score(batches):
+                cm = bcc.value
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    m = np.stack(pdf["nv"].to_numpy()).astype("float64")
+                    b = pdf["bucket"].to_numpy()
+                    cos = _np_round_half_up(
+                        np.einsum("ij,ij->i", m, cm[b]), round_dp)
+                    yield pd.DataFrame({
+                        "id": pdf["id"].to_numpy(),
+                        "cluster": b.astype("int64"),
+                        "cos_centroid": cos,
+                        "nv": pdf["nv"]})
 
-        # one lazy materialization: member feeds the pair kernel (executed
-        # eagerly inside the components fixpoint) AND the final labeled
-        # join — without truncation the dense assignment pass runs twice
-        # (the multi-consumer lesson minhash_clusters documents)
-        member = vecs.mapInPandas(
-            assign, "id long, cluster long, cos_centroid double, "
-                    "nv array<double>").localCheckpoint(eager=False)
-        assigned = member.select("id", "cluster", "cos_centroid")
+            member = (vecs.join(assignments.select(
+                          F.col(id_col).alias("id"), "bucket"), "id")
+                      .mapInPandas(
+                          score, "id long, cluster long, "
+                                 "cos_centroid double, nv array<double>")
+                      .localCheckpoint(eager=False))
+            assigned = member.select("id", "cluster", "cos_centroid")
+        else:
+            # seed matrix to the driver: K×dim doubles — same bounded
+            # collect as ivf_build's centroid state, tiny at any corpus
+            seed_pdf = vecs.orderBy("id").limit(n_clusters).toPandas()
+            if not len(seed_pdf):
+                return emb.sparkSession.createDataFrame(
+                    [], "id long, cluster long, cos_centroid double, "
+                        "component long, keep boolean")
+            cids = seed_pdf["id"].to_numpy()      # ascending by construction
+            smat = np.stack(seed_pdf["nv"].to_numpy()).astype("float64")
+            bc = emb.sparkSession.sparkContext.broadcast((cids, smat))
+
+            def assign(batches):
+                # map-only n×K argmax against the broadcast seed matrix —
+                # no fan-out rows, no shuffle; np.argmax returns the FIRST
+                # max, and cids ascend, so ties go to the lowest centroid
+                # id exactly like the expr path's max(struct(cos, -cid))
+                ids_c, sm = bc.value
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    m = np.stack(pdf["nv"].to_numpy()).astype("float64")
+                    sims = _np_round_half_up(m @ sm.T, round_dp)
+                    j = np.argmax(sims, axis=1)
+                    yield pd.DataFrame({
+                        "id": pdf["id"].to_numpy(),
+                        "cluster": ids_c[j],
+                        "cos_centroid": sims[np.arange(len(j)), j],
+                        "nv": pdf["nv"]})
+
+            # one lazy materialization: member feeds the pair kernel
+            # (executed eagerly inside the components fixpoint) AND the
+            # final labeled join — without truncation the dense assignment
+            # pass runs twice (the minhash_clusters multi-consumer lesson)
+            member = vecs.mapInPandas(
+                assign, "id long, cluster long, cos_centroid double, "
+                        "nv array<double>").localCheckpoint(eager=False)
+            assigned = member.select("id", "cluster", "cos_centroid")
 
         def cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
             ids = pdf["id"].to_numpy()

@@ -248,3 +248,27 @@ def test_semdedup_blas_equals_expr(spark, sf_dir):
     b = sorted(map(tuple, similarity.semdedup(emb, 8, 0.4,
                                               method="blas").collect()))
     assert a == b
+
+
+def test_semdedup_kmeans_production_form(spark, sf_dir):
+    """iters>0 (real Lloyd k-means via ivf_build) keeps every structural
+    invariant of the seed form: one row per vector, edges never cross
+    clusters, exactly one keeper per component, and the keeper is the
+    least-centroid-similar member (ties on id)."""
+    emb = catalog.load(spark, "embeddings", sf_dir)
+    out = similarity.semdedup(emb, n_clusters=8, tau=0.35, iters=2)
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], []).append(r)
+    for comp, members in by_comp.items():
+        clusters = {m["cluster"] for m in members}
+        assert len(clusters) == 1                       # blocking invariant
+        keepers = [m for m in members if m["keep"]]
+        assert len(keepers) == 1                        # one keeper
+        want = min(members, key=lambda m: (m["cos_centroid"], m["id"]))
+        assert keepers[0]["id"] == want["id"]           # paper keep-rule
+    import pytest
+    with pytest.raises(ValueError):
+        similarity.semdedup(emb, iters=2, method="expr")
