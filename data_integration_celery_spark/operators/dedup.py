@@ -872,6 +872,54 @@ def contamination_scores(corpus: DataFrame, benchmark: DataFrame,
                         F.col("n_matched").cast("double") / F.col("n_shingles")))
 
 
+def minhash_cross_corpus_pairs(train: DataFrame, bench: DataFrame,
+                               text_col: str = "text",
+                               id_col: str = "doc_id",
+                               num_hashes: int = 32, bands: int = 8,
+                               perm_hash=_perm_hash_xxhash64,
+                               bucket_hash=_bucket_hash_xxhash64
+                               ) -> DataFrame:
+    """Cross-corpus banded near-dup join — train × benchmark
+    decontamination when BOTH sides are too large to broadcast.
+
+    ``contamination_scores`` broadcasts the benchmark's shingle set (the
+    right plan while eval suites fit an executor); past that, this is the
+    scale path: band BOTH corpora (same LSH index construction that
+    ``banded_signatures`` persists), equi-join on (band, bucket) — only
+    colliding bands shuffle together, never |train|×|bench| — and verify
+    with est_jaccard computed IN the join projection so the candidate
+    distinct carries (train_id, bench_id, double), never signature
+    payloads (the minhash_banded_pairs OOM lesson). At 100 TB the train
+    side is the persisted bucketed index and the benchmark probes it
+    co-located, exactly like ``incremental_minhash_pairs``.
+
+    Output: (train_id, bench_id, est_jaccard), one row per candidate
+    pair; filter est_jaccard downstream to the contamination threshold.
+    """
+    a = banded_signatures(train, text_col, id_col, num_hashes, bands,
+                          perm_hash, bucket_hash)
+    b = banded_signatures(bench, text_col, id_col, num_hashes, bands,
+                          perm_hash, bucket_hash)
+    return (a.alias("a").join(b.alias("b"), ["band", "bucket"])
+            .select(F.col(f"a.{id_col}").alias("train_id"),
+                    F.col(f"b.{id_col}").alias("bench_id"),
+                    _est_jaccard(F.col("a.sig"), F.col("b.sig"),
+                                 num_hashes).alias("est_jaccard"))
+            .dropDuplicates(["train_id", "bench_id"]))
+
+
+def minhash_cross_corpus_pairs_md5(train: DataFrame, bench: DataFrame,
+                                   text_col: str = "text",
+                                   id_col: str = "doc_id",
+                                   num_hashes: int = 16,
+                                   bands: int = 4) -> DataFrame:
+    """Engine-portable twin of ``minhash_cross_corpus_pairs`` (md5 hash
+    family, 16/4 — the md5 twin family's parameters)."""
+    return minhash_cross_corpus_pairs(train, bench, text_col, id_col,
+                                      num_hashes, bands,
+                                      _perm_hash_md5, _bucket_hash_md5)
+
+
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b", max_iter: int = 25,
                          fixed_rounds: int | None = None) -> DataFrame:

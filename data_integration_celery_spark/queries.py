@@ -956,6 +956,66 @@ def dedup_minhash_md5_q(spark, sf_dir):
     return dedup.minhash_lsh_candidates_md5(_t(spark, sf_dir, "documents"))
 
 
+def _minhash_side_ctes(tag: str, where: str) -> str:
+    """One corpus side of the cross-corpus oracle: norm → shingles →
+    postings → signature → banded rows, suffixed with ``tag``."""
+    bands = "\n     UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({expr}) AS bucket FROM sig_{t}"
+        .format(b=b, t=tag,
+                expr=" || ',' || ".join(f"h{b * _MINHASH_R + i}"
+                                        for i in range(_MINHASH_R)))
+        for b in range(_MINHASH_B))
+    return f"""norm_{tag} AS (
+     SELECT doc_id,
+            string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                               '\\s+') AS tok
+     FROM documents WHERE {where}),
+   shs_{tag} AS (
+     SELECT doc_id,
+            CASE WHEN len(tok) >= 3
+                 THEN list_distinct(list_transform(range(1, len(tok) - 1),
+                                                   i -> array_to_string(tok[i:i+2], ' ')))
+                 ELSE [array_to_string(tok, ' ')] END AS sh
+     FROM norm_{tag}),
+   post_{tag} AS (SELECT doc_id, unnest(sh) AS s FROM shs_{tag}),
+   sig_{tag} AS (
+     SELECT doc_id,
+            {_MINHASH_MINS}
+     FROM post_{tag} GROUP BY doc_id),
+   banded_{tag} AS (
+     {bands})"""
+
+
+@q("dedup_cross_contamination_md5",
+   sql=f"""
+   WITH {_minhash_side_ctes("t", "doc_id % 17 <> 0")},
+   {_minhash_side_ctes("q", "doc_id % 17 = 0")},
+   cand AS (
+     SELECT DISTINCT a.doc_id AS train_id, b.doc_id AS bench_id
+     FROM banded_t a JOIN banded_q b
+       ON a.band = b.band AND a.bucket = b.bucket)
+   SELECT train_id, bench_id,
+          CAST({_MINHASH_EST} AS DOUBLE) / {_MINHASH_P} AS est_jaccard
+   FROM cand
+   JOIN sig_t sa ON sa.doc_id = train_id
+   JOIN sig_q sb ON sb.doc_id = bench_id
+   """,
+   doc="Cross-corpus banded decontamination (md5 twin): near-dup join "
+       "between a train corpus and a benchmark set when BOTH are too "
+       "large to broadcast — the scale path past txt_contamination's "
+       "broadcast shingle probe. Both sides band with the persisted-index "
+       "construction, candidates come from the (band, bucket) equi-join "
+       "(never |train|x|bench|), est_jaccard verifies in the join "
+       "projection before the pair distinct. Net-new LLM-pipeline "
+       "operator (operators/dedup.py minhash_cross_corpus_pairs).")
+def dedup_cross_contamination_md5_q(spark, sf_dir):
+    from .operators import dedup
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 17 != 0)
+    bench = docs.where(F.col("doc_id") % 17 == 0)
+    return dedup.minhash_cross_corpus_pairs_md5(train, bench)
+
+
 @q("dedup_minhash_incremental_md5",
    sql=f"""
    WITH norm AS (
@@ -3344,7 +3404,7 @@ QUERY_PRIORITY: list[str] = [
     "pipeline_worst_window_return", "a11_accumulation_detect",
     "a2_agg_rollup",
     # sinks / ordering / sets
-    "s6_upsert_last_write_wins", "u4_scd2_intervals",
+    "s6_upsert_last_write_wins",
     "eav_unpivot_pivot", "u4_membership_changepoints",
     # windows
     "w1b_rank_scalable", "w3_cum_chain", "w8_quarterize",
@@ -3359,7 +3419,8 @@ QUERY_PRIORITY: list[str] = [
     # LLM-pipeline operators
     "dedup_span_removal",
     "dedup_frequent_ngrams", "dedup_simhash_md5",
-    "dedup_minhash_md5", "dedup_simhash_hamming_md5",
+    "dedup_minhash_md5", "dedup_cross_contamination_md5",
+    "dedup_simhash_hamming_md5",
     "dedup_minhash_incremental_md5",
     "dedup_components_star",
     "txt_corpus_stats", "txt_winnowing",
@@ -3384,7 +3445,7 @@ QUERY_PRIORITY: list[str] = [
     "j7_code_extract_join", "j11_argmax_latest_per_key",
     "j13_incremental_ranges", "txt_features", "dedup_exact",
     "w11_adjusted_continuous", "w1_rank_returns", "j8_interval_join",
-    "w8b_quarterize_exact",
+    "w8b_quarterize_exact", "u4_scd2_intervals",
     "dedup_components",
     "a9_describe", "a13_sessionize", "j5_anti_join_new_codes",
     "a7_two_level_agg",

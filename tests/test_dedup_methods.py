@@ -583,3 +583,42 @@ def test_minhash_clusters_same_sig_group_without_lsh_neighbors(spark):
     got = {(r["doc_id"], r["component"]) for r in
            dedup.minhash_clusters_md5(docs, threshold=0.9).collect()}
     assert got == {(10, 10), (11, 10)}
+
+
+def test_cross_corpus_pairs_equals_restricted_self_join(spark, sf_dir):
+    """Cross-corpus candidates == the full self-join's candidate set
+    restricted to (train, bench) pairs — banding is corpus-independent,
+    so splitting the corpus must not change which pairs collide."""
+    from pyspark.sql import functions as F
+
+    docs = catalog.load(spark, "documents", sf_dir).select("doc_id", "text")
+    train = docs.where(F.col("doc_id") % 17 != 0)
+    bench = docs.where(F.col("doc_id") % 17 == 0)
+    got = {(r["train_id"], r["bench_id"], r["est_jaccard"]) for r in
+           dedup.minhash_cross_corpus_pairs_md5(train, bench).collect()}
+    full = dedup.minhash_lsh_candidates_md5(docs).collect()
+    want = set()
+    for r in full:
+        a, b, e = r["id_a"], r["id_b"], r["est_jaccard"]
+        if (a % 17 != 0) and (b % 17 == 0):
+            want.add((a, b, e))
+        elif (a % 17 == 0) and (b % 17 != 0):
+            want.add((b, a, e))
+    assert got == want and got
+
+
+def test_cross_corpus_pairs_planted_contamination(spark):
+    """A benchmark doc near-duplicating a train doc must surface with a
+    high estimate; unrelated docs must not pair."""
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "beyond the river bank every single morning without fail")
+    train = spark.createDataFrame(
+        [(1, base), (2, "completely unrelated text about spark shuffles")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, base + " indeed"), (101, "another unrelated benchmark row")],
+        "doc_id long, text string")
+    out = {(r["train_id"], r["bench_id"]): r["est_jaccard"] for r in
+           dedup.minhash_cross_corpus_pairs_md5(train, bench).collect()}
+    assert (1, 100) in out and out[(1, 100)] >= 0.5
+    assert all(k == (1, 100) for k in out)
