@@ -189,6 +189,14 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
     "a14_sketch_profile": (
         [r"partial_approx_count_distinct", r"ObjectHashAggregate"],
         [r"CartesianProduct", r"Sort ", r"Join", r"Expand"]),
+    # cross-corpus decontamination: candidates come from the (band,
+    # bucket) equi-join (broadcast at sf0.01 under AQE, shuffle at scale —
+    # either is a hash join, never a cartesian), signatures stay out of
+    # the pair distinct, everything JVM-side
+    "dedup_cross_contamination_md5": (
+        [r"Join", r"HashAggregate"],
+        [r"CartesianProduct", r"BatchEvalPython", r"ArrowEvalPython",
+         r"FlatMapGroupsInPandas", r"MapInPandas"]),
     # SemDeDup (blas path): assignment must be the map-only Arrow pass
     # against the broadcast seed matrix (MapInPandas; NO n×K
     # BroadcastNestedLoopJoin fan-out — the K=250 sweep showed it
@@ -197,8 +205,12 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
     # final plan only sees the checkpointed edge RDD — that kernel is
     # pinned by test_semdedup_blas_equals_expr. Row-at-a-time Python and
     # cartesian products stay banned in the visible plan
+    # (the assignment MapInPandas and pair FlatMapGroupsInPandas both
+    # execute eagerly behind the member localCheckpoint, so the final
+    # plan only shows the checkpointed RDD — the kernels are pinned by
+    # test_semdedup_blas_equals_expr / the oracle row instead)
     "dedup_semdedup": (
-        [r"MapInPandas", r"BroadcastExchange"],
+        [r"Scan ExistingRDD", r"Window"],
         [r"CartesianProduct", r"BatchEvalPython",
          r"BroadcastNestedLoopJoin"]),
 }
