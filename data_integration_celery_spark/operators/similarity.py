@@ -656,3 +656,120 @@ def semdedup(emb: DataFrame, n_clusters: int = 8, tau: float = 0.7,
     return (labeled.withColumn("rep", rep)
             .withColumn("keep", F.col("id") == F.col("rep.id"))
             .select("id", "cluster", "cos_centroid", "component", "keep"))
+
+
+def semdedup_index(emb: DataFrame, n_clusters: int = 8, iters: int = 0,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   round_dp: int = 6):
+    """The persistable SemDeDup cluster index: ``(member, centroids)``.
+
+    ``member`` is (id, cluster, cos_centroid, nv) — at production scale
+    this table is written out bucketed by ``cluster`` (exactly like the
+    banded minhash index) so daily increments probe it co-located;
+    ``centroids`` is the K×dim float64 matrix that rides along as the
+    index's tiny dense state. Cluster labels are centroid INDICES
+    (0..K-1): ``iters=0`` normalizes the K lowest-id vectors as fixed
+    centroids, ``iters>0`` runs Lloyd via ``ivf_build``.
+    """
+    import numpy as np
+
+    emb = emb.where(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+    nv = F.transform(F.col(vec_col),
+                     lambda x: x.cast("double") / _norm(F.col(vec_col)))
+    vecs = emb.select(F.col(id_col).alias("id"), nv.alias("nv"))
+    if iters > 0:
+        _, centroids = ivf_build(emb, n_clusters, iters, id_col, vec_col)
+    else:
+        seed_pdf = vecs.orderBy("id").limit(n_clusters).toPandas()
+        centroids = np.stack(seed_pdf["nv"].to_numpy()).astype("float64")
+    member = _assign_to_centroids(vecs, centroids, round_dp)
+    return member, centroids
+
+
+def _assign_to_centroids(vecs: DataFrame, centroids, round_dp: int
+                         ) -> DataFrame:
+    """Map-only Arrow argmax of (id, nv) rows against a broadcast centroid
+    matrix → (id, cluster, cos_centroid, nv); cluster = centroid index
+    (ties to the lowest, np.argmax first-max)."""
+    import numpy as np
+    import pandas as pd
+
+    bc = vecs.sparkSession.sparkContext.broadcast(centroids)
+
+    def assign(batches):
+        cm = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["nv"].to_numpy()).astype("float64")
+            sims = _np_round_half_up(m @ cm.T, round_dp)
+            j = np.argmax(sims, axis=1)
+            yield pd.DataFrame({
+                "id": pdf["id"].to_numpy(),
+                "cluster": j.astype("int64"),
+                "cos_centroid": sims[np.arange(len(j)), j],
+                "nv": pdf["nv"]})
+
+    return vecs.mapInPandas(
+        assign, "id long, cluster long, cos_centroid double, "
+                "nv array<double>")
+
+
+def incremental_semdedup_pairs(new_emb: DataFrame, member: DataFrame,
+                               centroids, tau: float = 0.7,
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding",
+                               round_dp: int = 6) -> DataFrame:
+    """Daily-increment SemDeDup: semantic-dup pairs of NEW vectors against
+    a persisted cluster index — old-vs-old is never recomputed (the same
+    production contract as ``incremental_minhash_pairs``).
+
+    New vectors assign to the EXISTING centroids (broadcast-matrix argmax
+    map — the index's clustering must not drift under increments), then
+    one per-cluster COGROUP joins (old members, new arrivals): each task
+    BLAS-scores new×old plus the new×new upper triangle and emits pairs
+    with cos ≥ ``tau``. Shuffle volume is the increment plus the touched
+    clusters' members — co-located when ``member`` is read from a
+    cluster-bucketed table. Output: (id_a, id_b, cos), ≥1 side new.
+    """
+    import numpy as np
+    import pandas as pd
+
+    new_emb = new_emb.where(F.col(vec_col).isNotNull()
+                            & (F.size(vec_col) > 0))
+    nv = F.transform(F.col(vec_col),
+                     lambda x: x.cast("double") / _norm(F.col(vec_col)))
+    new_vecs = new_emb.select(F.col(id_col).alias("id"), nv.alias("nv"))
+    new_m = _assign_to_centroids(new_vecs, centroids, round_dp)
+
+    def pairs(old_pdf: pd.DataFrame, new_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                              "id_b": pd.Series(dtype="int64"),
+                              "cos": pd.Series(dtype="float64")})
+        if not len(new_pdf):
+            return empty
+        nids = new_pdf["id"].to_numpy()
+        nm = np.stack(new_pdf["nv"].to_numpy()).astype("float64")
+        out = [empty]
+        if len(old_pdf):
+            oids = old_pdf["id"].to_numpy()
+            om = np.stack(old_pdf["nv"].to_numpy()).astype("float64")
+            tile = 2048
+            for lo in range(0, len(nids), tile):
+                sims = _np_round_half_up(nm[lo:lo + tile] @ om.T, round_dp)
+                ra, rb = np.nonzero(sims >= tau)
+                out.append(pd.DataFrame({
+                    "id_a": nids[lo + ra], "id_b": oids[rb],
+                    "cos": sims[ra, rb]}))
+        sims = _np_round_half_up(nm @ nm.T, round_dp)
+        ra, rb = np.nonzero(sims >= tau)
+        keep = nids[ra] < nids[rb]
+        out.append(pd.DataFrame({"id_a": nids[ra][keep],
+                                 "id_b": nids[rb][keep],
+                                 "cos": sims[ra, rb][keep]}))
+        return pd.concat(out, ignore_index=True)
+
+    return (member.select("cluster", "id", "nv").groupBy("cluster")
+            .cogroup(new_m.select("cluster", "id", "nv").groupBy("cluster"))
+            .applyInPandas(lambda l, r: pairs(l, r),
+                           "id_a long, id_b long, cos double"))

@@ -1954,6 +1954,57 @@ def dedup_semdedup_q(spark, sf_dir):
     return semdedup(_t(spark, sf_dir, "embeddings"), n_clusters=8, tau=0.4)
 
 
+@q("dedup_semdedup_incremental",
+   sql="""
+   WITH e AS (
+     SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+     FROM embeddings),
+   v AS (SELECT vec_id,
+                list_transform(ev, x -> x / sqrt(list_dot_product(ev, ev))) AS nv
+         FROM e),
+   seeds AS (
+     SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, nv AS sv
+     FROM (SELECT vec_id, nv FROM v WHERE vec_id % 5 <> 0
+           ORDER BY vec_id LIMIT 8)),
+   scored AS (
+     SELECT v.vec_id AS id, s.cid,
+            round(list_dot_product(v.nv, s.sv), 6) AS cos_c
+     FROM v CROSS JOIN seeds s),
+   assigned AS (
+     SELECT id, cid AS cluster FROM scored
+     QUALIFY row_number() OVER (PARTITION BY id
+                                ORDER BY cos_c DESC, cid) = 1),
+   m AS (SELECT a.id, a.cluster, v.nv, v.vec_id % 5 = 0 AS is_new
+         FROM assigned a JOIN v ON v.vec_id = a.id),
+   p AS (
+     SELECT x.id AS xa, y.id AS xb, x.is_new AS na,
+            round(list_dot_product(x.nv, y.nv), 6) AS cos
+     FROM m x JOIN m y ON x.cluster = y.cluster AND x.id < y.id
+     WHERE (x.is_new OR y.is_new)
+       AND round(list_dot_product(x.nv, y.nv), 6) >= 0.3)
+   SELECT CASE WHEN na THEN xa ELSE xb END AS id_a,
+          CASE WHEN na THEN xb ELSE xa END AS id_b, cos
+   FROM p
+   """,
+   doc="Incremental SemDeDup: new vectors (vec_id % 5 = 0) against the "
+       "persisted cluster index built from the old corpus — assignment to "
+       "the EXISTING centroids (no drift under increments), then one "
+       "per-cluster COGROUP task BLAS-scores new×old plus the new×new "
+       "triangle; old-vs-old is NEVER recomputed, the same production "
+       "contract as dedup_minhash_incremental. Oracle assigns the whole "
+       "corpus with the same seed centroids and restricts to pairs "
+       "touching a new id (new side first). "
+       "similarity.incremental_semdedup_pairs.")
+def dedup_semdedup_incremental_q(spark, sf_dir):
+    from .operators.similarity import (incremental_semdedup_pairs,
+                                       semdedup_index)
+    emb = _t(spark, sf_dir, "embeddings")
+    old = emb.where(F.col("vec_id") % 5 != 0)
+    new = emb.where(F.col("vec_id") % 5 == 0)
+    member, cents = semdedup_index(old, n_clusters=8)
+    return incremental_semdedup_pairs(new, member, cents, tau=0.3)
+
+
 @q("f3_cleaning_exprs",
    sql="""
    SELECT p_partkey,
@@ -3396,7 +3447,7 @@ QUERY_PRIORITY: list[str] = [
     # scans / predicates / cleaning
     "p4_inlist_semijoin", "f5_rename_ladder",
     # joins
-    "pipeline_e2_merge_daily", "j2_three_source_merge",
+    "pipeline_e2_merge_daily",
     "j6_code_mapping_maintenance",
     "j8b_interval_join_bucketed", "j9_asof_last_report",
     "j14_main_sec_join",
@@ -3426,7 +3477,8 @@ QUERY_PRIORITY: list[str] = [
     "txt_corpus_stats", "txt_winnowing",
     "txt_pii_redact",
     "pipeline_cluster_survivors",
-    "dedup_embedding_pairs", "dedup_semdedup", "emb_centroid_outliers",
+    "dedup_embedding_pairs", "dedup_semdedup",
+    "dedup_semdedup_incremental", "emb_centroid_outliers",
     "mm_audio_features", "mm_video_frames",
     "smp_hash_split", "smp_mixture_resample", "smp_source_quota",
     "smp_token_budget", "smp_epoch_shuffle",
@@ -3446,6 +3498,7 @@ QUERY_PRIORITY: list[str] = [
     "j13_incremental_ranges", "txt_features", "dedup_exact",
     "w11_adjusted_continuous", "w1_rank_returns", "j8_interval_join",
     "w8b_quarterize_exact", "u4_scd2_intervals",
+    "j2_three_source_merge",
     "dedup_components",
     "a9_describe", "a13_sessionize", "j5_anti_join_new_codes",
     "a7_two_level_agg",

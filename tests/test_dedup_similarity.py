@@ -272,3 +272,48 @@ def test_semdedup_kmeans_production_form(spark, sf_dir):
     import pytest
     with pytest.raises(ValueError):
         similarity.semdedup(emb, iters=2, method="expr")
+
+
+def test_incremental_semdedup_equals_full_restriction(spark, sf_dir):
+    """Increment vs persisted index == the all-corpus per-cluster pair set
+    (same centroids) restricted to pairs touching >= 1 new id — and
+    old-vs-old pairs never appear."""
+    from pyspark.sql import functions as F
+
+    emb = catalog.load(spark, "embeddings", sf_dir)
+    old = emb.where(F.col("vec_id") % 5 != 0)
+    new = emb.where(F.col("vec_id") % 5 == 0)
+    member, cents = similarity.semdedup_index(old, n_clusters=8)
+    got = {(r["id_a"], r["id_b"], r["cos"]) for r in
+           similarity.incremental_semdedup_pairs(
+               new, member, cents, tau=0.3).collect()}
+    # reference: assign the WHOLE corpus with the same centroid matrix,
+    # all within-cluster pairs >= tau, keep pairs touching a new id with
+    # the increment's orientation (new side first for new-old pairs)
+    nv = F.transform(F.col("embedding"),
+                     lambda x: x.cast("double") / similarity._norm(
+                         F.col("embedding")))
+    vecs = emb.select(F.col("vec_id").alias("id"), nv.alias("nv"))
+    allm = similarity._assign_to_centroids(vecs, cents, 6)
+    a = allm.select(F.col("cluster").alias("cl"), F.col("id").alias("ia"),
+                    F.col("nv").alias("va"))
+    b = allm.select(F.col("cluster").alias("cl"), F.col("id").alias("ib"),
+                    F.col("nv").alias("vb"))
+    full = (a.join(b, "cl").where(F.col("ia") < F.col("ib"))
+            .select("ia", "ib",
+                    F.round(similarity._dot(F.col("va"), F.col("vb")),
+                            6).alias("cos"))
+            .where(F.col("cos") >= 0.3).collect())
+    want = set()
+    for r in full:
+        ia, ib, c = r["ia"], r["ib"], r["cos"]
+        na, nb = ia % 5 == 0, ib % 5 == 0
+        if na and nb:
+            want.add((ia, ib, c))          # new-new keeps id order
+        elif na:
+            want.add((ia, ib, c))          # new first
+        elif nb:
+            want.add((ib, ia, c))          # reorient old-new -> new-old
+    assert got == want and got
+    # and strictly no old-old pair leaked
+    assert all((x % 5 == 0) or (y % 5 == 0) for x, y, _ in got)
