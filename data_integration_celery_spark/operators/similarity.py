@@ -741,6 +741,22 @@ def incremental_semdedup_pairs(new_emb: DataFrame, member: DataFrame,
                      lambda x: x.cast("double") / _norm(F.col(vec_col)))
     new_vecs = new_emb.select(F.col(id_col).alias("id"), nv.alias("nv"))
     new_m = _assign_to_centroids(new_vecs, centroids, round_dp)
+    return _incremental_pairs_from_members(member, new_m, tau, round_dp)
+
+
+def _incremental_pairs_from_members(member: DataFrame, new_m: DataFrame,
+                                    tau: float, round_dp: int) -> DataFrame:
+    """Per-cluster cogroup probe over already-assigned member frames —
+    shared by the batch and streaming incremental SemDeDup forms.
+
+    CAUTION: ``member`` and ``new_m`` must NOT share a query lineage
+    (e.g. ``member = new_m.limit(0)``): Spark's conflicting-attribute
+    dedup for a self-cogroup can rewrite the right child's projection to
+    the grouping key alone, and the kernel then receives frames missing
+    ``id``/``nv``. Build empty/bootstrap member frames independently
+    (``spark.createDataFrame([], schema)``)."""
+    import numpy as np
+    import pandas as pd
 
     def pairs(old_pdf: pd.DataFrame, new_pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),

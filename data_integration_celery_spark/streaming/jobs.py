@@ -241,3 +241,79 @@ def stream_incremental_dedup(docs: DataFrame, index_path: str,
             .foreachBatch(probe_and_extend)
             .option("checkpointLocation", checkpoint)
             .outputMode("append"))
+
+
+def stream_incremental_semdedup(emb: DataFrame, member_path: str,
+                                pairs_path: str, checkpoint: str,
+                                centroids, tau: float = 0.7,
+                                id_col: str = "vec_id",
+                                vec_col: str = "embedding",
+                                round_dp: int = 6) -> DataStreamWriter:
+    """Streaming SemDeDup against a persisted cluster index — the
+    arrival-time form of ``similarity.incremental_semdedup_pairs``: each
+    micro-batch of new vectors assigns to the FIXED broadcast centroids
+    (no drift under increments), probes the member table for semantic-dup
+    pairs touching the batch (new×old + new×new per-cluster cogroup
+    BLAS), then extends the member table with its own rows. Old-vs-old
+    is never rescored; the index grows by exactly the increment.
+
+    Exactly-once by the same mechanism as ``stream_incremental_dedup``:
+    both outputs land under a ``batch_id=N`` partition via dynamic
+    partition overwrite, so a replayed batch rewrites only itself, and
+    re-probing a member table that already holds the batch's rows from a
+    failed attempt yields the identical pair set (assignment is a pure
+    function of the vector and the fixed centroids). At scale the member
+    table is written bucketed by ``cluster`` so probes co-locate.
+    """
+    from ..operators.similarity import (_assign_to_centroids,
+                                        incremental_semdedup_pairs, _norm)
+    from ..operators.upsert import _exists, overwrite_partitions
+
+    def probe_and_extend(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.where(F.col(vec_col).isNotNull()
+                                  & (F.size(vec_col) > 0))
+        nv = F.transform(F.col(vec_col),
+                         lambda x: x.cast("double") / _norm(F.col(vec_col)))
+        new_m = _assign_to_centroids(
+            batch_df.select(F.col(id_col).alias("id"), nv.alias("nv")),
+            centroids, round_dp).persist()
+        try:
+            # existence-branch, not read-exception branch (upsert rule):
+            # transient index read errors must propagate, never silently
+            # restart the member table from empty
+            if _exists(spark, member_path):
+                member = spark.read.parquet(member_path) \
+                    .select("id", "cluster", "nv")
+            else:
+                # first batch: an INDEPENDENT empty frame, never
+                # new_m.limit(0) — a cogroup whose two sides share
+                # lineage hits Spark's conflicting-attribute dedup,
+                # which mangles the right child's projection to the
+                # grouping key alone (observed: Project [cluster,
+                # cluster] and a KeyError('id') in the kernel)
+                member = spark.createDataFrame(
+                    [], "id long, cluster long, nv array<double>")
+            pairs = _cogroup_semdedup_pairs(member, new_m, tau, round_dp)
+            overwrite_partitions(
+                pairs.withColumn("batch_id", F.lit(batch_id)),
+                pairs_path, ["batch_id"])
+            overwrite_partitions(
+                new_m.withColumn("batch_id", F.lit(batch_id)),
+                member_path, ["batch_id"])
+        finally:
+            new_m.unpersist()
+
+    return (emb.writeStream
+            .foreachBatch(probe_and_extend)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append"))
+
+
+def _cogroup_semdedup_pairs(member: DataFrame, new_m: DataFrame,
+                            tau: float, round_dp: int) -> DataFrame:
+    """Per-cluster cogroup pair probe shared with the batch incremental
+    form — (id_a=new, id_b, cos) pairs touching the increment."""
+    from ..operators import similarity as _sim
+    return _sim._incremental_pairs_from_members(member, new_m, tau,
+                                                round_dp)

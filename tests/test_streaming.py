@@ -305,3 +305,55 @@ def test_stream_incremental_dedup_matches_batch(spark, sf_dir, tmp_path):
     assert idx.select("doc_id").distinct().count() == docs.count()
     assert idx.groupBy("doc_id", "band").count() \
               .where("count > 1").count() == 0
+
+
+def test_stream_incremental_semdedup_matches_batch(spark, sf_dir, tmp_path):
+    """Micro-batched arrival of the embeddings corpus through the streaming
+    SemDeDup job must discover exactly the all-corpus within-cluster pair
+    set (same fixed centroids), each pair once — in the batch where its
+    later-arriving side lands — and leave a member table covering the
+    corpus."""
+    from data_integration_celery_spark.operators import similarity
+
+    emb = catalog.load(spark, "embeddings", sf_dir) \
+        .select("vec_id", "embedding")
+    # centroids fixed up front from the full corpus's 8 lowest ids (the
+    # production shape: the index's dense state predates the arrivals)
+    _, cents = similarity.semdedup_index(emb, n_clusters=8)
+    src_dir = str(tmp_path / "emb_src")
+    for i in range(3):
+        emb.where(F.col("vec_id") % 3 == i).coalesce(1) \
+            .write.mode("append").parquet(src_dir)
+    stream = (spark.readStream.schema(emb.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src_dir))
+    member_path = str(tmp_path / "members")
+    pairs_path = str(tmp_path / "pairs")
+    q = jobs.stream_incremental_semdedup(
+        stream, member_path, pairs_path, str(tmp_path / "ckpt"),
+        cents, tau=0.3) \
+        .trigger(availableNow=True).start()
+    assert q.awaitTermination(300)
+
+    got_rows = spark.read.parquet(pairs_path).collect()
+    got = {frozenset((r["id_a"], r["id_b"])): r["cos"] for r in got_rows}
+    assert len(got) == len(got_rows), "a pair was emitted in two batches"
+    # batch reference: assign whole corpus to the same centroids, all
+    # within-cluster pairs >= tau
+    nv = F.transform(F.col("embedding"),
+                     lambda x: x.cast("double") / similarity._norm(
+                         F.col("embedding")))
+    allm = similarity._assign_to_centroids(
+        emb.select(F.col("vec_id").alias("id"), nv.alias("nv")), cents, 6)
+    a = allm.select(F.col("cluster").alias("cl"), F.col("id").alias("ia"),
+                    F.col("nv").alias("va"))
+    b = allm.select(F.col("cluster").alias("cl"), F.col("id").alias("ib"),
+                    F.col("nv").alias("vb"))
+    full = {frozenset((r["ia"], r["ib"])): r["cos"] for r in
+            (a.join(b, "cl").where(F.col("ia") < F.col("ib"))
+             .select("ia", "ib",
+                     F.round(similarity._dot(F.col("va"), F.col("vb")),
+                             6).alias("cos"))
+             .where(F.col("cos") >= 0.3)).collect()}
+    assert got == full and len(full) > 0
+    mem = spark.read.parquet(member_path)
+    assert mem.select("id").distinct().count() == emb.count()
