@@ -528,35 +528,16 @@ def semdedup(emb: DataFrame, n_clusters: int = 8, tau: float = 0.7,
         import pandas as pd
 
         if iters > 0:
-            # production form: real k-means clusters from ivf_build; the
-            # centroid matrix broadcasts and one Arrow pass scores each
-            # member against ITS centroid (cos_centroid drives the
-            # keep-rule below exactly as in the seed form)
-            assignments, centroids = ivf_build(
-                emb, n_clusters, iters, id_col, vec_col)
-            bcc = emb.sparkSession.sparkContext.broadcast(centroids)
-
-            def score(batches):
-                cm = bcc.value
-                for pdf in batches:
-                    if not len(pdf):
-                        continue
-                    m = np.stack(pdf["nv"].to_numpy()).astype("float64")
-                    b = pdf["bucket"].to_numpy()
-                    cos = _np_round_half_up(
-                        np.einsum("ij,ij->i", m, cm[b]), round_dp)
-                    yield pd.DataFrame({
-                        "id": pdf["id"].to_numpy(),
-                        "cluster": b.astype("int64"),
-                        "cos_centroid": cos,
-                        "nv": pdf["nv"]})
-
-            member = (vecs.join(assignments.select(
-                          F.col(id_col).alias("id"), "bucket"), "id")
-                      .mapInPandas(
-                          score, "id long, cluster long, "
-                                 "cos_centroid double, nv array<double>")
-                      .localCheckpoint(eager=False))
+            # production form: real k-means clusters + per-member centroid
+            # scoring, shared with (and eagerly materialized by)
+            # semdedup_index — ivf_build's own final-round assignments are
+            # reused and unpersisted there
+            member, cents = semdedup_index(emb, n_clusters, iters,
+                                           id_col, vec_col, round_dp)
+            if cents.size == 0:
+                return emb.sparkSession.createDataFrame(
+                    [], "id long, cluster long, cos_centroid double, "
+                        "component long, keep boolean")
             assigned = member.select("id", "cluster", "cos_centroid")
         else:
             # seed matrix to the driver: K×dim doubles — same bounded
@@ -672,17 +653,53 @@ def semdedup_index(emb: DataFrame, n_clusters: int = 8, iters: int = 0,
     centroids, ``iters>0`` runs Lloyd via ``ivf_build``.
     """
     import numpy as np
+    import pandas as pd
 
     emb = emb.where(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
     nv = F.transform(F.col(vec_col),
                      lambda x: x.cast("double") / _norm(F.col(vec_col)))
     vecs = emb.select(F.col(id_col).alias("id"), nv.alias("nv"))
+    seed_pdf = vecs.orderBy("id").limit(n_clusters).toPandas()
+    if not len(seed_pdf):
+        # empty corpus: an empty index, not an np.stack crash — the
+        # realistic bootstrap state of the incremental pipeline
+        return (emb.sparkSession.createDataFrame(
+                    [], "id long, cluster long, cos_centroid double, "
+                        "nv array<double>"),
+                np.zeros((0, 0)))
     if iters > 0:
-        _, centroids = ivf_build(emb, n_clusters, iters, id_col, vec_col)
+        # reuse ivf_build's final-round assignments (it eagerly
+        # materializes them — recomputing via argmax would both double
+        # the dominant pass and risk tie-disagreement with Lloyd's own
+        # round) and score each member against ITS centroid
+        assignments, centroids = ivf_build(emb, n_clusters, iters,
+                                           id_col, vec_col)
+        bcc = emb.sparkSession.sparkContext.broadcast(centroids)
+
+        def score(batches):
+            cm = bcc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.stack(pdf["nv"].to_numpy()).astype("float64")
+                b = pdf["bucket"].to_numpy()
+                cos = _np_round_half_up(
+                    np.einsum("ij,ij->i", m, cm[b]), round_dp)
+                yield pd.DataFrame({"id": pdf["id"].to_numpy(),
+                                    "cluster": b.astype("int64"),
+                                    "cos_centroid": cos,
+                                    "nv": pdf["nv"]})
+
+        member = (vecs.join(assignments.select(
+                      F.col(id_col).alias("id"), "bucket"), "id")
+                  .mapInPandas(score,
+                               "id long, cluster long, "
+                               "cos_centroid double, nv array<double>")
+                  .localCheckpoint(eager=True))
+        assignments.unpersist()   # ivf_build persisted them for its loop
     else:
-        seed_pdf = vecs.orderBy("id").limit(n_clusters).toPandas()
         centroids = np.stack(seed_pdf["nv"].to_numpy()).astype("float64")
-    member = _assign_to_centroids(vecs, centroids, round_dp)
+        member = _assign_to_centroids(vecs, centroids, round_dp)
     return member, centroids
 
 
@@ -732,14 +749,15 @@ def incremental_semdedup_pairs(new_emb: DataFrame, member: DataFrame,
     clusters' members — co-located when ``member`` is read from a
     cluster-bucketed table. Output: (id_a, id_b, cos), ≥1 side new.
     """
-    import numpy as np
-    import pandas as pd
-
     new_emb = new_emb.where(F.col(vec_col).isNotNull()
                             & (F.size(vec_col) > 0))
     nv = F.transform(F.col(vec_col),
                      lambda x: x.cast("double") / _norm(F.col(vec_col)))
     new_vecs = new_emb.select(F.col(id_col).alias("id"), nv.alias("nv"))
+    if getattr(centroids, "size", 0) == 0:
+        # empty index (bootstrap against an empty old corpus): no pairs
+        return new_emb.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cos double")
     new_m = _assign_to_centroids(new_vecs, centroids, round_dp)
     return _incremental_pairs_from_members(member, new_m, tau, round_dp)
 
@@ -777,12 +795,15 @@ def _incremental_pairs_from_members(member: DataFrame, new_m: DataFrame,
                 out.append(pd.DataFrame({
                     "id_a": nids[lo + ra], "id_b": oids[rb],
                     "cos": sims[ra, rb]}))
-        sims = _np_round_half_up(nm @ nm.T, round_dp)
-        ra, rb = np.nonzero(sims >= tau)
-        keep = nids[ra] < nids[rb]
-        out.append(pd.DataFrame({"id_a": nids[ra][keep],
-                                 "id_b": nids[rb][keep],
-                                 "cos": sims[ra, rb][keep]}))
+        tile = 2048
+        for lo in range(0, len(nids), tile):
+            sims = _np_round_half_up(nm[lo:lo + tile] @ nm.T, round_dp)
+            ra, rb = np.nonzero(sims >= tau)
+            ra += lo
+            keep = nids[ra] < nids[rb]
+            out.append(pd.DataFrame({"id_a": nids[ra][keep],
+                                     "id_b": nids[rb][keep],
+                                     "cos": sims[ra - lo, rb][keep]}))
         return pd.concat(out, ignore_index=True)
 
     return (member.select("cluster", "id", "nv").groupBy("cluster")

@@ -914,48 +914,6 @@ _MINHASH_EST = " + ".join(
     for i in range(_MINHASH_P))
 
 
-@q("dedup_minhash_md5",
-   sql=f"""
-   WITH norm AS (
-     SELECT doc_id,
-            string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
-                               '\\s+') AS tok
-     FROM documents),
-   shs AS (
-     SELECT doc_id,
-            CASE WHEN len(tok) >= 3
-                 THEN list_distinct(list_transform(range(1, len(tok) - 1),
-                                                   i -> array_to_string(tok[i:i+2], ' ')))
-                 ELSE [array_to_string(tok, ' ')] END AS sh
-     FROM norm),
-   post AS (SELECT doc_id, unnest(sh) AS s FROM shs),
-   sig AS (
-     SELECT doc_id,
-            {_MINHASH_MINS}
-     FROM post GROUP BY doc_id),
-   banded AS (
-     {_MINHASH_BANDS}),
-   cand AS (
-     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-     FROM banded a JOIN banded b
-       ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
-   SELECT id_a, id_b,
-          CAST({_MINHASH_EST} AS DOUBLE) / {_MINHASH_P} AS est_jaccard
-   FROM cand
-   JOIN sig sa ON sa.doc_id = id_a
-   JOIN sig sb ON sb.doc_id = id_b
-   """,
-   doc="MinHash+LSH banded candidate pairs, md5-permutation twin with an "
-       "EXACT oracle — hard evidence for the banding algorithm (postings → "
-       "per-permutation min → band buckets → pair join → signature-match "
-       "estimate), which the production seeded-xxhash64 variant can't get "
-       "(rows-only). Same plan shape; only the permutation hash differs "
-       "(operators/dedup.py minhash_lsh_candidates_md5).")
-def dedup_minhash_md5_q(spark, sf_dir):
-    from .operators import dedup
-    return dedup.minhash_lsh_candidates_md5(_t(spark, sf_dir, "documents"))
-
-
 def _minhash_side_ctes(tag: str, where: str) -> str:
     """One corpus side of the cross-corpus oracle: norm → shingles →
     postings → signature → banded rows, suffixed with ``tag``."""
@@ -984,6 +942,33 @@ def _minhash_side_ctes(tag: str, where: str) -> str:
      FROM post_{tag} GROUP BY doc_id),
    banded_{tag} AS (
      {bands})"""
+
+
+@q("dedup_minhash_md5",
+   sql=f"""
+   WITH {_minhash_side_ctes("x", "TRUE")},
+   cand AS (
+     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+     FROM banded_x a JOIN banded_x b
+       ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+   SELECT id_a, id_b,
+          CAST({_MINHASH_EST} AS DOUBLE) / {_MINHASH_P} AS est_jaccard
+   FROM cand
+   JOIN sig_x sa ON sa.doc_id = id_a
+   JOIN sig_x sb ON sb.doc_id = id_b
+   """,
+   doc="MinHash+LSH banded candidate pairs, md5-permutation twin with an "
+       "EXACT oracle — hard evidence for the banding algorithm (postings → "
+       "per-permutation min → band buckets → pair join → signature-match "
+       "estimate), which the production seeded-xxhash64 variant can't get "
+       "(rows-only). Same plan shape; only the permutation hash differs "
+       "(operators/dedup.py minhash_lsh_candidates_md5). Oracle CTEs are "
+       "generated by _minhash_side_ctes — ONE shingle/signature/banding "
+       "definition shared with the cross-corpus oracle, so the two can "
+       "never drift.")
+def dedup_minhash_md5_q(spark, sf_dir):
+    from .operators import dedup
+    return dedup.minhash_lsh_candidates_md5(_t(spark, sf_dir, "documents"))
 
 
 @q("dedup_cross_contamination_md5",

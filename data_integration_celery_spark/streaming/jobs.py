@@ -266,7 +266,8 @@ def stream_incremental_semdedup(emb: DataFrame, member_path: str,
     table is written bucketed by ``cluster`` so probes co-locate.
     """
     from ..operators.similarity import (_assign_to_centroids,
-                                        incremental_semdedup_pairs, _norm)
+                                        _incremental_pairs_from_members,
+                                        _norm)
     from ..operators.upsert import _exists, overwrite_partitions
 
     def probe_and_extend(batch_df: DataFrame, batch_id: int) -> None:
@@ -283,8 +284,14 @@ def stream_incremental_semdedup(emb: DataFrame, member_path: str,
             # transient index read errors must propagate, never silently
             # restart the member table from empty
             if _exists(spark, member_path):
-                member = spark.read.parquet(member_path) \
-                    .select("id", "cluster", "nv")
+                # probe STRICTLY earlier batches: a replayed batch N whose
+                # member partition was already written must not see its
+                # own rows as "old" (self-pairs + duplicated in-batch
+                # pairs) — batch_id partition pruning makes this a free
+                # filter and the replay output byte-identical
+                member = (spark.read.parquet(member_path)
+                          .where(F.col("batch_id") < F.lit(batch_id))
+                          .select("id", "cluster", "nv"))
             else:
                 # first batch: an INDEPENDENT empty frame, never
                 # new_m.limit(0) — a cogroup whose two sides share
@@ -294,7 +301,8 @@ def stream_incremental_semdedup(emb: DataFrame, member_path: str,
                 # cluster] and a KeyError('id') in the kernel)
                 member = spark.createDataFrame(
                     [], "id long, cluster long, nv array<double>")
-            pairs = _cogroup_semdedup_pairs(member, new_m, tau, round_dp)
+            pairs = _incremental_pairs_from_members(member, new_m,
+                                                    tau, round_dp)
             overwrite_partitions(
                 pairs.withColumn("batch_id", F.lit(batch_id)),
                 pairs_path, ["batch_id"])
@@ -308,12 +316,3 @@ def stream_incremental_semdedup(emb: DataFrame, member_path: str,
             .foreachBatch(probe_and_extend)
             .option("checkpointLocation", checkpoint)
             .outputMode("append"))
-
-
-def _cogroup_semdedup_pairs(member: DataFrame, new_m: DataFrame,
-                            tau: float, round_dp: int) -> DataFrame:
-    """Per-cluster cogroup pair probe shared with the batch incremental
-    form — (id_a=new, id_b, cos) pairs touching the increment."""
-    from ..operators import similarity as _sim
-    return _sim._incremental_pairs_from_members(member, new_m, tau,
-                                                round_dp)

@@ -357,3 +357,42 @@ def test_stream_incremental_semdedup_matches_batch(spark, sf_dir, tmp_path):
     assert got == full and len(full) > 0
     mem = spark.read.parquet(member_path)
     assert mem.select("id").distinct().count() == emb.count()
+
+
+def test_stream_incremental_semdedup_replay_idempotent(spark, sf_dir,
+                                                       tmp_path):
+    """Replaying every batch against the already-written member/pairs
+    tables (checkpoint wiped, data dirs kept) must reproduce the byte-
+    identical pair set: the probe reads batch_id < N only, so a replayed
+    batch never pairs against its own previously-written rows (no (x,x)
+    self-pairs, no duplicated in-batch pairs)."""
+    import shutil
+
+    from data_integration_celery_spark.operators import similarity
+
+    emb = catalog.load(spark, "embeddings", sf_dir) \
+        .select("vec_id", "embedding").where(F.col("vec_id") < 200)
+    _, cents = similarity.semdedup_index(emb, n_clusters=4)
+    src_dir = str(tmp_path / "emb_src")
+    for i in range(2):
+        emb.where(F.col("vec_id") % 2 == i).coalesce(1) \
+            .write.mode("append").parquet(src_dir)
+    member_path = str(tmp_path / "members")
+    pairs_path = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (spark.readStream.schema(emb.schema)
+                  .option("maxFilesPerTrigger", "1").parquet(src_dir))
+        q = jobs.stream_incremental_semdedup(
+            stream, member_path, pairs_path, ckpt, cents, tau=0.3) \
+            .trigger(availableNow=True).start()
+        assert q.awaitTermination(300)
+        return sorted((r["id_a"], r["id_b"], r["cos"])
+                      for r in spark.read.parquet(pairs_path).collect())
+
+    first = run()
+    shutil.rmtree(ckpt)            # lose the offsets: full replay
+    second = run()
+    assert first == second
+    assert all(a != b for a, b, _ in first) and first
