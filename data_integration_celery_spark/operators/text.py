@@ -265,6 +265,51 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
                     .alias("frac_dup_trigram")))
 
 
+def chunk_with_stride(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", chunk_tokens: int = 64,
+                      stride: int = 48) -> DataFrame:
+    """Fixed-stride sliding-window chunking — the document→training-sequence
+    fan-out every LLM data pipeline runs before tokenization/packing.
+
+    Tokens are the RAW whitespace split (chunking must preserve the text
+    verbatim — normalization belongs to dedup/scoring, not here). Chunk i
+    covers tokens [i*stride, i*stride + chunk_tokens); starts are
+    0, stride, 2*stride, … while start < n_tokens, so consecutive chunks
+    overlap by ``chunk_tokens - stride`` tokens and the tail chunk may be
+    shorter than ``chunk_tokens`` (consumers that want full windows filter
+    on n_tok). NULL-text docs produce no chunks (explicit filter — size(NULL)
+    is NULL and greatest() IGNORES nulls, so without the filter a NULL doc
+    would fabricate one empty chunk); ''-text docs produce one
+    single-''-token chunk, matching the raw split semantics on both engines.
+
+    Entirely per-row array expressions + one generate — NO shuffle, no
+    window, no Python: the plan is scan → project → posexplode, and the
+    1→N fan-out happens inside the task that read the row (the same shape
+    as multimodal frame extraction). Returns
+    (id, chunk_id, start_tok, n_tok, chunk_text).
+    """
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    docs = docs.where(F.col(text_col).isNotNull())
+    ws = F.split(F.col(text_col), " ")
+    n = F.size(ws)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)),
+                        F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("start_tok"),
+            F.least(F.lit(chunk_tokens), n - s).alias("n_tok"),
+            F.concat_ws(" ", F.slice(ws, s + 1, chunk_tokens))
+             .alias("chunk_text")))
+    return (docs.select(id_col, F.posexplode(chunks).alias("chunk_id", "c"))
+            .select(id_col, "chunk_id", F.col("c.start_tok").alias("start_tok"),
+                    F.col("c.n_tok").alias("n_tok"),
+                    F.col("c.chunk_text").alias("chunk_text")))
+
+
 def with_text_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     return (docs

@@ -3338,6 +3338,171 @@ def smp_epoch_shuffle_q(spark, sf_dir):
                                   n_epochs=2, seed=42, hasher="md5")
 
 
+@q("smp_dsir_md5",
+   sql="""
+   WITH tok AS (
+     SELECT doc_id, lang,
+            list_filter(string_split_regex(
+                trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                '\\s+'), t -> t <> '') AS w
+     FROM documents),
+   grams AS (
+     SELECT doc_id, lang,
+            unnest(list_concat(w,
+              CASE WHEN len(w) >= 2
+                   THEN list_transform(range(1, len(w)),
+                                       i -> w[i] || ' ' || w[i+1])
+                   ELSE CAST([] AS VARCHAR[]) END)) AS s
+     FROM tok),
+   feats AS (
+     SELECT doc_id, lang,
+            ('0x' || substring(md5('dsir:' || s), 1, 13))::UBIGINT % 1024
+              AS bucket
+     FROM grams),
+   spine AS (SELECT unnest(range(0, 1024)) AS bucket),
+   tcnt AS (SELECT bucket, count(*) AS c FROM feats
+            WHERE lang = 'en' GROUP BY bucket),
+   rcnt AS (SELECT bucket, count(*) AS c FROM feats GROUP BY bucket),
+   counts AS (
+     SELECT sp.bucket, coalesce(t.c, 0) AS tc, coalesce(r.c, 0) AS rc
+     FROM spine sp LEFT JOIN tcnt t USING (bucket)
+                   LEFT JOIN rcnt r USING (bucket)),
+   ratios AS (
+     SELECT bucket,
+            round(ln((tc + CAST(1.0 AS DOUBLE))
+                     / (tot.t_tot + CAST(1024.0 AS DOUBLE)))
+                - ln((rc + CAST(1.0 AS DOUBLE))
+                     / (tot.r_tot + CAST(1024.0 AS DOUBLE))), 6) AS log_ratio
+     FROM counts CROSS JOIN
+          (SELECT sum(tc) AS t_tot, sum(rc) AS r_tot FROM counts) tot),
+   scores AS (
+     SELECT f.doc_id, count(*) AS n_feats,
+            CAST(sum(CAST(r.log_ratio AS DECIMAL(38,6))) AS DOUBLE) AS score
+     FROM feats f JOIN ratios r USING (bucket) GROUP BY f.doc_id),
+   scored AS (
+     SELECT d.doc_id, coalesce(s.n_feats, 0) AS n_feats,
+            coalesce(s.score, 0.0) AS score
+     FROM documents d LEFT JOIN scores s USING (doc_id)),
+   keyed AS (
+     SELECT doc_id, n_feats, score,
+            round(score + -ln(-ln(
+              (('0x' || substring(md5('v1:' || CAST(doc_id AS VARCHAR)),
+                                  1, 13))::UBIGINT + 1)
+              / 4503599627370497.0)), 6) AS sel_key
+     FROM scored)
+   SELECT doc_id, n_feats, score, sel_key
+   FROM keyed ORDER BY sel_key DESC, doc_id LIMIT 100
+   """,
+   doc="DSIR data selection (Xie et al., NeurIPS 2023): hashed "
+       "unigram+bigram bag over 1024 buckets, per-bucket importance "
+       "log-ratio ln p_target - ln p_raw (target = lang='en', add-1 "
+       "smoothing over the full bucket spine), per-doc score = "
+       "decimal-exact sum of its features' ratios, then Gumbel top-100 "
+       "(sampling w/o replacement proportional to exp(score), "
+       "deterministic via the md5 id hash). Featurization is "
+       "zero-shuffle array exprs; the 1024-row weight table is broadcast; "
+       "selection is TakeOrderedAndProject. md5 buckets here for the "
+       "exact oracle; production uses seeded xxhash64 "
+       "(operators/selection.py, lockstep differential test).")
+def smp_dsir_md5_q(spark, sf_dir):
+    from .operators import selection
+    docs = _t(spark, sf_dir, "documents")
+    return selection.dsir_select(
+        docs, docs.where(F.col("lang") == "en"), k=100,
+        n_buckets=1024, smoothing=1.0, seed="v1", hasher="md5")
+
+
+@q("txt_lm_perplexity",
+   sql="""
+   WITH tok AS (
+     SELECT doc_id, lang,
+            list_filter(string_split_regex(
+                trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                '\\s+'), t -> t <> '') AS w
+     FROM documents),
+   bgs AS (
+     SELECT doc_id, lang, g['c1'] AS c1, g['c2'] AS c2
+     FROM (SELECT doc_id, lang,
+                  unnest(CASE WHEN len(w) >= 2
+                    THEN list_transform(range(1, len(w)),
+                                        i -> {'c1': w[i], 'c2': w[i+1]})
+                    ELSE CAST([] AS STRUCT(c1 VARCHAR, c2 VARCHAR)[]) END)
+                    AS g
+           FROM tok)),
+   model AS (
+     SELECT c1, c2, count(*) AS bc FROM bgs
+     WHERE lang = 'en' GROUP BY c1, c2),
+   ctx AS (SELECT c1, sum(bc) AS cc FROM model GROUP BY c1),
+   voc AS (
+     SELECT count(DISTINCT t) AS v
+     FROM (SELECT unnest(w) AS t FROM tok WHERE lang = 'en')),
+   nl AS (
+     SELECT b.doc_id,
+            round(-log2((coalesce(m.bc, 0) + CAST(0.5 AS DOUBLE))
+                        / (coalesce(c.cc, 0)
+                           + CAST(0.5 AS DOUBLE) * greatest(voc.v, 1))), 6)
+              AS nl2
+     FROM bgs b LEFT JOIN model m ON b.c1 = m.c1 AND b.c2 = m.c2
+                LEFT JOIN ctx c ON b.c1 = c.c1
+                CROSS JOIN voc),
+   perdoc AS (
+     SELECT doc_id, count(*) AS n_bigrams,
+            CAST(sum(CAST(nl2 AS DECIMAL(38,6))) AS DOUBLE) AS nsum
+     FROM nl GROUP BY doc_id)
+   SELECT d.doc_id, coalesce(p.n_bigrams, 0) AS n_bigrams,
+          CASE WHEN coalesce(p.n_bigrams, 0) > 0
+               THEN round(p.nsum / p.n_bigrams, 6)
+               ELSE 0.0 END AS cross_entropy
+   FROM documents d LEFT JOIN perdoc p USING (doc_id)
+   """,
+   doc="CCNet-style reference-corpus LM scoring (Wenzek et al., LREC "
+       "2020): an add-k bigram model trained ON-CLUSTER from the lang='en' "
+       "slice (one gram shuffle; contexts derive from the bigram counts; "
+       "V is a 1-row broadcast), every document scored with per-bigram "
+       "cross-entropy -mean log2 P(w2|w1) — out-of-domain docs score "
+       "high, the head/middle/tail split is a quantile cut over this "
+       "column. Per-row log2 rounded 6dp then decimal-exact summed. "
+       "String gram keys here (oracle form); production hashes grams "
+       "to xxhash64 for 8-byte shuffle keys (operators/selection.py).")
+def txt_lm_perplexity_q(spark, sf_dir):
+    from .operators import selection
+    docs = _t(spark, sf_dir, "documents")
+    model = selection.train_bigram_lm(docs.where(F.col("lang") == "en"),
+                                      hash_grams=False)
+    return selection.lm_cross_entropy(docs, model, smoothing=0.5,
+                                      hash_grams=False)
+
+
+@q("txt_chunk_stride",
+   sql="""
+   WITH ws AS (
+     SELECT doc_id, string_split(text, ' ') AS w
+     FROM documents WHERE text IS NOT NULL),
+   c AS (
+     SELECT doc_id, w,
+            unnest(list_transform(
+              range(0, CAST(ceil(len(w) / CAST(24 AS DOUBLE)) AS BIGINT)),
+              i -> {'cid': i, 's': i * 24})) AS ch
+     FROM ws)
+   SELECT doc_id, CAST(ch.cid AS INTEGER) AS chunk_id,
+          CAST(ch.s AS INTEGER) AS start_tok,
+          CAST(least(32, len(w) - ch.s) AS INTEGER) AS n_tok,
+          array_to_string(w[ch.s + 1 : ch.s + 32], ' ') AS chunk_text
+   FROM c
+   """,
+   doc="Document → training-sequence chunking: fixed 32-token windows at "
+       "stride 24 (8-token overlap) over the RAW whitespace tokens — the "
+       "fan-out stage ahead of tokenize/pack in an LLM data pipeline. "
+       "Plan is scan → project → posexplode: the 1→N expansion happens "
+       "in the task that read the row, NO shuffle/window/Python "
+       "(operators/text.py chunk_with_stride; plan contract pins "
+       "zero exchanges).")
+def txt_chunk_stride_q(spark, sf_dir):
+    from .operators import text as T
+    return T.chunk_with_stride(_t(spark, sf_dir, "documents"),
+                               chunk_tokens=32, stride=24)
+
+
 @q("a14_sketch_profile",
    sql=None,  # HLL++/GK sketches are approximate + engine-specific: no
               # exact cross-engine oracle exists by construction. Error
@@ -3413,6 +3578,13 @@ def u5_schema_reconcile_q(spark, sf_dir):
 # Policy: every banked green must re-earn a green every ~3 rounds; never-
 # checked exact-oracle queries outrank re-audits; rows-only queries never
 # occupy a top-50 slot (their driver row is rows-only regardless).
+# Round-5 session-4 adjustment: three new exact-oracle data-selection
+# queries enter the window (smp_dsir_md5, txt_lm_perplexity,
+# txt_chunk_stride — never-checked exact oracles outrank re-audits);
+# out go a11_accumulation_detect + w7_continuous_contract (quadruple-green
+# r1-r4; agg/continuous families keep pipeline_worst_window_return and
+# w11b in-window) and txt_winnowing (triple-green r2-r4; text family keeps
+# corpus_stats, pii_redact + the two new scorers).
 # Round-5 window (per VERDICT r4 "Next round" items 1, 2, 5, 9):
 #   IN  — pipeline_e2_merge_daily (the E2 flagship full-rule-table merge,
 #         first driver check), f5_rename_ladder (§2.8 CMC rename ladder,
@@ -3437,14 +3609,13 @@ QUERY_PRIORITY: list[str] = [
     "j8b_interval_join_bucketed", "j9_asof_last_report",
     "j14_main_sec_join",
     # aggregations
-    "pipeline_worst_window_return", "a11_accumulation_detect",
+    "pipeline_worst_window_return",
     "a2_agg_rollup",
     # sinks / ordering / sets
     "s6_upsert_last_write_wins",
     "eav_unpivot_pivot", "u4_membership_changepoints",
     # windows
     "w1b_rank_scalable", "w3_cum_chain", "w8_quarterize",
-    "w7_continuous_contract",
     "w12_pivot_status", "w11b_adjusted_diff",
     # composites
     "pipeline_quality_filter", "pipeline_dedup_survivors",
@@ -3459,17 +3630,18 @@ QUERY_PRIORITY: list[str] = [
     "dedup_simhash_hamming_md5",
     "dedup_minhash_incremental_md5",
     "dedup_components_star",
-    "txt_corpus_stats", "txt_winnowing",
-    "txt_pii_redact",
+    "txt_corpus_stats",
+    "txt_pii_redact", "txt_lm_perplexity", "txt_chunk_stride",
     "pipeline_cluster_survivors",
     "dedup_embedding_pairs", "dedup_semdedup",
     "dedup_semdedup_incremental", "emb_centroid_outliers",
     "mm_audio_features", "mm_video_frames",
     "smp_hash_split", "smp_mixture_resample", "smp_source_quota",
-    "smp_token_budget", "smp_epoch_shuffle",
+    "smp_token_budget", "smp_epoch_shuffle", "smp_dsir_md5",
     "u5_schema_reconcile",
     # ---- position 51+: triple/double-green history, sibling-covered,
     # ---- or rows-only (no oracle) ----
+    "a11_accumulation_detect", "w7_continuous_contract", "txt_winnowing",
     "p3_regex_filter", "f3_cleaning_exprs", "j1_vendor_merge_full_outer",
     "j10_asof_point_lookup", "u1_union_distinct", "w10_monthly_sample",
     "w2_lead_lag_gaps", "w4_ffill", "a8_median_cross_section",

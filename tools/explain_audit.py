@@ -213,6 +213,28 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
         [r"Scan ExistingRDD", r"Window"],
         [r"CartesianProduct", r"BatchEvalPython",
          r"BroadcastNestedLoopJoin"]),
+    # DSIR: the 1024-row weight table reaches scoring through a broadcast
+    # hash join (never a shuffle of the feature stream against it);
+    # selection is TakeOrderedAndProject, never a global sort; the only
+    # crossJoin is the broadcast 1-row totals frame — a
+    # BroadcastNestedLoopJoin over n_buckets rows, bounded by construction,
+    # so only CartesianProduct (the unbounded shuffle form) is banned
+    "smp_dsir_md5": (
+        [r"BroadcastHashJoin", r"TakeOrderedAndProject"],
+        [r"CartesianProduct", r"Sort .*global=true", r"BatchEvalPython",
+         r"ArrowEvalPython", r"FlatMapGroupsInPandas", r"MapInPandas"]),
+    # bigram-LM scoring: gram-key hash joins (AQE broadcasts the sf0.01
+    # model) + map-side partial aggregation; all JVM-side
+    "txt_lm_perplexity": (
+        [r"Join", r"partial", r"HashAggregate"],
+        [r"CartesianProduct", r"BatchEvalPython", r"ArrowEvalPython",
+         r"FlatMapGroupsInPandas", r"MapInPandas"]),
+    # chunking: scan → project → generate, the 1→N fan-out inside the
+    # scan task — literally no exchange anywhere in the plan
+    "txt_chunk_stride": (
+        [r"Generate", r"codegen id"],
+        [r"Exchange", r"Join", r"CartesianProduct", r"BatchEvalPython",
+         r"ArrowEvalPython", r"MapInPandas"]),
 }
 
 
