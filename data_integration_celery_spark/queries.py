@@ -3503,6 +3503,30 @@ def txt_chunk_stride_q(spark, sf_dir):
                                chunk_tokens=32, stride=24)
 
 
+@q("txt_bpe_train",
+   sql=None,  # iterative argmax (merge i+1 depends on merge i's rewrite of
+              # the symbol table) is not SQL-expressible; the trainer is
+              # differentially tested against a pure-python reference BPE
+              # with exact merge-sequence equality (test_bpe.py), the same
+              # evidence strategy as smp_pack_sequences.
+   doc="BPE tokenizer induction + application (Sennrich et al., ACL 2016): "
+       "ONE corpus pass builds the (word, freq) table, then each of the 20 "
+       "merge iterations runs against the vocabulary table only (pair "
+       "explode → weighted count → deterministic top-1 → pure-Column "
+       "left-to-right merge fold); vocabularies under the local_threshold "
+       "collect once and iterate driver-side — same algorithm, pinned "
+       "equal to the distributed loop by test. Segmentation is one "
+       "Arrow-batched mapInPandas with broadcast merge ranks and a "
+       "per-word memo (operators/bpe.py). Corpus is touched once for "
+       "training and once for encoding regardless of merge count.")
+def txt_bpe_train_q(spark, sf_dir):
+    from .operators import bpe
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe.train_bpe(docs, n_merges=20)
+    return (bpe.bpe_segment(docs, merges)
+            .select("doc_id", "n_words", "n_subwords"))
+
+
 @q("a14_sketch_profile",
    sql=None,  # HLL++/GK sketches are approximate + engine-specific: no
               # exact cross-engine oracle exists by construction. Error
@@ -3662,6 +3686,7 @@ QUERY_PRIORITY: list[str] = [
     "ann_ivf_topk", "dedup_minhash_lsh",
     "dedup_simhash", "ann_lsh_topk", "dedup_simhash_hamming",
     "smp_pack_sequences", "a14_sketch_profile", "a3_tick_to_bars",
+    "txt_bpe_train",
 ]
 
 
