@@ -102,29 +102,13 @@ def hashed_ngram_features(docs: DataFrame, text_col: str = "text",
                                     salt).alias("bucket"))
 
 
-def bucket_log_ratios(target_feats: DataFrame, raw_feats: DataFrame,
-                      n_buckets: int, smoothing: float = 1.0) -> DataFrame:
-    """Per-bucket importance log-ratio ``ln p_target(b) - ln p_raw(b)``
-    with add-k smoothing over the FULL bucket range (zero-count buckets get
-    the smoothing floor, so every document scores a finite value).
-
-    Output is ``n_buckets`` rows: (bucket, target_count, raw_count,
-    log_ratio) — the broadcastable DSIR "model". The totals live in a 1-row
-    aggregate crossJoined back (broadcast, never a driver collect)."""
+def _ratios_from_counts(counts: DataFrame, n_buckets: int,
+                        smoothing: float) -> DataFrame:
+    """(bucket, target_count, raw_count) → add-k log-ratios. The totals
+    live in a 1-row aggregate crossJoined back (broadcast, never a driver
+    collect)."""
     if smoothing <= 0:
         raise ValueError(f"smoothing must be > 0, got {smoothing}")
-    spark = target_feats.sparkSession
-    spine = spark.range(n_buckets).select(F.col("id").cast("int")
-                                          .alias("bucket"))
-    tc = (target_feats.groupBy("bucket")
-          .agg(F.count(F.lit(1)).alias("target_count")))
-    rc = (raw_feats.groupBy("bucket")
-          .agg(F.count(F.lit(1)).alias("raw_count")))
-    counts = (spine.join(tc, "bucket", "left").join(rc, "bucket", "left")
-              .select("bucket",
-                      F.coalesce("target_count", F.lit(0))
-                       .alias("target_count"),
-                      F.coalesce("raw_count", F.lit(0)).alias("raw_count")))
     totals = counts.agg(F.sum("target_count").alias("t_tot"),
                         F.sum("raw_count").alias("r_tot"))
     a, b = float(smoothing), float(n_buckets)
@@ -135,6 +119,68 @@ def bucket_log_ratios(target_feats: DataFrame, raw_feats: DataFrame,
     return (counts.crossJoin(F.broadcast(totals))
             .select("bucket", "target_count", "raw_count",
                     F.round(F.log(p_t) - F.log(p_r), 6).alias("log_ratio")))
+
+
+def _bucket_spine(spark, n_buckets: int) -> DataFrame:
+    return spark.range(n_buckets).select(F.col("id").cast("int")
+                                         .alias("bucket"))
+
+
+def bucket_log_ratios(target_feats: DataFrame, raw_feats: DataFrame,
+                      n_buckets: int, smoothing: float = 1.0) -> DataFrame:
+    """Per-bucket importance log-ratio ``ln p_target(b) - ln p_raw(b)``
+    with add-k smoothing over the FULL bucket range (zero-count buckets get
+    the smoothing floor, so every document scores a finite value).
+
+    Output is ``n_buckets`` rows: (bucket, target_count, raw_count,
+    log_ratio) — the broadcastable DSIR "model". Two-corpora form; when
+    the target is a FILTER of the raw corpus use
+    ``bucket_log_ratios_fused`` (one corpus pass instead of two)."""
+    if smoothing <= 0:
+        raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    spine = _bucket_spine(target_feats.sparkSession, n_buckets)
+    tc = (target_feats.groupBy("bucket")
+          .agg(F.count(F.lit(1)).alias("target_count")))
+    rc = (raw_feats.groupBy("bucket")
+          .agg(F.count(F.lit(1)).alias("raw_count")))
+    counts = (spine.join(tc, "bucket", "left").join(rc, "bucket", "left")
+              .select("bucket",
+                      F.coalesce("target_count", F.lit(0))
+                       .alias("target_count"),
+                      F.coalesce("raw_count", F.lit(0)).alias("raw_count")))
+    return _ratios_from_counts(counts, n_buckets, smoothing)
+
+
+def bucket_log_ratios_fused(docs: DataFrame, target_cond: Column,
+                            text_col: str = "text",
+                            id_col: str = "doc_id", n_buckets: int = 1024,
+                            smoothing: float = 1.0,
+                            hasher: str = "xxhash64",
+                            salt: str = "dsir") -> DataFrame:
+    """Same output as ``bucket_log_ratios`` for the common case where the
+    target corpus is ``docs.where(target_cond)`` — but counts both sides
+    in ONE corpus pass (count + count_if per bucket), halving the scan
+    work at 100 TB. Identical values by construction (count_if over the
+    union ≡ count over the filtered subset)."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    grams = docs.select(
+        target_cond.alias("__t"),
+        F.explode(unigram_bigram_array(F.col(text_col))).alias("s"))
+    feats = grams.select(
+        "__t", feature_bucket(F.col("s"), n_buckets, hasher,
+                              salt).alias("bucket"))
+    both = (feats.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("raw_count"),
+                 F.count_if(F.coalesce("__t", F.lit(False)))
+                  .alias("target_count")))
+    spine = _bucket_spine(docs.sparkSession, n_buckets)
+    counts = (spine.join(both, "bucket", "left")
+              .select("bucket",
+                      F.coalesce("target_count", F.lit(0))
+                       .alias("target_count"),
+                      F.coalesce("raw_count", F.lit(0)).alias("raw_count")))
+    return _ratios_from_counts(counts, n_buckets, smoothing)
 
 
 def dsir_scores(docs: DataFrame, log_ratios: DataFrame,
@@ -191,19 +237,28 @@ def gumbel_topk(scored: DataFrame, k: int, score_col: str = "score",
             .limit(k))
 
 
-def dsir_select(docs: DataFrame, target: DataFrame, k: int,
+def dsir_select(docs: DataFrame, target: DataFrame | Column, k: int,
                 text_col: str = "text", id_col: str = "doc_id",
                 n_buckets: int = 1024, smoothing: float = 1.0,
                 seed: str = "v1", temperature: float = 1.0,
                 hasher: str = "xxhash64") -> DataFrame:
-    """End-to-end DSIR: featurize both corpora, estimate bucket log-ratios,
-    score ``docs``, Gumbel-top-k select. Returns the k selected rows as
-    (id, n_feats, score, sel_key)."""
-    t_feats = hashed_ngram_features(target, text_col, id_col, n_buckets,
-                                    hasher)
-    r_feats = hashed_ngram_features(docs, text_col, id_col, n_buckets,
-                                    hasher)
-    ratios = bucket_log_ratios(t_feats, r_feats, n_buckets, smoothing)
+    """End-to-end DSIR: featurize, estimate bucket log-ratios, score
+    ``docs``, Gumbel-top-k select. Returns the k selected rows as
+    (id, n_feats, score, sel_key).
+
+    ``target`` as a Column is a predicate over ``docs`` (the common case:
+    "the curated slice of this corpus") and uses the fused one-pass
+    counter; a separate DataFrame target (a different corpus entirely)
+    pays one extra featurization pass."""
+    if isinstance(target, Column):
+        ratios = bucket_log_ratios_fused(docs, target, text_col, id_col,
+                                         n_buckets, smoothing, hasher)
+    else:
+        t_feats = hashed_ngram_features(target, text_col, id_col,
+                                        n_buckets, hasher)
+        r_feats = hashed_ngram_features(docs, text_col, id_col, n_buckets,
+                                        hasher)
+        ratios = bucket_log_ratios(t_feats, r_feats, n_buckets, smoothing)
     scored = dsir_scores(docs, ratios, text_col, id_col, n_buckets, hasher)
     return gumbel_topk(scored, k, "score", id_col, seed, temperature,
                        hasher)
@@ -277,6 +332,15 @@ def lm_cross_entropy(docs: DataFrame, model: DataFrame,
         raise ValueError(f"smoothing must be > 0, got {smoothing}")
     k = float(smoothing)
     bg = _bigram_rows(docs, text_col, id_col, hash_grams)
+    # a hashed bigram stream joined against a string-keyed model (or vice
+    # versa) would match NOTHING and silently score every document at the
+    # smoothing floor — fail loudly instead
+    m_t = dict(model.dtypes)["c1"]
+    b_t = dict(bg.dtypes)["c1"]
+    if m_t != b_t:
+        raise ValueError(
+            f"hash_grams mismatch: model keys are {m_t} but the scoring "
+            f"stream built {b_t} — train and score with the same setting")
     # V as a 1-row broadcast (coalesced MAX so an EMPTY model still yields
     # one row with vocab 0 instead of dropping every document in the
     # crossJoin); greatest(vocab,1) keeps the floor probability finite

@@ -3407,8 +3407,10 @@ def smp_epoch_shuffle_q(spark, sf_dir):
 def smp_dsir_md5_q(spark, sf_dir):
     from .operators import selection
     docs = _t(spark, sf_dir, "documents")
+    # Column target → fused one-pass bucket counting (count + count_if);
+    # identical values to the two-corpora form (differential-tested)
     return selection.dsir_select(
-        docs, docs.where(F.col("lang") == "en"), k=100,
+        docs, F.col("lang") == "en", k=100,
         n_buckets=1024, smoothing=1.0, seed="v1", hasher="md5")
 
 

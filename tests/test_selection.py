@@ -167,6 +167,18 @@ def test_dsir_validation_errors(spark, tiny):
                               temperature=0.0)
 
 
+def test_dsir_fused_equals_two_corpora(spark, tiny):
+    """Column-target (fused one-pass counting) ≡ DataFrame-target
+    (two featurization passes): identical ratios, scores, and selection."""
+    fused = selection.dsir_select(tiny, F.col("lang") == "es", k=7,
+                                  n_buckets=32, hasher="md5")
+    twopass = selection.dsir_select(tiny, tiny.where(F.col("lang") == "es"),
+                                    k=7, n_buckets=32, hasher="md5")
+    key = lambda df: sorted((r.doc_id, r.n_feats, r.score, r.sel_key)
+                            for r in df.collect())
+    assert key(fused) == key(twopass)
+
+
 def test_dsir_empty_target_corpus(spark, tiny):
     """An empty target corpus degrades to the uniform smoothing floor:
     every bucket gets the same ratio, scores ∝ n_feats, no crash."""
@@ -227,6 +239,14 @@ def test_lm_smoothing_validation(spark, tiny):
     with pytest.raises(ValueError):
         selection.lm_cross_entropy(tiny, model, smoothing=0.0,
                                    hash_grams=False)
+
+
+def test_lm_hash_grams_mismatch_raises(spark, tiny):
+    """String-keyed model + hashed scoring stream would silently score
+    everything at the smoothing floor — must raise instead."""
+    model = selection.train_bigram_lm(tiny, hash_grams=False)
+    with pytest.raises(ValueError, match="hash_grams mismatch"):
+        selection.lm_cross_entropy(tiny, model, hash_grams=True)
 
 
 # ---------------------------------------------------------------------------
