@@ -364,3 +364,40 @@ def lm_cross_entropy(docs: DataFrame, model: DataFrame,
                     F.when(F.coalesce("n_bigrams", F.lit(0)) > 0,
                            F.round(F.col("nl2_sum") / F.col("n_bigrams"), 6))
                      .otherwise(F.lit(0.0)).alias("cross_entropy")))
+
+
+def quantile_split(df: DataFrame, score_col: str,
+                   fractions: tuple[float, ...] = (1 / 3, 2 / 3),
+                   labels: tuple[str, ...] = ("head", "middle", "tail"),
+                   tiebreaks: list[str] | None = None,
+                   alias: str = "split") -> DataFrame:
+    """CCNet's corpus split (Wenzek et al. §4.4): rank every row by
+    ``score_col`` ascending (low cross-entropy = most in-domain = head)
+    and cut at the given cumulative fractions — row i of n gets
+    ``labels[j]`` for the first j with rank ≤ ceil(fractions[j]·n).
+
+    Built on ``windows.rank_rows_scalable`` — the global order comes from
+    range-bucketed parallel windows, never an Exchange SinglePartition
+    over data rows; n arrives as a broadcast 1-row count. Deterministic:
+    (score, *tiebreaks) must be a strict total order (same contract as
+    w1), thresholds are exact integer comparisons against ceil(f·n).
+
+    Returns df + (rank alias'd ``rn``, n_total, ``split``)."""
+    if len(labels) != len(fractions) + 1:
+        raise ValueError(
+            f"need len(labels) == len(fractions)+1, got {len(labels)} "
+            f"labels for {len(fractions)} cut points")
+    if list(fractions) != sorted(fractions) or not all(
+            0.0 < f < 1.0 for f in fractions):
+        raise ValueError(f"fractions must be ascending in (0,1): {fractions}")
+    from .windows import rank_rows_scalable
+    ranked = rank_rows_scalable(df, score_col, tiebreaks or [], alias="rn")
+    total = df.agg(F.count(F.lit(1)).alias("n_total"))
+    out = ranked.crossJoin(F.broadcast(total))
+    label = None
+    for f, lab in zip(fractions, labels):
+        cond = F.col("rn") <= F.ceil(F.lit(float(f)) * F.col("n_total"))
+        label = F.when(cond, F.lit(lab)) if label is None \
+            else label.when(cond, F.lit(lab))
+    label = label.otherwise(F.lit(labels[-1]))
+    return out.withColumn(alias, label)

@@ -3475,6 +3475,81 @@ def txt_lm_perplexity_q(spark, sf_dir):
                                       hash_grams=False)
 
 
+@q("txt_ccnet_split",
+   sql="""
+   WITH tok AS (
+     SELECT doc_id, lang,
+            list_filter(string_split_regex(
+                trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                '\\s+'), t -> t <> '') AS w
+     FROM documents),
+   bgs AS (
+     SELECT doc_id, lang, g['c1'] AS c1, g['c2'] AS c2
+     FROM (SELECT doc_id, lang,
+                  unnest(CASE WHEN len(w) >= 2
+                    THEN list_transform(range(1, len(w)),
+                                        i -> {'c1': w[i], 'c2': w[i+1]})
+                    ELSE CAST([] AS STRUCT(c1 VARCHAR, c2 VARCHAR)[]) END)
+                    AS g
+           FROM tok)),
+   model AS (
+     SELECT c1, c2, count(*) AS bc FROM bgs
+     WHERE lang = 'en' GROUP BY c1, c2),
+   ctx AS (SELECT c1, sum(bc) AS cc FROM model GROUP BY c1),
+   voc AS (
+     SELECT count(DISTINCT t) AS v
+     FROM (SELECT unnest(w) AS t FROM tok WHERE lang = 'en')),
+   nl AS (
+     SELECT b.doc_id,
+            round(-log2((coalesce(m.bc, 0) + CAST(0.5 AS DOUBLE))
+                        / (coalesce(c.cc, 0)
+                           + CAST(0.5 AS DOUBLE) * greatest(voc.v, 1))), 6)
+              AS nl2
+     FROM bgs b LEFT JOIN model m ON b.c1 = m.c1 AND b.c2 = m.c2
+                LEFT JOIN ctx c ON b.c1 = c.c1
+                CROSS JOIN voc),
+   perdoc AS (
+     SELECT doc_id, count(*) AS n_bigrams,
+            CAST(sum(CAST(nl2 AS DECIMAL(38,6))) AS DOUBLE) AS nsum
+     FROM nl GROUP BY doc_id),
+   ce AS (
+     SELECT d.doc_id, coalesce(p.n_bigrams, 0) AS n_bigrams,
+            CASE WHEN coalesce(p.n_bigrams, 0) > 0
+                 THEN round(p.nsum / p.n_bigrams, 6)
+                 ELSE 0.0 END AS cross_entropy
+     FROM documents d LEFT JOIN perdoc p USING (doc_id)),
+   ranked AS (
+     SELECT doc_id, n_bigrams, cross_entropy,
+            CAST(row_number() OVER (ORDER BY cross_entropy, doc_id)
+                 AS INTEGER) AS rn,
+            count(*) OVER () AS n_total
+     FROM ce)
+   SELECT doc_id, n_bigrams, cross_entropy, rn, n_total,
+          CASE WHEN rn <= ceil(CAST(1 AS DOUBLE) / 3 * n_total)
+                 THEN 'head'
+               WHEN rn <= ceil(CAST(2 AS DOUBLE) / 3 * n_total)
+                 THEN 'middle'
+               ELSE 'tail' END AS split
+   FROM ranked
+   """,
+   doc="CCNet's corpus split (Wenzek et al. §4.4) composed end-to-end: "
+       "bigram-LM cross-entropy under the lang='en' reference model, then "
+       "head/middle/tail at the 1/3 and 2/3 quantile cuts of the CE "
+       "ranking (low CE = in-domain = head). The global rank uses "
+       "rank_rows_scalable's range-bucketed decomposition — no "
+       "SinglePartition exchange over data rows — and n arrives as a "
+       "1-row broadcast (operators/selection.py quantile_split).")
+def txt_ccnet_split_q(spark, sf_dir):
+    from .operators import selection
+    docs = _t(spark, sf_dir, "documents")
+    model = selection.train_bigram_lm(docs.where(F.col("lang") == "en"),
+                                      hash_grams=False)
+    ce = selection.lm_cross_entropy(docs, model, smoothing=0.5,
+                                    hash_grams=False)
+    return selection.quantile_split(ce, "cross_entropy",
+                                    tiebreaks=["doc_id"])
+
+
 @q("txt_chunk_stride",
    sql="""
    WITH ws AS (
@@ -3688,7 +3763,7 @@ QUERY_PRIORITY: list[str] = [
     "ann_ivf_topk", "dedup_minhash_lsh",
     "dedup_simhash", "ann_lsh_topk", "dedup_simhash_hamming",
     "smp_pack_sequences", "a14_sketch_profile", "a3_tick_to_bars",
-    "txt_bpe_train",
+    "txt_bpe_train", "txt_ccnet_split",
 ]
 
 

@@ -249,6 +249,64 @@ def test_lm_hash_grams_mismatch_raises(spark, tiny):
         selection.lm_cross_entropy(tiny, model, hash_grams=True)
 
 
+def test_quantile_split_thirds(spark):
+    """9 rows → head gets ceil(9/3)=3, middle ceil(18/3)-3=3, tail 3;
+    ranks follow (score, id)."""
+    df = spark.createDataFrame(
+        [(i, float(i % 5)) for i in range(9)], "doc_id int, ce double")
+    out = {r.doc_id: (r.rn, r.split)
+           for r in selection.quantile_split(df, "ce",
+                                             tiebreaks=["doc_id"]).collect()}
+    ordered = sorted(range(9), key=lambda i: (i % 5, i))
+    for rank0, doc in enumerate(ordered):
+        rn = rank0 + 1
+        expect = "head" if rn <= 3 else ("middle" if rn <= 6 else "tail")
+        assert out[doc] == (rn, expect), doc
+
+
+def test_quantile_split_custom_fractions(spark):
+    df = spark.createDataFrame([(i, float(i)) for i in range(10)],
+                               "doc_id int, ce double")
+    out = selection.quantile_split(df, "ce", fractions=(0.2,),
+                                   labels=("keep", "drop"),
+                                   tiebreaks=["doc_id"])
+    got = {r.doc_id: r.split for r in out.collect()}
+    assert [got[i] for i in range(10)] == ["keep"] * 2 + ["drop"] * 8
+
+
+def test_quantile_split_validation(spark, tiny):
+    df = tiny.withColumn("ce", F.lit(0.0))
+    with pytest.raises(ValueError):
+        selection.quantile_split(df, "ce", fractions=(0.5,),
+                                 labels=("a", "b", "c"))
+    with pytest.raises(ValueError):
+        selection.quantile_split(df, "ce", fractions=(0.7, 0.3),
+                                 labels=("a", "b", "c"))
+    with pytest.raises(ValueError):
+        selection.quantile_split(df, "ce", fractions=(0.0, 0.5),
+                                 labels=("a", "b", "c"))
+
+
+def test_quantile_split_no_single_partition_exchange(spark):
+    """The split's physical plan never funnels data rows through a
+    SinglePartition exchange (the scalable-rank contract; the only
+    permitted single-partition steps run over bucket counts / the 1-row
+    total)."""
+    df = spark.range(1000).select(
+        F.col("id").cast("int").alias("doc_id"),
+        (F.col("id") % 97).cast("double").alias("ce"))
+    out = selection.quantile_split(df, "ce", tiebreaks=["doc_id"])
+    jvm_mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
+    plan = out._jdf.queryExecution().explainString(
+        jvm_mode.fromString("formatted"))
+    import re
+    # every SinglePartition exchange must sit above a bucket-count or
+    # 1-row aggregate, never above the data-row window — the data path
+    # partitions by __bkt
+    assert "hashpartitioning(__bkt" in plan
+    assert plan.count("Exchange SinglePartition") <= 2
+
+
 # ---------------------------------------------------------------------------
 # Chunking
 # ---------------------------------------------------------------------------

@@ -229,6 +229,14 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
         [r"Join", r"partial", r"HashAggregate"],
         [r"CartesianProduct", r"BatchEvalPython", r"ArrowEvalPython",
          r"FlatMapGroupsInPandas", r"MapInPandas"]),
+    # CCNet split: the global CE rank comes from the range-bucketed
+    # decomposition (parallel windows hashpartitioned on the bucket);
+    # single-partition steps are permitted only over bucket counts /
+    # the 1-row total (pinned tighter by the pytest plan test)
+    "txt_ccnet_split": (
+        [r"hashpartitioning\(__bkt", r"Window"],
+        [r"CartesianProduct", r"BatchEvalPython", r"ArrowEvalPython",
+         r"FlatMapGroupsInPandas", r"MapInPandas"]),
     # chunking: scan → project → generate, the 1→N fan-out inside the
     # scan task — literally no exchange anywhere in the plan
     "txt_chunk_stride": (
