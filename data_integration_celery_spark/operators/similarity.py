@@ -810,3 +810,181 @@ def _incremental_pairs_from_members(member: DataFrame, new_m: DataFrame,
             .cogroup(new_m.select("cluster", "id", "nv").groupBy("cluster"))
             .applyInPandas(lambda l, r: pairs(l, r),
                            "id_a long, id_b long, cos double"))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou, Douze, Schmid — TPAMI 2011)
+# ---------------------------------------------------------------------------
+
+def pq_train(corpus: DataFrame, m_sub: int = 8, k_codes: int = 16,
+             iters: int = 2, id_col: str = "vec_id",
+             vec_col: str = "embedding"):
+    """Train product-quantization codebooks: the D-dim space splits into
+    ``m_sub`` contiguous subspaces, each learning its own ``k_codes``-
+    centroid k-means (Jégou et al. §II). The full quantizer has
+    k_codes^m_sub implicit cells for m_sub·k_codes·(D/m_sub) stored floats
+    — at 100 TB this is THE memory lever: a 64-dim float32 vector (256 B)
+    compresses to m_sub bytes of codes, so a trillion-vector index fits a
+    cluster's RAM where raw vectors cannot.
+
+    Distribution discipline mirrors ivf_build: deterministic seeding
+    (lowest ids' subvectors), assignment via one mapInPandas per iteration
+    against the broadcast codebook (all subspaces in one pass), centroid
+    update via per-(sub, code, dim) means collected to the driver — the
+    codebook (m·k·d_sub doubles) is the only driver-side state. Vectors
+    are L2-normalized before splitting, so inner products of
+    reconstructions approximate cosine. Empty clusters keep their previous
+    centroid. Returns ndarray (m_sub, k_codes, D/m_sub).
+    """
+    import numpy as np
+
+    dim = len(corpus.select(vec_col).first()[0])
+    if dim % m_sub != 0:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    if iters < 0:
+        raise ValueError(f"iters must be >= 0, got {iters}")
+    d_sub = dim // m_sub
+    seed_pdf = (corpus.orderBy(id_col).limit(k_codes)
+                .select(vec_col).toPandas())
+    seeds = np.stack(seed_pdf[vec_col].to_numpy()).astype("float64")
+    seeds /= np.linalg.norm(seeds, axis=1, keepdims=True)
+    # subspace m seeds from the same lowest-id vectors' m-th slice
+    codebook = np.stack([seeds[:, m * d_sub:(m + 1) * d_sub]
+                         for m in range(m_sub)])  # (m, k, d_sub)
+    corpus = corpus.select(id_col, vec_col).persist()
+    try:
+        for _ in range(iters):
+            codes = pq_encode(corpus, codebook, id_col, vec_col)
+            exploded = (corpus.join(codes, id_col)
+                        .select(F.posexplode(vec_col).alias("pos", "x"),
+                                F.col("codes"))
+                        .select((F.col("pos") / d_sub).cast("int")
+                                .alias("sub"),
+                                F.pmod("pos", F.lit(d_sub)).alias("p"),
+                                F.element_at(
+                                    "codes",
+                                    (F.col("pos") / d_sub).cast("int") + 1)
+                                .alias("code"), "x"))
+            means = (exploded.groupBy("sub", "code", "p")
+                     .agg(F.avg("x").alias("m")).toPandas())
+            nxt = codebook.copy()
+            for _, r in means.iterrows():
+                nxt[int(r["sub"]), int(r["code"]), int(r["p"])] = r["m"]
+            codebook = nxt
+    finally:
+        corpus.unpersist()
+    return codebook
+
+
+def pq_encode(corpus: DataFrame, codebook, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Encode every vector to its per-subspace nearest-centroid codes:
+    one Arrow-batched pass against the broadcast codebook, all subspaces
+    scored in one (n, m, k) einsum per block. Returns (id, codes
+    array<int> length m_sub); ties in the argmin break to the lowest code
+    (np.argmax semantics), deterministic."""
+    import numpy as np
+
+    m_sub, k_codes, d_sub = codebook.shape
+    bc = corpus.sparkSession.sparkContext.broadcast(np.asarray(codebook))
+
+    def enc(batches):
+        import pandas as pd
+        cb = bc.value  # (m, k, d)
+        for block in batches:
+            vm = np.stack(block[vec_col].to_numpy()).astype("float64")
+            vm /= np.linalg.norm(vm, axis=1, keepdims=True)
+            sub = vm.reshape(len(vm), m_sub, d_sub)
+            # squared L2 to each centroid: argmin per (row, sub)
+            d2 = (np.einsum("nmd,nmd->nm", sub, sub)[:, :, None]
+                  - 2 * np.einsum("nmd,mkd->nmk", sub, cb)
+                  + np.einsum("mkd,mkd->mk", cb, cb)[None, :, :])
+            codes = np.argmin(d2, axis=2).astype("int32")
+            yield pd.DataFrame({id_col: block[id_col],
+                                "codes": list(codes)})
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        enc, f"{id_col} long, codes array<int>")
+
+
+def pq_topk(codes_df: DataFrame, queries: DataFrame, codebook,
+            k: int = 5, id_col: str = "vec_id",
+            vec_col: str = "embedding", round_dp: int = 6) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: each query builds an (m_sub ×
+    k_codes) lookup table of subspace inner products against the codebook
+    (Jégou §IV.A — the query stays UNQUANTIZED); a corpus vector's score
+    is then m_sub table lookups summed, never a D-dim product. One
+    Arrow-batched pass over the CODES (m bytes/vector of state), queries
+    broadcast. Returns (query_id, rank, cand_id, adc_sim) — rank total
+    via (score desc, cand_id); self-matches excluded."""
+    import numpy as np
+
+    m_sub, k_codes, d_sub = codebook.shape
+    qpdf = queries.select(id_col, vec_col).toPandas()
+    q_ids = qpdf[id_col].to_numpy()
+    qm = np.stack(qpdf[vec_col].to_numpy()).astype("float64")
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    # luts[q, m, c] = q_sub[m] · codebook[m, c]
+    luts = np.einsum("qmd,mkd->qmk",
+                     qm.reshape(len(qm), m_sub, d_sub), codebook)
+    bc = codes_df.sparkSession.sparkContext.broadcast((q_ids, luts))
+    margin = 10.0 ** (-round_dp)
+
+    def score(batches):
+        import pandas as pd
+        ids_q, lt = bc.value
+        ar = np.arange(m_sub)
+        for block in batches:
+            c_ids = block[id_col].to_numpy()
+            cm = np.stack(block["codes"].to_numpy()).astype("int64")
+            # sims[q, n] = sum_m lt[q, m, cm[n, m]]
+            sims = lt[:, ar, cm].sum(axis=2)  # (q, n)
+            np.place(sims, ids_q[:, None] == c_ids[None, :], -np.inf)
+            kk = min(k, sims.shape[1])
+            thr = np.partition(sims, -kk, axis=1)[:, -kk]
+            keep = np.argwhere(sims >= (thr - margin)[:, None])
+            yield pd.DataFrame({
+                "query_id": ids_q[keep[:, 0]],
+                "cand_id": c_ids[keep[:, 1]],
+                "adc_sim": _np_round_half_up(
+                    sims[keep[:, 0], keep[:, 1]], round_dp)})
+
+    scored = codes_df.select(id_col, "codes").mapInPandas(
+        score, "query_id long, cand_id long, adc_sim double")
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_sim").desc(),
+                                               F.col("cand_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "cand_id", "adc_sim"))
+
+
+def pq_topk_rerank(codes_df: DataFrame, corpus: DataFrame,
+                   queries: DataFrame, codebook, k: int = 5,
+                   shortlist: int = 50, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   round_dp: int = 6) -> DataFrame:
+    """ADC + exact re-ranking (Jégou §IV's IVFADC+R refinement): the PQ
+    lookup scan produces a ``shortlist`` of candidates per query, whose
+    FULL vectors are then fetched (a semi-join touching shortlist·|Q|
+    corpus rows, never n) and rescored with exact cosine; top-k of the
+    rescore. Compressed codes do the heavy scan, raw vectors only the
+    tail — recall on the sf0.001 corpus: ADC alone 0.36, +rerank@50 0.68
+    (pinned as a floor by test). Returns (query_id, rank, cand_id,
+    cos_sim)."""
+    if shortlist < k:
+        raise ValueError(f"shortlist {shortlist} must be >= k {k}")
+    cands = (pq_topk(codes_df, queries, codebook, k=shortlist,
+                     id_col=id_col, vec_col=vec_col, round_dp=round_dp)
+             .select("query_id", F.col("cand_id").alias(id_col)))
+    qv = queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("__qv"))
+    exact = (cands.join(corpus.select(id_col, vec_col), id_col)
+             .join(F.broadcast(qv), "query_id")
+             .select("query_id", F.col(id_col).alias("cand_id"),
+                     F.round(cosine(F.col("__qv"), F.col(vec_col)),
+                             round_dp).alias("cos_sim")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(),
+                                               F.col("cand_id"))
+    return (exact.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "cand_id", "cos_sim"))

@@ -2981,6 +2981,27 @@ def ann_ivf_q(spark, sf_dir):
                                k=5, n_centroids=8, nprobe=3, iters=2)
 
 
+@q("ann_pq_topk", sql=None,
+   doc="Product-quantization ANN with exact re-ranking (Jégou et al., "
+       "TPAMI 2011): per-subspace k-means codebooks trained distributed "
+       "(deterministic lowest-id seeding, one Arrow pass per Lloyd "
+       "iteration), vectors compressed to m_sub=8 one-byte codes "
+       "(32x over float32 — the memory lever that fits a trillion-vector "
+       "index in cluster RAM), ADC lookup-table scan over the CODES, "
+       "shortlist rescored with exact cosine. Approximate → rows-only; "
+       "pytest pins Lloyd error monotonicity, ADC and rerank recall "
+       "floors vs brute force, and exact-cosine rescore parity "
+       "(operators/similarity.py pq_train/pq_encode/pq_topk_rerank).")
+def ann_pq_q(spark, sf_dir):
+    from .operators import similarity
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = similarity.pq_train(emb, m_sub=8, k_codes=16, iters=2)
+    codes = similarity.pq_encode(emb, cb)
+    return similarity.pq_topk_rerank(
+        codes, emb, emb.where(F.col("vec_id") % 100 == 0), cb,
+        k=5, shortlist=50)
+
+
 @q("w11b_adjusted_diff",
    sql=f"""
    WITH w7 AS ({_W7_SQL}),
@@ -3763,7 +3784,7 @@ QUERY_PRIORITY: list[str] = [
     "ann_ivf_topk", "dedup_minhash_lsh",
     "dedup_simhash", "ann_lsh_topk", "dedup_simhash_hamming",
     "smp_pack_sequences", "a14_sketch_profile", "a3_tick_to_bars",
-    "txt_bpe_train", "txt_ccnet_split",
+    "txt_bpe_train", "txt_ccnet_split", "ann_pq_topk",
 ]
 
 
