@@ -3700,13 +3700,17 @@ def u5_schema_reconcile_q(spark, sf_dir):
 # Policy: every banked green must re-earn a green every ~3 rounds; never-
 # checked exact-oracle queries outrank re-audits; rows-only queries never
 # occupy a top-50 slot (their driver row is rows-only regardless).
-# Round-5 session-4 adjustment: three new exact-oracle data-selection
+# Round-5 session-4 adjustment: four new exact-oracle data-selection
 # queries enter the window (smp_dsir_md5, txt_lm_perplexity,
-# txt_chunk_stride — never-checked exact oracles outrank re-audits);
-# out go a11_accumulation_detect + w7_continuous_contract (quadruple-green
-# r1-r4; agg/continuous families keep pipeline_worst_window_return and
-# w11b in-window) and txt_winnowing (triple-green r2-r4; text family keeps
-# corpus_stats, pii_redact + the two new scorers).
+# txt_chunk_stride, txt_ccnet_split — never-checked exact oracles outrank
+# re-audits; the policy test derives this invariant from the CORRECTNESS
+# history); out go a11_accumulation_detect + w7_continuous_contract
+# (quadruple-green r1-r4; agg/continuous families keep
+# pipeline_worst_window_return and w11b in-window), txt_winnowing
+# (triple-green r2-r4; text family keeps corpus_stats, pii_redact + the
+# two new scorers), and dedup_embedding_pairs (triple-green r2-r4;
+# embedding family keeps semdedup, semdedup_incremental,
+# emb_centroid_outliers in-window).
 # Round-5 window (per VERDICT r4 "Next round" items 1, 2, 5, 9):
 #   IN  — pipeline_e2_merge_daily (the E2 flagship full-rule-table merge,
 #         first driver check), f5_rename_ladder (§2.8 CMC rename ladder,
@@ -3755,7 +3759,7 @@ QUERY_PRIORITY: list[str] = [
     "txt_corpus_stats",
     "txt_pii_redact", "txt_lm_perplexity", "txt_chunk_stride",
     "pipeline_cluster_survivors",
-    "dedup_embedding_pairs", "dedup_semdedup",
+    "txt_ccnet_split", "dedup_semdedup",
     "dedup_semdedup_incremental", "emb_centroid_outliers",
     "mm_audio_features", "mm_video_frames",
     "smp_hash_split", "smp_mixture_resample", "smp_source_quota",
@@ -3764,6 +3768,7 @@ QUERY_PRIORITY: list[str] = [
     # ---- position 51+: triple/double-green history, sibling-covered,
     # ---- or rows-only (no oracle) ----
     "a11_accumulation_detect", "w7_continuous_contract", "txt_winnowing",
+    "dedup_embedding_pairs",
     "p3_regex_filter", "f3_cleaning_exprs", "j1_vendor_merge_full_outer",
     "j10_asof_point_lookup", "u1_union_distinct", "w10_monthly_sample",
     "w2_lead_lag_gaps", "w4_ffill", "a8_median_cross_section",
@@ -3784,7 +3789,7 @@ QUERY_PRIORITY: list[str] = [
     "ann_ivf_topk", "dedup_minhash_lsh",
     "dedup_simhash", "ann_lsh_topk", "dedup_simhash_hamming",
     "smp_pack_sequences", "a14_sketch_profile", "a3_tick_to_bars",
-    "txt_bpe_train", "txt_ccnet_split", "ann_pq_topk",
+    "txt_bpe_train", "ann_pq_topk",
 ]
 
 
