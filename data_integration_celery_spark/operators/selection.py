@@ -402,6 +402,70 @@ def lm_cross_entropy(docs: DataFrame, model: DataFrame,
                      .otherwise(F.lit(0.0)).alias("cross_entropy")))
 
 
+def lm_cross_entropy_fused(docs: DataFrame, ref_cond: Column,
+                           text_col: str = "text", id_col: str = "doc_id",
+                           smoothing: float = 0.5,
+                           hash_grams: bool = True) -> DataFrame:
+    """train_bigram_lm + lm_cross_entropy for the common case where the
+    reference corpus is ``docs.where(ref_cond)``: the bigram stream is
+    built ONCE over the full corpus with a reference flag, persisted, and
+    feeds both the model counts (flagged subset) and the scoring join —
+    the only extra scan is the (cheap, reference-slice-only) vocabulary
+    pass. Identical values to the two-operator composition by
+    construction (count over the flagged subset ≡ count over the filtered
+    corpus); pinned by a fused ≡ composed differential test."""
+    if smoothing <= 0:
+        raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    from pyspark import StorageLevel
+
+    k = float(smoothing)
+    toks = _clean_tokens(F.col(text_col))
+    n = F.size(toks)
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1),
+                   lambda a, b: F.struct(a.alias("c1"), b.alias("c2")))
+    ).otherwise(F.array().cast("array<struct<c1:string,c2:string>>"))
+    # the flag rides the explode — no join back, the stream is one scan
+    bg = (docs.select(id_col,
+                      F.coalesce(ref_cond, F.lit(False)).alias("__r"),
+                      F.explode(pairs).alias("bg"))
+          .select(id_col, "__r", F.col("bg.c1").alias("c1"),
+                  F.col("bg.c2").alias("c2")))
+    if hash_grams:
+        bg = bg.select(id_col, "__r", F.xxhash64("c1").alias("c1"),
+                       F.xxhash64("c2").alias("c2"))
+    bg = bg.persist(StorageLevel.MEMORY_AND_DISK)
+    bgc = (bg.where("__r").groupBy("c1", "c2")
+           .agg(F.count(F.lit(1)).alias("bigram_count")))
+    ctx = bgc.groupBy("c1").agg(F.sum("bigram_count")
+                                .alias("context_count"))
+    toks = (docs.where(ref_cond)
+            .select(F.explode(_clean_tokens(F.col(text_col)))
+                    .alias("tok")))
+    if hash_grams:
+        toks = toks.select(F.xxhash64("tok").alias("tok"))
+    vocab = toks.agg(F.coalesce(F.count_distinct("tok"), F.lit(0))
+                     .alias("vocab"))
+    p = ((F.coalesce("bigram_count", F.lit(0)) + k)
+         / (F.coalesce("context_count", F.lit(0))
+            + k * F.greatest(F.col("vocab"), F.lit(1))))
+    per_doc = (bg.join(bgc, ["c1", "c2"], "left")
+               .join(ctx, "c1", "left")
+               .crossJoin(F.broadcast(vocab))
+               .withColumn("nl2", F.round(-F.log2(p), 6))
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                    dsum("nl2", "nl2_sum")))
+    return (docs.select(id_col).join(per_doc, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                    F.when(F.coalesce("n_bigrams", F.lit(0)) > 0,
+                           F.round(F.col("nl2_sum") / F.col("n_bigrams"),
+                                   6))
+                     .otherwise(F.lit(0.0)).alias("cross_entropy")))
+
+
 def quantile_split(df: DataFrame, score_col: str,
                    fractions: tuple[float, ...] = (1 / 3, 2 / 3),
                    labels: tuple[str, ...] = ("head", "middle", "tail"),

@@ -3490,10 +3490,10 @@ def smp_dsir_md5_q(spark, sf_dir):
 def txt_lm_perplexity_q(spark, sf_dir):
     from .operators import selection
     docs = _t(spark, sf_dir, "documents")
-    model = selection.train_bigram_lm(docs.where(F.col("lang") == "en"),
-                                      hash_grams=False)
-    return selection.lm_cross_entropy(docs, model, smoothing=0.5,
-                                      hash_grams=False)
+    # fused: ONE flagged bigram stream feeds model counts and scoring
+    # (identical values to train+score, differential-tested)
+    return selection.lm_cross_entropy_fused(
+        docs, F.col("lang") == "en", smoothing=0.5, hash_grams=False)
 
 
 @q("txt_ccnet_split",
@@ -3563,10 +3563,8 @@ def txt_lm_perplexity_q(spark, sf_dir):
 def txt_ccnet_split_q(spark, sf_dir):
     from .operators import selection
     docs = _t(spark, sf_dir, "documents")
-    model = selection.train_bigram_lm(docs.where(F.col("lang") == "en"),
-                                      hash_grams=False)
-    ce = selection.lm_cross_entropy(docs, model, smoothing=0.5,
-                                    hash_grams=False)
+    ce = selection.lm_cross_entropy_fused(
+        docs, F.col("lang") == "en", smoothing=0.5, hash_grams=False)
     return selection.quantile_split(ce, "cross_entropy",
                                     tiebreaks=["doc_id"])
 

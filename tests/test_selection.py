@@ -224,6 +224,32 @@ def test_lm_hash_families_lockstep(spark, tiny):
     assert outs[0] == outs[1]
 
 
+def test_lm_fused_equals_composed(spark, tiny):
+    """lm_cross_entropy_fused (one flagged bigram stream) ≡ the
+    train_bigram_lm + lm_cross_entropy composition, both hash families."""
+    for hg in (False, True):
+        model = selection.train_bigram_lm(tiny.where("lang = 'en'"),
+                                          hash_grams=hg)
+        composed = {r.doc_id: (r.n_bigrams, r.cross_entropy)
+                    for r in selection.lm_cross_entropy(
+                        tiny, model, hash_grams=hg).collect()}
+        fused = {r.doc_id: (r.n_bigrams, r.cross_entropy)
+                 for r in selection.lm_cross_entropy_fused(
+                     tiny, F.col("lang") == "en",
+                     hash_grams=hg).collect()}
+        assert fused == composed, hg
+
+
+def test_lm_fused_empty_reference(spark, tiny):
+    """No row satisfies the flag → smoothing-floor CE 0 everywhere, no
+    rows dropped (the vocab coalesce keeps the 1-row broadcast)."""
+    out = selection.lm_cross_entropy_fused(tiny, F.col("lang") == "xx",
+                                           hash_grams=False)
+    rows = out.collect()
+    assert len(rows) == tiny.count()
+    assert all(r.cross_entropy == 0.0 for r in rows)
+
+
 def test_lm_empty_reference_corpus(spark, tiny):
     """Empty reference: V=0 → floor P = k/(k·1) = 1 → CE 0 for every
     scored bigram; no rows dropped by the vocab crossJoin."""
