@@ -275,6 +275,37 @@ def test_lm_hash_grams_mismatch_raises(spark, tiny):
         selection.lm_cross_entropy(tiny, model, hash_grams=True)
 
 
+def test_models_persist_roundtrip(spark, tiny, tmp_path):
+    """The operational 100 TB form: both selection models are plain
+    DataFrames — write the DSIR weight table / bigram LM to parquet once,
+    score arriving documents against the RELOADED model; scores must be
+    bit-identical to the in-memory composition (the same
+    persisted-index pattern as incremental minhash/semdedup)."""
+    ratios = selection.bucket_log_ratios_fused(
+        tiny, F.col("lang") == "es", n_buckets=32, hasher="md5")
+    ratios.write.parquet(str(tmp_path / "dsir_weights"))
+    reloaded = spark.read.parquet(str(tmp_path / "dsir_weights"))
+    live = {r.doc_id: (r.n_feats, r.score) for r in
+            selection.dsir_scores(tiny, ratios, n_buckets=32,
+                                  hasher="md5").collect()}
+    persisted = {r.doc_id: (r.n_feats, r.score) for r in
+                 selection.dsir_scores(tiny, reloaded, n_buckets=32,
+                                       hasher="md5").collect()}
+    assert live == persisted
+
+    model = selection.train_bigram_lm(tiny.where("lang = 'en'"),
+                                      hash_grams=True)
+    model.write.parquet(str(tmp_path / "lm_model"))
+    model_r = spark.read.parquet(str(tmp_path / "lm_model"))
+    live = {r.doc_id: (r.n_bigrams, r.cross_entropy) for r in
+            selection.lm_cross_entropy(tiny, model,
+                                       hash_grams=True).collect()}
+    persisted = {r.doc_id: (r.n_bigrams, r.cross_entropy) for r in
+                 selection.lm_cross_entropy(tiny, model_r,
+                                            hash_grams=True).collect()}
+    assert live == persisted
+
+
 def test_quantile_split_thirds(spark):
     """9 rows → head gets ceil(9/3)=3, middle ceil(18/3)-3=3, tail 3;
     ranks follow (score, id)."""
