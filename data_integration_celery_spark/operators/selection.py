@@ -413,7 +413,14 @@ def lm_cross_entropy_fused(docs: DataFrame, ref_cond: Column,
     the only extra scan is the (cheap, reference-slice-only) vocabulary
     pass. Identical values to the two-operator composition by
     construction (count over the flagged subset ≡ count over the filtered
-    corpus); pinned by a fused ≡ composed differential test."""
+    corpus); pinned by a fused ≡ composed differential test.
+
+    Cache lifecycle (same contract as ``dsir_select``): the corpus-scale
+    bigram stream is persisted MEMORY_AND_DISK and lives until LRU
+    eviction or a caller-side unpersist — at 100 TB wrap the returned
+    plan in a job-scoped lifecycle: run the action, then release the
+    stream via ``spark.catalog.clearCache()`` (or unpersist the cached
+    RDD found under ``spark.sparkContext._jsc.getPersistentRDDs``)."""
     if smoothing <= 0:
         raise ValueError(f"smoothing must be > 0, got {smoothing}")
     from pyspark import StorageLevel

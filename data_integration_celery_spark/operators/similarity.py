@@ -832,39 +832,64 @@ def pq_train(corpus: DataFrame, m_sub: int = 8, k_codes: int = 16,
     against the broadcast codebook (all subspaces in one pass), centroid
     update via per-(sub, code, dim) means collected to the driver — the
     codebook (m·k·d_sub doubles) is the only driver-side state. Vectors
-    are L2-normalized before splitting, so inner products of
-    reconstructions approximate cosine. Empty clusters keep their previous
-    centroid. Returns ndarray (m_sub, k_codes, D/m_sub).
+    are L2-normalized before splitting — in BOTH the assignment
+    (pq_encode) and the centroid update (the Column-side x/‖v‖ below;
+    zero-norm rows are excluded from the update, mirroring ivf_build's
+    n > 0 guard) — so inner products of reconstructions approximate
+    cosine and Lloyd's non-increasing-error property holds on non-unit
+    corpora too. Empty clusters keep their previous centroid. Exactly
+    ONE Spark action runs before the Lloyd loop: the seed fetch, which
+    also materializes the persisted corpus and supplies the dimensionality
+    (no separate first() probe). Returns ndarray (m_sub, k_codes,
+    D/m_sub); raises ValueError on an empty corpus or one with fewer than
+    ``k_codes`` rows (a silently-short codebook would break the declared
+    shape contract).
     """
     import numpy as np
 
-    dim = len(corpus.select(vec_col).first()[0])
-    if dim % m_sub != 0:
-        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
     if iters < 0:
         raise ValueError(f"iters must be >= 0, got {iters}")
-    d_sub = dim // m_sub
+    corpus = corpus.select(id_col, vec_col).persist()
+    # the one pre-loop action: TakeOrdered over every partition populates
+    # the cache AND yields seeds + dim in the same job
     seed_pdf = (corpus.orderBy(id_col).limit(k_codes)
                 .select(vec_col).toPandas())
+    if len(seed_pdf) < k_codes:
+        corpus.unpersist()
+        raise ValueError(
+            f"pq_train needs >= k_codes ({k_codes}) rows, got "
+            f"{len(seed_pdf)} (empty or undersized corpus)")
     seeds = np.stack(seed_pdf[vec_col].to_numpy()).astype("float64")
+    dim = seeds.shape[1]
+    if dim % m_sub != 0:
+        corpus.unpersist()
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    d_sub = dim // m_sub
     seeds /= np.linalg.norm(seeds, axis=1, keepdims=True)
     # subspace m seeds from the same lowest-id vectors' m-th slice
     codebook = np.stack([seeds[:, m * d_sub:(m + 1) * d_sub]
                          for m in range(m_sub)])  # (m, k, d_sub)
-    corpus = corpus.select(id_col, vec_col).persist()
+    # row L2 norm as a Column: the update must train in the SAME
+    # normalized space pq_encode assigns in (vm /= ||vm||)
+    nrm = F.sqrt(F.aggregate(
+        vec_col, F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double")))
     try:
         for _ in range(iters):
             codes = pq_encode(corpus, codebook, id_col, vec_col)
             exploded = (corpus.join(codes, id_col)
+                        .withColumn("_nrm", nrm)
+                        .where(F.col("_nrm") > 0)
                         .select(F.posexplode(vec_col).alias("pos", "x"),
-                                F.col("codes"))
+                                F.col("codes"), F.col("_nrm"))
                         .select((F.col("pos") / d_sub).cast("int")
                                 .alias("sub"),
                                 F.pmod("pos", F.lit(d_sub)).alias("p"),
                                 F.element_at(
                                     "codes",
                                     (F.col("pos") / d_sub).cast("int") + 1)
-                                .alias("code"), "x"))
+                                .alias("code"),
+                                (F.col("x") / F.col("_nrm")).alias("x")))
             means = (exploded.groupBy("sub", "code", "p")
                      .agg(F.avg("x").alias("m")).toPandas())
             nxt = codebook.copy()

@@ -3623,6 +3623,46 @@ def txt_bpe_train_q(spark, sf_dir):
             .select("doc_id", "n_words", "n_subwords"))
 
 
+# A FIXED GPT-2-style merge list (rank = position): the production form of
+# tokenization is train-once-apply-everywhere, so the apply-path query must
+# NOT depend on training. Mid-word merges, end-of-word merges, and chained
+# compounds ("t a b l e</w>" -> "table</w>") are all exercised.
+_BPE_FIXED_MERGES: list[tuple[str, str]] = [
+    ("e", "</w>"), ("n", "</w>"), ("t", "</w>"), ("a", "</w>"),
+    ("e", "r"), ("i", "n"), ("o", "r"), ("s", "t"),
+    ("a", "t"), ("o", "w"), ("r", "o"), ("a", "r"),
+    ("j", "o"), ("jo", "in"), ("join", "</w>"),
+    ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e</w>"),
+    ("st", "r"), ("str", "e"), ("stre", "a"), ("strea", "m"),
+    ("d", "at"), ("dat", "a</w>"),
+]
+
+
+@q("txt_bpe_segment",
+   sql=None,  # per-word greedy lowest-rank merging is a sequential,
+              # data-dependent loop — not SQL-expressible. Pinned by a
+              # differential test against an INDEPENDENT pure-python
+              # GPT-2-style encoder over the same fixed merges
+              # (test_bpe.py::test_txt_bpe_segment_query_matches_python),
+              # end-to-end through this registry entry.
+   doc="BPE APPLICATION path — the form a 100 TB pipeline actually runs "
+       "(the tokenizer is trained once, applied to every document ever "
+       "after): segment the corpus with a FIXED merge list via one "
+       "Arrow-batched mapInPandas with broadcast ranks and a per-word "
+       "memo (operators/bpe.py bpe_segment; no training jobs, no "
+       "iterations, no driver state beyond the rank dict). The output "
+       "carries an md5 fingerprint of the exact subword sequence, so the "
+       "rows-only driver check still pins every token of every document "
+       "byte-for-byte.")
+def txt_bpe_segment_q(spark, sf_dir):
+    from .operators import bpe
+    docs = _t(spark, sf_dir, "documents")
+    seg = bpe.bpe_segment(docs, _BPE_FIXED_MERGES)
+    return seg.select(
+        "doc_id", "n_words", "n_subwords",
+        F.md5(F.concat_ws("\x1f", "subwords")).alias("sub_fp"))
+
+
 @q("a14_sketch_profile",
    sql=None,  # HLL++/GK sketches are approximate + engine-specific: no
               # exact cross-engine oracle exists by construction. Error
@@ -3724,6 +3764,22 @@ def u5_schema_reconcile_q(spark, sf_dir):
 #         sector-median keeps the exact median), txt_contamination +
 #         ann_cosine_topk (quadruple-green; txt_* and embedding families
 #         keep 3 reps each).
+# Round-6 window (per VERDICT r5 items 2 + 6): the rotation set is now
+# computed MECHANICALLY by `tools/check_correctness.py --stale 3` over the
+# CORRECTNESS_r*.json history (no oracle query may go >3 rounds without a
+# driver green).
+#   IN  — the full r1+r2-only stale cohort the tool reports:
+#         j5_anti_join_new_codes, j8_interval_join, w1_rank_returns,
+#         a7_two_level_agg, a9_describe, a13_sessionize, dedup_components
+#         (all seven re-pass the local gate; last driver green r02).
+#   OUT — seven freshly re-earned triple-greens (r3+r4+r5) whose family
+#         keeps in-window reps: smp_hash_split / smp_mixture_resample /
+#         smp_source_quota (sampling keeps token_budget, epoch_shuffle,
+#         dsir_md5), dedup_simhash_md5 + dedup_minhash_md5 (the banding
+#         families keep hamming_md5, minhash_incremental_md5,
+#         cross_contamination_md5, cluster_survivors), mm_video_frames
+#         (mm_audio_features stays), emb_centroid_outliers (semdedup +
+#         semdedup_incremental stay).
 QUERY_PRIORITY: list[str] = [
     # scans / predicates / cleaning
     "p4_inlist_semijoin", "f5_rename_ladder",
@@ -3732,14 +3788,15 @@ QUERY_PRIORITY: list[str] = [
     "j6_code_mapping_maintenance",
     "j8b_interval_join_bucketed", "j9_asof_last_report",
     "j14_main_sec_join",
+    "j5_anti_join_new_codes", "j8_interval_join",
     # aggregations
     "pipeline_worst_window_return",
-    "a2_agg_rollup",
+    "a2_agg_rollup", "a7_two_level_agg", "a9_describe", "a13_sessionize",
     # sinks / ordering / sets
     "s6_upsert_last_write_wins",
     "eav_unpivot_pivot", "u4_membership_changepoints",
     # windows
-    "w1b_rank_scalable", "w3_cum_chain", "w8_quarterize",
+    "w1b_rank_scalable", "w1_rank_returns", "w3_cum_chain", "w8_quarterize",
     "w12_pivot_status", "w11b_adjusted_diff",
     # composites
     "pipeline_quality_filter", "pipeline_dedup_survivors",
@@ -3749,22 +3806,24 @@ QUERY_PRIORITY: list[str] = [
     "stream_bars_1min", "stream_dedup_incremental_md5",
     # LLM-pipeline operators
     "dedup_span_removal",
-    "dedup_frequent_ngrams", "dedup_simhash_md5",
-    "dedup_minhash_md5", "dedup_cross_contamination_md5",
+    "dedup_frequent_ngrams",
+    "dedup_cross_contamination_md5",
     "dedup_simhash_hamming_md5",
     "dedup_minhash_incremental_md5",
-    "dedup_components_star",
+    "dedup_components_star", "dedup_components",
     "txt_corpus_stats",
     "txt_pii_redact", "txt_lm_perplexity", "txt_chunk_stride",
     "pipeline_cluster_survivors",
     "txt_ccnet_split", "dedup_semdedup",
-    "dedup_semdedup_incremental", "emb_centroid_outliers",
-    "mm_audio_features", "mm_video_frames",
-    "smp_hash_split", "smp_mixture_resample", "smp_source_quota",
+    "dedup_semdedup_incremental",
+    "mm_audio_features",
     "smp_token_budget", "smp_epoch_shuffle", "smp_dsir_md5",
     "u5_schema_reconcile",
     # ---- position 51+: triple/double-green history, sibling-covered,
     # ---- or rows-only (no oracle) ----
+    "dedup_simhash_md5", "dedup_minhash_md5", "mm_video_frames",
+    "emb_centroid_outliers",
+    "smp_hash_split", "smp_mixture_resample", "smp_source_quota",
     "a11_accumulation_detect", "w7_continuous_contract", "txt_winnowing",
     "dedup_embedding_pairs",
     "p3_regex_filter", "f3_cleaning_exprs", "j1_vendor_merge_full_outer",
@@ -3778,16 +3837,13 @@ QUERY_PRIORITY: list[str] = [
     "w6_argmax_cross_section", "w9_expand_calendar",
     "j7_code_extract_join", "j11_argmax_latest_per_key",
     "j13_incremental_ranges", "txt_features", "dedup_exact",
-    "w11_adjusted_continuous", "w1_rank_returns", "j8_interval_join",
+    "w11_adjusted_continuous",
     "w8b_quarterize_exact", "u4_scd2_intervals",
     "j2_three_source_merge",
-    "dedup_components",
-    "a9_describe", "a13_sessionize", "j5_anti_join_new_codes",
-    "a7_two_level_agg",
     "ann_ivf_topk", "dedup_minhash_lsh",
     "dedup_simhash", "ann_lsh_topk", "dedup_simhash_hamming",
     "smp_pack_sequences", "a14_sketch_profile", "a3_tick_to_bars",
-    "txt_bpe_train", "ann_pq_topk",
+    "txt_bpe_train", "txt_bpe_segment", "ann_pq_topk",
 ]
 
 

@@ -162,3 +162,56 @@ def test_bpe_segment_empty_merges(spark):
     out = bpe.bpe_segment(_docs(spark, ["ab"]), [])
     r = out.collect()[0]
     assert list(r.subwords) == ["a", "b", bpe.END]
+
+
+def _py_gpt2_encode(word, ranks):
+    """Independent GPT-2-style encoder (different code shape from
+    bpe._segment_word on purpose): repeatedly merge every occurrence of
+    the lowest-ranked adjacent pair, left to right, until none applies."""
+    syms = list(word) + [bpe.END]
+    while len(syms) > 1:
+        ranked = sorted((ranks.get(p, float("inf")), p)
+                        for p in zip(syms, syms[1:]))
+        rank, (a, b) = ranked[0]
+        if rank == float("inf"):
+            break
+        nxt, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and (syms[i], syms[i + 1]) == (a, b):
+                nxt.append(a + b)
+                i += 2
+            else:
+                nxt.append(syms[i])
+                i += 1
+        syms = nxt
+    return syms
+
+
+def test_txt_bpe_segment_query_matches_python(spark):
+    """End-to-end pin of the registered APPLY-path query: every document's
+    word count, subword count, AND the md5 fingerprint of the exact
+    subword sequence must equal the independent pure-python encoder's on
+    the same fixed merges. This is the rows-only entry's correctness
+    evidence (no SQL oracle exists for a sequential merge loop)."""
+    import hashlib
+
+    from data_integration_celery_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    ranks = {p: i for i, p in enumerate(Q._BPE_FIXED_MERGES)}
+    got = {r.doc_id: r
+           for r in Q.QUERIES["txt_bpe_segment"].spark(spark, sf).collect()}
+    docs = spark.read.parquet(f"{sf}/documents.parquet").collect()
+    assert len(got) == len(docs) > 0
+    fired = 0
+    for row in docs:
+        words = _py_normalize(row.text or "")
+        toks = [t for w in words for t in _py_gpt2_encode(w, ranks)]
+        r = got[row.doc_id]
+        assert r.n_words == len(words), row.doc_id
+        assert r.n_subwords == len(toks), row.doc_id
+        fp = hashlib.md5("\x1f".join(toks).encode()).hexdigest()
+        assert r.sub_fp == fp, row.doc_id
+        fired += sum(len(w) + 1 != n for w, n in
+                     ((w, len(_py_gpt2_encode(w, ranks))) for w in words))
+    assert fired > 0  # the fixed merges actually fire on this corpus

@@ -114,3 +114,26 @@ def test_pq_rerank_scores_are_exact_cosine(emb, queries, codebook):
     assert shared
     for key in shared:
         assert rr[key] == pytest.approx(bf[key], abs=1e-6), key
+
+
+def test_pq_train_validates_corpus_size(emb):
+    """Empty or undersized corpora must raise, never yield a silently
+    short codebook (the (m, k, d_sub) shape is a declared contract)."""
+    with pytest.raises(ValueError, match="k_codes"):
+        S.pq_train(emb.limit(0), m_sub=8, k_codes=16)
+    with pytest.raises(ValueError, match="k_codes"):
+        S.pq_train(emb.limit(7), m_sub=8, k_codes=16)
+
+
+def test_pq_train_is_scale_invariant(emb):
+    """Training happens in the same L2-normalized space pq_encode assigns
+    in: rescaling every vector (power-of-two factors keep IEEE division
+    exact) leaves the trained codebook unchanged. This is the property
+    that the raw-component centroid update violated on non-unit corpora."""
+    scale = F.pow(F.lit(2.0), ((F.col("vec_id") % 3) + 1).cast("double"))
+    scaled = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x * scale).alias("embedding"))
+    cb_raw = S.pq_train(emb, m_sub=8, k_codes=16, iters=2)
+    cb_scaled = S.pq_train(scaled, m_sub=8, k_codes=16, iters=2)
+    assert np.allclose(cb_raw, cb_scaled, atol=1e-9)

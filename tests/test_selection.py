@@ -126,7 +126,6 @@ def test_dsir_hash_families_lockstep(spark, tiny):
         rows = out.collect()
         assert len(rows) == 4
         assert out.columns == ["doc_id", "n_feats", "score", "sel_key"]
-        empty = {r.doc_id: r for r in rows}
         for r in rows:
             if r.n_feats == 0:
                 assert r.score == 0.0

@@ -6,6 +6,14 @@ value hash. Stricter than any reasonable driver (exact string canonicalisation
 of floats via repr) — if this passes, the gate should.
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
+       python tools/check_correctness.py --stale N
+
+``--stale N`` is the evidence-freshness report that drives window
+rotation (NOTES.md policy: every banked green must re-earn a driver
+green every ~3 rounds). It scans CORRECTNESS_r*.json for each oracle
+query's last driver green and lists everything N or more rounds stale
+(or never checked), ordered stalest-first, annotated with whether the
+query currently holds a top-50 (driver-checked) slot.
 """
 
 from __future__ import annotations
@@ -19,7 +27,51 @@ import duckdb
 sys.path.insert(0, "/root/repo")
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 and "/" in sys.argv[1] else "/root/testdata/sf0.01"
-ONLY = [a for a in sys.argv[1:] if "/" not in a]
+ONLY = [a for a in sys.argv[1:] if "/" not in a and not a.startswith("--")
+        and not a.isdigit()]
+
+WINDOW = 50  # the driver checks this many registry-prefix queries
+
+
+def stale_report(n_rounds: int) -> None:
+    """List oracle queries whose last driver green is >= n_rounds old."""
+    import glob
+    import json
+    import re
+
+    import __spark_entry__ as entrymod
+
+    oracles = set(entrymod.oracle_sql())
+    registry = list(entrymod.queries())
+    in_window = set(registry[:WINDOW])
+
+    last_green: dict[str, int] = {}
+    rounds: list[int] = []
+    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", path).group(1))
+        rounds.append(rnd)
+        for name, res in json.load(open(path)).items():
+            ok = (res.get("err") is None and res.get("rows_match")
+                  and (name not in oracles or res.get("hash_match")))
+            if ok:
+                last_green[name] = max(last_green.get(name, 0), rnd)
+    latest = max(rounds)
+    stale = []
+    for name in registry:
+        if name not in oracles:
+            continue  # rows-only: never occupies a gated slot by policy
+        lg = last_green.get(name)
+        age = latest - lg if lg else None
+        if lg is None or age >= n_rounds:
+            stale.append((999 if age is None else age, name, lg))
+    stale.sort(reverse=True)
+    print(f"# oracle queries with no driver green in the last {n_rounds} "
+          f"round(s); latest round on file: r{latest:02d}")
+    for age, name, lg in stale:
+        slot = "IN-WINDOW" if name in in_window else "tail"
+        when = f"last green r{lg:02d} (age {age})" if lg else "NEVER checked"
+        print(f"STALE {name}: {when} [{slot}]")
+    print(f"\n{len(stale)} stale / {len([n for n in registry if n in oracles])} oracle queries")
 
 TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
@@ -95,4 +147,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--stale" in sys.argv:
+        idx = sys.argv.index("--stale")
+        n = int(sys.argv[idx + 1]) if idx + 1 < len(sys.argv) else 3
+        stale_report(n)
+    else:
+        main()
