@@ -147,3 +147,67 @@ def test_continuous_reorg_dag_end_to_end(spark, tmp_path):
     assert got == want
     diff = spark.read.parquet(f"{wd}/adjusted_diff")
     assert diff.count() == spark.read.parquet(f"{wd}/continuous_selection").count()
+
+
+def test_selection_scoring_pipeline(spark, tmp_path):
+    """E-family LM scoring DAG (train → publish bucketed model → score →
+    CCNet split): end-to-end results match the in-memory composition, and
+    the bucketed-by-c1 model layout removes BOTH model-side exchanges
+    from the scoring plan (the 'no Exchange on the model side' contract —
+    the bucket shuffle is paid once at publish time)."""
+    import re
+
+    from data_integration_celery_spark.operators import selection
+    from data_integration_celery_spark.plans.reorg import (
+        selection_scoring_pipeline,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    wd = str(tmp_path / "sel")
+    table = "lm_ref_model_t"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        pipe = selection_scoring_pipeline(sf, wd, model_table=table,
+                                          buckets=8)
+        results = pipe.run(spark)
+        assert all(r.ok for r in results.values()), {
+            n: r.error for n, r in results.items() if not r.ok}
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        model_mem = selection.train_bigram_lm(docs.where(F.col("lang") == "en"))
+        want = {r.doc_id: (r.n_bigrams, r.cross_entropy) for r in
+                selection.lm_cross_entropy(docs, model_mem).collect()}
+        got = {r.doc_id: (r.n_bigrams, r.cross_entropy) for r in
+               spark.read.parquet(f"{wd}/lm_scores").collect()}
+        assert got == want  # reloaded bucketed model scores bit-identically
+
+        split = spark.read.parquet(f"{wd}/ccnet_split")
+        labels = {r.split for r in split.select("split").distinct().collect()}
+        assert labels == {"head", "middle", "tail"}
+
+        # plan contract: with broadcast off, the bucketed model joins with
+        # ZERO model-side exchanges — exactly two fewer than a plain-
+        # parquet model (bigram (c1,c2) join + context c1 join)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            jvm_mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
+
+            def n_exchanges(m):
+                df = selection.lm_cross_entropy(docs, m)
+                s = df._jdf.queryExecution().explainString(
+                    jvm_mode.fromString("formatted"))
+                return len(re.findall(r"\) Exchange", s)), s
+
+            model_plain = model_mem
+            model_plain.write.mode("overwrite") \
+                .parquet(str(tmp_path / "plain_model"))
+            nb, plan_b = n_exchanges(spark.table(table))
+            np_, _ = n_exchanges(
+                spark.read.parquet(str(tmp_path / "plain_model")))
+            assert "SelectedBucketsCount" in plan_b or "Bucketed: true" in plan_b
+            assert nb == np_ - 2, (nb, np_)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -182,6 +182,17 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
     "dedup_simhash_hamming_md5": (
         [r"hashpartitioning\(sig", r"HashAggregate"],
         [r"CartesianProduct", r"BroadcastNestedLoopJoin"]),
+    # cluster-survivor composite: banding, est-verify and star contraction
+    # must run over DISTINCT signatures (minhash_clusters) — pinned by the
+    # contraction aggregate's hashpartitioning(sig) exchange and the
+    # rep-keyed member-expansion joins; the naive document-level pair join
+    # measured alpha 1.39 at the 100x replica with constant output. Whole
+    # composite is Column-only: no Python eval nodes.
+    "pipeline_cluster_survivors": (
+        [r"hashpartitioning\(sig", r"hashpartitioning\(rep"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin",
+         r"BatchEvalPython", r"ArrowEvalPython",
+         r"FlatMapGroupsInPandas", r"MapInPandas"]),
     # sketch profile: HLL + GK sketches are mergeable aggregation state —
     # the whole profile must be ONE two-phase aggregation (partial → final,
     # a single exchange on the group key), no sort, no join, no distinct
