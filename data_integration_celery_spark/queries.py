@@ -1993,8 +1993,8 @@ def dedup_semdedup_incremental_q(spark, sf_dir):
 @q("f3_cleaning_exprs",
    sql="""
    SELECT p_partkey,
-          CAST(regexp_extract(CAST(p_retailprice AS VARCHAR) || '元/吨',
-                              '(\\d+\\.?\\d*)', 1) AS DOUBLE) AS price_num,
+          CAST(regexp_extract(CAST(p_retailprice AS STRING) || '元/吨',
+                              '([0-9]+[.]?[0-9]*)', 1) AS DOUBLE) AS price_num,
           CASE WHEN lower(p_type) NOT IN ('null', 'none', 'nan', '')
                THEN p_type END AS type_clean,
           lower(p_brand) AS brand_lower
@@ -2871,7 +2871,7 @@ def mm_audio_q(spark, sf_dir):
    SELECT media_id,
           CAST(f.o AS INTEGER) AS frame_offset_s,
           duration_s, width, height,
-          substr(sha256(text || '#' || CAST(f.o AS VARCHAR)), 1, 16)
+          substr(sha256(text || '#' || CAST(f.o AS STRING)), 1, 16)
             AS frame_phash
    FROM v, LATERAL (SELECT unnest(range(0, duration_s, 5)) AS o) f
    """,
@@ -2917,12 +2917,12 @@ def j14_main_sec(spark, sf_dir):
 @q("j6_code_mapping_maintenance",
    sql="""
    WITH mapping0 AS (
-     SELECT regexp_extract(c_name, '(\\d+)', 1) || '.SH' AS unique_code,
-            regexp_extract(c_name, '(\\d+)', 1) || '.SH' AS vendor_a_code,
-            CAST(NULL AS VARCHAR) AS vendor_b_code
+     SELECT regexp_extract(c_name, '([0-9]+)', 1) || '.SH' AS unique_code,
+            regexp_extract(c_name, '([0-9]+)', 1) || '.SH' AS vendor_a_code,
+            CAST(NULL AS STRING) AS vendor_b_code
      FROM customer),
    feed_b AS (
-     SELECT regexp_extract(s_name, '(\\d+)', 1) || '.XSHG' AS vendor_b_code
+     SELECT regexp_extract(s_name, '([0-9]+)', 1) || '.XSHG' AS vendor_b_code
      FROM supplier),
    roots AS (
      SELECT DISTINCT split_part(vendor_b_code, '.', 1) AS root,
@@ -2937,7 +2937,7 @@ def j14_main_sec(spark, sf_dir):
      SELECT 'N' || n_nationkey || '.XSHG' AS vendor_b_code FROM nation),
    inserts AS (
      SELECT f.vendor_b_code AS unique_code,
-            CAST(NULL AS VARCHAR) AS vendor_a_code,
+            CAST(NULL AS STRING) AS vendor_a_code,
             f.vendor_b_code
      FROM (SELECT DISTINCT vendor_b_code FROM feed_new) f
      WHERE NOT EXISTS (SELECT 1 FROM filled
@@ -3141,10 +3141,10 @@ def txt_repetition_q(spark, sf_dir):
    sql=r"""
    WITH aug AS (
      SELECT doc_id,
-            text || ' contact: user' || CAST(doc_id AS VARCHAR)
-                 || '@example.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+            text || ' contact: user' || CAST(doc_id AS STRING)
+                 || '@example.com ip 10.0.' || CAST(doc_id % 256 AS STRING)
                  || '.7 call +86 138 0013 '
-                 || CAST(1000 + doc_id % 9000 AS VARCHAR) AS t
+                 || CAST(1000 + doc_id % 9000 AS STRING) AS t
      FROM documents)
    SELECT doc_id,
           CAST(len(regexp_extract_all(t,
@@ -3201,9 +3201,9 @@ def smp_pack_q(spark, sf_dir):
 @q("smp_hash_split",
    sql="""
    SELECT doc_id,
-          CASE WHEN substring(md5('v1:' || CAST(doc_id AS VARCHAR)), 1, 8)
+          CASE WHEN substring(md5('v1:' || CAST(doc_id AS STRING)), 1, 8)
                     < 'cccccccc' THEN 'train'
-               WHEN substring(md5('v1:' || CAST(doc_id AS VARCHAR)), 1, 8)
+               WHEN substring(md5('v1:' || CAST(doc_id AS STRING)), 1, 8)
                     < 'e6666666' THEN 'val'
                ELSE 'test' END AS split
    FROM documents
@@ -3262,7 +3262,7 @@ def txt_vocab_q(spark, sf_dir):
            FROM fr)
    SELECT d.doc_id, d.lang
    FROM documents d JOIN thr ON d.lang = thr.lang
-   WHERE substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.thr
+   WHERE substr(md5('mix:' || CAST(d.doc_id AS STRING)), 1, 8) < thr.thr
    """,
    doc="Data-mixing resample: downsample-only to a target language mixture "
        "(en/zh/de = 50/30/20). One #strata-row counts agg on the driver, "
@@ -3407,7 +3407,7 @@ def smp_epoch_shuffle_q(spark, sf_dir):
    keyed AS (
      SELECT doc_id, n_feats, score,
             round(score + -ln(-ln(
-              (('0x' || substring(md5('v1:' || CAST(doc_id AS VARCHAR)),
+              (('0x' || substring(md5('v1:' || CAST(doc_id AS STRING)),
                                   1, 13))::UBIGINT + 1)
               / 4503599627370497.0)), 6) AS sel_key
      FROM scored)

@@ -18,27 +18,34 @@ from data_integration_celery_spark.queries import QUERIES
 
 # known-portable core: if any of these stops running on Spark SQL, that is
 # a regression in the oracle text, not acceptable drift (the full set that
-# passed the mechanical sweep when this was last updated — 39 oracles)
+# passed the mechanical sweep when this was last updated — 43 oracles;
+# round 6 added f3/j6 by making their regexes escape-free — Spark SQL
+# string literals eat lone backslashes, so '\d' silently became 'd' —
+# and smp_hash_split/smp_mixture_resample via CAST(... AS STRING), the
+# same VARCHAR-without-length fix as the r5 e2 oracle)
 PORTABLE_CORE = [
     "a13_sessionize", "a1_watermark_per_key", "a2_agg_rollup",
     "a7_two_level_agg", "a8_median_cross_section", "a9_describe",
-    "eav_unpivot_pivot", "f4_snapshot_audit", "f5_rename_ladder",
+    "eav_unpivot_pivot", "f3_cleaning_exprs", "f4_snapshot_audit",
+    "f5_rename_ladder",
     "j10_asof_point_lookup", "j11_argmax_latest_per_key",
     "j13_incremental_ranges", "j1_vendor_merge_full_outer",
     "j2_three_source_merge", "j5_anti_join_new_codes",
+    "j6_code_mapping_maintenance",
     "j7_code_extract_join", "j8_interval_join",
     "j8b_interval_join_bucketed", "o3_topk_worst", "p4_inlist_semijoin",
     "pipeline_e2_merge_daily", "pipeline_region_revenue",
     "pipeline_revenue_topk", "pipeline_sector_median",
     "pipeline_worst_window_return", "s1_filtered_scan",
-    "s6_upsert_last_write_wins", "smp_source_quota", "u1_union_distinct",
+    "s6_upsert_last_write_wins", "smp_hash_split",
+    "smp_mixture_resample", "smp_source_quota", "u1_union_distinct",
     "u4_scd2_intervals", "w10_monthly_sample", "w12_pivot_status",
     "w1_rank_returns", "w1b_rank_scalable", "w2_lead_lag_gaps",
     "w3_cum_chain", "w5_rolling_mean", "w6_argmax_cross_section",
     "w8_quarterize",
 ]
 
-MIN_PORTABLE = 35
+MIN_PORTABLE = 39
 
 
 def _canon(df):
