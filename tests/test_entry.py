@@ -1,5 +1,7 @@
 """Driver-contract smoke tests."""
 
+import sys
+
 import __spark_entry__ as entrymod
 
 
@@ -48,3 +50,10 @@ def test_registry_priority_order():
     # no top-50 slot may be wasted on a rows-only (no-oracle) query
     assert all(n in osql for n in names[:50]), \
         [n for n in names[:50] if n not in osql]
+    # evidence-freshness policy, consumed mechanically: every oracle query
+    # the stale tool reports (no driver green in the last 3 rounds) must
+    # hold a gated slot this round — a forgotten rotation fails here
+    sys.path.insert(0, "/root/repo/tools")
+    from check_correctness import stale_names
+    stale = {name for _age, name, _lg in stale_names(3)}
+    assert stale <= first50, sorted(stale - first50)

@@ -33,8 +33,11 @@ ONLY = [a for a in sys.argv[1:] if "/" not in a and not a.startswith("--")
 WINDOW = 50  # the driver checks this many registry-prefix queries
 
 
-def stale_report(n_rounds: int) -> None:
-    """List oracle queries whose last driver green is >= n_rounds old."""
+def stale_names(n_rounds: int) -> list[tuple[int, str, int | None]]:
+    """Oracle queries whose last driver green is >= n_rounds old (or never
+    green), as (age, name, last_green_round) stalest-first. This is the
+    mechanical input to window rotation; test_registry_priority_order
+    consumes it so a forgotten rotation fails the suite."""
     import glob
     import json
     import re
@@ -43,7 +46,6 @@ def stale_report(n_rounds: int) -> None:
 
     oracles = set(entrymod.oracle_sql())
     registry = list(entrymod.queries())
-    in_window = set(registry[:WINDOW])
 
     last_green: dict[str, int] = {}
     rounds: list[int] = []
@@ -65,13 +67,26 @@ def stale_report(n_rounds: int) -> None:
         if lg is None or age >= n_rounds:
             stale.append((999 if age is None else age, name, lg))
     stale.sort(reverse=True)
+    return stale
+
+
+def stale_report(n_rounds: int) -> None:
+    """Print the stale-evidence report that drives window rotation."""
+    import __spark_entry__ as entrymod
+
+    oracles = set(entrymod.oracle_sql())
+    registry = list(entrymod.queries())
+    in_window = set(registry[:WINDOW])
+    stale = stale_names(n_rounds)
     print(f"# oracle queries with no driver green in the last {n_rounds} "
-          f"round(s); latest round on file: r{latest:02d}")
+          f"round(s)")
     for age, name, lg in stale:
         slot = "IN-WINDOW" if name in in_window else "tail"
-        when = f"last green r{lg:02d} (age {age})" if lg else "NEVER checked"
+        when = (f"last green r{lg:02d} (age {age})" if lg
+                else "NEVER checked")
         print(f"STALE {name}: {when} [{slot}]")
-    print(f"\n{len(stale)} stale / {len([n for n in registry if n in oracles])} oracle queries")
+    print(f"\n{len(stale)} stale / "
+          f"{len([n for n in registry if n in oracles])} oracle queries")
 
 TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()

@@ -254,6 +254,13 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
         [r"Generate", r"codegen id"],
         [r"Exchange", r"Join", r"CartesianProduct", r"BatchEvalPython",
          r"ArrowEvalPython", r"MapInPandas"]),
+    # BPE application: scan → normalize projection → ONE Arrow-batched
+    # MapInPandas (broadcast ranks) → fingerprint projection. Map-only:
+    # zero exchanges, zero joins — the corpus streams through once
+    "txt_bpe_segment": (
+        [r"MapInPandas", r"codegen id"],
+        [r"Exchange", r"Join", r"CartesianProduct", r"BatchEvalPython",
+         r"ArrowEvalPython", r"FlatMapGroupsInPandas"]),
 }
 
 
