@@ -316,3 +316,43 @@ def stream_incremental_semdedup(emb: DataFrame, member_path: str,
             .foreachBatch(probe_and_extend)
             .option("checkpointLocation", checkpoint)
             .outputMode("append"))
+
+
+def stream_incremental_pq_index(emb: DataFrame, codes_path: str,
+                                checkpoint: str, codebook,
+                                id_col: str = "vec_id",
+                                vec_col: str = "embedding") -> DataStreamWriter:
+    """Streaming PQ-ANN index maintenance against a FIXED codebook — the
+    arrival-time form of ``similarity.pq_encode`` and the last ANN family
+    member to get an operational increment path (minhash: stream_
+    incremental_dedup; SemDeDup: stream_incremental_semdedup): each
+    micro-batch of new vectors is encoded in one Arrow pass against the
+    broadcast codebook and appended to the codes table under a
+    ``batch_id=N`` partition. Old vectors are never re-encoded; the index
+    grows by exactly m_sub bytes per arrival — at 100 TB the raw vectors
+    stream through once and only the 8-byte codes land in the index, so
+    an ADC scan (``pq_topk``) over the accumulated table is identical to
+    a scan over a full-corpus encode (pinned stream ≡ batch by test).
+
+    Exactly-once by the same mechanism as the other incremental streams:
+    dynamic partition overwrite means a replayed batch rewrites only its
+    own partition, and encoding is a pure function of (vector, fixed
+    codebook), so replays are byte-identical (pinned by test). Null or
+    empty vectors are dropped at the batch boundary (they cannot be
+    assigned a code).
+    """
+    from ..operators.similarity import pq_encode
+    from ..operators.upsert import overwrite_partitions
+
+    def encode_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.where(F.col(vec_col).isNotNull()
+                                  & (F.size(vec_col) > 0))
+        codes = pq_encode(batch_df, codebook, id_col, vec_col)
+        overwrite_partitions(
+            codes.withColumn("batch_id", F.lit(batch_id)),
+            codes_path, ["batch_id"])
+
+    return (emb.writeStream
+            .foreachBatch(encode_batch)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append"))

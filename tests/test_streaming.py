@@ -396,3 +396,80 @@ def test_stream_incremental_semdedup_replay_idempotent(spark, sf_dir,
     second = run()
     assert first == second
     assert all(a != b for a, b, _ in first) and first
+
+
+def test_stream_incremental_pq_index_matches_batch(spark, sf_dir, tmp_path):
+    """Micro-batched arrival of the embeddings corpus through the streaming
+    PQ-encode job must leave a codes table identical to a full-corpus
+    pq_encode against the same fixed codebook (each vector coded exactly
+    once, in its arrival batch), so an ADC top-k scan over the
+    accumulated index equals the scan over the batch-encoded corpus."""
+    from data_integration_celery_spark.operators import similarity
+
+    emb = catalog.load(spark, "embeddings", sf_dir) \
+        .select("vec_id", "embedding")
+    cb = similarity.pq_train(emb, m_sub=8, k_codes=16, iters=1)
+    src_dir = str(tmp_path / "emb_src")
+    for i in range(3):
+        emb.where(F.col("vec_id") % 3 == i).coalesce(1) \
+            .write.mode("append").parquet(src_dir)
+    stream = (spark.readStream.schema(emb.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src_dir))
+    codes_path = str(tmp_path / "codes")
+    q = jobs.stream_incremental_pq_index(
+        stream, codes_path, str(tmp_path / "ckpt"), cb) \
+        .trigger(availableNow=True).start()
+    assert q.awaitTermination(300)
+
+    got_rows = spark.read.parquet(codes_path).collect()
+    got = {r["vec_id"]: tuple(r["codes"]) for r in got_rows}
+    assert len(got) == len(got_rows), "a vector was coded in two batches"
+    full = {r["vec_id"]: tuple(r["codes"])
+            for r in similarity.pq_encode(emb, cb).collect()}
+    assert got == full and len(full) == emb.count()
+    # the scan consumer sees the same top-k through either index
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    via_stream = {(r.query_id, r.rank, r.cand_id) for r in
+                  similarity.pq_topk(
+                      spark.read.parquet(codes_path)
+                      .select("vec_id", "codes"),
+                      queries, cb, k=3).collect()}
+    via_batch = {(r.query_id, r.rank, r.cand_id) for r in
+                 similarity.pq_topk(similarity.pq_encode(emb, cb),
+                                    queries, cb, k=3).collect()}
+    assert via_stream == via_batch
+
+
+def test_stream_incremental_pq_index_replay_idempotent(spark, sf_dir,
+                                                       tmp_path):
+    """Replaying every batch against the already-written codes table
+    (checkpoint wiped, data kept) must reproduce the byte-identical
+    index: encoding is a pure function of (vector, fixed codebook) and
+    each batch owns its batch_id partition."""
+    import shutil
+
+    from data_integration_celery_spark.operators import similarity
+
+    emb = catalog.load(spark, "embeddings", sf_dir) \
+        .select("vec_id", "embedding").where(F.col("vec_id") < 200)
+    cb = similarity.pq_train(emb, m_sub=8, k_codes=16, iters=1)
+    src_dir = str(tmp_path / "emb_src")
+    for i in range(2):
+        emb.where(F.col("vec_id") % 2 == i).coalesce(1) \
+            .write.mode("append").parquet(src_dir)
+    codes_path = str(tmp_path / "codes")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (spark.readStream.schema(emb.schema)
+                  .option("maxFilesPerTrigger", "1").parquet(src_dir))
+        q = jobs.stream_incremental_pq_index(stream, codes_path, ckpt, cb) \
+            .trigger(availableNow=True).start()
+        assert q.awaitTermination(300)
+        return sorted((r["vec_id"], tuple(r["codes"]), r["batch_id"])
+                      for r in spark.read.parquet(codes_path).collect())
+
+    first = run()
+    shutil.rmtree(ckpt)            # lose the offsets: full replay
+    second = run()
+    assert first == second and first
