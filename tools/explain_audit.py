@@ -66,6 +66,21 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
     "w7_continuous_contract": (
         [r"FlatMapGroupsInPandas", r"BroadcastHashJoin"],
         [r"CartesianProduct"]),
+    # sessionize: Spark's native session-window aggregate (MergingSessions)
+    # partitioned on the key — never a per-user sort in one partition
+    "a13_sessionize": (
+        [r"MergingSessions", r"hashpartitioning\(user_id"],
+        [r"CartesianProduct", r"SinglePartition", r"Join"]),
+    # describe(): one two-phase aggregate on the group key (percentiles
+    # force ObjectHashAggregate); no sort, no join, no global collapse
+    "a9_describe": (
+        [r"ObjectHashAggregate", r"hashpartitioning\(event_type"],
+        [r"CartesianProduct", r"SinglePartition", r"Join"]),
+    # two-level agg: partial aggregation below each exchange, grouping
+    # keys partitioned — no single-partition rollup
+    "a7_two_level_agg": (
+        [r"partial", r"HashAggregate", r"hashpartitioning\(event_type"],
+        [r"CartesianProduct", r"SinglePartition", r"Join"]),
     "a3_tick_to_bars": (
         # min_by/max_by plan as (Object)HashAggregate or SortAggregate; the
         # contract is map-side partial aggregation, whatever the operator
