@@ -3780,39 +3780,50 @@ def u5_schema_reconcile_q(spark, sf_dir):
 #         cross_contamination_md5, cluster_survivors), mm_video_frames
 #         (mm_audio_features stays), emb_centroid_outliers (semdedup +
 #         semdedup_incremental stay).
+# Round-6 session-2 adjustment (debt-smoothing): the driver's r6 gate is
+# the LAST event before the r3-green tail cohort (18 queries) ages to the
+# due line, and 18 swaps cannot land in one round without gutting family
+# coverage. So TEN of the cohort take window slots NOW (earning r6 greens)
+# and only eight remain due in round 7. OUT: ten freshly re-earned
+# multi-greens whose family keeps reps — j6 (j5+j7 cover mapping), j8b (j8
+# in), j14 (w11b covers continuous), s6 (quintuple-green r1-r5; sole sink
+# query, rests one round), eav (w12 covers pivot), w1b (w1 in), stream_bars
+# (stream twin stays; a3 is the batch bars rep), dedup_simhash_hamming_md5
+# + dedup_components_star (banding/components keep cross_contamination,
+# minhash_incremental, cluster_survivors, dedup_components), txt_pii_redact
+# (text keeps corpus_stats + 3 scorers + txt_features in).
 QUERY_PRIORITY: list[str] = [
     # scans / predicates / cleaning
-    "p4_inlist_semijoin", "f5_rename_ladder",
+    "p4_inlist_semijoin", "f5_rename_ladder", "s1_filtered_scan",
     # joins
     "pipeline_e2_merge_daily",
-    "j6_code_mapping_maintenance",
-    "j8b_interval_join_bucketed", "j9_asof_last_report",
-    "j14_main_sec_join",
+    "j9_asof_last_report",
     "j5_anti_join_new_codes", "j8_interval_join",
+    "j7_code_extract_join", "j11_argmax_latest_per_key",
     # aggregations
     "pipeline_worst_window_return",
     "a2_agg_rollup", "a7_two_level_agg", "a9_describe", "a13_sessionize",
-    # sinks / ordering / sets
-    "s6_upsert_last_write_wins",
-    "eav_unpivot_pivot", "u4_membership_changepoints",
+    "a1_watermark_per_key", "a3_tick_to_bars",
+    # audits / ordering / sets
+    "f4_snapshot_audit", "o3_topk_worst",
+    "u4_membership_changepoints",
     # windows
-    "w1b_rank_scalable", "w1_rank_returns", "w3_cum_chain", "w8_quarterize",
-    "w12_pivot_status", "w11b_adjusted_diff",
+    "w1_rank_returns", "w3_cum_chain", "w8_quarterize",
+    "w12_pivot_status", "w11b_adjusted_diff", "w9_expand_calendar",
     # composites
     "pipeline_quality_filter", "pipeline_dedup_survivors",
     "pipeline_revenue_topk", "pipeline_region_revenue",
     "pipeline_sector_median",
     # streaming
-    "stream_bars_1min", "stream_dedup_incremental_md5",
+    "stream_dedup_incremental_md5",
     # LLM-pipeline operators
-    "dedup_span_removal",
+    "dedup_exact", "dedup_span_removal",
     "dedup_frequent_ngrams",
     "dedup_cross_contamination_md5",
-    "dedup_simhash_hamming_md5",
     "dedup_minhash_incremental_md5",
-    "dedup_components_star", "dedup_components",
-    "txt_corpus_stats",
-    "txt_pii_redact", "txt_lm_perplexity", "txt_chunk_stride",
+    "dedup_components",
+    "txt_corpus_stats", "txt_features",
+    "txt_lm_perplexity", "txt_chunk_stride",
     "pipeline_cluster_survivors",
     "txt_ccnet_split", "dedup_semdedup",
     "dedup_semdedup_incremental",
@@ -3821,6 +3832,10 @@ QUERY_PRIORITY: list[str] = [
     "u5_schema_reconcile",
     # ---- position 51+: triple/double-green history, sibling-covered,
     # ---- or rows-only (no oracle) ----
+    "j6_code_mapping_maintenance", "j8b_interval_join_bucketed",
+    "j14_main_sec_join", "s6_upsert_last_write_wins", "eav_unpivot_pivot",
+    "w1b_rank_scalable", "stream_bars_1min",
+    "dedup_simhash_hamming_md5", "dedup_components_star", "txt_pii_redact",
     "dedup_simhash_md5", "dedup_minhash_md5", "mm_video_frames",
     "emb_centroid_outliers",
     "smp_hash_split", "smp_mixture_resample", "smp_source_quota",
@@ -3831,18 +3846,17 @@ QUERY_PRIORITY: list[str] = [
     "w2_lead_lag_gaps", "w4_ffill", "a8_median_cross_section",
     "txt_contamination", "ann_cosine_topk",
     "txt_vocab_topk", "txt_repetition",
-    "dedup_ngram_jaccard", "mm_image_features", "s1_filtered_scan",
-    "a4_rebar", "f4_snapshot_audit",
-    "a1_watermark_per_key", "o3_topk_worst", "w5_rolling_mean",
-    "w6_argmax_cross_section", "w9_expand_calendar",
-    "j7_code_extract_join", "j11_argmax_latest_per_key",
-    "j13_incremental_ranges", "txt_features", "dedup_exact",
+    "dedup_ngram_jaccard", "mm_image_features",
+    "a4_rebar",
+    "w5_rolling_mean",
+    "w6_argmax_cross_section",
+    "j13_incremental_ranges",
     "w11_adjusted_continuous",
     "w8b_quarterize_exact", "u4_scd2_intervals",
     "j2_three_source_merge",
     "ann_ivf_topk", "dedup_minhash_lsh",
     "dedup_simhash", "ann_lsh_topk", "dedup_simhash_hamming",
-    "smp_pack_sequences", "a14_sketch_profile", "a3_tick_to_bars",
+    "smp_pack_sequences", "a14_sketch_profile",
     "txt_bpe_train", "txt_bpe_segment", "ann_pq_topk",
 ]
 
