@@ -100,11 +100,14 @@ def main() -> None:
     # plain >0.3s absolute catches slow creep on big ones
     isolated: dict[str, dict[str, float]] = {}
     prev = _latest_recorded_queries()
-    flagged = [n for n in med
-               if n in prev and prev[n] > 0
-               and ((med[n] > prev[n] * 1.25 and med[n] - prev[n] > 0.15)
-                    or med[n] - prev[n] > 0.3)]
-    flagged.sort(key=lambda n: med[n] - prev[n], reverse=True)
+    rel = {n: med[n] > prev[n] * 1.25 and med[n] - prev[n] > 0.15
+           for n in med if n in prev and prev[n] > 0}
+    flagged = [n for n in rel
+               if rel[n] or med[n] - prev[n] > 0.3]
+    # relative-trigger hits first: a dozen big queries drifting +0.35s of
+    # noise must not consume every slot and evict a genuine 80% regression
+    # on a mid-size query (the scarcer, more meaningful signal)
+    flagged.sort(key=lambda n: (not rel[n], prev[n] - med[n]))
     for name in flagged[:12]:
         runs = []
         for _ in range(3):
@@ -115,10 +118,11 @@ def main() -> None:
         isolated[name] = {"median": med[name], "prev": prev[name],
                           "isolated": round(min(runs), 3)}
 
-    # the persisted baseline must carry the ADJUDICATED number: keeping the
-    # interference-inflated median would raise next round's 1.4x flag bar
-    # above a real regression of the same size (a phantom 2x this round
-    # would let a genuine 2.7x ship unflagged next round)
+    # the persisted baseline must carry the ADJUDICATED number: keeping an
+    # interference-inflated median would raise next round's trigger bar
+    # (1.25x relative / 0.3s absolute) above a real regression of the same
+    # size (a phantom 2x this round would let a genuine 2.7x ship
+    # unflagged next round)
     baseline_q = dict(med)
     for name, adj in isolated.items():
         baseline_q[name] = min(adj["median"], adj["isolated"])

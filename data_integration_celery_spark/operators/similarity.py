@@ -849,32 +849,33 @@ def pq_train(corpus: DataFrame, m_sub: int = 8, k_codes: int = 16,
 
     if iters < 0:
         raise ValueError(f"iters must be >= 0, got {iters}")
-    corpus = corpus.select(id_col, vec_col).persist()
-    # the one pre-loop action: TakeOrdered over every partition populates
-    # the cache AND yields seeds + dim in the same job
-    seed_pdf = (corpus.orderBy(id_col).limit(k_codes)
-                .select(vec_col).toPandas())
-    if len(seed_pdf) < k_codes:
-        corpus.unpersist()
-        raise ValueError(
-            f"pq_train needs >= k_codes ({k_codes}) rows, got "
-            f"{len(seed_pdf)} (empty or undersized corpus)")
-    seeds = np.stack(seed_pdf[vec_col].to_numpy()).astype("float64")
-    dim = seeds.shape[1]
-    if dim % m_sub != 0:
-        corpus.unpersist()
-        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
-    d_sub = dim // m_sub
-    seeds /= np.linalg.norm(seeds, axis=1, keepdims=True)
-    # subspace m seeds from the same lowest-id vectors' m-th slice
-    codebook = np.stack([seeds[:, m * d_sub:(m + 1) * d_sub]
-                         for m in range(m_sub)])  # (m, k, d_sub)
-    # row L2 norm as a Column: the update must train in the SAME
-    # normalized space pq_encode assigns in (vm /= ||vm||)
+    # row L2 norm as a Column: seeds, the update, and pq_encode must all
+    # work in the same normalized space
     nrm = F.sqrt(F.aggregate(
         vec_col, F.lit(0.0),
         lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    corpus = corpus.select(id_col, vec_col).persist()
     try:
+        # the one pre-loop action: TakeOrdered over every partition
+        # populates the cache AND yields seeds + dim in the same job.
+        # Zero-norm rows cannot seed (they would normalize to NaN and
+        # poison every centroid) — the filter keeps seeding deterministic:
+        # the k_codes lowest-id rows with a usable direction.
+        seed_pdf = (corpus.where(nrm > 0).orderBy(id_col).limit(k_codes)
+                    .select(vec_col).toPandas())
+        if len(seed_pdf) < k_codes:
+            raise ValueError(
+                f"pq_train needs >= k_codes ({k_codes}) nonzero rows, got "
+                f"{len(seed_pdf)} (empty, undersized, or all-zero corpus)")
+        seeds = np.stack(seed_pdf[vec_col].to_numpy()).astype("float64")
+        dim = seeds.shape[1]
+        if dim % m_sub != 0:
+            raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+        d_sub = dim // m_sub
+        seeds /= np.linalg.norm(seeds, axis=1, keepdims=True)
+        # subspace m seeds from the same lowest-id vectors' m-th slice
+        codebook = np.stack([seeds[:, m * d_sub:(m + 1) * d_sub]
+                             for m in range(m_sub)])  # (m, k, d_sub)
         for _ in range(iters):
             codes = pq_encode(corpus, codebook, id_col, vec_col)
             exploded = (corpus.join(codes, id_col)
@@ -907,7 +908,11 @@ def pq_encode(corpus: DataFrame, codebook, id_col: str = "vec_id",
     one Arrow-batched pass against the broadcast codebook, all subspaces
     scored in one (n, m, k) einsum per block. Returns (id, codes
     array<int> length m_sub); ties in the argmin break to the lowest code
-    (np.argmax semantics), deterministic."""
+    (np.argmax semantics), deterministic. A zero-norm vector has no
+    direction to normalize — it encodes as the zero point (its norm is
+    clamped away from zero), deterministically taking each subspace's
+    smallest-norm centroid instead of propagating NaN through the
+    distance matrix."""
     import numpy as np
 
     m_sub, k_codes, d_sub = codebook.shape
@@ -918,7 +923,9 @@ def pq_encode(corpus: DataFrame, codebook, id_col: str = "vec_id",
         cb = bc.value  # (m, k, d)
         for block in batches:
             vm = np.stack(block[vec_col].to_numpy()).astype("float64")
-            vm /= np.linalg.norm(vm, axis=1, keepdims=True)
+            norms = np.linalg.norm(vm, axis=1, keepdims=True)
+            np.maximum(norms, np.finfo("float64").tiny, out=norms)
+            vm /= norms
             sub = vm.reshape(len(vm), m_sub, d_sub)
             # squared L2 to each centroid: argmin per (row, sub)
             d2 = (np.einsum("nmd,nmd->nm", sub, sub)[:, :, None]

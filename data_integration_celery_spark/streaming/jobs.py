@@ -338,8 +338,10 @@ def stream_incremental_pq_index(emb: DataFrame, codes_path: str,
     dynamic partition overwrite means a replayed batch rewrites only its
     own partition, and encoding is a pure function of (vector, fixed
     codebook), so replays are byte-identical (pinned by test). Null or
-    empty vectors are dropped at the batch boundary (they cannot be
-    assigned a code).
+    empty vectors are dropped at the batch boundary; zero-norm vectors
+    pass through and take pq_encode's deterministic zero-point code
+    (smallest-norm centroid per subspace — see pq_encode's docstring),
+    never NaN-derived garbage.
     """
     from ..operators.similarity import pq_encode
     from ..operators.upsert import overwrite_partitions

@@ -36,7 +36,11 @@ def test_registry_priority_order():
     from data_integration_celery_spark.queries import QUERIES, QUERY_PRIORITY
     names = list(QUERIES)
     assert names[:len(QUERY_PRIORITY)] == QUERY_PRIORITY
-    first50 = set(names[:50])
+    # the gate-prefix size lives in ONE place (the stale tool) so the
+    # report's IN-WINDOW annotation and this enforcement can never disagree
+    sys.path.insert(0, "/root/repo/tools")
+    from check_correctness import WINDOW, stale_names
+    first50 = set(names[:WINDOW])
 
     import __spark_entry__ as entry_mod
     osql = entry_mod.oracle_sql()
@@ -47,16 +51,14 @@ def test_registry_priority_order():
                 banked.add(name)
     never_checked = {n for n in names if n in osql} - banked
     assert never_checked <= first50, never_checked - first50
-    # no top-50 slot may be wasted on a rows-only (no-oracle) query
-    assert all(n in osql for n in names[:50]), \
-        [n for n in names[:50] if n not in osql]
+    # no gated slot may be wasted on a rows-only (no-oracle) query
+    assert all(n in osql for n in names[:WINDOW]), \
+        [n for n in names[:WINDOW] if n not in osql]
     # evidence-freshness policy, consumed mechanically. The report
     # (--stale 3) lists what is DUE for rotation; this test enforces the
     # hard ceiling one round later (age >= 4), so the suite only goes red
     # when a rotation round was actually skipped — not transiently at
     # round start when fresh CORRECTNESS_r*.json ages a tail cohort to
     # exactly 3 before the build session has had a chance to rotate.
-    sys.path.insert(0, "/root/repo/tools")
-    from check_correctness import stale_names
     overdue = {name for _age, name, _lg in stale_names(4)}
     assert overdue <= first50, sorted(overdue - first50)

@@ -137,3 +137,25 @@ def test_pq_train_is_scale_invariant(emb):
     cb_raw = S.pq_train(emb, m_sub=8, k_codes=16, iters=2)
     cb_scaled = S.pq_train(scaled, m_sub=8, k_codes=16, iters=2)
     assert np.allclose(cb_raw, cb_scaled, atol=1e-9)
+
+
+def test_pq_zero_norm_vectors_never_poison_codebook(spark, emb):
+    """An all-zeros embedding with a LOW id (inside the seed region) must
+    neither NaN the codebook (seeds skip zero-norm rows) nor produce
+    NaN-derived codes (pq_encode clamps the norm and assigns the zero
+    point deterministically); other vectors' codes are unaffected."""
+    zero = spark.createDataFrame(
+        [(-1, [0.0] * 64)], "vec_id long, embedding array<float>")
+    poisoned = emb.select("vec_id", "embedding").unionByName(zero)
+    cb = S.pq_train(poisoned, m_sub=8, k_codes=16, iters=1)
+    assert np.isfinite(cb).all()
+    cb_clean = S.pq_train(emb, m_sub=8, k_codes=16, iters=1)
+    # the zero row is excluded from seeding AND the update -> identical
+    # codebook to training without it
+    assert np.allclose(cb, cb_clean, atol=1e-12)
+    codes = {r.vec_id: tuple(r.codes)
+             for r in S.pq_encode(poisoned, cb).collect()}
+    assert len(codes[-1]) == 8 and all(0 <= c < 16 for c in codes[-1])
+    a = {r.vec_id: tuple(r.codes)
+         for r in S.pq_encode(poisoned, cb).collect()}
+    assert a == codes  # deterministic, zero row included

@@ -57,6 +57,10 @@ def stale_names(n_rounds: int) -> list[tuple[int, str, int | None]]:
                   and (name not in oracles or res.get("hash_match")))
             if ok:
                 last_green[name] = max(last_green.get(name, 0), rnd)
+    if not rounds:
+        # no driver history recorded yet (fresh checkout / round 0):
+        # there is no evidence to be stale relative to
+        return []
     latest = max(rounds)
     stale = []
     for name in registry:
