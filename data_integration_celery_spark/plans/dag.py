@@ -69,11 +69,25 @@ class Pipeline:
                 wave = [self.jobs[n] for n in pending
                         if all(d in done for d in self.jobs[n].depends_on)]
                 if not wave:
-                    # remaining jobs are downstream of failures (or a cycle)
+                    # distinguish TRANSITIVE downstream-of-failure from a
+                    # genuine dependency cycle — "some other job failed"
+                    # must not mask a cycle that would never run anyway
+                    def blocked_by_failure(name: str,
+                                           seen: frozenset = frozenset()
+                                           ) -> bool:
+                        for d in self.jobs[name].depends_on:
+                            if d in failed:
+                                return True
+                            if (d in pending and d not in seen
+                                    and blocked_by_failure(
+                                        d, seen | {name})):
+                                return True
+                        return False
+
                     for n in sorted(pending):
                         reason = ("skipped: upstream failed"
-                                  if any(d in failed for d in self.jobs[n].depends_on)
-                                  or failed else "dependency cycle")
+                                  if blocked_by_failure(n)
+                                  else "dependency cycle")
                         results[n] = JobResult(n, False, 0.0, reason)
                     break
                 for res in pool.map(run_job, wave):

@@ -52,11 +52,17 @@ def replicate_incremental(spark: SparkSession, source: DataFrame,
     / export_bars_jdbc, exercised end-to-end against embedded Derby in
     tests/test_jdbc_replication.py.
     """
+    from ..operators.upsert import _exists
+
     df = transform(source) if transform else source
-    try:
+    # branch on existence, not on read failure (the upsert rule): a
+    # transient read error on an EXISTING target must propagate —
+    # swallowing it here would null the watermark and append the ENTIRE
+    # source on top of existing rows (silent wholesale duplication)
+    if _exists(spark, target_path):
         current_max = (spark.read.parquet(target_path)
                        .agg(F.max(watermark_col)).collect()[0][0])
-    except Exception:
+    else:
         current_max = None
     if current_max is not None:
         df = df.where(F.col(watermark_col) > F.lit(current_max))
@@ -111,18 +117,28 @@ def compact_table(spark: SparkSession, path: str,
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + "__compact"
     if partition_cols:
-        staged = df.repartition(*[F.col(c) for c in partition_cols])
-        staged.write.mode("overwrite").parquet(tmp)
+        # stage a verbatim copy first (Spark refuses to overwrite its own
+        # input), then bin-pack on the FINAL write — packing on the staged
+        # write would be undone by the re-read splitting big files back
+        # into maxPartitionBytes-sized tasks
+        df.write.mode("overwrite").parquet(tmp)
         (spark.read.parquet(tmp)
+         .repartition(*[F.col(c) for c in partition_cols])
          .write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy(*partition_cols).parquet(path))
+        fs, jtmp = _fs(spark, tmp)
+        fs.delete(jtmp, True)
     else:
+        # publish the staged layout by RENAME, not by read-back: a second
+        # spark.read would re-split the freshly packed files at
+        # maxPartitionBytes (128m), silently discarding the target size,
+        # and would copy all data a second time
         n = max(1, -(-total // (target_file_mb * 1024 * 1024)))
         df.repartition(n).write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
-    fs, jtmp = _fs(spark, tmp)
-    fs.delete(jtmp, True)
+        fs, jpath = _fs(spark, path)
+        fs.delete(jpath, True)
+        fs.rename(_fs(spark, tmp)[1], jpath)
     return len(list_data_files(spark, path))
 
 

@@ -86,11 +86,23 @@ def _driver_connection(spark: SparkSession, url: str,
 def table_exists(spark: SparkSession, url: str, table: str,
                  driver: str = DERBY_DRIVER) -> bool:
     """Existence probe via JDBC DatabaseMetaData (portable across dialects —
-    no subquery/FETCH syntax assumptions)."""
+    no subquery/FETCH syntax assumptions).
+
+    Matches by ENUMERATING table names case-insensitively instead of
+    passing ``table`` as the metadata pattern: unquoted DDL case-folds the
+    stored name (Derby/Oracle fold up, Postgres folds down), so a
+    lowercase probe for a table Spark just created would miss it and every
+    subsequent run would re-append the full source; and JDBC metadata
+    patterns treat '_'/'%' as wildcards, so 'FUT_K' as a pattern would
+    also match FUTXK (a false positive that skips the initial load)."""
     with _driver_connection(spark, url, driver) as conn:
-        rs = conn.getMetaData().getTables(None, None, table, None)
+        rs = conn.getMetaData().getTables(None, None, "%", None)
         try:
-            return rs.next()
+            want = table.upper()
+            while rs.next():
+                if (rs.getString("TABLE_NAME") or "").upper() == want:
+                    return True
+            return False
         finally:
             rs.close()
 
@@ -121,9 +133,7 @@ def replicate_jdbc_incremental(spark: SparkSession, source: DataFrame,
     """
     df = transform(source) if transform else source
     if not table_exists(spark, url, table, driver):
-        n = df.count()
-        _write(df, url, table, driver)
-        return n
+        return _count_and_write(df, url, table, driver)
     target = read_table(spark, url, table, driver)
     if key_col is None:
         current_max = target.agg(F.max(watermark_col)).collect()[0][0]
@@ -136,9 +146,21 @@ def replicate_jdbc_incremental(spark: SparkSession, source: DataFrame,
               .where(F.col("__wm").isNull()
                      | (F.col(watermark_col) > F.col("__wm")))
               .drop("__wm"))
-    n = df.count()
-    if n:
-        _write(df, url, table, driver)
+    return _count_and_write(df, url, table, driver, skip_empty=True)
+
+
+def _count_and_write(df: DataFrame, url: str, table: str, driver: str,
+                     skip_empty: bool = False) -> int:
+    """Count + JDBC write off ONE computation of the plan: without the
+    persist, the source scan/transform/watermark join would execute twice
+    per call (count action, then the write) — the dominant cost at scale."""
+    df = df.persist()
+    try:
+        n = df.count()
+        if n or not skip_empty:
+            _write(df, url, table, driver)
+    finally:
+        df.unpersist()
     return n
 
 
@@ -175,30 +197,33 @@ def export_bars_jdbc(spark: SparkSession, source: DataFrame, url: str,
     shaped = shaped.withColumn("interval", F.lit(interval))
 
     if not table_exists(spark, url, table, driver):
-        n = shaped.count()
-        _write(shaped, url, table, driver)
-        return n
+        return _count_and_write(shaped, url, table, driver)
 
+    # shaped feeds three consumers (count diff, changed filter, write):
+    # persist once so the source scan+shape runs once, not three times
+    shaped = shaped.persist()
     src_counts = shaped.groupBy("symbol").agg(F.count(F.lit(1)).alias("__n"))
     tgt = read_table(spark, url, table, driver).where(
         F.col("interval") == interval)
     tgt_counts = tgt.groupBy("symbol").agg(F.count(F.lit(1)).alias("__m"))
-    changed = [r["symbol"] for r in
-               (src_counts.join(tgt_counts, "symbol", "left")
-                .where(F.col("__m").isNull() | (F.col("__m") != F.col("__n")))
-                .select("symbol").collect())]
-    if not changed:
-        return 0
-    with _driver_connection(spark, url, driver) as conn:
-        st = conn.prepareStatement(
-            f'DELETE FROM {table} WHERE "symbol" = ? AND "interval" = ?')
-        for sym in changed:
-            st.setString(1, sym)
-            st.setString(2, interval)
-            st.addBatch()
-        st.executeBatch()
-        st.close()
-    out = shaped.where(F.col("symbol").isin(changed))
-    n = out.count()
-    _write(out, url, table, driver)
-    return n
+    try:
+        changed = [r["symbol"] for r in
+                   (src_counts.join(tgt_counts, "symbol", "left")
+                    .where(F.col("__m").isNull()
+                           | (F.col("__m") != F.col("__n")))
+                    .select("symbol").collect())]
+        if not changed:
+            return 0
+        with _driver_connection(spark, url, driver) as conn:
+            st = conn.prepareStatement(
+                f'DELETE FROM {table} WHERE "symbol" = ? AND "interval" = ?')
+            for sym in changed:
+                st.setString(1, sym)
+                st.setString(2, interval)
+                st.addBatch()
+            st.executeBatch()
+            st.close()
+        out = shaped.where(F.col("symbol").isin(changed))
+        return _count_and_write(out, url, table, driver)
+    finally:
+        shaped.unpersist()

@@ -58,9 +58,14 @@ def ingest_series_catalog(spark: SparkSession, catalog: dict[str, dict],
     loop indexes (macroeconomy.py). Returns the landed table reader.
     """
     info = catalog_frame(spark, catalog)
-    try:
+    # branch on existence, not on read failure (the upsert rule): a
+    # transient read error on an EXISTING table must propagate — swallowing
+    # it would null every watermark and re-plan a full-history refetch of
+    # every series against the vendor API
+    from ..operators.upsert import _exists
+    if _exists(spark, path):
         existing = spark.read.parquet(path).select("series_id", "obs_date")
-    except Exception:
+    else:
         existing = spark.createDataFrame([], "series_id string, obs_date date")
     plan = incremental.fetch_ranges(
         info, existing, key="series_id", date_col="obs_date",

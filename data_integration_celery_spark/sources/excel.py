@@ -49,11 +49,19 @@ def _cell_value(cell, shared: list[str]):
         return None
     if t == "s":
         return shared[int(v_el.text)]
-    if t == "str":
+    if t in ("str", "d", "e"):
+        # 'd' is an ISO-8601 date string, 'e' a formula error literal
+        # ('#DIV/0!'): both are text — falling through to float() would
+        # abort the whole ingest job on one bad cell in one file
         return v_el.text
     if t == "b":
         return v_el.text == "1"
-    return float(v_el.text)
+    try:
+        return float(v_el.text)
+    except ValueError:
+        # malformed numeric cell: surface the raw text instead of failing
+        # the Spark task (and with it every file in the batch)
+        return v_el.text
 
 
 def parse_xlsx(content: bytes, sheet: int | str = 0,
@@ -90,13 +98,14 @@ def parse_xlsx(content: bytes, sheet: int | str = 0,
     rows: list[dict[int, object]] = []
     for row in ws.iter(f"{_NS}row"):
         vals: dict[int, object] = {}
+        pos = 0  # @r is OPTIONAL in OOXML: unreferenced cells are implied
         for cell in row.findall(f"{_NS}c"):
             m = _CELL_REF.match(cell.get("r", ""))
-            if not m:
-                continue
-            vals[_col_index(m.group(1))] = _cell_value(cell, shared)
+            idx = _col_index(m.group(1)) if m else pos
+            vals[idx] = _cell_value(cell, shared)
+            pos = idx + 1
         rows.append(vals)
-    if not rows:
+    if not rows or not any(rows):
         return pd.DataFrame()
     width = max(max(r) for r in rows if r) + 1
     table = [[r.get(i) for i in range(width)] for r in rows]

@@ -38,6 +38,9 @@ from pyspark.sql import functions as F
 class _TableExtract(HTMLParser):
     """Collect every <table> as rows of cell texts, plus id->text map."""
 
+    _VOID = {"br", "img", "hr", "input", "meta", "link", "col", "area",
+             "base", "embed", "source", "track", "wbr"}
+
     def __init__(self) -> None:
         super().__init__()
         self.tables: list[list[list[str]]] = []
@@ -45,7 +48,12 @@ class _TableExtract(HTMLParser):
         self._tstack: list[list[list[str]]] = []
         self._row: list[str] | None = None
         self._cell: list[str] | None = None
-        self._id_capture: list[tuple[str, list[str]]] = []
+        # open id captures as [id, buf, depth]: depth = currently-open
+        # elements strictly inside the captured element, so a capture only
+        # closes on ITS OWN end tag — a nested <b> inside
+        # <span id="publishtime"> no longer pops the capture early and
+        # truncates/mis-scopes the text
+        self._id_capture: list[list] = []
 
     def handle_starttag(self, tag, attrs):
         if tag == "table":
@@ -54,9 +62,13 @@ class _TableExtract(HTMLParser):
             self._row = []
         elif tag in ("td", "th") and self._row is not None:
             self._cell = []
+        if tag in self._VOID:
+            return  # no end tag ever comes: must not affect capture depth
+        for cap in self._id_capture:
+            cap[2] += 1
         attr_id = dict(attrs).get("id")
         if attr_id:
-            self._id_capture.append((attr_id, []))
+            self._id_capture.append([attr_id, [], 0])
 
     def handle_endtag(self, tag):
         if tag in ("td", "th") and self._cell is not None:
@@ -68,16 +80,25 @@ class _TableExtract(HTMLParser):
             self._row = None
         elif tag == "table" and self._tstack:
             self.tables.append(self._tstack.pop())
-        # ids close with whatever tag ends next at their depth; a simple
-        # one-shot capture is enough for scalar spans like publishtime
-        if self._id_capture:
-            attr_id, buf = self._id_capture.pop()
-            self.id_texts.setdefault(attr_id, "".join(buf).strip())
+        if tag in self._VOID or not self._id_capture:
+            return
+        top = self._id_capture[-1]
+        if top[2] == 0:
+            # this end tag closes the captured element itself
+            self._id_capture.pop()
+            self.id_texts.setdefault(top[0], "".join(top[1]).strip())
+            rest = self._id_capture
+        else:
+            top[2] -= 1
+            rest = self._id_capture[:-1]
+        # the closed element was also nested inside every outer capture
+        for cap in rest:
+            cap[2] -= 1
 
     def handle_data(self, data):
         if self._cell is not None:
             self._cell.append(data)
-        for _, buf in self._id_capture:
+        for _, buf, _depth in self._id_capture:
             buf.append(data)
 
 

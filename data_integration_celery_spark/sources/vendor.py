@@ -70,7 +70,12 @@ def bisect_ranges(fetch: FetchFn, code: str, date_from, date_to,
 
     Walk ``(date_from, date_to]`` in windows of ``step`` days (the fetcher
     contract is from-exclusive / to-inclusive, matching the reference's
-    ``pub_date > from AND pub_date <= to``). A window whose result hits
+    ``pub_date > from AND pub_date <= to`` — window boundaries would
+    double-fetch under inclusive-from). NOTE: ``incremental.fetch_ranges``
+    and ``ingest_series_catalog`` emit INCLUSIVE ``[date_from, date_to]``
+    plans (date_from = watermark + 1); wrap a from-exclusive fetcher with
+    ``inclusive_from`` before handing it to those planners, or the plan's
+    first day is silently skipped forever. A window whose result hits
     ``row_limit`` probably got truncated by the vendor cap: re-fetch it as
     two half-step windows, recursively, until step < 2 — then yield what we
     got with ``truncated=True`` so the caller can flag the gap.
@@ -103,4 +108,24 @@ def fetch_bisected(fetch: FetchFn, step: int = 20,
                   bisect_ranges(fetch, code, date_from, date_to, step, row_limit)
                   if df is not None and len(df)]
         return pd.concat(frames, ignore_index=True) if frames else None
+    return wrapped
+
+
+def inclusive_from(fetch: FetchFn, granularity_days: int = 1) -> FetchFn:
+    """Adapt a from-EXCLUSIVE vendor fetcher (``pub_date > from`` — the
+    ``bisect_ranges`` contract) to the INCLUSIVE ``[date_from, date_to]``
+    plans that ``incremental.fetch_ranges`` / ``ingest_series_catalog``
+    emit (they compute ``date_from = watermark + 1 day``): shifts ``from``
+    back one granularity step so the plan's first day is actually fetched.
+
+    Without this adapter, an exclusive fetcher driven by an inclusive plan
+    silently skips one day per increment — and a brand-new series' very
+    first observation (date_from = inception) is never ingested, with the
+    gap re-planned away forever because the next watermark starts past it.
+    """
+    import datetime as _dt
+    delta = _dt.timedelta(days=granularity_days)
+
+    def wrapped(code, date_from, date_to):
+        return fetch(code, date_from - delta, date_to)
     return wrapped

@@ -211,3 +211,25 @@ def test_selection_scoring_pipeline(spark, tmp_path):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_pipeline_reports_dependency_cycle_distinctly(spark):
+    """A genuine cycle must be reported as such even when an unrelated job
+    failed — previously any failure relabeled the whole stuck subgraph
+    'skipped: upstream failed', hiding the cycle."""
+    def boom(s):
+        raise RuntimeError("boom")
+
+    def ok(s):
+        return None
+
+    results = Pipeline([
+        Job("a", boom),
+        Job("b", ok, depends_on=["c"]),
+        Job("c", ok, depends_on=["b"]),
+        Job("d", ok, depends_on=["a"]),
+    ]).run(spark)
+    assert not results["a"].ok
+    assert results["d"].error == "skipped: upstream failed"
+    assert results["b"].error == "dependency cycle"
+    assert results["c"].error == "dependency cycle"

@@ -137,3 +137,44 @@ def test_pytdx_gpcw_upsert_roundtrip(spark, tmp_path):
     out = spark.read.parquet(target).collect()
     assert len(out) == 1
     assert abs(out[0]["EPS"] - 2.0) < 1e-6
+
+
+def test_xlsx_error_cells_and_missing_refs_survive(tmp_path):
+    """A formula-error cell (t='e'), an ISO-date cell (t='d'), and cells
+    without the OPTIONAL @r reference must parse (as text / implied
+    position), never abort the whole ingest job on one bad cell."""
+    import io
+    import zipfile
+
+    sheet = (
+        '<?xml version="1.0"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/'
+        'spreadsheetml/2006/main"><sheetData>'
+        '<row r="1"><c r="A1" t="str"><v>h1</v></c>'
+        '<c r="B1" t="str"><v>h2</v></c>'
+        '<c r="C1" t="str"><v>h3</v></c></row>'
+        # error cell + date cell + a cell with no r attribute (implied C2)
+        '<row r="2"><c r="A2" t="e"><v>#DIV/0!</v></c>'
+        '<c r="B2" t="d"><v>2026-08-14</v></c>'
+        '<c t="n"><v>7.5</v></c></row>'
+        '</sheetData></worksheet>')
+    wb = ('<?xml version="1.0"?>'
+          '<workbook xmlns="http://schemas.openxmlformats.org/'
+          'spreadsheetml/2006/main" '
+          'xmlns:r="http://schemas.openxmlformats.org/officeDocument/'
+          '2006/relationships">'
+          '<sheets><sheet name="s" sheetId="1" r:id="rId1"/></sheets>'
+          '</workbook>')
+    rels = ('<?xml version="1.0"?>'
+            '<Relationships xmlns="http://schemas.openxmlformats.org/'
+            'package/2006/relationships">'
+            '<Relationship Id="rId1" Type="t" Target="worksheets/'
+            'sheet1.xml"/></Relationships>')
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("xl/workbook.xml", wb)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    parsed = excel.parse_xlsx(buf.getvalue())
+    assert list(parsed.columns) == ["h1", "h2", "h3"]
+    assert parsed.iloc[0].tolist() == ["#DIV/0!", "2026-08-14", 7.5]

@@ -107,3 +107,20 @@ def test_scrape_upsert_on_city_publish_date(spark, tmp_path):
     day2 = out.where(F.col("publish_date") == F.lit("2023-05-09").cast("date"))
     prices = sorted(r.price for r in day2.collect())
     assert prices == [5000.0, 5001.0, 5002.0]
+
+
+def test_id_capture_survives_nested_elements(spark, tmp_path):
+    """A nested element inside an id-bearing span must not pop the capture
+    early: <span id=publishtime>发布时间：<b>2026-08-14 10:00</b></span>
+    previously truncated at the inner </b> and mis-scoped outer captures."""
+    from data_integration_celery_spark.sources import html_table as H
+
+    html = ('<html><body id="outer">before '
+            '<span id="publishtime">ts: <b>2026-08-14 10:00</b></span>'
+            ' after<br><table><tr><td>x</td></tr></table></body></html>')
+    p = H._TableExtract()
+    p.feed(html)
+    assert p.id_texts["publishtime"] == "ts: 2026-08-14 10:00"
+    assert "2026-08-14 10:00" in p.id_texts["outer"]
+    assert "after" in p.id_texts["outer"]  # capture outlived nested tags
+    assert p.tables == [[["x"]]]

@@ -122,3 +122,21 @@ def test_vnpy_export_replace_if_changed(spark, tmp_path):
     assert got2.where(F.col("symbol") == "RB2401").count() == 3
     # untouched symbols kept exactly one copy
     assert got2.where(F.col("symbol") == "CU2402").count() == 1
+
+
+def test_lowercase_table_name_is_not_recopied(spark, tmp_path):
+    """Unquoted DDL case-folds the stored name (Derby folds UP), so the
+    existence probe must match case-insensitively — a lowercase table name
+    previously missed the probe and re-appended the full source every run
+    (silent unbounded duplication)."""
+    url = J.derby_url(str(tmp_path / "lc"))
+    src = _bars(spark, BASE).where(F.col("close") != 0)
+    n1 = J.replicate_jdbc_incremental(
+        spark, src, url, "fut_lower", watermark_col="trade_date")
+    assert n1 == 4
+    assert J.table_exists(spark, url, "fut_lower")
+    # second run with the identical source: nothing past the watermark
+    n2 = J.replicate_jdbc_incremental(
+        spark, src, url, "fut_lower", watermark_col="trade_date")
+    assert n2 == 0
+    assert J.read_table(spark, url, "fut_lower").count() == 4

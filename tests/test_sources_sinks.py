@@ -285,3 +285,27 @@ def test_compact_after_partitioned_upserts(spark, tmp_path):
                                     partition_cols=["dt"])
     rows = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
     assert rows[0] == 99.0 and rows[101] == 88.0 and len(rows) == 120
+
+
+def test_inclusive_from_adapter_fetches_the_plan_boundary_day():
+    """fetch_ranges emits INCLUSIVE [date_from, date_to] plans; a
+    from-EXCLUSIVE fetcher wrapped in inclusive_from must fetch the plan's
+    first day instead of silently skipping one day per increment."""
+    import datetime as dt
+    import pandas as pd
+    from data_integration_celery_spark.sources import vendor
+
+    def exclusive_fetch(code, lo, hi):
+        days, day = [], lo + dt.timedelta(days=1)   # pub_date > lo
+        while day <= hi:
+            days.append(day)
+            day += dt.timedelta(days=1)
+        return pd.DataFrame({"day": days})
+
+    d0 = dt.date(2026, 8, 1)
+    plan_from, plan_to = d0, d0 + dt.timedelta(days=3)
+    raw = exclusive_fetch("X", plan_from, plan_to)
+    assert d0 not in set(raw["day"])                # the silent gap
+    adapted = vendor.inclusive_from(exclusive_fetch)("X", plan_from, plan_to)
+    assert set(adapted["day"]) == {d0 + dt.timedelta(days=i)
+                                   for i in range(4)}
