@@ -58,6 +58,13 @@ def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFr
         # events.ts is parquet TIMESTAMP(NANOS) which Spark has no native type
         # for: read the raw int64 nanos and truncate to micros (DuckDB/Arrow do
         # the same truncation when downcasting ns→µs).
+        # NOTE this conf change is deliberately SESSION-WIDE and permanent:
+        # the scan reads it at ACTION time (the physical plan snapshots the
+        # hadoop conf when the job runs), so a set/restore scope around this
+        # read() would silently flip back before the cached lazy handle ever
+        # executes. Side effect: other ns-timestamp parquet read in the same
+        # session also surfaces as bigint instead of erroring — acceptable
+        # for the engine session, which owns its SparkSession via get_spark.
         from pyspark.sql import functions as F
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)

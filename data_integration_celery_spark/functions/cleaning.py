@@ -49,9 +49,9 @@ def fuzzy_canonicalize(c: Column, candidates: list[str]) -> Column:
     low = F.lower(c)
     expr = None
     for cand in candidates:
-        branch = F.when(low.contains(cand.lower()), F.lit(cand))
-        expr = branch if expr is None else expr.when(
-            low.contains(cand.lower()), F.lit(cand))
+        cond = low.contains(cand.lower())
+        expr = (F.when(cond, F.lit(cand)) if expr is None
+                else expr.when(cond, F.lit(cand)))
     return expr.otherwise(low) if expr is not None else low
 
 

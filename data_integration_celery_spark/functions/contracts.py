@@ -31,8 +31,15 @@ def delivery_ym(code: Column, reference_year: int = 2020) -> Column:
     4-digit codes are unambiguous within a 30-year window: 'RB2101' → 202101.
     CZC 3-digit codes ('SR607') drop the decade: resolve to the decade at or
     before ``reference_year``, rolling back 10 years when the result would be
-    more than 3 years in the future (the reference's +1000 adjustment in
-    digit space, continuse_contract_md.py:42-80).
+    more than 3 years in the future — a sliding window of [ref-6, ref+3].
+
+    DELIBERATE generalization of the reference (continuse_contract_md.py:
+    42-80): its +1000 digit adjustment pins EVERY 3-digit code to 201x,
+    which is exactly this window at reference_year 2013-2016 (pinned by
+    test_contract_parsing_goldens) but mis-dates any post-2019 CZC code.
+    Callers must pass a ``reference_year`` near the data epoch; a dataset
+    spanning more than the 10-year window needs a per-row reference (e.g.
+    the row's trade year) rather than one static value.
     """
     digits = F.regexp_extract(code, r"([0-9]+)", 1)
     n = F.length(digits)

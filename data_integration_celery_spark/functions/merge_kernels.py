@@ -152,7 +152,15 @@ def compile_merge_rules(
     """
     cols: list[Column] = [F.col(c) if isinstance(c, str) else c
                           for c in (key_cols or [])]
+    non_numeric = ("string", "date", "timestamp", "boolean", "binary")
     for out, (dtype, kernel, kw) in rules.items():
+        if kernel in ("prefer_left", "prefer_right") and dtype in non_numeric:
+            # the numeric kernels NaN-probe via isnan(cast('double')),
+            # which does not analyze for these types; NaN is impossible
+            # there anyway, so plain-coalesce variants apply (the same
+            # dispatch merge_stock_daily does — it belongs in the shared
+            # compiler, not in one caller)
+            kernel = kernel + "_any"
         fn = KERNELS[kernel]
         if kernel == "get_value":
             expr = fn(F.col(kw["col"]))

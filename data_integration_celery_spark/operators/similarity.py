@@ -44,6 +44,25 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _normalized_vecs(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, nv) with nv = vec/‖vec‖ as double — the shared prologue of the
+    SemDeDup family (batch, index, incremental, streaming).
+
+    Null, empty, AND zero-norm rows are excluded: a zero vector has no
+    direction, and x/0 is NULL in Spark, so it would surface as an
+    all-NaN row that poisons the BLAS kernels and persists into the
+    member index where it can never match (NaN >= tau is false). The norm
+    is staged as a column and computed ONCE per row — an aggregate inside
+    the per-element transform lambda re-evaluates it per element in
+    interpreted Catalyst (O(d²) multiply-adds per row)."""
+    staged = (emb.where(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+              .withColumn("__nrm", _norm(F.col(vec_col)))
+              .where(F.col("__nrm") > 0))
+    nv = F.transform(F.col(vec_col),
+                     lambda x: x.cast("double") / F.col("__nrm"))
+    return staged.select(F.col(id_col).alias("id"), nv.alias("nv"))
+
+
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      round_dp: int = 6, method: str = "auto") -> DataFrame:
@@ -517,9 +536,7 @@ def semdedup(emb: DataFrame, n_clusters: int = 8, tau: float = 0.7,
     # deduplicated — excluded up front so both methods (and the kernels'
     # np.stack) see the same well-formed input
     emb = emb.where(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
-    nv = F.transform(F.col(vec_col),
-                     lambda x: x.cast("double") / _norm(F.col(vec_col)))
-    vecs = emb.select(F.col(id_col).alias("id"), nv.alias("nv"))
+    vecs = _normalized_vecs(emb, id_col, vec_col)
     if iters > 0 and method != "blas":
         raise ValueError("iters>0 (Lloyd k-means clustering) requires "
                          "method='blas'")
@@ -656,9 +673,7 @@ def semdedup_index(emb: DataFrame, n_clusters: int = 8, iters: int = 0,
     import pandas as pd
 
     emb = emb.where(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
-    nv = F.transform(F.col(vec_col),
-                     lambda x: x.cast("double") / _norm(F.col(vec_col)))
-    vecs = emb.select(F.col(id_col).alias("id"), nv.alias("nv"))
+    vecs = _normalized_vecs(emb, id_col, vec_col)
     seed_pdf = vecs.orderBy("id").limit(n_clusters).toPandas()
     if not len(seed_pdf):
         # empty corpus: an empty index, not an np.stack crash — the
@@ -749,11 +764,7 @@ def incremental_semdedup_pairs(new_emb: DataFrame, member: DataFrame,
     clusters' members — co-located when ``member`` is read from a
     cluster-bucketed table. Output: (id_a, id_b, cos), ≥1 side new.
     """
-    new_emb = new_emb.where(F.col(vec_col).isNotNull()
-                            & (F.size(vec_col) > 0))
-    nv = F.transform(F.col(vec_col),
-                     lambda x: x.cast("double") / _norm(F.col(vec_col)))
-    new_vecs = new_emb.select(F.col(id_col).alias("id"), nv.alias("nv"))
+    new_vecs = _normalized_vecs(new_emb, id_col, vec_col)
     if getattr(centroids, "size", 0) == 0:
         # empty index (bootstrap against an empty old corpus): no pairs
         return new_emb.sparkSession.createDataFrame(

@@ -58,7 +58,11 @@ def merge_vendor_daily(left: DataFrame, right: DataFrame,
         if in_l and in_r:
             l, r = F.col(f"l.{out}"), F.col(f"r.{out}")
             expr = mk.KERNELS[kernel](l, r)
-            if tol is not None and audit:
+            # conflict audit applies to mean_value rules only: the
+            # reference's prefer_* kernels ignore the accuracy field, so a
+            # toleranced prefer_left row must not emit warnings the
+            # reference never logs (same condition as merge_stock_daily)
+            if kernel == "mean_value" and tol is not None and audit:
                 conflict_cols[f"{out}_conflict"] = mk.mean_value_warning(l, r, tol)
         else:
             expr = F.col(f"l.{out}") if in_l else F.col(f"r.{out}")

@@ -72,7 +72,10 @@ def upsert_sink(stream: DataFrame, path: str, keys: list[str],
     from ..operators.upsert import write_upsert
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        stamped = batch_df.withColumn("batch_id", F.lit(batch_id))
+        # +1: write_upsert stamps the existing base with batch_id 0, so a
+        # raw batch_id of 0 would TIE with the base and make batch 0's
+        # last-write-wins nondeterministic against a pre-existing table
+        stamped = batch_df.withColumn("batch_id", F.lit(batch_id + 1))
         write_upsert(batch_df.sparkSession, stamped, path, keys)
 
     return (stream.writeStream
@@ -264,20 +267,30 @@ def stream_incremental_semdedup(emb: DataFrame, member_path: str,
     failed attempt yields the identical pair set (assignment is a pure
     function of the vector and the fixed centroids). At scale the member
     table is written bucketed by ``cluster`` so probes co-locate.
+
+    Raises ValueError on an empty centroid matrix at CONSTRUCTION time:
+    the batch twin returns an empty pair frame there (a one-shot bootstrap
+    probe), but a stream started against no index would silently discard
+    every arrival forever — fail fast instead. Null/empty/zero-norm
+    vectors are dropped at the batch boundary (``_normalized_vecs``): a
+    zero vector would normalize to an all-NULL array and persist as a
+    NaN row in the member index that can never match.
     """
     from ..operators.similarity import (_assign_to_centroids,
                                         _incremental_pairs_from_members,
-                                        _norm)
+                                        _normalized_vecs)
     from ..operators.upsert import _exists, overwrite_partitions
+
+    if getattr(centroids, "size", 0) == 0:
+        raise ValueError(
+            "stream_incremental_semdedup needs a non-empty centroid index "
+            "(build one with semdedup_index first): every micro-batch "
+            "would fail assignment, or worse, drop arrivals silently")
 
     def probe_and_extend(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch_df = batch_df.where(F.col(vec_col).isNotNull()
-                                  & (F.size(vec_col) > 0))
-        nv = F.transform(F.col(vec_col),
-                         lambda x: x.cast("double") / _norm(F.col(vec_col)))
         new_m = _assign_to_centroids(
-            batch_df.select(F.col(id_col).alias("id"), nv.alias("nv")),
+            _normalized_vecs(batch_df, id_col, vec_col),
             centroids, round_dp).persist()
         try:
             # existence-branch, not read-exception branch (upsert rule):

@@ -23,26 +23,30 @@ class HeartbeatListener(StreamingQueryListener):
         self._events: list[dict] = []
         self._max = max_events
 
-    def onQueryStarted(self, event) -> None:
+    def _append(self, event: dict) -> None:
+        # every handler trims — started/terminated events from a
+        # supervisor restart loop must honor the bound too, not just
+        # progress events
         with self._lock:
-            self._events.append({"kind": "started", "id": str(event.id),
-                                 "name": event.name})
+            self._events.append(event)
+            del self._events[:-self._max]
+
+    def onQueryStarted(self, event) -> None:
+        self._append({"kind": "started", "id": str(event.id),
+                      "name": event.name})
 
     def onQueryProgress(self, event) -> None:
         p = json.loads(event.progress.json)
-        with self._lock:
-            self._events.append({
-                "kind": "progress",
-                "id": p.get("id"),
-                "batch_id": p.get("batchId"),
-                "num_input_rows": p.get("numInputRows"),
-                "duration_ms": (p.get("durationMs") or {}).get("triggerExecution"),
-            })
-            del self._events[:-self._max]
+        self._append({
+            "kind": "progress",
+            "id": p.get("id"),
+            "batch_id": p.get("batchId"),
+            "num_input_rows": p.get("numInputRows"),
+            "duration_ms": (p.get("durationMs") or {}).get("triggerExecution"),
+        })
 
     def onQueryTerminated(self, event) -> None:
-        with self._lock:
-            self._events.append({"kind": "terminated", "id": str(event.id)})
+        self._append({"kind": "terminated", "id": str(event.id)})
 
     def onQueryIdle(self, event) -> None:  # pragma: no cover - depends on timing
         pass

@@ -99,3 +99,48 @@ def test_rename_columns_by_dic(spark):
     with pytest.raises(ValueError):
         cleaning.rename_columns_by_dic(
             df.toDF("price_a", "price_b", "m"), ["price"])
+
+
+def test_compile_merge_rules_non_numeric_prefer(spark):
+    """A date-typed prefer_left rule (the reference's trade_date shape)
+    must compile via the *_any coalesce variants — the numeric kernels'
+    isnan(cast('double')) probe does not analyze for DATE, so this
+    previously raised AnalysisException through compile_merge_rules while
+    silently working through merge_stock_daily."""
+    import datetime as dt
+
+    from data_integration_celery_spark.functions import merge_kernels as mk
+
+    j = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 2), None),
+         (2, None, dt.date(2024, 1, 3)),
+         (3, dt.date(2024, 1, 4), dt.date(2024, 1, 5))],
+        "k int, d_l date, d_r date")
+    out = {r["k"]: r["trade_date"] for r in mk.compile_merge_rules(
+        j, {"trade_date": ("date", "prefer_left",
+                           {"left": "d_l", "right": "d_r"})},
+        key_cols=["k"]).collect()}
+    assert out == {1: dt.date(2024, 1, 2), 2: dt.date(2024, 1, 3),
+                   3: dt.date(2024, 1, 4)}
+
+
+def test_vendor_merge_prefer_with_tolerance_emits_no_conflict(spark):
+    """The reference's prefer_* kernels IGNORE the accuracy field, so a
+    toleranced prefer_left rule must not contribute conflict audit rows —
+    only mean_value rules do (merge_stock_daily already enforced this;
+    merge_vendor_daily now matches)."""
+    from data_integration_celery_spark import pipelines
+
+    left = spark.createDataFrame(
+        [("A", 10.0, 1.0)], "code string, close double, vol double")
+    right = spark.createDataFrame(
+        [("A", 99.0, 1.0)], "code string, close double, vol double")
+    merged, conflicts = pipelines.merge_vendor_daily(
+        left, right, ["code"],
+        {"close": ("double", "prefer_left", 0.01),
+         "vol": ("double", "mean_value", 0.01)})
+    assert conflicts is not None
+    cols = conflicts.columns
+    assert "vol_conflict" in cols and "close_conflict" not in cols
+    # close disagreed wildly but prefer_left logs nothing for it
+    assert merged.collect()[0]["close"] == 10.0

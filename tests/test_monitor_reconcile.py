@@ -35,3 +35,18 @@ def test_schema_reconcile(spark):
     c = spark.createDataFrame([(1,)], "id int")
     diff2 = schemas.reconcile(a, c)
     assert diff2["only_in_a"] == ["name", "v"]
+
+
+def test_heartbeat_listener_bounds_all_event_kinds():
+    """started/terminated events must honor the ring bound too — a
+    supervisor loop restarting a crashing query previously grew the list
+    without limit because only onQueryProgress trimmed."""
+    from types import SimpleNamespace
+
+    lst = HeartbeatListener(max_events=10)
+    for i in range(50):
+        lst.onQueryStarted(SimpleNamespace(id=f"q{i}", name="n"))
+        lst.onQueryTerminated(SimpleNamespace(id=f"q{i}"))
+    snap = lst.snapshot()
+    assert len(snap) == 10
+    assert snap[-1] == {"kind": "terminated", "id": "q49"}

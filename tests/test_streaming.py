@@ -473,3 +473,41 @@ def test_stream_incremental_pq_index_replay_idempotent(spark, sf_dir,
     shutil.rmtree(ckpt)            # lose the offsets: full replay
     second = run()
     assert first == second and first
+
+
+def test_stream_upsert_first_batch_beats_preexisting_base(spark, tmp_path):
+    """batch_id 0 previously tied with write_upsert's synthetic base stamp
+    (0), making the very first micro-batch's last-write-wins
+    nondeterministic against a pre-existing table — the update must win."""
+    base = spark.createDataFrame([(1, "old"), (2, "keep")], "k int, v string")
+    path = str(tmp_path / "target")
+    base.write.parquet(path)
+    src_dir = str(tmp_path / "src")
+    spark.createDataFrame([(1, "new")], "k int, v string") \
+        .coalesce(1).write.parquet(src_dir)
+    stream = (spark.readStream.schema("k int, v string").parquet(src_dir))
+    q = jobs.upsert_sink(stream, path, ["k"], str(tmp_path / "ckpt")) \
+        .trigger(availableNow=True).start()
+    assert q.awaitTermination(300)
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: "new", 2: "keep"}
+
+
+def test_stream_incremental_semdedup_rejects_empty_centroids(spark,
+                                                             tmp_path):
+    """A stream started against no index would silently discard every
+    arrival (or crash per batch in assignment) — construction must fail
+    fast, unlike the batch twin's one-shot empty-probe semantics."""
+    import numpy as np
+    import pytest as _pt
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(1, [0.5] * 4)],
+                          "vec_id long, embedding array<float>") \
+        .write.parquet(src)
+    stream = (spark.readStream.schema("vec_id long, embedding array<float>")
+              .parquet(src))
+    with _pt.raises(ValueError, match="centroid"):
+        jobs.stream_incremental_semdedup(
+            stream, str(tmp_path / "m"), str(tmp_path / "p"),
+            str(tmp_path / "c"), np.zeros((0, 0)))
