@@ -54,13 +54,20 @@ def asof_join_range(daily: DataFrame, reports: DataFrame, key: str,
 
 def asof_join_union(daily: DataFrame, reports: DataFrame, key: str,
                     date_col: str, pub_col: str,
-                    value_cols: list[str]) -> DataFrame:
+                    value_cols: list[str],
+                    tiebreaks: list[str] | None = None) -> DataFrame:
     """Shuffle-once as-of join: union + forward-fill (the 100 TB path).
 
     Interleave report rows (flagged) with daily rows on a common time axis,
     then ``last(value, ignoreNulls)`` over (key ordered by time, report-first)
     carries each report forward until the next one. One shuffle on ``key``,
     state bounded by one row/key — survives arbitrary fact-side scale.
+
+    Determinism contract: ``(key, pub_col)`` must uniquely identify a
+    report, OR pass ``tiebreaks`` (report columns appended to the window
+    order) — with two reports at the same timestamp and no tiebreak, the
+    carried value would depend on shuffle placement (the same contract
+    ``effectivity`` makes explicit with its tiebreak argument).
     """
     d = daily.withColumn("__t", F.col(date_col)).withColumn("__is_report", F.lit(0))
     r = (reports.select(key, F.col(pub_col).alias("__t"), *value_cols)
@@ -68,7 +75,8 @@ def asof_join_union(daily: DataFrame, reports: DataFrame, key: str,
     unioned = d.unionByName(r, allowMissingColumns=True)
     # reports sort before daily rows at the same timestamp → effective same-day
     w = (Window.partitionBy(key)
-               .orderBy(F.col("__t"), F.col("__is_report").desc())
+               .orderBy(F.col("__t"), F.col("__is_report").desc(),
+                        *(tiebreaks or []))
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     filled = unioned
     for c in value_cols:
@@ -128,6 +136,14 @@ def interval_flag_join_bucketed(daily: DataFrame, intervals: DataFrame,
     join selectivity (coarse buckets match more non-overlapping pairs);
     ``month`` suits the reference's day-granularity suspend windows.
     """
+    # F.trunc supports these units only — anything else (e.g. 'day')
+    # returns NULL, the sequence() becomes NULL, explode drops every
+    # interval row, and ALL daily rows would silently flag 0
+    valid = ("week", "month", "quarter", "year")
+    if bucket not in valid:
+        raise ValueError(f"bucket must be one of {valid}, got {bucket!r} "
+                         "(F.trunc returns NULL for other units, which "
+                         "would silently flag every row 0)")
     one = F.expr(f"interval 1 {bucket}")
     iv = (intervals.select(F.col(key).alias("__k"),
                            F.col(start_col).alias("__s"),

@@ -61,7 +61,10 @@ def ohlc_bars(ticks: DataFrame, key_cols: list[str], ts_col: str,
 def rebar(bars: DataFrame, key_cols: list[str], bar_start_col: str,
           duration: str = "15 minutes") -> DataFrame:
     """N-minute bars from finer bars: open=first, high=max, low=min,
-    close=last, vol/amount=Σ (reference merge_2_n_bar.py:20-52 ceil bucket)."""
+    close=last, vol/amount/n_ticks=Σ over every such column the input
+    carries (reference merge_2_n_bar.py:20-52 ceil bucket) — dropping
+    amount would silently lose the Σ price·vol turnover the finer bars
+    computed."""
     order = F.col(bar_start_col)
     win = F.window(F.col(bar_start_col), duration)
     agg = [
@@ -69,9 +72,12 @@ def rebar(bars: DataFrame, key_cols: list[str], bar_start_col: str,
         F.max("high").alias("high"),
         F.min("low").alias("low"),
         F.max_by("close", order).alias("close"),
-        F.sum(F.col("vol").cast(DEC)).cast("double").alias("vol") if "vol" in bars.columns
-        else F.sum(F.col("n_ticks")).alias("n_ticks"),
     ]
+    for c in ("vol", "amount"):
+        if c in bars.columns:
+            agg.append(F.sum(F.col(c).cast(DEC)).cast("double").alias(c))
+    if "n_ticks" in bars.columns:
+        agg.append(F.sum("n_ticks").alias("n_ticks"))
     return (bars.groupBy(*key_cols, win)
                 .agg(*agg)
                 .withColumn("bar_start", F.col("window.start"))

@@ -31,7 +31,11 @@ def align_to_calendar(daily: DataFrame, cal: DataFrame, key: str,
     """Expand each key onto every open calendar date (left join back the
     data) — the reference's reindex-against-trade-dates. Missing dates get
     NULL value columns, ready for ffill (operators.windows.ffill)."""
-    days = trading_days(cal).select(F.col("cal_date").alias(date_col))
+    # distinct: a multi-exchange calendar union lists shared open dates
+    # once PER EXCHANGE — without dedup the keys×days spine (and so every
+    # joined row) would duplicate per exchange carrying that date
+    days = (trading_days(cal).select(F.col("cal_date").alias(date_col))
+            .distinct())
     keys = daily.select(key).distinct()
     spine = keys.crossJoin(F.broadcast(days))
     return spine.join(daily, on=[key, date_col], how="left")

@@ -35,7 +35,11 @@ def insert_missing(mapping: DataFrame, vendor_codes: DataFrame,
     """Move 1: vendor codes absent from the mapping become new rows, with
     unique_code seeded from the vendor code (the reference uses the vendor
     code as the canonical id on first sight)."""
+    # drop NULL vendor codes up front: NULL = NULL is NULL in the anti-join
+    # condition, so a NULL row would never match and re-insert an all-NULL
+    # mapping row on EVERY maintenance run (unbounded garbage growth)
     new = (vendor_codes.select(F.col(vendor_col))
+           .where(F.col(vendor_col).isNotNull())
            .distinct()
            .join(mapping.where(F.col(vendor_col).isNotNull())
                         .select(vendor_col), vendor_col, "left_anti"))

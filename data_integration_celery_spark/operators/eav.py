@@ -39,9 +39,16 @@ def promote_eav(wide: DataFrame, eav: DataFrame, key_cols: list[str],
                 eav_key: str, out_col: str, dtype: str = "double") -> DataFrame:
     """The UPDATE…JOIN: fill ``out_col`` on the wide table from EAV rows with
     k == eav_key; existing non-null wide values win (the reference only
-    backfills missing cells)."""
+    backfills missing cells).
+
+    The EAV side is aggregated to ONE row per key before the join
+    (deterministic max, mirroring pivot_eav's one-value-per-cell grain):
+    the reference EAV grain carries a ``param`` column, so duplicate
+    (keys, k) rows occur on real feeds — joining them raw would fan out
+    every matching wide row."""
     side = (eav.where(F.col("k") == eav_key)
-               .select(*key_cols, F.col("v").cast(dtype).alias("__eav_v")))
+               .groupBy(*key_cols)
+               .agg(F.max(F.col("v").cast(dtype)).alias("__eav_v")))
     joined = wide.join(side, key_cols, "left")
     if out_col in wide.columns:
         filled = F.coalesce(F.col(out_col), F.col("__eav_v"))

@@ -26,7 +26,18 @@ def salted_join(fact: DataFrame, dim: DataFrame, key: str,
     The dim side is exploded ×salt_width (keep it the smaller side); each
     hot fact key spreads over salt_width reducers. Output columns match the
     plain join (salt dropped).
+
+    Only ``inner`` and ``left`` are identity-preserving: every fact row
+    carries exactly one salt, so fact-side multiplicity survives outer
+    semantics — but an UNMATCHED dim row exists as salt_width exploded
+    copies, so right/full outer would emit it salt_width times instead of
+    once. Those modes raise rather than silently multiply.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left', got {how!r}: an "
+            "unmatched dim row is replicated salt_width times, so "
+            "right/full outer results would be wrong")
     salted_fact = fact.withColumn(
         "__salt", (F.rand(seed) * salt_width).cast("int"))
     salted_dim = dim.withColumn(

@@ -21,7 +21,10 @@ def _w(partition, order) -> WindowSpec:
 def rank_rows(df: DataFrame, order, partition=None, alias: str = "rn") -> DataFrame:
     """ROW_NUMBER (W1) — the reference's MySQL @rowNum trick
     (tasks/report/fund/worst_fund.py:21-47)."""
-    w = Window.orderBy(*order) if partition is None else _w(partition, order)
+    # wrap bare strings exactly like _w does: Window.orderBy(*'colname')
+    # would unpack the name character by character
+    o = [order] if isinstance(order, (str, Column)) else list(order)
+    w = Window.orderBy(*o) if partition is None else _w(partition, o)
     return df.withColumn(alias, F.row_number().over(w))
 
 
@@ -54,8 +57,10 @@ def rank_rows_scalable(df: DataFrame, order_col: str,
     """
     ties = tiebreaks or []
     fracs = [i / n_buckets for i in range(1, n_buckets)]
+    # empty input: percentile_approx returns NULL — degrade to the
+    # single-bucket ladder and return the (empty) frame, like rank_rows
     bounds = df.agg(F.percentile_approx(order_col, fracs, 10_000)
-                    .alias("b")).collect()[0]["b"]
+                    .alias("b")).collect()[0]["b"] or []
     bucket = None
     for i, b in enumerate(bounds):
         cond = F.col(order_col) <= F.lit(b)
@@ -72,8 +77,10 @@ def rank_rows_scalable(df: DataFrame, order_col: str,
                .withColumn("__off", F.coalesce(F.sum("__n").over(wc),
                                                F.lit(0)))
                .select("__bkt", "__off"))
+    # LONG, not int: the global rank exceeds 2^31-1 exactly at the scale
+    # this function exists for; a non-ANSI int cast would wrap silently
     return (local.join(F.broadcast(offsets), "__bkt")
-            .withColumn(alias, (F.col("__off") + F.col("__ln")).cast("int"))
+            .withColumn(alias, (F.col("__off") + F.col("__ln")).cast("long"))
             .drop("__bkt", "__ln", "__off"))
 
 

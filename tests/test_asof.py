@@ -135,3 +135,58 @@ def test_interval_flag_join_keeps_duplicate_daily_rows(spark):
                   for r in out.collect())
     assert rows == [("a", 5, 1.0, 1), ("a", 5, 1.0, 1),
                     ("a", 20, 2.0, 0), ("b", 5, 3.0, 0)]
+
+
+def test_rebar_preserves_amount_and_n_ticks(spark):
+    """rebar's docstring promises vol/amount=Σ — the amount column (and
+    n_ticks) previously vanished whenever vol existed."""
+    import datetime as dt
+
+    from data_integration_celery_spark.operators import bars as B
+
+    b1 = spark.createDataFrame(
+        [("X", dt.datetime(2024, 1, 1, 9, m), 10.0 + m, 11.0, 9.0,
+          10.5, 2.0, 20.0, 3) for m in range(4)],
+        "code string, bar_start timestamp, open double, high double, "
+        "low double, close double, vol double, amount double, n_ticks long")
+    out = B.rebar(b1, ["code"], "bar_start", "15 minutes").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["vol"] == 8.0 and r["amount"] == 80.0 and r["n_ticks"] == 12
+    assert r["open"] == 10.0 and r["close"] == 10.5
+
+
+def test_interval_bucketed_rejects_unsupported_trunc_unit(spark):
+    """F.trunc('day') returns NULL — previously every interval row was
+    silently dropped and all daily rows flagged 0; now it raises."""
+    import pytest as _pt
+
+    from data_integration_celery_spark.operators import asof as A
+
+    df = spark.range(1).select(F.lit("K").alias("k"),
+                               F.current_date().alias("d"))
+    iv = spark.range(1).select(F.lit("K").alias("k"),
+                               F.current_date().alias("s"),
+                               F.current_date().alias("e"))
+    with _pt.raises(ValueError, match="bucket"):
+        A.interval_flag_join_bucketed(df, iv, "k", "d", "s", "e",
+                                      bucket="day")
+
+
+def test_asof_union_tiebreaks_make_same_ts_reports_deterministic(spark):
+    """Two reports at the SAME (key, pub ts): without a tiebreak the
+    carried value depends on shuffle placement; with tiebreaks the window
+    order is total and the LAST row in tiebreak order wins."""
+    import datetime as dt
+
+    from data_integration_celery_spark.operators import asof as A
+
+    daily = spark.createDataFrame(
+        [("K", dt.date(2024, 1, 5))], "code string, d date")
+    reports = spark.createDataFrame(
+        [("K", dt.date(2024, 1, 1), 1.0), ("K", dt.date(2024, 1, 1), 2.0)],
+        "code string, pub date, eps double")
+    for _ in range(3):
+        got = A.asof_join_union(daily, reports, "code", "d", "pub",
+                                ["eps"], tiebreaks=["eps"]).collect()
+        assert len(got) == 1 and got[0]["eps"] == 2.0

@@ -47,3 +47,21 @@ def test_link_by_name(spark):
                                     "fund_fullname", "code",
                                     "vendor_b_code").collect()}
     assert out == {"F1": "B9", "F2": None}
+
+
+def test_insert_missing_ignores_null_vendor_codes(spark):
+    """NULL = NULL is NULL in the anti-join, so a NULL vendor code was
+    re-inserted as an all-NULL mapping row on EVERY run — it must be
+    dropped, keeping maintenance idempotent on real feeds."""
+    from data_integration_celery_spark.operators import code_mapping as cm
+
+    mapping = spark.createDataFrame(
+        [("600000.SH", "600000.SH", None)],
+        "unique_code string, vendor_a string, vendor_b string")
+    feed = spark.createDataFrame(
+        [("600000.SH",), (None,), ("600001.SH",)], "vendor_a string")
+    once = cm.insert_missing(mapping, feed, "vendor_a")
+    assert once.where(F.col("unique_code").isNull()).count() == 0
+    assert once.count() == 2
+    twice = cm.insert_missing(once, feed, "vendor_a")
+    assert twice.count() == 2  # idempotent with the NULL present

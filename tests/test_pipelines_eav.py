@@ -142,3 +142,24 @@ def test_scd2_from_snapshots_intervals(spark):
         ("a", None, dt.date(2020, 4, 1), None),
         ("b", "bronze", dt.date(2020, 1, 1), None),
     ]
+
+
+def test_promote_eav_duplicate_rows_do_not_fan_out(spark):
+    """The reference EAV grain carries a param column, so duplicate
+    (keys, k) rows occur on real feeds — the backfill join must keep the
+    wide table's row count (deterministic max per cell, like pivot_eav's
+    one-value-per-cell grain)."""
+    from data_integration_celery_spark.operators import eav as E
+
+    wide = spark.createDataFrame(
+        [("A", "2024-01-02", None), ("B", "2024-01-02", 5.0)],
+        "code string, d string, pe double")
+    dup = spark.createDataFrame(
+        [("A", "2024-01-02", "pe", "7"), ("A", "2024-01-02", "pe", "9"),
+         ("B", "2024-01-02", "pe", "1")],
+        "code string, d string, k string, v string")
+    out = E.promote_eav(wide, dup, ["code", "d"], "pe", "pe")
+    rows = {r["code"]: r["pe"] for r in out.collect()}
+    assert out.count() == 2           # no fan-out
+    assert rows["A"] == 9.0           # deterministic max backfill
+    assert rows["B"] == 5.0           # existing non-null wide value wins

@@ -259,3 +259,44 @@ def test_span_removal_matches_python_model(spark, word_lists, w, min_docs):
            for r in dedup.remove_duplicated_spans(
                df, span_words=w, min_docs=min_docs).collect()}
     assert got == model()
+
+
+def test_align_to_calendar_multi_exchange_no_duplication(spark):
+    """A calendar union listing shared open dates once per exchange must
+    not duplicate the keys x days spine (previously every joined row came
+    back once per exchange carrying that date)."""
+    from data_integration_celery_spark.operators import calendar as C
+
+    cal = C.date_range(spark, "2024-01-01", "2024-01-14", "SSE").unionByName(
+        C.date_range(spark, "2024-01-01", "2024-01-14", "SZSE"))
+    daily = spark.createDataFrame(
+        [("K", __import__("datetime").date(2024, 1, 2), 1.0)],
+        "code string, cal_date date, v double")
+    out = C.align_to_calendar(daily, cal, "code", "cal_date")
+    n_days = C.trading_days(cal).select("cal_date").distinct().count()
+    assert out.count() == n_days
+    assert out.groupBy("code", "cal_date").count() \
+              .where("count > 1").count() == 0
+
+
+def test_rank_rows_accepts_bare_string_order(spark):
+    """Window.orderBy(*'colname') would unpack the name character by
+    character — the global-rank branch must wrap bare strings like the
+    partitioned branch always did."""
+    from data_integration_celery_spark.operators import windows as W
+
+    df = spark.createDataFrame([(3,), (1,), (2,)], "val int")
+    got = {r["val"]: r["rn"]
+           for r in W.rank_rows(df, "val").collect()}
+    assert got == {1: 1, 2: 2, 3: 3}
+
+
+def test_rank_rows_scalable_empty_input(spark):
+    """percentile_approx returns NULL on an empty frame — the scalable
+    rank must return an empty ranked frame, not crash on enumerate(None)."""
+    from data_integration_celery_spark.operators import windows as W
+
+    empty = spark.createDataFrame([], "val double, id long")
+    out = W.rank_rows_scalable(empty, "val", ["id"])
+    assert out.count() == 0
+    assert "rn" in out.columns

@@ -39,3 +39,17 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_salted_join_rejects_dim_replicating_outer_modes(spark):
+    """An unmatched dim row exists salt_width times after the explode, so
+    right/full outer results would be wrong — those modes must raise."""
+    import pytest as _pt
+
+    from data_integration_celery_spark.operators import skew
+
+    f = spark.createDataFrame([(1, "a")], "k int, v string")
+    d = spark.createDataFrame([(2, "dim")], "k int, w string")
+    for how in ("right", "full", "full_outer"):
+        with _pt.raises(ValueError, match="salted_join"):
+            skew.salted_join(f, d, "k", how=how)
