@@ -88,6 +88,10 @@ def extract_image_features(media: DataFrame, fake: bool = True,
             })
 
     return (media.select("media_id", "content")
+                 # NULL payloads cannot be decoded: hashlib/zlib/len
+                 # on None raise inside the Arrow kernel and one such
+                 # row among billions would abort the whole stage
+                 .where(F.col("content").isNotNull())
                  .mapInPandas(run, IMAGE_FEATURES_SCHEMA))
 
 
@@ -123,6 +127,10 @@ def extract_audio_features(media: DataFrame, fake: bool = True) -> DataFrame:
                 "n_channels", "loudness_proxy"])
 
     return (media.select("media_id", "content")
+                 # NULL payloads cannot be decoded: hashlib/zlib/len
+                 # on None raise inside the Arrow kernel and one such
+                 # row among billions would abort the whole stage
+                 .where(F.col("content").isNotNull())
                  .mapInPandas(run, AUDIO_FEATURES_SCHEMA))
 
 
@@ -159,6 +167,10 @@ def resize_images(media: DataFrame, max_dim: int = 256,
                                               "width", "height"])
 
     return (media.select("media_id", "content")
+                 # NULL payloads cannot be decoded: hashlib/zlib/len
+                 # on None raise inside the Arrow kernel and one such
+                 # row among billions would abort the whole stage
+                 .where(F.col("content").isNotNull())
                  .mapInPandas(run, RESIZED_SCHEMA))
 
 
@@ -228,4 +240,8 @@ def extract_video_frames(media: DataFrame, every_n_seconds: int = 5,
                 "height", "frame_phash"])
 
     return (media.select("media_id", "content")
+                 # NULL payloads cannot be decoded: hashlib/zlib/len
+                 # on None raise inside the Arrow kernel and one such
+                 # row among billions would abort the whole stage
+                 .where(F.col("content").isNotNull())
                  .mapInPandas(run, VIDEO_FRAMES_SCHEMA))

@@ -72,6 +72,14 @@ def pack_documents(docs: DataFrame, id_col: str, tokens_col: str,
         for pdf in batches:
             ids, overs = [], []
             for t in pdf[tokens_col].to_numpy():
+                if pd.isna(t):
+                    # a NULL token count cannot be packed (int(NaN) would
+                    # abort the task): flag it a singleton like the
+                    # oversize path — the caller decides its fate
+                    ids.append(base + next_pack)
+                    overs.append(1)
+                    next_pack += 1
+                    continue
                 t = int(t)
                 if t > budget:
                     ids.append(base + next_pack); overs.append(1)

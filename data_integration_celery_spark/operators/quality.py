@@ -35,10 +35,14 @@ def quarterize(reports: DataFrame, key: str, report_date_col: str,
     prev_v = F.lag(value_col).over(w)
     prev_q = F.lag(qtr).over(w)
     dq = qtr - F.coalesce(prev_q, F.lit(0))
+    # dq = 0 when a key files TWO reports in the same quarter (amended /
+    # restated filings — common dirty input): the diff is undefined, and
+    # under Spark 4's default ANSI mode a bare division would abort the
+    # whole job with DIVIDE_BY_ZERO. Yield NULL for that row instead.
     return reports.withColumn(
         out_col,
         F.when(prev_v.isNull(), F.col(value_col) / qtr)
-         .otherwise((F.col(value_col) - prev_v) / dq))
+         .when(dq != 0, (F.col(value_col) - prev_v) / dq))
 
 
 def quarterize_exact(reports: DataFrame, key: str, report_date_col: str,
@@ -150,25 +154,31 @@ def detect_accumulation_cols(reports: DataFrame, key: str,
     report). Returns one row per column: (column, n_checks, n_fits, is_accum)
     with the reference's ≥3 year-boundaries and >50% fit rule.
     """
+    # ONE window pass for every candidate column: all the lag expressions
+    # share one spec, so Catalyst plans a single Window operator (one
+    # shuffle + sort) and the per-column checks explode to long form —
+    # the previous per-column select + union shuffled and window-sorted
+    # the reports table once PER COLUMN (V full exchanges on wide
+    # finance-report tables)
     w = Window.partitionBy(key).orderBy(report_date_col)
-    checks = []
+    prev_y = F.lag(F.year(report_date_col)).over(w)
+    same_year = F.year(report_date_col) == prev_y
+    year_cross = F.year(report_date_col) == prev_y + 1
+    structs = []
     for c in value_cols:
         prev_v = F.lag(c).over(w)
-        prev_y = F.lag(F.year(report_date_col)).over(w)
-        same_year = F.year(report_date_col) == prev_y
-        year_cross = F.year(report_date_col) == prev_y + 1
         grow_fit = F.when(same_year & prev_v.isNotNull() & F.col(c).isNotNull(),
                           (F.col(c) >= prev_v).cast("int"))
         drop_fit = F.when(year_cross & prev_v.isNotNull() & F.col(c).isNotNull(),
                           (F.col(c) < prev_v).cast("int"))
-        checks.append(
-            reports.select(
-                F.lit(c).alias("column"),
-                grow_fit.alias("grow_fit"),
-                drop_fit.alias("drop_fit")))
-    unioned = checks[0]
-    for other in checks[1:]:
-        unioned = unioned.unionByName(other)
+        structs.append(F.struct(F.lit(c).alias("column"),
+                                grow_fit.alias("grow_fit"),
+                                drop_fit.alias("drop_fit")))
+    # window exprs are computed in a Project of their own, THEN exploded —
+    # a generator operator cannot host window functions directly
+    unioned = (reports.select(F.array(*structs).alias("__a"))
+               .select(F.explode("__a").alias("__s"))
+               .select("__s.column", "__s.grow_fit", "__s.drop_fit"))
     agg = unioned.groupBy("column").agg(
         F.count("grow_fit").alias("n_grow_checks"),
         F.coalesce(F.sum("grow_fit"), F.lit(0)).alias("n_grow_fits"),

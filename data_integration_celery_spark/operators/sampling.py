@@ -70,6 +70,11 @@ def hash_split(df: DataFrame, id_col: str, weights: dict[str, float],
         raise ValueError(f"weights must sum to 1, got {total}")
     if not weights:
         raise ValueError("at least one split required")
+    # a NULL id hashes to NULL: every when-condition is NULL and the row
+    # would fall into the LAST split (usually the smallest / the eval
+    # split) regardless of weights — and hash_sample DROPS such rows, so
+    # the two would disagree about their existence. Drop consistently.
+    df = df.where(F.col(id_col).isNotNull())
     b = hash_bucket(F.col(id_col), salt)
     names = list(weights)
     expr = None
@@ -175,10 +180,24 @@ def cap_per_group(df: DataFrame, group_col: str, n: int,
     ``[F.col("n_chars").desc(), F.col("doc_id")]``); it must be a strict
     total order within each group — same determinism contract as w1.
     ``tiebreaks`` (column names) feed the salt hash; defaults to the order
-    columns' string names where extractable.
+    entries when they are all plain strings. Column-expression orders
+    (e.g. ``F.col(...).desc()``) MUST come with explicit ``tiebreaks`` —
+    a SortOrder cannot be hashed (raises ValueError, previously a codegen
+    INTERNAL_ERROR at execution).
     """
     ties = tiebreaks or []
-    salt_src = [F.col(c) for c in ties] or list(order)
+    if ties:
+        salt_src = [F.col(c) for c in ties]
+    elif all(isinstance(c, str) for c in order):
+        salt_src = [F.col(c) for c in order]
+    else:
+        # a Column order entry is typically a SortOrder (.desc()), which
+        # xxhash64 cannot evaluate (codegen INTERNAL_ERROR) — require the
+        # caller to name hashable salt columns explicitly
+        raise ValueError(
+            "cap_per_group needs `tiebreaks` (plain column names to salt "
+            "on) when `order` contains Column expressions — sort "
+            "directions like F.col(...).desc() cannot be hashed")
     salt = F.pmod(F.xxhash64(*salt_src), F.lit(n_salts))
     w1 = Window.partitionBy(group_col, "__salt").orderBy(*order)
     w2 = Window.partitionBy(group_col).orderBy(*order)
@@ -210,9 +229,15 @@ def select_token_budget(df: DataFrame, token_col: str, order_col: str,
     result. Integer token counts make the prefix sums exact on any engine.
     """
     ties = tiebreaks or []
+    # NULL order values are unrankable: the bucket ladder would silently
+    # send them to the LAST bucket while the naive global window sorts
+    # NULLs first — neither is a defensible "best document". Exclude them;
+    # budget is spent on rankable rows only (documented contract).
+    df = df.where(F.col(order_col).isNotNull())
     fracs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = df.agg(F.percentile_approx(order_col, fracs, 10_000)
-                    .alias("b")).collect()[0]["b"] if n_buckets > 1 else []
+    bounds = (df.agg(F.percentile_approx(order_col, fracs, 10_000)
+                     .alias("b")).collect()[0]["b"] or []) \
+        if n_buckets > 1 else []
     bucket = None
     for i, b in enumerate(bounds):
         cond = F.col(order_col) <= F.lit(b)
@@ -272,6 +297,9 @@ def epoch_shuffle(df: DataFrame, id_col: str = "doc_id",
     nbits = n_buckets.bit_length() - 1
     if n_buckets < 2 or (1 << nbits) != n_buckets:
         raise ValueError(f"n_buckets must be a power of two >= 2, got {n_buckets}")
+    if n_epochs < 1:
+        # sequence(0, -1) would auto-step -1 and fabricate epochs 0 and -1
+        raise ValueError(f"n_epochs must be >= 1, got {n_epochs}")
     base = (df.select(id_col)
             .withColumn("epoch", F.explode(
                 F.sequence(F.lit(0), F.lit(n_epochs - 1)))))

@@ -103,12 +103,21 @@ def redact_pii(text: Column) -> Column:
 
 
 def pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Per-document PII span counts + the redacted text, all JVM-side."""
-    t = F.col(text_col)
+    """Per-document PII span counts + the redacted text, all JVM-side.
+
+    Counts are SEQUENTIAL — each pattern counts on the text with the
+    preceding patterns already replaced, mirroring redact_pii's order —
+    so every n_<type> equals the number of <TYPE> placeholders in the
+    redacted output. Counting each pattern independently on the raw text
+    disagreed with the redaction: phone digits inside an email address
+    were counted as a phone but never redacted as one, giving auditors
+    phantom spans to reconcile."""
+    stage = F.col(text_col)
     out = df
-    for name, pat, _ in PII_PATTERNS:
-        out = out.withColumn(f"n_{name}", F.regexp_count(t, F.lit(pat)))
-    return out.withColumn("redacted", redact_pii(t))
+    for name, pat, token in PII_PATTERNS:
+        out = out.withColumn(f"n_{name}", F.regexp_count(stage, F.lit(pat)))
+        stage = F.regexp_replace(stage, pat, token)
+    return out.withColumn("redacted", stage)
 
 
 def normalized(text: Column) -> Column:
@@ -173,7 +182,20 @@ def winnowing_fingerprints(docs: DataFrame, text_col: str = "text",
     hashes = grams.where("full").select(
         id_col, "pos", F.md5("gram").alias("h"))
     roll = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
-    fps = (hashes.withColumn("fp", F.min("h").over(roll))
+    doc_w = Window.partitionBy(id_col)
+    # FULL windows only (paper semantics — Schleimer's windows are the
+    # n-w+1 maximal frames): the trailing truncated frames previously
+    # emitted spurious tail fingerprints standard winnowing never selects
+    # (the last gram's singleton frame made its hash an unconditional fp).
+    # Degenerate case: a doc with >=1 gram but < window grams has NO full
+    # window — it emits the min over ALL its grams (the whole doc as one
+    # window), so every document still fingerprints.
+    fps = (hashes.select(id_col, "pos",
+                         F.min("h").over(roll).alias("fp"),
+                         F.count("h").over(roll).alias("__fn"),
+                         F.count("h").over(doc_w).alias("__n"))
+                 .where((F.col("__fn") == window)
+                        | ((F.col("__n") < window) & (F.col("pos") == 0)))
                  .select(id_col, "fp").dropDuplicates())
     # short docs (< k tokens) contribute their whole normalized text
     short = (docs.join(hashes.select(id_col).distinct(), id_col, "left_anti")
@@ -208,9 +230,16 @@ def winnowing_fingerprints_positional(docs: DataFrame, text_col: str = "text",
     hashes = grams.where("full").select(
         id_col, "pos", F.md5("gram").alias("h"))
     roll = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    doc_w = Window.partitionBy(id_col)
     sel = F.min(F.struct(F.col("h").alias("v"),
                          (-F.col("pos")).alias("np"))).over(roll)
-    fps = (hashes.withColumn("s", sel)
+    # same FULL-window rule as the value variant (+ the degenerate
+    # min-over-all-grams window for docs with < window grams)
+    fps = (hashes.select(id_col, "pos", sel.alias("s"),
+                         F.count("h").over(roll).alias("__fn"),
+                         F.count("h").over(doc_w).alias("__n"))
+                 .where((F.col("__fn") == window)
+                        | ((F.col("__n") < window) & (F.col("pos") == 0)))
                  .select(id_col, F.col("s.v").alias("fp"),
                          (-F.col("s.np")).cast("int").alias("fp_pos"))
                  .dropDuplicates())

@@ -2596,19 +2596,27 @@ def pipeline_worst_window_return_q(spark, sf_dir):
             END AS h
      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
    fps AS (
-     SELECT DISTINCT doc_id,
-            min(h) OVER (PARTITION BY doc_id ORDER BY pos
-                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
-     FROM grams WHERE h IS NOT NULL),
+     SELECT DISTINCT doc_id, fp FROM (
+       SELECT doc_id, pos,
+              min(h) OVER w2 AS fp,
+              count(h) OVER w2 AS fn,
+              count(h) OVER (PARTITION BY doc_id) AS n
+       FROM grams WHERE h IS NOT NULL
+       WINDOW w2 AS (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING))
+     WHERE fn = 4 OR (n < 4 AND pos = 0)),
    short AS (
      SELECT DISTINCT n.doc_id, md5(n.nt) AS fp FROM norm n
      WHERE n.doc_id NOT IN (SELECT doc_id FROM fps))
    SELECT doc_id, fp FROM fps UNION ALL SELECT doc_id, fp FROM short
    """,
    doc="Winnowing document fingerprinting (Schleimer et al.): md5 of token "
-       "3-grams, lexicographic min per sliding window of 4, distinct per "
-       "doc. Shared spans guarantee shared fingerprints — the near-dup "
-       "blocking key family. Fully codegen posexplode + lead + windowed min.")
+       "3-grams, lexicographic min per FULL sliding window of 4 (the "
+       "paper's n-w+1 maximal frames — trailing truncated frames emit "
+       "nothing; a doc with fewer grams than the window emits the min "
+       "over all its grams), distinct per doc. Shared spans guarantee "
+       "shared fingerprints — the near-dup blocking key family. Fully "
+       "codegen posexplode + lead + windowed min.")
 def txt_winnowing(spark, sf_dir):
     from .operators import text as T
     return T.winnowing_fingerprints(_t(spark, sf_dir, "documents"))

@@ -622,3 +622,47 @@ def test_cross_corpus_pairs_planted_contamination(spark):
            dedup.minhash_cross_corpus_pairs_md5(train, bench).collect()}
     assert (1, 100) in out and out[(1, 100)] >= 0.5
     assert all(k == (1, 100) for k in out)
+
+
+def test_winnowing_matches_paper_model(spark):
+    """Value-set differential against an independent paper-faithful python
+    winnowing (Schleimer §2: minimum per FULL window of w gram hashes; a
+    doc shorter than one window contributes its global min) — the
+    truncated trailing frames previously emitted spurious tail
+    fingerprints the paper never selects."""
+    import hashlib
+    import re
+
+    from data_integration_celery_spark.operators import text as T
+
+    def py_winnow(text, k=3, w=4):
+        toks = [t for t in re.sub(r"[^a-z0-9]+", " ", text.lower()).split()
+                if t]
+        grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+        hs = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+        if not hs:
+            norm = " ".join(toks)
+            return {hashlib.md5(norm.encode()).hexdigest()}
+        if len(hs) < w:
+            return {min(hs)}
+        return {min(hs[i:i + w]) for i in range(len(hs) - w + 1)}
+
+    texts = [
+        (1, "one two three four five six seven eight"),   # 8 tokens: 6 grams
+        (2, "to be or not to be that is the question to be or not"),
+        (3, "short doc"),                                  # < k tokens
+        (4, "a b c d"),                                    # 2 grams < window
+        (5, "aaa aaa aaa aaa aaa aaa aaa aaa"),            # heavy ties
+        (6, "the quick brown fox jumps over the lazy dog again and again"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got: dict[int, set] = {}
+    for r in T.winnowing_fingerprints(docs).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    for doc_id, text in texts:
+        assert got[doc_id] == py_winnow(text), doc_id
+    # positional variant selects the same value sets
+    pos: dict[int, set] = {}
+    for r in T.winnowing_fingerprints_positional(docs).collect():
+        pos.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert pos == got

@@ -247,3 +247,57 @@ def test_epoch_shuffle_bucketed_rank_equals_single_window(spark):
                 for r in base.withColumn(
                     "pos", F.row_number().over(w).cast("bigint")).collect()}
         assert got == want
+
+
+def test_hash_split_drops_null_ids_like_hash_sample(spark):
+    """A NULL id previously fell through every when-condition into the
+    LAST split (usually eval) regardless of weights, while hash_sample
+    dropped the row — the two now agree: NULL ids are excluded."""
+    from data_integration_celery_spark.operators import sampling as S
+
+    df = spark.createDataFrame([(1,), (2,), (None,)], "doc_id long")
+    out = S.hash_split(df, "doc_id", {"train": 0.9, "test": 0.1})
+    assert out.count() == 2
+    assert out.where(F.col("doc_id").isNull()).count() == 0
+
+
+def test_cap_per_group_rejects_unhashable_salt_order(spark):
+    """The docstring's own example (order with .desc(), no tiebreaks)
+    previously hit a codegen INTERNAL_ERROR (xxhash64 of a SortOrder);
+    it must raise a clear ValueError instead — and work with tiebreaks."""
+    from data_integration_celery_spark.operators import sampling as S
+
+    df = spark.createDataFrame([(i, "g", i * 10) for i in range(8)],
+                               "doc_id long, grp string, n_chars long")
+    with pytest.raises(ValueError, match="tiebreaks"):
+        S.cap_per_group(df, "grp", 4,
+                        [F.col("n_chars").desc(), F.col("doc_id")])
+    got = S.cap_per_group(df, "grp", 4,
+                          [F.col("n_chars").desc(), F.col("doc_id")],
+                          tiebreaks=["doc_id"])
+    assert got.count() == 4
+
+
+def test_select_token_budget_excludes_null_scores(spark):
+    """NULL order values previously landed in the LAST bucket (silently
+    'best'-adjacent); they are unrankable and must be excluded, budget
+    spent on rankable rows only."""
+    from data_integration_celery_spark.operators import sampling as S
+
+    df = spark.createDataFrame(
+        [(i, 10, float(i)) for i in range(1, 9)] + [(9, 10, None)],
+        "doc_id long, tok long, neg double")
+    got = sorted(r["doc_id"] for r in
+                 S.select_token_budget(df, "tok", "neg", ["doc_id"],
+                                       budget=40).collect())
+    assert got == [1, 2, 3, 4]
+
+
+def test_epoch_shuffle_rejects_nonpositive_epochs(spark):
+    """n_epochs=0 previously fabricated epochs 0 and -1 via sequence's
+    automatic -1 step; it must raise."""
+    from data_integration_celery_spark.operators import sampling as S
+
+    ids = spark.range(4).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="n_epochs"):
+        S.epoch_shuffle(ids, n_epochs=0)
