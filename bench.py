@@ -118,14 +118,16 @@ def main() -> None:
         isolated[name] = {"median": med[name], "prev": prev[name],
                           "isolated": round(min(runs), 3)}
 
-    # the persisted baseline must carry the ADJUDICATED number: keeping an
-    # interference-inflated median would raise next round's trigger bar
-    # (1.25x relative / 0.3s absolute) above a real regression of the same
-    # size (a phantom 2x this round would let a genuine 2.7x ship
-    # unflagged next round)
+    # the persisted baseline must carry the ADJUDICATED number — the
+    # isolated min-of-3 itself, NOT min(median, isolated) against the old
+    # baseline: an interference-inflated median would raise next round's
+    # trigger bar above a real regression of the same size, but ratcheting
+    # to the historical best-ever floor is the opposite failure — after a
+    # quiet-window isolation the next HONEST median flags as drift forever
+    # (observed: u4 isolated 2.55s vs a 1.70s ratcheted floor, zero diff)
     baseline_q = dict(med)
     for name, adj in isolated.items():
-        baseline_q[name] = min(adj["median"], adj["isolated"])
+        baseline_q[name] = adj["isolated"]
 
     # key order matters: the driver records only the LAST 2000 chars of
     # stdout, so the big per-query dicts go first and the headline scalars
