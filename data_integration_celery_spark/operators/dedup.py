@@ -62,10 +62,13 @@ def shingle_postings(docs: DataFrame, text_col: str = "text",
                         .alias("pos", "tok"))
     w = Window.partitionBy(id_col).orderBy("pos")
     leads = [F.lead("tok", i).over(w) for i in range(1, n)]
+    # n=1 (unigram shingles) has no leads: every token is a full gram —
+    # leads[-1] on an empty list crashed plan construction (IndexError)
+    full = leads[-1].isNotNull() if leads else F.lit(True)
     with_sh = toks.select(
         id_col, *extra,
         F.concat_ws(" ", F.col("tok"), *leads).alias("s"),
-        leads[-1].isNotNull().alias("full"),
+        full.alias("full"),
         F.count(F.lit(1)).over(Window.partitionBy(id_col)).alias("n_tok"))
     long_docs = with_sh.where(F.col("full") & (F.col("n_tok") >= n)) \
         .select(id_col, *extra, "s")
@@ -100,9 +103,12 @@ def lsh_params(num_hashes: int, threshold: float,
     steps = 500
     best: tuple[float, int, int] | None = None
     for b in range(1, num_hashes + 1):
+        if num_hashes % b != 0:
+            # every banding consumer (_band_explode) requires bands to
+            # DIVIDE num_hashes; a non-divisor (b, r) with b*r < num_hashes
+            # was unusable and raised ValueError at the call site
+            continue
         r = num_hashes // b
-        if r < 1:
-            break
         fp = fn = 0.0
         for i in range(steps):
             s = (i + 0.5) / steps
@@ -419,9 +425,12 @@ def simhash(text: Column, bits: int = 16) -> Column:
 
 
 def simhash_dedup(docs: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id") -> DataFrame:
-    """Group docs by identical simhash (near-dup blocking) → representative id."""
-    return (simhash_signatures(docs, text_col, id_col)
+                  id_col: str = "doc_id", bits: int = 16) -> DataFrame:
+    """Group docs by identical simhash (near-dup blocking) → representative id.
+
+    Size ``bits`` to the corpus: 16-bit signatures pigeonhole 1M docs into
+    65k groups (unrelated docs merge); pass up to 63 bits at scale."""
+    return (simhash_signatures(docs, text_col, id_col, bits=bits)
             .withColumnRenamed("sig", "simhash")
             .groupBy("simhash")
             .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_members")))
@@ -864,12 +873,24 @@ def contamination_scores(corpus: DataFrame, benchmark: DataFrame,
     bench = (shingle_postings(benchmark, text_col, id_col, n)
              .select("s").distinct().withColumn("__hit", F.lit(1)))
     marked = corp.join(F.broadcast(bench), "s", "left")
-    return (marked.groupBy(id_col)
-            .agg(F.count(F.lit(1)).alias("n_shingles"),
-                 F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
-                  .cast("long").alias("n_matched"))
-            .withColumn("contamination",
-                        F.col("n_matched").cast("double") / F.col("n_shingles")))
+    scored = (marked.groupBy(id_col)
+              .agg(F.count(F.lit(1)).alias("n_shingles"),
+                   F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                    .cast("long").alias("n_matched"))
+              .withColumn("contamination",
+                          F.col("n_matched").cast("double")
+                          / F.col("n_shingles")))
+    # NULL-text docs produce zero postings and would vanish from the
+    # report — a decontamination verdict must cover EVERY input doc (the
+    # same restore convention as remove_duplicated_spans /
+    # frequent_ngram_stats); they score 0 shingles / 0 contamination
+    return (corpus.select(id_col).join(scored, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+                    F.coalesce("n_matched", F.lit(0).cast("long"))
+                     .alias("n_matched"),
+                    F.coalesce("contamination", F.lit(0.0))
+                     .alias("contamination")))
 
 
 def minhash_cross_corpus_pairs(train: DataFrame, bench: DataFrame,
@@ -1079,6 +1100,11 @@ def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
         if check == prev_check:
             break
         prev_check = check
+    else:
+        # silently-wrong cluster labels are worse than failing — the same
+        # rule connected_components enforces on its min-label loop
+        raise RuntimeError(
+            f"star contraction did not converge in {max_iter} rounds")
     labels = edges.select(F.col("src").alias("node"),
                           F.col("dst").alias("component"))
     roots = (edges.select(F.col("dst").alias("node")).distinct()

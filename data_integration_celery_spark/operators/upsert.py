@@ -24,19 +24,33 @@ def upsert_frames(base: DataFrame, updates: DataFrame, keys: list[str],
     """UNION the snapshots and keep the newest row per PK.
 
     ``order_col`` must be comparable and present in both frames; the highest
-    value wins (MySQL's "last write"). Deterministic for equal order values by
-    preferring ``updates`` (stamped with a higher batch below if absent).
+    value wins (MySQL's "last write"). Deterministic for equal order values
+    by preferring ``updates`` — an explicit source flag breaks the tie, not
+    just the 0/1 stamping fallback (which only applied when a frame LACKED
+    the column). Within one frame, (keys, order_col) must be unique — two
+    update rows for the same PK in the same batch have no defined winner
+    (same contract as the reference's per-statement upsert).
+
+    Scope note: ``order_col`` is dropped from the output, so last-write-wins
+    holds WITHIN a merge; replaying an older batch against a table that
+    already absorbed a newer one re-stamps the base at 0 and the old batch
+    wins. Replay-safe pipelines must either replay in order (the streaming
+    sink's checkpoint guarantees this) or persist their own version column
+    in the row payload.
     """
     if order_col not in base.columns:
         base = base.withColumn(order_col, F.lit(0).cast("long"))
     if order_col not in updates.columns:
         updates = updates.withColumn(order_col, F.lit(1).cast("long"))
+    base = base.withColumn("__src", F.lit(0))
+    updates = updates.withColumn("__src", F.lit(1))
     unioned = base.unionByName(updates, allowMissingColumns=True)
-    w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc(),
+                                          F.col("__src").desc())
     return (
         unioned.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
-        .drop("__rn", order_col)
+        .drop("__rn", "__src", order_col)
     )
 
 
@@ -129,8 +143,14 @@ def write_upsert(spark, updates: DataFrame, path: str, keys: list[str],
     # EXISTING table must propagate, not silently rename staging onto it
     if not _exists(spark, path):
         # First write: publish via staging+rename too, so a crashed initial
-        # load can never leave a partial table at the target path.
-        updates.drop(order_col).write.mode("overwrite").parquet(staging)
+        # load can never leave a partial table at the target path. The PK
+        # invariant must hold from the first batch — an initial frame with
+        # duplicate keys is deduped by the same last-write-wins rule the
+        # merge applies (the reference's INSERT..ON DUPLICATE KEY UPDATE
+        # collapses them by arrival order).
+        first = dedup_last(updates, keys, [order_col]) \
+            if order_col in updates.columns else updates.dropDuplicates(keys)
+        first.drop(order_col).write.mode("overwrite").parquet(staging)
         _rename(spark, staging, path)
         return
     base = spark.read.parquet(path)
@@ -164,11 +184,18 @@ def write_upsert_partitioned(spark, updates: DataFrame, path: str,
     of the PK semantics (a key never moves between partitions), else rows in
     untouched partitions cannot be superseded.
     """
-    try:
-        base = spark.read.parquet(path)
-    except Exception:
-        overwrite_partitions(updates.drop(order_col), path, partition_cols)
+    # branch on existence, not on read failure (the write_upsert rule): a
+    # transient read error on an EXISTING table must propagate — the old
+    # except-branch took the first-write path, dynamically overwriting
+    # every touched partition with ONLY the update rows and destroying the
+    # base rows whose keys were not in the batch
+    if not _exists(spark, path):
+        first = dedup_last(updates, keys, [order_col]) \
+            if order_col in updates.columns \
+            else updates.dropDuplicates(keys)
+        overwrite_partitions(first.drop(order_col), path, partition_cols)
         return
+    base = spark.read.parquet(path)
     touched = updates.select(*partition_cols).distinct().collect()
     pred = F.lit(False)
     for row in touched:
@@ -183,6 +210,10 @@ def write_upsert_partitioned(spark, updates: DataFrame, path: str,
     staged = spark.read.parquet(tmp)
     overwrite_partitions(staged, path, partition_cols)
     _hadoop_rm(spark, tmp)
+    # same reason as write_upsert: the overwrite replaced the touched
+    # partitions' files — drop any cached listing so readers in this
+    # session don't chase renamed-away part files
+    spark.catalog.refreshByPath(path)
 
 
 def overwrite_partitions(df: DataFrame, path: str, partition_cols: list[str]) -> None:

@@ -666,3 +666,45 @@ def test_winnowing_matches_paper_model(spark):
     for r in T.winnowing_fingerprints_positional(docs).collect():
         pos.setdefault(r["doc_id"], set()).add(r["fp"])
     assert pos == got
+
+
+def test_lsh_params_always_returns_divisor_bands(spark):
+    """Every banding consumer requires bands to divide num_hashes; the
+    tuner previously returned e.g. (5, 6) for (32, 0.7), which
+    _band_explode rejects — now composition always works."""
+    from data_integration_celery_spark.operators import dedup
+
+    for nh in (16, 32, 64, 128):
+        for thr in (0.3, 0.5, 0.7, 0.8, 0.9):
+            b, r = dedup.lsh_params(nh, thr)
+            assert b * r == nh, (nh, thr, b, r)
+
+
+def test_shingle_postings_unigrams(spark):
+    """n=1 (unigram shingles) previously crashed plan construction
+    (leads[-1] on an empty list); every token is a full gram."""
+    from data_integration_celery_spark.operators import dedup
+
+    docs = spark.createDataFrame([(1, "alpha beta alpha")],
+                                 "doc_id long, text string")
+    got = {r["s"] for r in dedup.shingle_postings(docs, "text", "doc_id", 1)
+           .collect()}
+    assert got == {"alpha", "beta"}
+
+
+def test_contamination_scores_cover_null_text_docs(spark):
+    """A decontamination verdict must cover EVERY input doc: NULL-text
+    rows previously vanished from the report and silently passed any
+    downstream keep/drop join."""
+    from data_integration_celery_spark.operators import dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, None)],
+        "doc_id long, text string")
+    bench = spark.createDataFrame([(9, "quick brown fox")],
+                                  "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_shingles"], r["contamination"])
+           for r in dedup.contamination_scores(corpus, bench).collect()}
+    assert set(got) == {1, 2}
+    assert got[2] == (0, 0.0)
+    assert got[1][0] > 0

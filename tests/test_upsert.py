@@ -2,6 +2,7 @@
 ``_test_bunch_insert_sqlite`` (/root/reference tasks/utils/to_sqlite.py:650-687):
 insert N rows, upsert an overlapping batch, assert final values per PK."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from data_integration_celery_spark.operators import upsert
@@ -227,3 +228,73 @@ def test_write_upsert_schema_evolution(spark, tmp_path):
            for r in spark.read.parquet(path).collect()}
     assert got == {("a", 1): (100.0, None), ("b", 1): (20.0, "NEW"),
                    ("c", 1): (30.0, "X")}
+
+
+def test_partitioned_first_write_requires_existence_not_read_success(
+        spark, tmp_path, monkeypatch):
+    """A transient read error on an EXISTING partitioned table must
+    propagate — the old except-branch took the first-write path and
+    dynamically overwrote touched partitions with ONLY the update rows,
+    destroying base rows whose keys were not in the batch."""
+    from data_integration_celery_spark.operators import upsert as U
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "d1", "keep"), (2, "d1", "keep2")],
+        "k int, part string, v string")
+    U.write_upsert_partitioned(spark, base.withColumn(
+        "batch_id", F.lit(0).cast("long")), path, ["k"], ["part"])
+    # simulate a transient read failure on the existing table: patch at
+    # the CLASS level — spark.read constructs a fresh DataFrameReader per
+    # access, so patching one instance would never be seen by the writer
+    from pyspark.sql.readwriter import DataFrameReader
+    real_read = DataFrameReader.parquet
+
+    def flaky(self, p, *a, **kw):
+        if p == path:
+            raise RuntimeError("transient fs error")
+        return real_read(self, p, *a, **kw)
+
+    monkeypatch.setattr(DataFrameReader, "parquet", flaky)
+    upd = spark.createDataFrame([(1, "d1", "new")],
+                                "k int, part string, v string") \
+        .withColumn("batch_id", F.lit(1).cast("long"))
+    with pytest.raises(Exception, match="transient"):
+        U.write_upsert_partitioned(spark, upd, path, ["k"], ["part"])
+    monkeypatch.undo()
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: "keep", 2: "keep2"}  # base survived the failure
+
+
+def test_first_write_dedups_primary_keys(spark, tmp_path):
+    """An initial batch with duplicate PKs must land deduped (highest
+    batch_id wins) — the PK invariant holds from the first write, in both
+    the whole-table and partitioned writers."""
+    from data_integration_celery_spark.operators import upsert as U
+
+    dup = spark.createDataFrame(
+        [(1, "d1", "old", 1), (1, "d1", "new", 2), (2, "d1", "x", 1)],
+        "k int, part string, v string, batch_id long")
+    p1 = str(tmp_path / "whole")
+    U.write_upsert(spark, dup, p1, ["k"])
+    got1 = {r["k"]: r["v"] for r in spark.read.parquet(p1).collect()}
+    assert got1 == {1: "new", 2: "x"}
+    p2 = str(tmp_path / "parted")
+    U.write_upsert_partitioned(spark, dup, p2, ["k"], ["part"])
+    got2 = {r["k"]: r["v"] for r in spark.read.parquet(p2).collect()}
+    assert got2 == {1: "new", 2: "x"}
+
+
+def test_upsert_frames_equal_order_prefers_updates(spark):
+    """The documented tie rule: with EQUAL order values in both frames,
+    the updates row wins — previously the tie was shuffle-placement
+    nondeterministic (no source flag in the window order)."""
+    from data_integration_celery_spark.operators import upsert as U
+
+    base = spark.createDataFrame([(1, "base", 5)],
+                                 "k int, v string, batch_id long")
+    upd = spark.createDataFrame([(1, "update", 5)],
+                                "k int, v string, batch_id long")
+    for _ in range(3):
+        got = U.upsert_frames(base, upd, ["k"]).collect()
+        assert len(got) == 1 and got[0]["v"] == "update"
