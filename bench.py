@@ -1,8 +1,11 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}. Each query is forced end-to-end with a
-noop write (full computation, no driver collect bottleneck).
+Prints the full JSON payload line {"metric": ..., "value": total_sec,
+"unit": "sec", "queries": {name: sec}, "sf": ...}, then a compact summary
+line padded so the driver's 2000-char stdout tail is always a single
+parseable JSON document (the full payload also persists to
+BENCH_LAST_{sf}.json). Each query is forced end-to-end with a noop write
+(full computation, no driver collect bottleneck).
 
 Each query runs $SPARK_GRAFT_BENCH_REPEATS times (default 3, round-robin so
 repeats of one query never run back-to-back); "queries" holds per-query
@@ -152,6 +155,34 @@ def main() -> None:
     except OSError:
         pass  # read-only checkout: the printed line is still complete
     print(json.dumps(payload))
+
+    # The driver archives only the LAST 2000 chars of stdout; the full
+    # payload line above stopped fitting in round 2, so every BENCH_r*.json
+    # since has "parsed": null. Emit a second, compact summary line whose
+    # padded length is EXACTLY 2000 chars (pad + json + newline): whatever
+    # precedes it, the archived tail is then precisely this line, and
+    # json.loads(tail) succeeds (leading whitespace is legal JSON).
+    compact = {
+        "metric": "operator_suite_wall_clock",
+        "value": payload["value"],
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(med),
+        "sec_per_query": payload["sec_per_query"],
+        "value_cold": payload["value_cold"],
+        "n_isolated": len(isolated),
+        "full_payload": f"BENCH_LAST_{_sf_tag()}.json",
+        "queries": {k: round(v, 2) for k, v in med.items()},
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    while len(line) > 1999 and compact["queries"]:
+        # keep the slowest queries — the ones a reader of the tail wants
+        keep = sorted(compact["queries"], key=med.get, reverse=True)
+        compact["queries"] = {k: compact["queries"][k]
+                              for k in keep[:max(0, len(keep) - 10)]}
+        compact["queries_truncated_to_slowest"] = len(compact["queries"])
+        line = json.dumps(compact, separators=(",", ":"))
+    sys.stdout.write(" " * (1999 - len(line)) + line + "\n")
 
 
 if __name__ == "__main__":

@@ -64,25 +64,39 @@ def asof_join_union(daily: DataFrame, reports: DataFrame, key: str,
     state bounded by one row/key — survives arbitrary fact-side scale.
 
     Determinism contract: ``(key, pub_col)`` must uniquely identify a
-    report, OR pass ``tiebreaks`` (report columns appended to the window
+    report, OR pass ``tiebreaks`` (REPORT columns appended to the window
     order) — with two reports at the same timestamp and no tiebreak, the
     carried value would depend on shuffle placement (the same contract
-    ``effectivity`` makes explicit with its tiebreak argument).
+    ``effectivity`` makes explicit with its tiebreak argument). Tiebreak
+    columns must exist on the reports side: they are selected into the
+    report slice of the union so they actually order the report rows
+    (a tiebreak that is not a report column would otherwise either fail
+    analysis or — worse, when daily happens to carry a same-named column —
+    order NULLs and silently leave the tie unbroken).
     """
+    tiebreaks = list(tiebreaks or [])
+    missing = [c for c in tiebreaks if c not in reports.columns]
+    if missing:
+        raise ValueError(f"tiebreak columns not in reports: {missing}")
     d = daily.withColumn("__t", F.col(date_col)).withColumn("__is_report", F.lit(0))
-    r = (reports.select(key, F.col(pub_col).alias("__t"), *value_cols)
+    extra_ties = [c for c in tiebreaks if c not in value_cols and c != key]
+    r = (reports.select(key, F.col(pub_col).alias("__t"),
+                        *value_cols, *extra_ties)
                 .withColumn("__is_report", F.lit(1)))
     unioned = d.unionByName(r, allowMissingColumns=True)
     # reports sort before daily rows at the same timestamp → effective same-day
     w = (Window.partitionBy(key)
                .orderBy(F.col("__t"), F.col("__is_report").desc(),
-                        *(tiebreaks or []))
+                        *tiebreaks)
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     filled = unioned
     for c in value_cols:
         filled = filled.withColumn(c, F.last(F.when(F.col("__is_report") == 1, F.col(c)),
                                              ignorenulls=True).over(w))
-    return filled.where(F.col("__is_report") == 0).drop("__t", "__is_report")
+    # ordering-only tiebreak columns the daily side never had stay internal
+    drop_ties = [c for c in extra_ties if c not in daily.columns]
+    return (filled.where(F.col("__is_report") == 0)
+            .drop("__t", "__is_report", *drop_ties))
 
 
 def interval_flag_join(daily: DataFrame, intervals: DataFrame, key: str,

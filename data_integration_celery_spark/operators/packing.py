@@ -33,7 +33,8 @@ from pyspark.sql import functions as F
 
 def pack_documents(docs: DataFrame, id_col: str, tokens_col: str,
                    budget: int, n_partitions: int | None = None,
-                   strategy: str = "ffd") -> DataFrame:
+                   strategy: str = "ffd",
+                   boundary_col: str | None = None) -> DataFrame:
     """Assign every document a ``pack_id`` with sum(tokens) ≤ ``budget``.
 
     ``strategy``:
@@ -46,7 +47,21 @@ def pack_documents(docs: DataFrame, id_col: str, tokens_col: str,
 
     Documents larger than ``budget`` get a singleton pack (flagged
     ``oversize=1``) — the caller decides whether to truncate or drop.
-    ``pack_id`` is globally unique: ``partition_id * 2^40 + local pack``.
+
+    ``boundary_col=None`` (default): packs never cross Spark PARTITION
+    boundaries; ``pack_id = partition_id * 2^40 + local pack`` and the
+    result is deterministic for a fixed (id hash, n_partitions).
+
+    ``boundary_col='bucket'``: packs never cross values of an explicit
+    non-negative integer bucket column — the greedy state resets at every
+    bucket change and ``pack_id = bucket * 2^24 + local pack``. Because the
+    bucket is data (not a TaskContext partition index), the output is
+    IDENTICAL at any parallelism / cluster layout — the reproducible form a
+    100 TB pipeline should persist, and the form a cross-engine oracle can
+    replay (the driver's ``smp_pack_sequences`` recursive-CTE oracle walks
+    the same fold per bucket in lockstep). At scale, choose the bucket so
+    each holds ~one executor-memory worth of docs, exactly like any other
+    shuffle key.
 
     Returns the input columns plus (pack_id long, oversize int).
     """
@@ -60,18 +75,33 @@ def pack_documents(docs: DataFrame, id_col: str, tokens_col: str,
                             + [StructField("pack_id", LongType()),
                                StructField("oversize", IntegerType())])
 
+    shuffle_key = F.col(boundary_col) if boundary_col else F.col(id_col)
     part = docs.repartition(*( [n_partitions] if n_partitions else [] ),
-                            F.col(id_col))
-    part = part.sortWithinPartitions(F.col(tokens_col).desc(), F.col(id_col))
+                            shuffle_key)
+    sort_cols = ([F.col(boundary_col)] if boundary_col else []) \
+        + [F.col(tokens_col).desc(), F.col(id_col)]
+    part = part.sortWithinPartitions(*sort_cols)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
         base = TaskContext.get().partitionId() << 40
+        cur_bucket = None
         open_packs: list[tuple[int, int]] = []   # (pack_id, used)
         next_pack = 0
         for pdf in batches:
             ids, overs = [], []
-            for t in pdf[tokens_col].to_numpy():
+            buckets = (pdf[boundary_col].to_numpy() if boundary_col
+                       else [None] * len(pdf))
+            for t, bval in zip(pdf[tokens_col].to_numpy(), buckets):
+                if boundary_col is not None and bval != cur_bucket:
+                    # greedy state never crosses a bucket boundary
+                    cur_bucket = bval
+                    open_packs.clear()
+                    next_pack = 0
+                    if pd.isna(bval) or int(bval) < 0:
+                        raise ValueError(
+                            f"boundary_col must be non-negative, got {bval}")
+                    base = int(bval) << 24
                 if pd.isna(t):
                     # a NULL token count cannot be packed (int(NaN) would
                     # abort the task): flag it a singleton like the

@@ -3190,20 +3190,77 @@ def txt_pii_q(spark, sf_dir):
                       F.md5("redacted").alias("red_hash"))
 
 
-@q("smp_pack_sequences", sql=None,
-   doc="Sequence packing: greedy first-fit-decreasing of documents into "
-       "2048-token packs, one Arrow-batched mapInPandas scan per partition "
-       "with batch-boundary carry (the quarterize pattern). Inherently "
-       "sequential (running-capacity state) -> rows-only; pytest proves the "
-       "budget invariant, determinism under input repartitioning, the "
-       "textbook-walk equivalence for nextfit, and the FFD waste bound. "
-       "LLM-pipeline op; no reference counterpart.")
+@q("smp_pack_sequences",
+   sql="""
+   WITH RECURSIVE toks AS (
+     SELECT doc_id,
+            CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                 ELSE len(string_split_regex(trim(text), '\\s+'))
+                 END AS INTEGER) AS n_tokens,
+            doc_id % 16 AS bucket
+     FROM documents),
+   ord AS (
+     SELECT doc_id, n_tokens, bucket,
+            row_number() OVER (PARTITION BY bucket
+                               ORDER BY n_tokens DESC, doc_id) AS rn
+     FROM toks),
+   walk AS (
+     SELECT bucket, rn, doc_id, n_tokens,
+            CAST(0 AS BIGINT) AS pack_seq,
+            CASE WHEN n_tokens > 80 THEN 1 ELSE 0 END AS oversize,
+            CASE WHEN n_tokens > 80 THEN CAST(NULL AS BIGINT)
+                 ELSE CAST(0 AS BIGINT) END AS open_seq,
+            CASE WHEN n_tokens > 80 THEN CAST(NULL AS INTEGER)
+                 ELSE n_tokens END AS open_used,
+            CAST(1 AS BIGINT) AS next_seq
+     FROM ord WHERE rn = 1
+     UNION ALL
+     SELECT o.bucket, o.rn, o.doc_id, o.n_tokens,
+            CASE WHEN o.n_tokens > 80 THEN w.next_seq
+                 WHEN w.open_used IS NOT NULL
+                      AND w.open_used + o.n_tokens <= 80 THEN w.open_seq
+                 ELSE w.next_seq END AS pack_seq,
+            CASE WHEN o.n_tokens > 80 THEN 1 ELSE 0 END AS oversize,
+            CASE WHEN o.n_tokens > 80 THEN w.open_seq
+                 WHEN w.open_used IS NOT NULL
+                      AND w.open_used + o.n_tokens <= 80 THEN w.open_seq
+                 ELSE w.next_seq END AS open_seq,
+            CASE WHEN o.n_tokens > 80 THEN w.open_used
+                 WHEN w.open_used IS NOT NULL
+                      AND w.open_used + o.n_tokens <= 80
+                      THEN w.open_used + o.n_tokens
+                 ELSE o.n_tokens END AS open_used,
+            CASE WHEN o.n_tokens > 80 THEN w.next_seq + 1
+                 WHEN w.open_used IS NOT NULL
+                      AND w.open_used + o.n_tokens <= 80 THEN w.next_seq
+                 ELSE w.next_seq + 1 END AS next_seq
+     FROM walk w JOIN ord o ON o.bucket = w.bucket AND o.rn = w.rn + 1)
+   SELECT doc_id, n_tokens, bucket,
+          CAST(bucket * 16777216 + pack_seq AS BIGINT) AS pack_id,
+          CAST(oversize AS INTEGER) AS oversize
+   FROM walk
+   """,
+   doc="Sequence packing (next-fit-decreasing) of documents into 80-token "
+       "packs that never cross an explicit bucket boundary (doc_id % 16): "
+       "one Arrow-batched mapInPandas scan per partition, greedy state "
+       "reset at each bucket — so pack assignment is a pure function of "
+       "the data, identical at ANY parallelism, and the DuckDB oracle "
+       "replays the same O(1)-state fold per bucket in LOCKSTEP recursion "
+       "(iterations = max docs per bucket, each step advancing every "
+       "bucket at once — the parallel-friendly recursive-CTE shape). The "
+       "partition-boundary FFD form (operators/packing.py, default) stays "
+       "pytest-covered: budget invariant, repartition determinism, "
+       "textbook-walk nextfit equivalence, FFD waste bound. LLM-pipeline "
+       "op; no reference counterpart.")
 def smp_pack_q(spark, sf_dir):
     from .operators import packing, text
     docs = (_t(spark, sf_dir, "documents")
-            .select("doc_id", text.token_count(F.col("text")).alias("n_tokens")))
-    return packing.pack_documents(docs, "doc_id", "n_tokens", budget=2048,
-                                  n_partitions=8)
+            .select("doc_id",
+                    text.token_count(F.col("text")).alias("n_tokens"),
+                    (F.col("doc_id") % 16).alias("bucket")))
+    return packing.pack_documents(docs, "doc_id", "n_tokens", budget=80,
+                                  n_partitions=8, strategy="nextfit",
+                                  boundary_col="bucket")
 
 
 @q("smp_hash_split",
@@ -3607,28 +3664,99 @@ def txt_chunk_stride_q(spark, sf_dir):
                                chunk_tokens=32, stride=24)
 
 
+# The BPE oracle replays the full iterative trainer in DuckDB: the
+# recursive working table is the (word, syms, freq) vocabulary; each
+# recursion = one merge iteration (DuckDB 1.0 allows windows/aggregates in
+# the recursive term). Top-pair selection is two window layers (pair count
+# -> global max -> lexicographic-min tie-break via min over a struct);
+# the left-to-right non-overlapping merge fold is a list_reduce whose
+# accumulator is a \\x1f/\\x1e-delimited VARCHAR (tokens are [a-z0-9]+ and
+# '</w>', so the control-char encoding is collision-free; struct
+# accumulators inside recursive-term lambdas crash DuckDB 1.0).
+_BPE_FOLD = (
+    "list_filter(string_split(replace("
+    "list_reduce("
+    "list_transform(syms, t -> '\x1e' || t),"
+    "(acc, x) -> CASE "
+    "WHEN split_part(acc, '\x1e', 2) = bp.a "
+    "AND split_part(x, '\x1e', 2) = bp.b "
+    "THEN CASE WHEN split_part(acc, '\x1e', 1) = '' THEN '' "
+    "ELSE split_part(acc, '\x1e', 1) || '\x1f' END || bp.a || bp.b || '\x1e' "
+    "WHEN split_part(acc, '\x1e', 2) = '' "
+    "THEN split_part(acc, '\x1e', 1) || '\x1e' || split_part(x, '\x1e', 2) "
+    "ELSE CASE WHEN split_part(acc, '\x1e', 1) = '' THEN '' "
+    "ELSE split_part(acc, '\x1e', 1) || '\x1f' END "
+    "|| split_part(acc, '\x1e', 2) || '\x1e' || split_part(x, '\x1e', 2) "
+    "END), "
+    "'\x1e', '\x1f'), '\x1f'), s -> s <> '')")
+
+
 @q("txt_bpe_train",
-   sql=None,  # iterative argmax (merge i+1 depends on merge i's rewrite of
-              # the symbol table) is not SQL-expressible; the trainer is
-              # differentially tested against a pure-python reference BPE
-              # with exact merge-sequence equality (test_bpe.py), the same
-              # evidence strategy as smp_pack_sequences.
-   doc="BPE tokenizer induction + application (Sennrich et al., ACL 2016): "
-       "ONE corpus pass builds the (word, freq) table, then each of the 20 "
-       "merge iterations runs against the vocabulary table only (pair "
-       "explode → weighted count → deterministic top-1 → pure-Column "
-       "left-to-right merge fold); vocabularies under the local_threshold "
-       "collect once and iterate driver-side — same algorithm, pinned "
-       "equal to the distributed loop by test. Segmentation is one "
-       "Arrow-batched mapInPandas with broadcast merge ranks and a "
-       "per-word memo (operators/bpe.py). Corpus is touched once for "
-       "training and once for encoding regardless of merge count.")
+   sql=f"""
+   WITH RECURSIVE vocab AS (
+     SELECT w AS word, count(*)::BIGINT AS freq FROM (
+       SELECT unnest(string_split(trim(regexp_replace(lower(text),
+                     '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+       FROM documents WHERE text IS NOT NULL) t
+     WHERE w <> '' GROUP BY w),
+   state AS (
+     SELECT 0 AS it, CAST(NULL AS VARCHAR) AS m_a, CAST(NULL AS VARCHAR) AS m_b,
+            word, freq,
+            list_append(string_split(word, ''), '</w>') AS syms
+     FROM vocab
+     UNION ALL
+     SELECT it + 1, bp.a, bp.b, word, freq, {_BPE_FOLD} AS syms
+     FROM (
+       SELECT it, word, freq, syms, bp, mx
+       FROM (
+         SELECT it, word, freq, syms, mx, cnt,
+                min(CASE WHEN cnt = mx
+                         THEN struct_pack(a := pa, b := pb) END)
+                  OVER () AS bp
+         FROM (
+           SELECT *, max(cnt) OVER () AS mx
+           FROM (
+             SELECT it, word, freq, syms, pa, pb,
+                    sum(CASE WHEN pa IS NOT NULL THEN freq END)
+                      OVER (PARTITION BY pa, pb) AS cnt
+             FROM (
+               SELECT s.it, s.word, s.freq, s.syms,
+                      CASE WHEN i >= 1 THEN s.syms[i] END AS pa,
+                      CASE WHEN i >= 1 THEN s.syms[i + 1] END AS pb
+               FROM state s,
+                    LATERAL unnest(CASE WHEN len(s.syms) >= 2
+                                        THEN range(1, len(s.syms))
+                                        ELSE [0] END) AS u(i)
+             ) e
+           ) c
+         ) m
+       ) b
+       GROUP BY it, word, freq, syms, bp, mx
+     ) g
+     WHERE it < 20 AND mx >= 2)
+   SELECT DISTINCT CAST(it AS INTEGER) AS merge_rank, m_a AS lhs, m_b AS rhs
+   FROM state WHERE it >= 1
+   """,
+   doc="BPE tokenizer induction (Sennrich et al., ACL 2016): ONE corpus "
+       "pass builds the (word, freq) table, then each of the 20 merge "
+       "iterations runs against the vocabulary table only (pair explode "
+       "-> weighted count -> deterministic top-1 with lexicographic "
+       "tie-break -> pure-Column left-to-right merge fold); vocabularies "
+       "under the local_threshold collect once and iterate driver-side — "
+       "same algorithm, pinned equal to the distributed loop by test. "
+       "Returns the ordered merge table (merge_rank, lhs, rhs) — the "
+       "artifact a train-once/apply-everywhere pipeline persists; the "
+       "apply path is txt_bpe_segment. EXACT cross-engine oracle: the "
+       "whole iterative trainer is replayed as a DuckDB recursive CTE "
+       "(one recursion per merge, windows for the weighted argmax, "
+       "list_reduce for the merge fold) — merge sequences match "
+       "bit-for-bit (operators/bpe.py).")
 def txt_bpe_train_q(spark, sf_dir):
     from .operators import bpe
     docs = _t(spark, sf_dir, "documents")
     merges = bpe.train_bpe(docs, n_merges=20)
-    return (bpe.bpe_segment(docs, merges)
-            .select("doc_id", "n_words", "n_subwords"))
+    rows = [(i + 1, a, b) for i, (a, b) in enumerate(merges)]
+    return spark.createDataFrame(rows, "merge_rank int, lhs string, rhs string")
 
 
 # A FIXED GPT-2-style merge list (rank = position): the production form of
@@ -3788,58 +3916,76 @@ def u5_schema_reconcile_q(spark, sf_dir):
 #         cross_contamination_md5, cluster_survivors), mm_video_frames
 #         (mm_audio_features stays), emb_centroid_outliers (semdedup +
 #         semdedup_incremental stay).
-# Round-6 session-2 adjustment (debt-smoothing): the driver's r6 gate is
-# the LAST event before the r3-green tail cohort (18 queries) ages to the
-# due line, and 18 swaps cannot land in one round without gutting family
-# coverage. So TEN of the cohort take window slots NOW (earning r6 greens)
-# and only eight remain due in round 7. OUT: ten freshly re-earned
-# multi-greens whose family keeps reps — j6 (j5+j7 cover mapping), j8b (j8
-# in), j14 (w11b covers continuous), s6 (quintuple-green r1-r5; sole sink
-# query, rests one round), eav (w12 covers pivot), w1b (w1 in), stream_bars
-# (stream twin stays; a3 is the batch bars rep), dedup_simhash_hamming_md5
-# + dedup_components_star (banding/components keep cross_contamination,
-# minhash_incremental, cluster_survivors, dedup_components), txt_pii_redact
-# (text keeps corpus_stats + 3 scorers + txt_features in).
+# Round-7 rotation (mechanically from check_correctness --stale): IN — the
+# eight r3-green stale queries the r6 verdict names (a4_rebar,
+# dedup_ngram_jaccard, j13, mm_image_features, txt_repetition,
+# txt_vocab_topk, w5, w6), the two newly oracle-ized queries
+# (smp_pack_sequences recursive-CTE next-fit oracle, txt_bpe_train
+# recursive-CTE iterative-trainer oracle — never-checked exact oracles
+# MUST hold a gated slot), and eight of the eighteen-strong r4-green
+# cohort smoothed in a round early so round 8 never faces an 18-swap
+# (j1, j10, p3, f3, a8, w4, ann_cosine_topk, u4_scd2 — leaving ten due
+# r8: w8b, w7, w2, w10, txt_winnowing, txt_contamination, j2,
+# dedup_embedding_pairs, u1, a11). OUT: eighteen freshly r6-green queries
+# whose family keeps in-window reps — s1 (p4/f5/p3 cover scan+pushdown),
+# a1 (j13 is the watermark consumer), a2+a3 (a7/a9/a13 + a4 cover agg/
+# bars), j7+j11 (j5/j8/j9/j1/j10 in; w6 is the argmax rep), dedup_exact +
+# dedup_components (span/ngrams/contamination/incremental + cluster_
+# survivors' star contraction), mm_audio (mm_image in), txt_features +
+# txt_corpus_stats (lm/chunk/ccnet + repetition/vocab_topk/bpe_train in),
+# w9+w3 (w1/w8/w12/w11b + w4/w5/w6 in), u4_membership (u4_scd2 in),
+# pipeline_revenue_topk + pipeline_sector_median (quality/dedup_surv/
+# region/cluster stay), dedup_semdedup_incremental (dedup_semdedup stays),
+# smp_epoch_shuffle (token_budget/dsir/pack in).
 QUERY_PRIORITY: list[str] = [
     # scans / predicates / cleaning
-    "p4_inlist_semijoin", "f5_rename_ladder", "s1_filtered_scan",
+    "p4_inlist_semijoin", "f5_rename_ladder", "p3_regex_filter",
+    "f3_cleaning_exprs",
     # joins
     "pipeline_e2_merge_daily",
     "j9_asof_last_report",
     "j5_anti_join_new_codes", "j8_interval_join",
-    "j7_code_extract_join", "j11_argmax_latest_per_key",
+    "j1_vendor_merge_full_outer", "j10_asof_point_lookup",
+    "j13_incremental_ranges",
     # aggregations
     "pipeline_worst_window_return",
-    "a2_agg_rollup", "a7_two_level_agg", "a9_describe", "a13_sessionize",
-    "a1_watermark_per_key", "a3_tick_to_bars",
+    "a7_two_level_agg", "a9_describe", "a13_sessionize",
+    "a4_rebar", "a8_median_cross_section",
     # audits / ordering / sets
     "f4_snapshot_audit", "o3_topk_worst",
-    "u4_membership_changepoints",
+    "u4_scd2_intervals",
     # windows
-    "w1_rank_returns", "w3_cum_chain", "w8_quarterize",
-    "w12_pivot_status", "w11b_adjusted_diff", "w9_expand_calendar",
+    "w1_rank_returns", "w8_quarterize",
+    "w12_pivot_status", "w11b_adjusted_diff",
+    "w4_ffill", "w5_rolling_mean", "w6_argmax_cross_section",
     # composites
     "pipeline_quality_filter", "pipeline_dedup_survivors",
-    "pipeline_revenue_topk", "pipeline_region_revenue",
-    "pipeline_sector_median",
+    "pipeline_region_revenue",
     # streaming
     "stream_dedup_incremental_md5",
     # LLM-pipeline operators
-    "dedup_exact", "dedup_span_removal",
+    "dedup_span_removal",
     "dedup_frequent_ngrams",
     "dedup_cross_contamination_md5",
     "dedup_minhash_incremental_md5",
-    "dedup_components",
-    "txt_corpus_stats", "txt_features",
+    "dedup_ngram_jaccard",
     "txt_lm_perplexity", "txt_chunk_stride",
+    "txt_repetition", "txt_vocab_topk", "txt_bpe_train",
     "pipeline_cluster_survivors",
     "txt_ccnet_split", "dedup_semdedup",
-    "dedup_semdedup_incremental",
-    "mm_audio_features",
-    "smp_token_budget", "smp_epoch_shuffle", "smp_dsir_md5",
+    "mm_image_features",
+    "ann_cosine_topk",
+    "smp_token_budget", "smp_dsir_md5", "smp_pack_sequences",
     "u5_schema_reconcile",
     # ---- position 51+: triple/double-green history, sibling-covered,
     # ---- or rows-only (no oracle) ----
+    "s1_filtered_scan", "a1_watermark_per_key", "a2_agg_rollup",
+    "a3_tick_to_bars", "j7_code_extract_join",
+    "j11_argmax_latest_per_key", "dedup_exact", "dedup_components",
+    "mm_audio_features", "txt_features", "txt_corpus_stats",
+    "w9_expand_calendar", "w3_cum_chain", "u4_membership_changepoints",
+    "pipeline_revenue_topk", "pipeline_sector_median",
+    "dedup_semdedup_incremental", "smp_epoch_shuffle",
     "j6_code_mapping_maintenance", "j8b_interval_join_bucketed",
     "j14_main_sec_join", "s6_upsert_last_write_wins", "eav_unpivot_pivot",
     "w1b_rank_scalable", "stream_bars_1min",
@@ -3849,23 +3995,16 @@ QUERY_PRIORITY: list[str] = [
     "smp_hash_split", "smp_mixture_resample", "smp_source_quota",
     "a11_accumulation_detect", "w7_continuous_contract", "txt_winnowing",
     "dedup_embedding_pairs",
-    "p3_regex_filter", "f3_cleaning_exprs", "j1_vendor_merge_full_outer",
-    "j10_asof_point_lookup", "u1_union_distinct", "w10_monthly_sample",
-    "w2_lead_lag_gaps", "w4_ffill", "a8_median_cross_section",
-    "txt_contamination", "ann_cosine_topk",
-    "txt_vocab_topk", "txt_repetition",
-    "dedup_ngram_jaccard", "mm_image_features",
-    "a4_rebar",
-    "w5_rolling_mean",
-    "w6_argmax_cross_section",
-    "j13_incremental_ranges",
+    "u1_union_distinct", "w10_monthly_sample",
+    "w2_lead_lag_gaps",
+    "txt_contamination",
     "w11_adjusted_continuous",
-    "w8b_quarterize_exact", "u4_scd2_intervals",
+    "w8b_quarterize_exact",
     "j2_three_source_merge",
     "ann_ivf_topk", "dedup_minhash_lsh",
     "dedup_simhash", "ann_lsh_topk", "dedup_simhash_hamming",
-    "smp_pack_sequences", "a14_sketch_profile",
-    "txt_bpe_train", "txt_bpe_segment", "ann_pq_topk",
+    "a14_sketch_profile",
+    "txt_bpe_segment", "ann_pq_topk",
 ]
 
 

@@ -109,9 +109,18 @@ def compact_table(spark: SparkSession, path: str,
       partition overwrite (only partitions present in the data are touched,
       so callers can compact a partition subset by filtering first).
 
-    Returns the data-file count after compaction. Not atomic on plain parquet
-    (same caveat as ``write_upsert``); run in the maintenance window.
+    Returns the data-file count after compaction. The unpartitioned publish
+    uses the ``write_upsert`` staging+backup rename protocol, so a crash at
+    any instant leaves a complete table at ``path`` or ``path__backup`` and
+    ``recover_table`` heals it (the old delete-then-rename left a window
+    with NO table at ``path`` and the data parked in a temp dir no recovery
+    routine knew about). The partitioned branch rewrites via dynamic
+    partition overwrite — same per-partition atomicity caveat as any plain-
+    parquet dynamic overwrite; run in the maintenance window.
     """
+    from ..operators.upsert import (_BACKUP, _STAGING, _hadoop_rm, _rename,
+                                    recover_table)
+    recover_table(spark, path)  # heal any interrupted earlier commit first
     files = list_data_files(spark, path)
     total = sum(sz for _, sz in files)
     df = spark.read.parquet(path)
@@ -133,12 +142,17 @@ def compact_table(spark: SparkSession, path: str,
         # publish the staged layout by RENAME, not by read-back: a second
         # spark.read would re-split the freshly packed files at
         # maxPartitionBytes (128m), silently discarding the target size,
-        # and would copy all data a second time
+        # and would copy all data a second time. Publish order is the
+        # write_upsert protocol: stage → path→backup → staging→path →
+        # drop backup, so the table is ALWAYS present at path or backup.
         n = max(1, -(-total // (target_file_mb * 1024 * 1024)))
-        df.repartition(n).write.mode("overwrite").parquet(tmp)
-        fs, jpath = _fs(spark, path)
-        fs.delete(jpath, True)
-        fs.rename(_fs(spark, tmp)[1], jpath)
+        base = path.rstrip("/")
+        staging, backup = base + _STAGING, base + _BACKUP
+        df.repartition(n).write.mode("overwrite").parquet(staging)
+        _rename(spark, base, backup)
+        _rename(spark, staging, base)
+        _hadoop_rm(spark, backup)
+        spark.catalog.refreshByPath(path)
     return len(list_data_files(spark, path))
 
 

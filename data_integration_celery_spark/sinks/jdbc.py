@@ -94,9 +94,21 @@ def table_exists(spark: SparkSession, url: str, table: str,
     lowercase probe for a table Spark just created would miss it and every
     subsequent run would re-append the full source; and JDBC metadata
     patterns treat '_'/'%' as wildcards, so 'FUT_K' as a pattern would
-    also match FUTXK (a false positive that skips the initial load)."""
+    also match FUTXK (a false positive that skips the initial load).
+
+    The enumeration is SCOPED to the connection's current schema (when the
+    driver reports one): without the scope, a same-named table anywhere
+    else — Postgres information_schema 'tables', Derby SYS catalogs —
+    is a false 'exists' that skips the initial load and points the
+    watermark probe at a table the writer never writes. Schema-less
+    engines (getSchema() null/unsupported) fall back to the global scan,
+    which is then the correct universe anyway."""
     with _driver_connection(spark, url, driver) as conn:
-        rs = conn.getMetaData().getTables(None, None, "%", None)
+        try:
+            schema = conn.getSchema() or None
+        except Exception:
+            schema = None  # pre-JDBC-4.1 driver or dialect without schemas
+        rs = conn.getMetaData().getTables(None, schema, "%", None)
         try:
             want = table.upper()
             while rs.next():

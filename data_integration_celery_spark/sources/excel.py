@@ -38,7 +38,7 @@ def _col_index(ref: str) -> int:
     return n - 1
 
 
-def _cell_value(cell, shared: list[str]):
+def _cell_value(cell, shared: list[str], bad_cells: list[str] | None = None):
     t = cell.get("t", "n")
     v_el = cell.find(f"{_NS}v")
     if t == "inlineStr":
@@ -59,9 +59,14 @@ def _cell_value(cell, shared: list[str]):
     try:
         return float(v_el.text)
     except ValueError:
-        # malformed numeric cell: surface the raw text instead of failing
-        # the Spark task (and with it every file in the batch)
-        return v_el.text
+        # malformed numeric cell: NULL the cell, never return the raw text
+        # (one stray string silently widened the whole column to mixed
+        # object dtype downstream) and never fail the Spark task (one bad
+        # cell would abort every file in the batch). The cell ref lands in
+        # bad_cells so the ingest can count/quarantine the file.
+        if bad_cells is not None:
+            bad_cells.append(cell.get("r", "?"))
+        return None
 
 
 def parse_xlsx(content: bytes, sheet: int | str = 0,
@@ -71,6 +76,9 @@ def parse_xlsx(content: bytes, sheet: int | str = 0,
     ``sheet`` selects by position (int) or by sheet name (str). With
     ``header`` the first non-empty row provides column names; otherwise
     columns are c0..cN. Missing cells are None (ragged rows padded).
+    Malformed numeric cells parse as None; their cell refs are recorded in
+    ``df.attrs['malformed_numeric_cells']`` so callers can quarantine the
+    file instead of silently losing values.
     """
     zf = zipfile.ZipFile(io.BytesIO(content))
     wb = ET.fromstring(zf.read("xl/workbook.xml"))
@@ -96,13 +104,14 @@ def parse_xlsx(content: bytes, sheet: int | str = 0,
 
     ws = ET.fromstring(zf.read(target))
     rows: list[dict[int, object]] = []
+    bad_cells: list[str] = []
     for row in ws.iter(f"{_NS}row"):
         vals: dict[int, object] = {}
         pos = 0  # @r is OPTIONAL in OOXML: unreferenced cells are implied
         for cell in row.findall(f"{_NS}c"):
             m = _CELL_REF.match(cell.get("r", ""))
             idx = _col_index(m.group(1)) if m else pos
-            vals[idx] = _cell_value(cell, shared)
+            vals[idx] = _cell_value(cell, shared, bad_cells)
             pos = idx + 1
         rows.append(vals)
     if not rows or not any(rows):
@@ -112,8 +121,11 @@ def parse_xlsx(content: bytes, sheet: int | str = 0,
     if header:
         cols = [str(c) if c is not None else f"c{i}"
                 for i, c in enumerate(table[0])]
-        return pd.DataFrame(table[1:], columns=cols)
-    return pd.DataFrame(table, columns=[f"c{i}" for i in range(width)])
+        out = pd.DataFrame(table[1:], columns=cols)
+    else:
+        out = pd.DataFrame(table, columns=[f"c{i}" for i in range(width)])
+    out.attrs["malformed_numeric_cells"] = bad_cells
+    return out
 
 
 def read_excel(spark: SparkSession, path_glob: str, out_schema: str,

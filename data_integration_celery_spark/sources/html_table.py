@@ -41,65 +41,97 @@ class _TableExtract(HTMLParser):
     _VOID = {"br", "img", "hr", "input", "meta", "link", "col", "area",
              "base", "embed", "source", "track", "wbr"}
 
+    # HTML5 implied-end rules (the subset dirty vendor pages actually hit):
+    # a start tag on the LEFT implicitly closes any currently-open element
+    # in the set on the RIGHT. The while-loop pop naturally stops at a
+    # <table> boundary (table is never in a closing set), so a nested
+    # table inside a td never closes the outer cell.
+    _IMPLIED = {
+        "p": {"p"}, "li": {"li"},
+        "tr": {"tr", "td", "th"}, "td": {"td", "th"}, "th": {"td", "th"},
+        "thead": {"tr", "td", "th"}, "tbody": {"tr", "td", "th"},
+        "tfoot": {"tr", "td", "th"},
+        "option": {"option"}, "dd": {"dd", "dt"}, "dt": {"dd", "dt"},
+    }
+
     def __init__(self) -> None:
         super().__init__()
         self.tables: list[list[list[str]]] = []
         self.id_texts: dict[str, str] = {}
-        self._tstack: list[list[list[str]]] = []
-        self._row: list[str] | None = None
-        self._cell: list[str] | None = None
-        # open id captures as [id, buf, depth]: depth = currently-open
-        # elements strictly inside the captured element, so a capture only
-        # closes on ITS OWN end tag — a nested <b> inside
-        # <span id="publishtime"> no longer pops the capture early and
-        # truncates/mis-scopes the text
-        self._id_capture: list[list] = []
+        # per-table frames [rows, open_row, open_cell] — a STACK, so a
+        # table nested inside a td never clobbers the outer table's
+        # in-flight row/cell (single-slot row/cell state dropped the
+        # outer cell's remaining columns)
+        self._tstack: list[list] = []
+        # one TRUE open-element stack (non-void tags). Captures record the
+        # stack depth their element sits at and close exactly when the
+        # stack shrinks past it — so a nested <b> never pops a capture
+        # early, AND an unclosed <p>/<li>/<tr>/<td> (HTML5 implied end)
+        # never inflates a counter forever and silently swallows the id
+        # text, which the old per-capture depth counters did on dirty
+        # vendor pages.
+        self._stack: list[str] = []
+        self._id_capture: list[list] = []  # [id, buf, depth_at_push]
+
+    def _pop_top(self) -> None:
+        """Close the topmost open element (explicit, implied, or EOF)."""
+        tag = self._stack.pop()
+        depth = len(self._stack)
+        while self._id_capture and self._id_capture[-1][2] > depth:
+            cid, buf, _ = self._id_capture.pop()
+            self.id_texts.setdefault(cid, "".join(buf).strip())
+        frame = self._tstack[-1] if self._tstack else None
+        if tag in ("td", "th") and frame is not None \
+                and frame[2] is not None and frame[1] is not None:
+            frame[1].append("".join(frame[2]).strip())
+            frame[2] = None
+        elif tag == "tr" and frame is not None and frame[1] is not None:
+            frame[0].append(frame[1])
+            frame[1] = None
+        elif tag == "table" and frame is not None:
+            self.tables.append(frame[0])
+            self._tstack.pop()
 
     def handle_starttag(self, tag, attrs):
-        if tag == "table":
-            self._tstack.append([])
-        elif tag == "tr" and self._tstack:
-            self._row = []
-        elif tag in ("td", "th") and self._row is not None:
-            self._cell = []
         if tag in self._VOID:
-            return  # no end tag ever comes: must not affect capture depth
-        for cap in self._id_capture:
-            cap[2] += 1
+            return  # renders no end tag: invisible to element structure
+        implied = self._IMPLIED.get(tag)
+        if implied:
+            while self._stack and self._stack[-1] in implied:
+                self._pop_top()
+        if tag == "table":
+            self._tstack.append([[], None, None])
+        elif tag == "tr" and self._tstack:
+            self._tstack[-1][1] = []
+        elif tag in ("td", "th") and self._tstack \
+                and self._tstack[-1][1] is not None:
+            self._tstack[-1][2] = []
+        self._stack.append(tag)
         attr_id = dict(attrs).get("id")
         if attr_id:
-            self._id_capture.append([attr_id, [], 0])
+            self._id_capture.append([attr_id, [], len(self._stack)])
 
     def handle_endtag(self, tag):
-        if tag in ("td", "th") and self._cell is not None:
-            assert self._row is not None
-            self._row.append("".join(self._cell).strip())
-            self._cell = None
-        elif tag == "tr" and self._row is not None:
-            self._tstack[-1].append(self._row)
-            self._row = None
-        elif tag == "table" and self._tstack:
-            self.tables.append(self._tstack.pop())
-        if tag in self._VOID or not self._id_capture:
-            return
-        top = self._id_capture[-1]
-        if top[2] == 0:
-            # this end tag closes the captured element itself
-            self._id_capture.pop()
-            self.id_texts.setdefault(top[0], "".join(top[1]).strip())
-            rest = self._id_capture
-        else:
-            top[2] -= 1
-            rest = self._id_capture[:-1]
-        # the closed element was also nested inside every outer capture
-        for cap in rest:
-            cap[2] -= 1
+        if tag in self._VOID or tag not in self._stack:
+            return  # stray end tag on a dirty page: ignore
+        # implicitly close unclosed children first (</ul> with open <li>)
+        while self._stack and self._stack[-1] != tag:
+            self._pop_top()
+        if self._stack:
+            self._pop_top()
 
     def handle_data(self, data):
-        if self._cell is not None:
-            self._cell.append(data)
+        if self._tstack and self._tstack[-1][2] is not None:
+            self._tstack[-1][2].append(data)
         for _, buf, _depth in self._id_capture:
             buf.append(data)
+
+    def close(self):
+        # EOF flush: a truncated page (or implied ends never materialised)
+        # must still surface captured ids and any open table structure
+        while self._stack:
+            self._pop_top()
+        super().close()
 
 
 def parse_html(text: str) -> _TableExtract:

@@ -190,3 +190,31 @@ def test_asof_union_tiebreaks_make_same_ts_reports_deterministic(spark):
         got = A.asof_join_union(daily, reports, "code", "d", "pub",
                                 ["eps"], tiebreaks=["eps"]).collect()
         assert len(got) == 1 and got[0]["eps"] == 2.0
+
+
+def test_asof_union_tiebreak_outside_value_cols_still_orders(spark):
+    """A tiebreak that is a REPORT column but not a value column must still
+    totally order the report rows (it previously never reached the unioned
+    frame: analysis error, or NULL-ordered if daily carried a same-named
+    column) — and must NOT leak into the output schema."""
+    import datetime as dt
+
+    import pytest
+
+    from data_integration_celery_spark.operators import asof as A
+
+    daily = spark.createDataFrame(
+        [("K", dt.date(2024, 1, 5))], "code string, d date")
+    reports = spark.createDataFrame(
+        [("K", dt.date(2024, 1, 1), 1.0, 2), ("K", dt.date(2024, 1, 1), 2.0, 1)],
+        "code string, pub date, eps double, rev int")
+    for _ in range(3):
+        out = A.asof_join_union(daily, reports, "code", "d", "pub",
+                                ["eps"], tiebreaks=["rev"])
+        got = out.collect()
+        # rev=2 sorts last in the window -> its eps (1.0) is carried
+        assert len(got) == 1 and got[0]["eps"] == 1.0
+        assert "rev" not in out.columns  # ordering-only column stays internal
+    with pytest.raises(ValueError, match="tiebreak"):
+        A.asof_join_union(daily, reports, "code", "d", "pub",
+                          ["eps"], tiebreaks=["nope"])

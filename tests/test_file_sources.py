@@ -178,3 +178,44 @@ def test_xlsx_error_cells_and_missing_refs_survive(tmp_path):
     parsed = excel.parse_xlsx(buf.getvalue())
     assert list(parsed.columns) == ["h1", "h2", "h3"]
     assert parsed.iloc[0].tolist() == ["#DIV/0!", "2026-08-14", 7.5]
+
+
+def test_xlsx_malformed_numeric_cell_nulls_and_flags(tmp_path):
+    """A numeric (t='n') cell whose text does not parse as float must come
+    back as NULL — returning the raw text silently widened the whole
+    column to mixed object dtype downstream — and its cell ref must be
+    recorded so the ingest can quarantine the file."""
+    import io
+    import zipfile
+
+    sheet = (
+        '<?xml version="1.0"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/'
+        'spreadsheetml/2006/main"><sheetData>'
+        '<row r="1"><c r="A1" t="str"><v>h1</v></c></row>'
+        '<row r="2"><c r="A2" t="n"><v>12.5</v></c></row>'
+        '<row r="3"><c r="A3" t="n"><v>n/a</v></c></row>'
+        '<row r="4"><c r="A4" t="n"><v>7</v></c></row>'
+        '</sheetData></worksheet>')
+    wb = ('<?xml version="1.0"?>'
+          '<workbook xmlns="http://schemas.openxmlformats.org/'
+          'spreadsheetml/2006/main" '
+          'xmlns:r="http://schemas.openxmlformats.org/officeDocument/'
+          '2006/relationships">'
+          '<sheets><sheet name="s" sheetId="1" r:id="rId1"/></sheets>'
+          '</workbook>')
+    rels = ('<?xml version="1.0"?>'
+            '<Relationships xmlns="http://schemas.openxmlformats.org/'
+            'package/2006/relationships">'
+            '<Relationship Id="rId1" Type="t" Target="worksheets/'
+            'sheet1.xml"/></Relationships>')
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("xl/workbook.xml", wb)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    parsed = excel.parse_xlsx(buf.getvalue())
+    assert parsed["h1"].tolist()[0] == 12.5
+    assert parsed["h1"].tolist()[2] == 7.0
+    assert parsed["h1"].isna().tolist() == [False, True, False]
+    assert parsed.attrs["malformed_numeric_cells"] == ["A3"]

@@ -124,3 +124,42 @@ def test_id_capture_survives_nested_elements(spark, tmp_path):
     assert "2026-08-14 10:00" in p.id_texts["outer"]
     assert "after" in p.id_texts["outer"]  # capture outlived nested tags
     assert p.tables == [[["x"]]]
+
+
+def test_id_capture_survives_implied_end_tags(spark, tmp_path):
+    """HTML5-valid unclosed <p>/<li> inside a captured element must not
+    inflate the open-element depth forever: the depth-counter regression
+    silently never recorded the id text on dirty vendor pages."""
+    from data_integration_celery_spark.sources import html_table as H
+
+    html = ('<div id="publishtime"><p>first<p>2026-08-14 10:00</div>'
+            '<ul><li>a<li>b</ul>'
+            '<span id="note">n1</span>')
+    p = H.parse_html(html)
+    assert "2026-08-14 10:00" in p.id_texts["publishtime"]
+    assert p.id_texts["note"] == "n1"
+
+
+def test_tables_survive_unclosed_tr_td_and_eof(spark, tmp_path):
+    """Implied end tags inside tables: new <tr>/<td> closes the open one
+    (the old parser overwrote the in-flight cell, dropping its text), and
+    EOF flushes whatever is still open on a truncated page."""
+    from data_integration_celery_spark.sources import html_table as H
+
+    html = ('<table><tr><td>a<td>b<tr><td>c</table>'
+            '<span id="t">captured')  # truncated: no </span>, no </html>
+    p = H.parse_html(html)
+    assert p.tables == [[["a", "b"], ["c"]]]
+    assert p.id_texts["t"] == "captured"  # EOF flush
+
+
+def test_nested_table_inside_td_keeps_outer_cell(spark, tmp_path):
+    from data_integration_celery_spark.sources import html_table as H
+
+    html = ('<table><tr><td>outer'
+            '<table><tr><td>inner</td></tr></table>'
+            '</td><td>z</td></tr></table>')
+    p = H.parse_html(html)
+    assert [["inner"]] in p.tables
+    outer = [t for t in p.tables if t != [["inner"]]][0]
+    assert outer[0][0].startswith("outer") and outer[0][-1] == "z"

@@ -96,3 +96,83 @@ def test_packing_validates_args(spark):
     with pytest.raises(ValueError, match="strategy"):
         packing.pack_documents(docs, "doc_id", "n_tokens", budget=10,
                                strategy="bogus")
+
+
+def _bucketed(spark, sizes, n_buckets=4):
+    return spark.createDataFrame(
+        [(i, s, i % n_buckets) for i, s in enumerate(sizes)],
+        "doc_id long, n_tokens long, bucket long")
+
+
+def test_boundary_packing_invariant_to_parallelism(spark):
+    """With boundary_col the pack assignment is a pure function of the data:
+    identical output at any n_partitions / input layout (the property the
+    recursive-CTE oracle relies on)."""
+    import random
+    rnd = random.Random(7)
+    docs = _bucketed(spark, [rnd.randint(10, 500) for _ in range(600)])
+    runs = []
+    for src, n in ((docs, 2), (docs.repartition(13), 9), (docs, 1)):
+        out = packing.pack_documents(src, "doc_id", "n_tokens", budget=1024,
+                                     n_partitions=n, strategy="nextfit",
+                                     boundary_col="bucket")
+        runs.append({(r["doc_id"], r["pack_id"], r["oversize"])
+                     for r in out.collect()})
+    assert runs[0] == runs[1] == runs[2]
+
+
+def test_boundary_packing_never_crosses_buckets(spark):
+    import random
+    rnd = random.Random(9)
+    docs = _bucketed(spark, [rnd.randint(10, 900) for _ in range(400)],
+                     n_buckets=7)
+    out = packing.pack_documents(docs, "doc_id", "n_tokens", budget=1024,
+                                 strategy="nextfit", boundary_col="bucket")
+    rows = out.collect()
+    assert len(rows) == 400
+    by_pack = {}
+    for r in rows:
+        by_pack.setdefault(r["pack_id"], set()).add(r["bucket"])
+        # pack_id encodes the bucket, never a partition index
+        assert r["pack_id"] >> 24 == r["bucket"]
+    assert all(len(b) == 1 for b in by_pack.values())
+
+
+def test_boundary_packing_matches_per_bucket_walk(spark):
+    """Boundary next-fit == the textbook walk run independently per bucket
+    over the (tokens desc, id) order — including the oversize singleton
+    rule (oversize consumes a pack seq but leaves the open pack intact)."""
+    import random
+    rnd = random.Random(13)
+    sizes = [rnd.randint(100, 1500) for _ in range(500)]  # some oversize
+    docs = _bucketed(spark, sizes, n_buckets=5)
+    out = packing.pack_documents(docs, "doc_id", "n_tokens", budget=1024,
+                                 n_partitions=3, strategy="nextfit",
+                                 boundary_col="bucket")
+    got = {r["doc_id"]: (r["pack_id"], r["oversize"]) for r in out.collect()}
+
+    want = {}
+    for b in range(5):
+        members = sorted(((i, s) for i, s in enumerate(sizes) if i % 5 == b),
+                         key=lambda t: (-t[1], t[0]))
+        open_seq, used, nxt = None, 0, 0
+        for i, s in members:
+            if s > 1024:
+                want[i] = ((b << 24) + nxt, 1)
+                nxt += 1
+                continue
+            if open_seq is None or used + s > 1024:
+                open_seq, used = nxt, 0
+                nxt += 1
+            want[i] = ((b << 24) + open_seq, 0)
+            used += s
+    assert got == want
+
+
+def test_boundary_packing_rejects_negative_bucket(spark):
+    docs = spark.createDataFrame([(1, 10, -2)],
+                                 "doc_id long, n_tokens long, bucket long")
+    with pytest.raises(Exception, match="non-negative"):
+        packing.pack_documents(docs, "doc_id", "n_tokens", budget=100,
+                               strategy="nextfit",
+                               boundary_col="bucket").collect()

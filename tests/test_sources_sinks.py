@@ -193,6 +193,39 @@ def test_compact_table_unpartitioned(spark, tmp_path):
     assert spark.read.parquet(path).orderBy("id").collect() == before
 
 
+def test_compact_table_publish_is_crash_recoverable(spark, tmp_path):
+    """Unpartitioned compaction publishes via the write_upsert staging+
+    backup rename protocol: at every instant a complete table exists at
+    path or path__backup. Simulate the worst crash window (between the two
+    renames — table parked at backup) and verify both recover_table and
+    the next compact_table heal it; and a completed compaction leaves no
+    protocol directories behind."""
+    import os
+
+    from data_integration_celery_spark import sinks
+    from data_integration_celery_spark.operators import upsert as U
+
+    path = str(tmp_path / "crashy")
+    for i in range(4):
+        spark.range(i * 5, i * 5 + 5).coalesce(1) \
+            .write.mode("append").parquet(path)
+    before = set(r["id"] for r in spark.read.parquet(path).collect())
+
+    # clean run leaves no __staging/__backup residue
+    sinks.compact_table(spark, path, target_file_mb=128)
+    assert not os.path.exists(path + "__staging")
+    assert not os.path.exists(path + "__backup")
+    assert set(r["id"] for r in spark.read.parquet(path).collect()) == before
+
+    # crash window: path renamed away, staging not yet promoted
+    U._rename(spark, path, path + "__backup")
+    assert not os.path.exists(path)
+    n = sinks.compact_table(spark, path, target_file_mb=128)  # self-heals
+    assert n >= 1
+    assert set(r["id"] for r in spark.read.parquet(path).collect()) == before
+    assert not os.path.exists(path + "__backup")
+
+
 def test_compact_table_partitioned(spark, tmp_path):
     """Partitioned compaction: one file per partition afterwards, data
     unchanged, and partitions absent from the table are not invented."""

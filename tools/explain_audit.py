@@ -276,6 +276,31 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
         [r"MapInPandas", r"codegen id"],
         [r"Exchange", r"Join", r"CartesianProduct", r"BatchEvalPython",
          r"ArrowEvalPython", r"FlatMapGroupsInPandas"]),
+    # token budget: data rows flow through parallel per-bucket windows
+    # (hashpartitioning on the range bucket) and the per-bucket offsets
+    # come back via a broadcast join. The ONLY SinglePartition exchange
+    # permitted is the per-bucket-count offsets rollup (~n_buckets rows,
+    # input [__bkt, __n]) — a doc-row SinglePartition (input carrying
+    # doc_id) is the w1-style global funnel and is banned outright
+    "smp_token_budget": (
+        [r"hashpartitioning\(__bkt", r"BroadcastHashJoin"],
+        [r"CartesianProduct",
+         r"\[[^\]\n]*doc_id[^\]\n]*\]\nArguments: SinglePartition"]),
+    # per-source quota: the salted two-stage top-N — stage 1 WindowGroup-
+    # Limits on (source, salt), stage 2 re-ranks the shortlist on the bare
+    # source key. Both exchanges are key-hash; a hot domain never funnels
+    # every row through one task and NOTHING plans SinglePartition
+    "smp_source_quota": (
+        [r"WindowGroupLimit", r"hashpartitioning\(source#\d+, __salt",
+         r"hashpartitioning\(source#\d+, \d+\)"],
+        [r"CartesianProduct", r"SinglePartition"]),
+    # boundary-bucket packing: scan → token-count projection → ONE
+    # repartition on the data bucket → in-partition sort → ONE Arrow
+    # MapInPandas greedy fold. No global sort, no per-group Python
+    "smp_pack_sequences": (
+        [r"MapInPandas", r"hashpartitioning\(bucket"],
+        [r"CartesianProduct", r"SinglePartition",
+         r"FlatMapGroupsInPandas", r"Sort .*global=true"]),
 }
 
 
