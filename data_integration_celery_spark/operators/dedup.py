@@ -300,27 +300,62 @@ def minhash_banded_pairs(docs: DataFrame, text_col: str, id_col: str,
     ``perm_hash(shingle, i)`` hashes a shingle under permutation i;
     ``bucket_hash(cols)`` keys a band's signature slice. Postings →
     codegen'd per-permutation min-aggregates (one shuffle on the doc id,
-    map-side partials) → banded explode → equi-join on (band, bucket) —
-    only colliding bands ever shuffle, never documents² — → distinct
-    (id_a < id_b) pairs with est_jaccard = fraction of matching minhashes.
+    map-side partials) → **exact-duplicate contraction** (the banded
+    self-join runs over DISTINCT signatures — same argument as
+    ``minhash_clusters``/``simhash_near_dup_pairs``: est_jaccard and band
+    collision are functions of the signatures alone, so the verified pair
+    graph over documents is the blow-up of the graph over distinct
+    signatures) → banded explode → equi-join on (band, bucket) — only
+    colliding bands ever shuffle, never documents² and never duplicate
+    groups² in candidate GENERATION — → member expansion, which is
+    output-proportional by construction. A boilerplate cluster of B
+    identical docs costs one candidate row per band (was B rows → B²
+    candidates each paying the est verify); the B²/2 output pairs are
+    emitted by the expansion joins at pair-output cost, the floor any
+    pair-emitting operator has. Each id carries exactly one signature, so
+    the expansion can never duplicate a pair and the output is
+    bit-identical to the uncontracted join (pinned by
+    test_minhash_banded_pairs_contraction_identical).
+
+    Returns distinct (id_a < id_b) pairs with est_jaccard = fraction of
+    matching minhashes.
     """
-    banded = banded_signatures(docs, text_col, id_col, num_hashes, bands,
-                               perm_hash, bucket_hash)
-    a, b = banded.alias("a"), banded.alias("b")
-    # est_jaccard is computed IN the join projection, before the pair
-    # distinct — it is determined by the pair (one sig per id), so it
-    # commutes with dropDuplicates, and the quadratic candidate stream
-    # then carries (id_a, id_b, double) instead of two full signature
-    # arrays (~8 KB/candidate for the 128-hash md5 twin — the payload
-    # that OOM'd the 100x-replica sweep; same verify-before-distinct
-    # lesson as simhash_near_dup_pairs)
-    return (a.join(b, ["band", "bucket"])
-            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            .select(F.col(f"a.{id_col}").alias("id_a"),
-                    F.col(f"b.{id_col}").alias("id_b"),
-                    _est_jaccard(F.col("a.sig"), F.col("b.sig"),
-                                 num_hashes).alias("est_jaccard"))
-            .dropDuplicates(["id_a", "id_b"]))
+    sig_df = minhash_signature_table(docs, text_col, id_col, num_hashes,
+                                     perm_hash).localCheckpoint(eager=False)
+    usig = sig_df.groupBy("sig").agg(F.min(id_col).alias("rep"),
+                                     F.count(F.lit(1)).alias("cnt"))
+    rep_banded = _band_explode(usig.select("rep", "sig"), ["rep"],
+                               num_hashes, bands, bucket_hash)
+    a, b = rep_banded.alias("a"), rep_banded.alias("b")
+    # est_jaccard computed IN the join projection, before the pair
+    # distinct — it commutes with dropDuplicates, so the candidate stream
+    # carries (rep_a, rep_b, double) instead of two signature arrays
+    # (~8 KB/candidate for the 128-hash md5 twin — the payload that OOM'd
+    # the 100x-replica sweep; same verify-before-distinct lesson as
+    # simhash_near_dup_pairs)
+    sig_pairs = (a.join(b, ["band", "bucket"])
+                 .where(F.col("a.rep") < F.col("b.rep"))
+                 .select(F.col("a.rep").alias("rep_a"),
+                         F.col("b.rep").alias("rep_b"),
+                         _est_jaccard(F.col("a.sig"), F.col("b.sig"),
+                                      num_hashes).alias("est_jaccard"))
+                 .dropDuplicates(["rep_a", "rep_b"]))
+    members = sig_df.join(usig, "sig").select(F.col(id_col).alias("__id"),
+                                              "rep")
+    ma = members.select(F.col("rep").alias("rep_a"), F.col("__id").alias("ia"))
+    mb = members.select(F.col("rep").alias("rep_b"), F.col("__id").alias("ib"))
+    cross = (sig_pairs.join(ma, "rep_a").join(mb, "rep_b")
+             .select(F.least("ia", "ib").alias("id_a"),
+                     F.greatest("ia", "ib").alias("id_b"), "est_jaccard"))
+    # same-signature pairs: identical signatures collide in every band and
+    # est_jaccard is exactly 1.0 (num_hashes/num_hashes in int/int->double)
+    grp = members.join(usig.where(F.col("cnt") >= 2).select("rep"), "rep")
+    same = (grp.select("rep", F.col("__id").alias("id_a"))
+            .join(grp.select("rep", F.col("__id").alias("id_b")), "rep")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    F.lit(1.0).cast("double").alias("est_jaccard")))
+    return cross.unionByName(same)
 
 
 def incremental_minhash_pairs(new_docs: DataFrame, index: DataFrame,

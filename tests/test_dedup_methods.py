@@ -78,6 +78,59 @@ def test_contamination_scores_bounds(spark):
     assert got[3]["n_matched"] == 1 and got[3]["n_shingles"] == 4
 
 
+def test_minhash_banded_pairs_contraction_identical(spark):
+    """The distinct-signature contraction inside minhash_banded_pairs must
+    be invisible in the output: bit-identical pairs + est_jaccard to the
+    naive document-level banded join, on a corpus with exact-duplicate
+    groups (where the contraction actually collapses rows), near-dups, and
+    singletons."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from data_integration_celery_spark.operators import dedup
+    from data_integration_celery_spark.operators.dedup import (
+        _bucket_hash_md5, _est_jaccard, _perm_hash_md5)
+
+    rnd = random.Random(21)
+    vocab = [f"tok{i}" for i in range(60)]
+    rows = []
+    doc_id = 0
+    for g in range(6):          # 6 exact-dup groups of 4
+        text = " ".join(rnd.sample(vocab, 12))
+        for _ in range(4):
+            rows.append((doc_id, text)); doc_id += 1
+    base = " ".join(rnd.sample(vocab, 12))
+    rows.append((doc_id, base)); doc_id += 1
+    rows.append((doc_id, base + " extra")); doc_id += 1   # near-dup pair
+    for _ in range(8):          # singletons
+        rows.append((doc_id, " ".join(rnd.sample(vocab, 12)))); doc_id += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+           for r in dedup.minhash_banded_pairs(
+               docs, "text", "doc_id", 16, 4,
+               _perm_hash_md5, _bucket_hash_md5).collect()}
+
+    # naive reference: document-level banded self-join (the pre-r7 form)
+    banded = dedup.banded_signatures(docs, "text", "doc_id", 16, 4,
+                                     _perm_hash_md5, _bucket_hash_md5)
+    a, b = banded.alias("a"), banded.alias("b")
+    want = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+            for r in (a.join(b, ["band", "bucket"])
+                      .where(F.col("a.doc_id") < F.col("b.doc_id"))
+                      .select(F.col("a.doc_id").alias("id_a"),
+                              F.col("b.doc_id").alias("id_b"),
+                              _est_jaccard(F.col("a.sig"), F.col("b.sig"),
+                                           16).alias("est_jaccard"))
+                      .dropDuplicates(["id_a", "id_b"])).collect()}
+    assert got == want
+    # sanity: the corpus really exercised the contraction (dup groups emit
+    # C(4,2)=6 pairs each at est exactly 1.0)
+    ones = [p for p, e in got.items() if e == 1.0]
+    assert len(ones) >= 36
+
+
 def test_connected_components_chain_and_islands(spark):
     from data_integration_celery_spark.operators import dedup
     pairs = spark.createDataFrame(

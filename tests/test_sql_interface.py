@@ -18,13 +18,19 @@ from data_integration_celery_spark.queries import QUERIES
 
 # known-portable core: if any of these stops running on Spark SQL, that is
 # a regression in the oracle text, not acceptable drift (the full set that
-# passed the mechanical sweep when this was last updated — 43 oracles;
+# passed the mechanical sweep when this was last updated — 46 oracles;
 # round 6 added f3/j6 by making their regexes escape-free — Spark SQL
 # string literals eat lone backslashes, so '\d' silently became 'd' —
 # and smp_hash_split/smp_mixture_resample via CAST(... AS STRING), the
-# same VARCHAR-without-length fix as the r5 e2 oracle)
+# same VARCHAR-without-length fix as the r5 e2 oracle; round 7 added
+# a11 by renaming the reserved output column 'column' -> 'metric' and
+# the two components queries by spelling integer division as
+# CAST(floor(a / b) AS BIGINT) — `//` is DuckDB-only, and float division
+# is exact here because rn < 2^26)
 PORTABLE_CORE = [
+    "a11_accumulation_detect",
     "a13_sessionize", "a1_watermark_per_key", "a2_agg_rollup",
+    "dedup_components", "dedup_components_star",
     "a7_two_level_agg", "a8_median_cross_section", "a9_describe",
     "eav_unpivot_pivot", "f3_cleaning_exprs", "f4_snapshot_audit",
     "f5_rename_ladder",
@@ -45,7 +51,7 @@ PORTABLE_CORE = [
     "w8_quarterize",
 ]
 
-MIN_PORTABLE = 39
+MIN_PORTABLE = 44
 
 
 def _canon(df):

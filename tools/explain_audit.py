@@ -301,6 +301,15 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
         [r"MapInPandas", r"hashpartitioning\(bucket"],
         [r"CartesianProduct", r"SinglePartition",
          r"FlatMapGroupsInPandas", r"Sort .*global=true"]),
+    # banded minhash pairs: candidate generation must run over DISTINCT
+    # signatures (the hashpartitioning(sig) contraction aggregate — the
+    # r7 fix that keeps dup-saturated corpora from paying duplicate-group²
+    # candidate work; same shape as the simhash contraction) with member
+    # expansion as equi-joins — never any nested-loop/cartesian shape
+    "dedup_minhash_md5": (
+        [r"hashpartitioning\(sig", r"HashAggregate"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin",
+         r"BatchEvalPython", r"ArrowEvalPython"]),
 }
 
 
