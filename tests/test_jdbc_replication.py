@@ -140,3 +140,19 @@ def test_lowercase_table_name_is_not_recopied(spark, tmp_path):
         spark, src, url, "fut_lower", watermark_col="trade_date")
     assert n2 == 0
     assert J.read_table(spark, url, "fut_lower").count() == 4
+
+
+def test_table_exists_scoped_to_current_schema(spark, tmp_path):
+    """A same-named table in ANOTHER schema must not count as existing:
+    Derby's SYS catalog tables (SYSTABLES et al.) are visible to an
+    unscoped getTables(None, None, '%') enumeration, and a false 'exists'
+    skips the initial load and probes a table the writer never writes
+    (the Postgres information_schema 'tables'/'columns' failure mode)."""
+    url = J.derby_url(str(tmp_path / "scoped"))
+    src = _bars(spark, BASE).where(F.col("close") != 0)
+    J.replicate_jdbc_incremental(
+        spark, src, url, "fut_scoped", watermark_col="trade_date")
+    assert J.table_exists(spark, url, "fut_scoped")
+    # lives in Derby's SYS schema, not the connection's current schema
+    assert not J.table_exists(spark, url, "SYSTABLES")
+    assert not J.table_exists(spark, url, "systables")
