@@ -3785,22 +3785,82 @@ _BPE_FIXED_MERGES: list[tuple[str, str]] = [
 ]
 
 
+# The merge list as a DuckDB constant: rank = 1-based list_position of
+# 'a\x1eb' — position order IS training-rank order, so the min-struct pick
+# below selects the same merge the GPT-2-style encoder's lowest-rank rule
+# does (offset by one, which is order-preserving).
+_BPE_MERGE_LIST_SQL = "[" + ", ".join(
+    f"'{a}\x1e{b}'" for a, b in _BPE_FIXED_MERGES) + "]"
+
+
 @q("txt_bpe_segment",
-   sql=None,  # per-word greedy lowest-rank merging is a sequential,
-              # data-dependent loop — not SQL-expressible. Pinned by a
-              # differential test against an INDEPENDENT pure-python
-              # GPT-2-style encoder over the same fixed merges
-              # (test_bpe.py::test_txt_bpe_segment_query_matches_python),
-              # end-to-end through this registry entry.
+   sql=f"""
+   WITH RECURSIVE docs_norm AS (
+     SELECT doc_id, trim(regexp_replace(lower(coalesce(text, '')),
+                         '[^a-z0-9]+', ' ', 'g')) AS norm
+     FROM documents),
+   doc_words AS (
+     SELECT doc_id, i AS wpos, w[i] AS word
+     FROM (SELECT doc_id, string_split(norm, ' ') AS w FROM docs_norm) t,
+          LATERAL unnest(range(1, len(w) + 1)) AS u(i)
+     WHERE w[i] <> ''),
+   vocab AS (SELECT DISTINCT word FROM doc_words),
+   seg AS (
+     SELECT 0 AS it, word, list_append(string_split(word, ''), '</w>') AS syms
+     FROM vocab
+     UNION ALL
+     SELECT it + 1, word, {_BPE_FOLD} AS syms
+     FROM (
+       SELECT it, word, syms, min(CASE WHEN r >= 1
+                THEN struct_pack(r := r, a := pa, b := pb) END)
+                OVER (PARTITION BY word) AS bp
+       FROM (
+         SELECT s.it, s.word, s.syms,
+                s.syms[i] AS pa, s.syms[i + 1] AS pb,
+                list_position({_BPE_MERGE_LIST_SQL},
+                              s.syms[i] || '\x1e' || s.syms[i + 1]) AS r
+         FROM seg s,
+              LATERAL unnest(range(1, len(s.syms))) AS u(i)
+       ) e
+     ) g
+     WHERE bp IS NOT NULL
+     GROUP BY it, word, syms, bp),
+   final_syms AS (
+     SELECT word, syms FROM (
+       SELECT word, syms,
+              row_number() OVER (PARTITION BY word ORDER BY it DESC) AS rn
+       FROM seg) q WHERE rn = 1),
+   toks AS (
+     SELECT word, i AS spos, syms[i] AS tok
+     FROM final_syms, LATERAL unnest(range(1, len(syms) + 1)) AS u(i)),
+   per_doc AS (
+     SELECT dw.doc_id,
+            count(DISTINCT dw.wpos) AS n_words,
+            count(*) AS n_subwords,
+            string_agg(t.tok, '\x1f' ORDER BY dw.wpos, t.spos) AS flat
+     FROM doc_words dw JOIN toks t USING (word)
+     GROUP BY dw.doc_id)
+   SELECT d.doc_id,
+          CAST(coalesce(p.n_words, 0) AS BIGINT) AS n_words,
+          CAST(coalesce(p.n_subwords, 0) AS BIGINT) AS n_subwords,
+          md5(coalesce(p.flat, '')) AS sub_fp
+   FROM documents d LEFT JOIN per_doc p USING (doc_id)
+   """,
    doc="BPE APPLICATION path — the form a 100 TB pipeline actually runs "
        "(the tokenizer is trained once, applied to every document ever "
        "after): segment the corpus with a FIXED merge list via one "
        "Arrow-batched mapInPandas with broadcast ranks and a per-word "
        "memo (operators/bpe.py bpe_segment; no training jobs, no "
        "iterations, no driver state beyond the rank dict). The output "
-       "carries an md5 fingerprint of the exact subword sequence, so the "
-       "rows-only driver check still pins every token of every document "
-       "byte-for-byte.")
+       "carries an md5 fingerprint of the exact subword sequence. EXACT "
+       "cross-engine oracle (round 7): the greedy lowest-rank encoder "
+       "runs per VOCABULARY word as a recursive CTE (min-rank adjacent "
+       "pair via a constant-list position lookup, the same VARCHAR-fold "
+       "merge step as txt_bpe_train's oracle), then doc fingerprints "
+       "reassemble order-preserving via string_agg(... ORDER BY word "
+       "position, subword position) — every token of every document "
+       "byte-for-byte, plus the independent pure-python encoder "
+       "differential in test_bpe.py.")
 def txt_bpe_segment_q(spark, sf_dir):
     from .operators import bpe
     docs = _t(spark, sf_dir, "documents")
@@ -3937,7 +3997,14 @@ def u5_schema_reconcile_q(spark, sf_dir):
 # cohort smoothed in a round early so round 8 never faces an 18-swap
 # (j1, j10, p3, f3, a8, w4, ann_cosine_topk, u4_scd2 — leaving ten due
 # r8: w8b, w7, w2, w10, txt_winnowing, txt_contamination, j2,
-# dedup_embedding_pairs, u1, a11). OUT: eighteen freshly r6-green queries
+# dedup_embedding_pairs, u1, a11). Session 2 also oracle-ized
+# txt_bpe_segment (a never-checked exact oracle must hold a gated slot);
+# stream_dedup_incremental_md5 rests for it — r5+r6 green, the
+# incremental-dedup family keeps dedup_minhash_incremental_md5 +
+# cross_contamination in-window, stream≡batch stays pinned in pytest,
+# and its ~9.5s of fixed micro-batch machinery leaves the gate budget
+# (the r6 note already recommended exactly this swap once it re-earned).
+# OUT: eighteen freshly r6-green queries
 # whose family keeps in-window reps — s1 (p4/f5/p3 cover scan+pushdown),
 # a1 (j13 is the watermark consumer), a2+a3 (a7/a9/a13 + a4 cover agg/
 # bars), j7+j11 (j5/j8/j9/j1/j10 in; w6 is the argmax rep), dedup_exact +
@@ -3972,8 +4039,6 @@ QUERY_PRIORITY: list[str] = [
     # composites
     "pipeline_quality_filter", "pipeline_dedup_survivors",
     "pipeline_region_revenue",
-    # streaming
-    "stream_dedup_incremental_md5",
     # LLM-pipeline operators
     "dedup_span_removal",
     "dedup_frequent_ngrams",
@@ -3982,6 +4047,7 @@ QUERY_PRIORITY: list[str] = [
     "dedup_ngram_jaccard",
     "txt_lm_perplexity", "txt_chunk_stride",
     "txt_repetition", "txt_vocab_topk", "txt_bpe_train",
+    "txt_bpe_segment",
     "pipeline_cluster_survivors",
     "txt_ccnet_split", "dedup_semdedup",
     "mm_image_features",
@@ -3990,6 +4056,7 @@ QUERY_PRIORITY: list[str] = [
     "u5_schema_reconcile",
     # ---- position 51+: triple/double-green history, sibling-covered,
     # ---- or rows-only (no oracle) ----
+    "stream_dedup_incremental_md5",
     "s1_filtered_scan", "a1_watermark_per_key", "a2_agg_rollup",
     "a3_tick_to_bars", "j7_code_extract_join",
     "j11_argmax_latest_per_key", "dedup_exact", "dedup_components",
@@ -4015,7 +4082,7 @@ QUERY_PRIORITY: list[str] = [
     "ann_ivf_topk", "dedup_minhash_lsh",
     "dedup_simhash", "ann_lsh_topk", "dedup_simhash_hamming",
     "a14_sketch_profile",
-    "txt_bpe_segment", "ann_pq_topk",
+    "ann_pq_topk",
 ]
 
 
