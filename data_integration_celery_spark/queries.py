@@ -1426,12 +1426,12 @@ def j7_code_join(spark, sf_dir):
      SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS pub,
             lead(CAST(o_orderdate AS DATE))
               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS nxt
-     FROM orders)
-   SELECT o_custkey, o_orderkey,
-          CAST(unnest(generate_series(pub,
-                 least(coalesce(nxt - 1, pub + 6), pub + 6),
-                 INTERVAL 1 DAY)) AS DATE) AS as_of_date
-   FROM eff
+     FROM orders),
+   offs AS (SELECT unnest(range(0, 7)) AS off)
+   SELECT o_custkey, o_orderkey, pub + CAST(off AS INTEGER) AS as_of_date
+   FROM eff JOIN offs
+     ON off <= CAST(least(coalesce(nxt - 1, pub + 6), pub + 6) - pub
+                    AS BIGINT)
    """,
    doc="W9: report→daily as-of expansion via sequence()+explode, capped at a "
        "7-day horizon; zero-length effectivity (superseded same day) expands "
