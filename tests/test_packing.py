@@ -169,6 +169,45 @@ def test_boundary_packing_matches_per_bucket_walk(spark):
     assert got == want
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.integers(0, 1300), min_size=1, max_size=120),
+       st.integers(100, 1100),
+       st.integers(1, 5))
+def test_boundary_nextfit_property(spark, sizes, budget, n_buckets):
+    """Property form of the per-bucket walk equivalence: for ANY sizes /
+    budget / bucket count, boundary next-fit equals the textbook sequential
+    walk run independently per bucket (incl. oversize singleton rule and
+    zero-token docs), and never depends on n_partitions."""
+    docs = spark.createDataFrame(
+        [(i, s, i % n_buckets) for i, s in enumerate(sizes)],
+        "doc_id long, n_tokens long, bucket long")
+    out = packing.pack_documents(docs, "doc_id", "n_tokens", budget=budget,
+                                 n_partitions=2, strategy="nextfit",
+                                 boundary_col="bucket")
+    got = {r["doc_id"]: (r["pack_id"], r["oversize"]) for r in out.collect()}
+
+    want = {}
+    for b in range(n_buckets):
+        members = sorted(((i, s) for i, s in enumerate(sizes)
+                          if i % n_buckets == b), key=lambda t: (-t[1], t[0]))
+        open_seq, used, nxt = None, 0, 0
+        for i, s in members:
+            if s > budget:
+                want[i] = ((b << 24) + nxt, 1)
+                nxt += 1
+                continue
+            if open_seq is None or used + s > budget:
+                open_seq, used = nxt, 0
+                nxt += 1
+            want[i] = ((b << 24) + open_seq, 0)
+            used += s
+    assert got == want
+
+
 def test_boundary_packing_rejects_negative_bucket(spark):
     docs = spark.createDataFrame([(1, 10, -2)],
                                  "doc_id long, n_tokens long, bucket long")
