@@ -174,15 +174,36 @@ def main() -> None:
         "full_payload": f"BENCH_LAST_{_sf_tag()}.json",
         "queries": {k: round(v, 2) for k, v in med.items()},
     }
+    sys.stdout.write(_padded_compact_line(compact, med))
+
+
+def _padded_compact_line(compact: dict, med: dict[str, float],
+                         limit: int = 1999) -> str:
+    """The exactly-(limit+1)-char tail line: pad + compact JSON + newline.
+
+    Shrinks the queries dict (slowest kept) and then, if even the
+    query-less summary overflows, drops optional scalar fields — a
+    negative pad would silently reintroduce the mid-line-cut unparseable
+    tail this two-line protocol exists to prevent, so overflow past every
+    fallback raises instead."""
     line = json.dumps(compact, separators=(",", ":"))
-    while len(line) > 1999 and compact["queries"]:
+    while len(line) > limit and compact["queries"]:
         # keep the slowest queries — the ones a reader of the tail wants
         keep = sorted(compact["queries"], key=med.get, reverse=True)
         compact["queries"] = {k: compact["queries"][k]
                               for k in keep[:max(0, len(keep) - 10)]}
         compact["queries_truncated_to_slowest"] = len(compact["queries"])
         line = json.dumps(compact, separators=(",", ":"))
-    sys.stdout.write(" " * (1999 - len(line)) + line + "\n")
+    if len(line) > limit:
+        for field in ("full_payload", "queries_truncated_to_slowest",
+                      "n_isolated", "value_cold", "sec_per_query"):
+            compact.pop(field, None)
+            line = json.dumps(compact, separators=(",", ":"))
+            if len(line) <= limit:
+                break
+    if len(line) > limit:
+        raise AssertionError(f"compact bench line still {len(line)} chars")
+    return " " * (limit - len(line)) + line + "\n"
 
 
 if __name__ == "__main__":

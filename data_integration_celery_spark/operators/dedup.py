@@ -222,16 +222,22 @@ def minhash_clusters(docs: DataFrame, text_col: str = "text",
     the naive composite measured alpha 1.39 with constant OUTPUT
     (394 s at ~sf10) — the quadratic intermediate was the entire excess.
 
-    The signature table is materialized once (lazy localCheckpoint, same
-    convention as the components fixpoint): it feeds the distinct-sig
-    aggregate, the banded self-join and the member expansion, and without
-    truncation each consumer — multiplied again by the composite's
-    reps/singletons double-use — re-runs the 32-min-agg shingle pipeline.
-    At 100 TB this is the persisted signature/index table anyway
-    (``banded_signatures`` stores the same rows bucketed).
+    The signature table is materialized once (MEMORY_AND_DISK persist): it
+    feeds the distinct-sig aggregate, the banded self-join and the member
+    expansion, and without materialization each consumer — multiplied
+    again by the composite's reps/singletons double-use — re-runs the
+    32-min-agg shingle pipeline. persist (lineage retained, recompute on
+    executor loss) rather than localCheckpoint (unreplicated blocks, one
+    lost executor fails the job): the signature pipeline is one fixed
+    non-iterative stage, so there is no plan-growth reason to truncate
+    lineage and the resilience is free. At 100 TB this is the persisted
+    signature/index table anyway (``banded_signatures`` stores the same
+    rows bucketed).
     """
+    from pyspark import StorageLevel
     sig_df = minhash_signature_table(docs, text_col, id_col, num_hashes,
-                                     perm_hash).localCheckpoint(eager=False)
+                                     perm_hash).persist(
+                                         StorageLevel.MEMORY_AND_DISK)
     usig = sig_df.groupBy("sig").agg(F.min(id_col).alias("rep"))
     rep_banded = _band_explode(usig.select("rep", "sig"), ["rep"],
                                num_hashes, bands, bucket_hash)
@@ -319,9 +325,16 @@ def minhash_banded_pairs(docs: DataFrame, text_col: str, id_col: str,
 
     Returns distinct (id_a < id_b) pairs with est_jaccard = fraction of
     matching minhashes.
+
+    The signature table persists MEMORY_AND_DISK (not localCheckpoint):
+    lineage is retained so an executor loss recomputes the lost blocks
+    instead of failing the job — the signature stage is non-iterative, so
+    plan truncation buys nothing here (see minhash_clusters).
     """
+    from pyspark import StorageLevel
     sig_df = minhash_signature_table(docs, text_col, id_col, num_hashes,
-                                     perm_hash).localCheckpoint(eager=False)
+                                     perm_hash).persist(
+                                         StorageLevel.MEMORY_AND_DISK)
     usig = sig_df.groupBy("sig").agg(F.min(id_col).alias("rep"),
                                      F.count(F.lit(1)).alias("cnt"))
     rep_banded = _band_explode(usig.select("rep", "sig"), ["rep"],

@@ -88,6 +88,22 @@ def pack_documents(docs: DataFrame, id_col: str, tokens_col: str,
         cur_bucket = None
         open_packs: list[tuple[int, int]] = []   # (pack_id, used)
         next_pack = 0
+
+        def new_pack_id() -> int:
+            # boundary mode allots 24 bits to the per-bucket counter
+            # (partition mode gets 40): an unguarded overflow would
+            # silently collide into the NEXT bucket's pack_id space and
+            # merge unrelated packs — raise instead, mirroring the
+            # negative-bucket validation
+            nonlocal next_pack
+            if boundary_col is not None and next_pack >= 1 << 24:
+                raise ValueError(
+                    f"bucket {cur_bucket} produced >= 2**24 packs; "
+                    "boundary-mode pack_ids allot 24 bits per bucket")
+            pid = base + next_pack
+            next_pack += 1
+            return pid
+
         for pdf in batches:
             ids, overs = [], []
             buckets = (pdf[boundary_col].to_numpy() if boundary_col
@@ -101,19 +117,21 @@ def pack_documents(docs: DataFrame, id_col: str, tokens_col: str,
                     if pd.isna(bval) or int(bval) < 0:
                         raise ValueError(
                             f"boundary_col must be non-negative, got {bval}")
+                    if int(bval) >= 1 << 39:
+                        raise ValueError(
+                            f"boundary_col {bval} >= 2**39 would overflow "
+                            "the int64 pack_id (bucket << 24 + 24-bit seq)")
                     base = int(bval) << 24
                 if pd.isna(t):
                     # a NULL token count cannot be packed (int(NaN) would
                     # abort the task): flag it a singleton like the
                     # oversize path — the caller decides its fate
-                    ids.append(base + next_pack)
+                    ids.append(new_pack_id())
                     overs.append(1)
-                    next_pack += 1
                     continue
                 t = int(t)
                 if t > budget:
-                    ids.append(base + next_pack); overs.append(1)
-                    next_pack += 1
+                    ids.append(new_pack_id()); overs.append(1)
                     continue
                 placed = None
                 if strategy == "ffd":
@@ -130,8 +148,7 @@ def pack_documents(docs: DataFrame, id_col: str, tokens_col: str,
                     else:
                         open_packs.clear()
                 if placed is None:
-                    placed = base + next_pack
-                    next_pack += 1
+                    placed = new_pack_id()
                     open_packs.append((placed, t))
                 ids.append(placed); overs.append(0)
             out = pdf.copy()

@@ -1013,7 +1013,15 @@ def pq_topk_rerank(codes_df: DataFrame, corpus: DataFrame,
     rescore. Compressed codes do the heavy scan, raw vectors only the
     tail — recall on the sf0.001 corpus: ADC alone 0.36, +rerank@50 0.68
     (pinned as a floor by test). Returns (query_id, rank, cand_id,
-    cos_sim)."""
+    cos_sim).
+
+    ``shortlist >= |corpus|`` degenerates to exact brute force: the ADC
+    scan keeps every candidate — the -inf self row included, which is why
+    the exact stage below re-excludes self. At normal shortlists the
+    -inf self row never survives the ADC cut, but the full-shortlist
+    identity is the exact-oracle evidence path for the PQ family
+    (ann_pq_rerank), and a self match rescoring to cosine 1.0 must not
+    win rank 1 there or anywhere."""
     if shortlist < k:
         raise ValueError(f"shortlist {shortlist} must be >= k {k}")
     cands = (pq_topk(codes_df, queries, codebook, k=shortlist,
@@ -1023,6 +1031,7 @@ def pq_topk_rerank(codes_df: DataFrame, corpus: DataFrame,
                         F.col(vec_col).alias("__qv"))
     exact = (cands.join(corpus.select(id_col, vec_col), id_col)
              .join(F.broadcast(qv), "query_id")
+             .where(F.col("query_id") != F.col(id_col))
              .select("query_id", F.col(id_col).alias("cand_id"),
                      F.round(cosine(F.col("__qv"), F.col(vec_col)),
                              round_dp).alias("cos_sim")))

@@ -3021,6 +3021,74 @@ def ann_pq_q(spark, sf_dir):
         k=5, shortlist=50)
 
 
+_ANN_BRUTE_SQL = """
+   WITH q AS (SELECT vec_id AS query_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+              FROM embeddings WHERE vec_id >= {lo} AND vec_id < {hi}),
+   c AS (SELECT vec_id AS cand_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+         FROM embeddings),
+   scored AS (
+     SELECT query_id, cand_id,
+            round(list_dot_product(qv, cv)
+                  / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+                  6) AS cos_sim
+     FROM q, c WHERE query_id <> cand_id)
+   SELECT query_id, rank, cand_id, cos_sim FROM (
+     SELECT *, row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, cand_id) AS rank
+     FROM scored) WHERE rank <= 5
+   """
+
+
+@q("ann_ivf_full_probe",
+   sql=_ANN_BRUTE_SQL.format(lo=100, hi=140),
+   doc="IVF exact full-probe identity: nprobe = n_centroids probes every "
+       "inverted list, so the probe machinery must reconstitute the exact "
+       "brute-force answer — buckets partition the corpus (no row dropped, "
+       "none duplicated), the probe joins fan out correctly, and the "
+       "in-bucket rescoring is exact cosine. That identity is "
+       "SQL-expressible, which converts the IVF family from rows-only to "
+       "hash-match evidence at the driver (the approximate nprobe<K form "
+       "stays ann_ivf_topk, recall-floor-pinned in pytest). Seed-mode "
+       "clustering (iters=1: assignments against the deterministic "
+       "lowest-id seed centroids) keeps the index build deterministic, "
+       "though the full-probe OUTPUT is invariant to the assignment by "
+       "construction. Query set is a FIXED 40 ids (100 <= vec_id < 140; "
+       "replica ids shift upward) so scaling rows measure corpus growth, "
+       "not |Q| growth — the ann_lsh_topk lesson.")
+def ann_ivf_full_probe_q(spark, sf_dir):
+    from .operators import similarity
+    emb = _t(spark, sf_dir, "embeddings")
+    qset = emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 140))
+    return similarity.ivf_topk(emb, qset, k=5, n_centroids=8, nprobe=8,
+                               iters=1)
+
+
+@q("ann_pq_rerank",
+   sql=_ANN_BRUTE_SQL.format(lo=200, hi=220),
+   doc="PQ exact full-shortlist identity: with shortlist >= |corpus| the "
+       "ADC scan keeps every candidate and the exact-cosine re-rank stage "
+       "(pq_topk_rerank) must equal brute force — proving the codes table "
+       "covers the corpus exactly once (pq_encode), the ADC lookup scan "
+       "emits every candidate, and the re-rank arithmetic is exact "
+       "(test_pq.py proves rescore parity; this promotes it to a driver "
+       "hash-match). Codebook is seed-mode (iters=0, deterministic "
+       "lowest-id subvector seeds) — the full-shortlist OUTPUT is "
+       "codebook-invariant by construction, so Lloyd's float-order "
+       "nondeterminism never touches the gate. The approximate "
+       "shortlist=50 form stays ann_pq_topk (recall floors in pytest). "
+       "Query set is a FIXED 20 ids (200 <= vec_id < 220).")
+def ann_pq_rerank_q(spark, sf_dir):
+    from .operators import similarity
+    emb = _t(spark, sf_dir, "embeddings")
+    qset = emb.where((F.col("vec_id") >= 200) & (F.col("vec_id") < 220))
+    cb = similarity.pq_train(emb, m_sub=8, k_codes=16, iters=0)
+    codes = similarity.pq_encode(emb, cb)
+    return similarity.pq_topk_rerank(codes, emb, qset, cb,
+                                     k=5, shortlist=1 << 30)
+
+
 @q("w11b_adjusted_diff",
    sql=f"""
    WITH w7 AS ({_W7_SQL}),
@@ -3887,6 +3955,68 @@ def a14_sketch_profile_q(spark, sf_dir):
     return quality.sketch_profile(ev, "event_type", "user_id", "value")
 
 
+@q("a14b_sketch_errorband",
+   sql="""
+   SELECT event_type,
+          count(value) AS n_vals,
+          count(DISTINCT user_id) AS nd_exact,
+          CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / count(value)
+            AS mean_exact,
+          TRUE AS count_ok, TRUE AS dist_ok, TRUE AS mean_ok,
+          TRUE AS q25_ok, TRUE AS q50_ok, TRUE AS q75_ok, TRUE AS q95_ok
+   FROM events GROUP BY event_type
+   """,
+   doc="Error-band verdict for the sketch profile (a14's driver-checkable "
+       "form): HLL++/GK sketches can never hash-match an exact engine, but "
+       "the CLAIM that they sit inside their error bounds is a boolean the "
+       "driver CAN hash-match — the Spark side computes the sketch profile "
+       "AND the exact profile AND emits per-bound verdicts (HLL distinct "
+       "within max(2, 6%*exact) — 3x the configured rsd; each GK quantile's "
+       "value-rank interval within n/accuracy + 2 of the target rank; mean "
+       "within 5e-6 of the DECIMAL-exact mean; counts equal), while the "
+       "oracle recomputes the exact columns and asserts literal TRUE for "
+       "every verdict. A sketch drifting out of band reddens the gate. "
+       "Bounds mirror tests/test_quality.py::test_sketch_profile_error_"
+       "bounds (operators/quality.py sketch_profile).")
+def a14b_sketch_errorband_q(spark, sf_dir):
+    from .operators import quality
+    ev = _t(spark, sf_dir, "events")
+    prof = quality.sketch_profile(ev, "event_type", "user_id", "value")
+    exact = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows_exact"),
+        F.count("value").alias("n_vals"),
+        F.count_distinct("user_id").alias("nd_exact"),
+        (F.sum(F.col("value").cast(DEC)).cast("double")
+         / F.count("value")).alias("mean_exact"))
+    # rank positions of each GK quantile value inside its own group: one
+    # broadcast of the (groups x 4)-value profile back over the rows
+    fracs = (25, 50, 75, 95)
+    qcols = [f"q{f}" for f in fracs]
+    ranks = (ev.join(F.broadcast(prof.select("event_type", *qcols)),
+                     "event_type")
+             .groupBy("event_type")
+             .agg(*[e for f in fracs for e in
+                    (F.count_if(F.col("value") < F.col(f"q{f}"))
+                     .alias(f"lt{f}"),
+                     F.count_if(F.col("value") <= F.col(f"q{f}"))
+                     .alias(f"le{f}"))]))
+    j = prof.join(exact, "event_type").join(ranks, "event_type")
+    tol = F.col("n_vals") / 10_000 + 2  # GK rank error + boundary slack
+    def q_ok(f):
+        target = F.lit(f / 100.0) * F.col("n_vals")
+        return ((F.col(f"lt{f}") - tol <= target)
+                & (target <= F.col(f"le{f}") + tol)).alias(f"q{f}_ok")
+    return j.select(
+        "event_type", "n_vals", "nd_exact", "mean_exact",
+        (F.col("n_rows") == F.col("n_rows_exact")).alias("count_ok"),
+        (F.abs(F.col("n_distinct_approx") - F.col("nd_exact"))
+         <= F.greatest(F.lit(2.0), F.lit(0.06) * F.col("nd_exact")))
+        .alias("dist_ok"),
+        (F.abs(F.col("mean") - F.col("mean_exact")) < F.lit(5e-6))
+        .alias("mean_ok"),
+        q_ok(25), q_ok(50), q_ok(75), q_ok(95))
+
+
 @q("u5_schema_reconcile",
    sql="""
    WITH a AS (
@@ -4015,47 +4145,80 @@ def u5_schema_reconcile_q(spark, sf_dir):
 # pipeline_revenue_topk + pipeline_sector_median (quality/dedup_surv/
 # region/cluster stay), dedup_semdedup_incremental (dedup_semdedup stays),
 # smp_epoch_shuffle (token_budget/dsir/pack in).
+# Round-8 rotation (mechanically from check_correctness --stale 2 at round
+# open, per VERDICT r7 item 9): IN — the ten age-3 stale oracles the r7
+# verdict names (w8b, w7, w2, w10, txt_winnowing, txt_contamination, j2,
+# dedup_embedding_pairs, u1, a11 — all re-verified locally before the
+# swap), the three NEW never-checked exact oracles (ann_ivf_full_probe:
+# the nprobe=K full-probe ≡ brute-force identity that converts the IVF
+# family to hash-match evidence, VERDICT item 2; ann_pq_rerank: the
+# shortlist≥|corpus| full-shortlist ≡ brute-force identity for PQ, item
+# 3; a14b_sketch_errorband: the boolean-verdict error-band oracle that
+# lets the HLL/GK sketch family hash-match, item 5), and eight of the
+# seventeen-strong age-2 cohort pulled a round early so round 9 faces
+# nine swaps, not seventeen (w1b, txt_pii_redact, stream_bars_1min, s6,
+# j8b, j6, dedup_minhash_md5, dedup_components_star). OUT — twenty-one
+# freshly r7-green queries whose family keeps in-window reps: p4 (p3/f3/
+# f5 + u1 cover predicates/sets), j1+j10+j8+j5 (e2/j2 are the merge
+# family, j9 the as-of rep, j8b the same interval join bucketed, j6 the
+# mapping-maintenance family), a9+a4 (a14b recomputes the exact describe
+# columns + a13/a7/a8 stay), f4 (a11 is the audit-family sibling), w8+w1
+# +w4 (their exact twins w8b/w1b come in; w2/w5/w10 cover lag/rolling/
+# sampling), pipeline_region_revenue (o3/a7 + 3 composites stay),
+# dedup_span_removal+dedup_ngram_jaccard+dedup_cross_contamination_md5
+# (frequent_ngrams/minhash_md5/incremental_md5 + txt_contamination in),
+# txt_repetition+txt_vocab_topk+txt_bpe_segment (lm/ccnet/bpe_train +
+# three text re-rotations in), dedup_semdedup (embedding_pairs +
+# components_star in), ann_cosine_topk (both new ANN identities ARE
+# brute-force-equivalent evidence), u5_schema_reconcile (r6+r7 double
+# green).
 QUERY_PRIORITY: list[str] = [
     # scans / predicates / cleaning
-    "p4_inlist_semijoin", "f5_rename_ladder", "p3_regex_filter",
-    "f3_cleaning_exprs",
+    "f5_rename_ladder", "p3_regex_filter", "f3_cleaning_exprs",
     # joins
     "pipeline_e2_merge_daily",
-    "j9_asof_last_report",
-    "j5_anti_join_new_codes", "j8_interval_join",
-    "j1_vendor_merge_full_outer", "j10_asof_point_lookup",
-    "j13_incremental_ranges",
+    "j9_asof_last_report", "j13_incremental_ranges",
+    "j2_three_source_merge", "j6_code_mapping_maintenance",
+    "j8b_interval_join_bucketed",
     # aggregations
     "pipeline_worst_window_return",
-    "a7_two_level_agg", "a9_describe", "a13_sessionize",
-    "a4_rebar", "a8_median_cross_section",
+    "a7_two_level_agg", "a13_sessionize", "a8_median_cross_section",
+    "a11_accumulation_detect", "a14b_sketch_errorband",
     # audits / ordering / sets
-    "f4_snapshot_audit", "o3_topk_worst",
-    "u4_scd2_intervals",
+    "o3_topk_worst", "u4_scd2_intervals", "u1_union_distinct",
     # windows
-    "w1_rank_returns", "w8_quarterize",
-    "w12_pivot_status", "w11b_adjusted_diff",
-    "w4_ffill", "w5_rolling_mean", "w6_argmax_cross_section",
+    "w8b_quarterize_exact", "w7_continuous_contract", "w2_lead_lag_gaps",
+    "w10_monthly_sample", "w1b_rank_scalable", "w11b_adjusted_diff",
+    "w5_rolling_mean", "w6_argmax_cross_section", "w12_pivot_status",
     # composites
     "pipeline_quality_filter", "pipeline_dedup_survivors",
-    "pipeline_region_revenue",
-    # LLM-pipeline operators
-    "dedup_span_removal",
-    "dedup_frequent_ngrams",
-    "dedup_cross_contamination_md5",
-    "dedup_minhash_incremental_md5",
-    "dedup_ngram_jaccard",
-    "txt_lm_perplexity", "txt_chunk_stride",
-    "txt_repetition", "txt_vocab_topk", "txt_bpe_train",
-    "txt_bpe_segment",
     "pipeline_cluster_survivors",
-    "txt_ccnet_split", "dedup_semdedup",
+    # LLM-pipeline operators
+    "dedup_frequent_ngrams",
+    "dedup_minhash_incremental_md5",
+    "dedup_minhash_md5",
+    "dedup_components_star",
+    "dedup_embedding_pairs",
+    "txt_lm_perplexity", "txt_chunk_stride", "txt_bpe_train",
+    "txt_ccnet_split",
+    "txt_winnowing", "txt_contamination", "txt_pii_redact",
     "mm_image_features",
-    "ann_cosine_topk",
+    "ann_ivf_full_probe", "ann_pq_rerank",
     "smp_token_budget", "smp_dsir_md5", "smp_pack_sequences",
-    "u5_schema_reconcile",
+    "stream_bars_1min",
+    "s6_upsert_last_write_wins",
     # ---- position 51+: triple/double-green history, sibling-covered,
     # ---- or rows-only (no oracle) ----
+    "p4_inlist_semijoin",
+    "j5_anti_join_new_codes", "j8_interval_join",
+    "j1_vendor_merge_full_outer", "j10_asof_point_lookup",
+    "a9_describe", "a4_rebar", "f4_snapshot_audit",
+    "w1_rank_returns", "w8_quarterize", "w4_ffill",
+    "pipeline_region_revenue",
+    "dedup_span_removal", "dedup_ngram_jaccard",
+    "dedup_cross_contamination_md5",
+    "txt_repetition", "txt_vocab_topk", "txt_bpe_segment",
+    "dedup_semdedup", "ann_cosine_topk", "u5_schema_reconcile",
     "stream_dedup_incremental_md5",
     "s1_filtered_scan", "a1_watermark_per_key", "a2_agg_rollup",
     "a3_tick_to_bars", "j7_code_extract_join",
@@ -4064,21 +4227,11 @@ QUERY_PRIORITY: list[str] = [
     "w9_expand_calendar", "w3_cum_chain", "u4_membership_changepoints",
     "pipeline_revenue_topk", "pipeline_sector_median",
     "dedup_semdedup_incremental", "smp_epoch_shuffle",
-    "j6_code_mapping_maintenance", "j8b_interval_join_bucketed",
-    "j14_main_sec_join", "s6_upsert_last_write_wins", "eav_unpivot_pivot",
-    "w1b_rank_scalable", "stream_bars_1min",
-    "dedup_simhash_hamming_md5", "dedup_components_star", "txt_pii_redact",
-    "dedup_simhash_md5", "dedup_minhash_md5", "mm_video_frames",
-    "emb_centroid_outliers",
+    "j14_main_sec_join", "eav_unpivot_pivot",
+    "dedup_simhash_hamming_md5", "dedup_simhash_md5",
+    "mm_video_frames", "emb_centroid_outliers",
     "smp_hash_split", "smp_mixture_resample", "smp_source_quota",
-    "a11_accumulation_detect", "w7_continuous_contract", "txt_winnowing",
-    "dedup_embedding_pairs",
-    "u1_union_distinct", "w10_monthly_sample",
-    "w2_lead_lag_gaps",
-    "txt_contamination",
     "w11_adjusted_continuous",
-    "w8b_quarterize_exact",
-    "j2_three_source_merge",
     "ann_ivf_topk", "dedup_minhash_lsh",
     "dedup_simhash", "ann_lsh_topk", "dedup_simhash_hamming",
     "a14_sketch_profile",

@@ -102,16 +102,32 @@ def table_exists(spark: SparkSession, url: str, table: str,
     is a false 'exists' that skips the initial load and points the
     watermark probe at a table the writer never writes. Schema-less
     engines (getSchema() null/unsupported) fall back to the global scan,
-    which is then the correct universe anyway."""
+    which is then the correct universe anyway.
+
+    The schema name is NOT passed as the getTables schemaPattern
+    argument: '_'/'%' are wildcards there exactly as in the table
+    pattern, so a current schema 'MY_SCHEMA' would also enumerate
+    'MYXSCHEMA' tables — a residual cross-schema false 'exists' that
+    skips the initial load. Escaping the pattern is not portable either
+    (Derby declares an EMPTY getSearchStringEscape(), making its
+    metadata wildcards unescapable). Instead the scan enumerates
+    unscoped and compares the row's TABLE_SCHEM to the current schema
+    by exact case-insensitive EQUALITY — the same
+    enumerate-don't-pattern discipline as the table match."""
     with _driver_connection(spark, url, driver) as conn:
         try:
             schema = conn.getSchema() or None
         except Exception:
             schema = None  # pre-JDBC-4.1 driver or dialect without schemas
-        rs = conn.getMetaData().getTables(None, schema, "%", None)
+        rs = conn.getMetaData().getTables(None, None, "%", None)
         try:
             want = table.upper()
+            want_schema = schema.upper() if schema is not None else None
             while rs.next():
+                if want_schema is not None and (
+                        (rs.getString("TABLE_SCHEM") or "").upper()
+                        != want_schema):
+                    continue
                 if (rs.getString("TABLE_NAME") or "").upper() == want:
                     return True
             return False

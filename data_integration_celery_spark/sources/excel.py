@@ -115,7 +115,11 @@ def parse_xlsx(content: bytes, sheet: int | str = 0,
             pos = idx + 1
         rows.append(vals)
     if not rows or not any(rows):
-        return pd.DataFrame()
+        # the documented attrs contract holds on the empty-sheet path too —
+        # callers indexing attrs['malformed_numeric_cells'] must not KeyError
+        empty = pd.DataFrame()
+        empty.attrs["malformed_numeric_cells"] = bad_cells
+        return empty
     width = max(max(r) for r in rows if r) + 1
     table = [[r.get(i) for i in range(width)] for r in rows]
     if header:
@@ -130,32 +134,50 @@ def parse_xlsx(content: bytes, sheet: int | str = 0,
 
 def read_excel(spark: SparkSession, path_glob: str, out_schema: str,
                sheet: int | str = 0, header: bool = True,
-               rename: dict[str, str] | None = None) -> DataFrame:
+               rename: dict[str, str] | None = None,
+               bad_cells_col: str | None = None) -> DataFrame:
     """Distributed .xlsx ingest: binaryFile scan → per-file stdlib parse.
 
     ``out_schema`` is the Spark DDL of the result; ``rename`` maps vendor
     column headers (e.g. the reference's Chinese captions) onto engine names
     before schema projection. Columns in ``out_schema`` missing from a file
     come back null; extra vendor columns are dropped.
+
+    ``bad_cells_col`` surfaces parse_xlsx's malformed-numeric-cell refs
+    through the Spark boundary (pandas ``attrs`` do not survive Arrow):
+    when set, every output row additionally carries that file's bad-cell
+    refs as an ``array<string>`` column of that name, so distributed
+    quarantine (`WHERE size(col) > 0`) works without a second parse pass.
+    Without it the refs are dropped, matching the historical behavior.
     """
     from pyspark.sql.types import StructType
 
     want = [f.name for f in StructType.fromDDL(out_schema).fields]
     files = (spark.read.format("binaryFile").load(path_glob)
              .select("path", "content"))
+    full_schema = out_schema
+    if bad_cells_col is not None:
+        if bad_cells_col in want:
+            raise ValueError(
+                f"bad_cells_col {bad_cells_col!r} collides with out_schema")
+        full_schema = f"{out_schema}, {bad_cells_col} array<string>"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for content in pdf["content"]:
                 frame = parse_xlsx(bytes(content), sheet=sheet, header=header)
+                bad = frame.attrs["malformed_numeric_cells"]
                 if rename:
                     frame = frame.rename(columns=rename)
                 for c in want:
                     if c not in frame.columns:
                         frame[c] = None
-                yield frame[want]
+                frame = frame[want]
+                if bad_cells_col is not None:
+                    frame = frame.assign(**{bad_cells_col: [bad] * len(frame)})
+                yield frame
 
-    return files.mapInPandas(run, out_schema)
+    return files.mapInPandas(run, full_schema)
 
 
 def write_xlsx(path: str, frame: pd.DataFrame) -> None:

@@ -761,3 +761,36 @@ def test_contamination_scores_cover_null_text_docs(spark):
     assert set(got) == {1, 2}
     assert got[2] == (0, 0.0)
     assert got[1][0] > 0
+
+
+def test_minhash_signature_cache_retains_lineage():
+    """The shared signature table must persist with lineage retained
+    (MEMORY_AND_DISK), not localCheckpoint: unreplicated checkpoint
+    blocks turn one executor loss into a job failure on the 100 TB path
+    (ADVICE r7). Source-level contract over both banding entry points."""
+    import inspect
+
+    from data_integration_celery_spark.operators import dedup
+
+    for fn in (dedup.minhash_banded_pairs, dedup.minhash_clusters):
+        src = inspect.getsource(fn)
+        assert ".localCheckpoint(" not in src, fn.__name__
+        assert "MEMORY_AND_DISK" in src, fn.__name__
+
+
+def test_registered_queries_never_use_unbounded_min_label():
+    """VERDICT r7 item 8: the min-label components loop with
+    fixed_rounds=None runs one driver-side convergence count() per round
+    — the small-diameter special case only. Registered queries must use
+    the O(log n) star form or pass an explicit fixed_rounds bound; this
+    grep-contract pins that no queries.py call site regresses."""
+    import re
+
+    import data_integration_celery_spark.queries as q
+    import inspect
+
+    src = inspect.getsource(q)
+    for m in re.finditer(r"connected_components(?!_star)\s*\(", src):
+        call = src[m.start():src.index(")", m.start()) + 1]
+        assert re.search(r"fixed_rounds\s*=\s*\d+", call), (
+            f"unbounded min-label call in queries.py: {call!r}")

@@ -219,3 +219,66 @@ def test_xlsx_malformed_numeric_cell_nulls_and_flags(tmp_path):
     assert parsed["h1"].tolist()[2] == 7.0
     assert parsed["h1"].isna().tolist() == [False, True, False]
     assert parsed.attrs["malformed_numeric_cells"] == ["A3"]
+
+
+def _raw_xlsx(sheet_xml: str) -> bytes:
+    """Minimal OOXML zip around one worksheet payload (shared by the
+    edge-case tests below)."""
+    import io
+    import zipfile
+
+    wb = ('<?xml version="1.0"?>'
+          '<workbook xmlns="http://schemas.openxmlformats.org/'
+          'spreadsheetml/2006/main" '
+          'xmlns:r="http://schemas.openxmlformats.org/officeDocument/'
+          '2006/relationships">'
+          '<sheets><sheet name="s" sheetId="1" r:id="rId1"/></sheets>'
+          '</workbook>')
+    rels = ('<?xml version="1.0"?>'
+            '<Relationships xmlns="http://schemas.openxmlformats.org/'
+            'package/2006/relationships">'
+            '<Relationship Id="rId1" Type="t" Target="worksheets/'
+            'sheet1.xml"/></Relationships>')
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("xl/workbook.xml", wb)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet_xml)
+    return buf.getvalue()
+
+
+def test_xlsx_empty_sheet_keeps_attrs_contract():
+    """The documented attrs['malformed_numeric_cells'] key must exist on
+    the empty-sheet early return too — callers following the docstring
+    previously got a KeyError on empty files."""
+    sheet = ('<?xml version="1.0"?>'
+             '<worksheet xmlns="http://schemas.openxmlformats.org/'
+             'spreadsheetml/2006/main"><sheetData/></worksheet>')
+    parsed = excel.parse_xlsx(_raw_xlsx(sheet))
+    assert parsed.empty
+    assert parsed.attrs["malformed_numeric_cells"] == []
+
+
+def test_read_excel_surfaces_bad_cells_column(spark, tmp_path):
+    """Distributed quarantine: pandas attrs do not survive the Arrow
+    boundary, so read_excel(bad_cells_col=...) must carry each file's
+    malformed-cell refs as a real column; a name colliding with the
+    output schema raises."""
+    import pytest
+
+    sheet = (
+        '<?xml version="1.0"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/'
+        'spreadsheetml/2006/main"><sheetData>'
+        '<row r="1"><c r="A1" t="str"><v>h1</v></c></row>'
+        '<row r="2"><c r="A2" t="n"><v>12.5</v></c></row>'
+        '<row r="3"><c r="A3" t="n"><v>n/a</v></c></row>'
+        '</sheetData></worksheet>')
+    (tmp_path / "f.xlsx").write_bytes(_raw_xlsx(sheet))
+    out = excel.read_excel(spark, str(tmp_path / "*.xlsx"),
+                           "h1 double", bad_cells_col="bad_cells").collect()
+    assert len(out) == 2
+    assert all(r["bad_cells"] == ["A3"] for r in out)
+    with pytest.raises(ValueError, match="collides"):
+        excel.read_excel(spark, str(tmp_path / "*.xlsx"),
+                         "h1 double", bad_cells_col="h1")

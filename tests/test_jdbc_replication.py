@@ -156,3 +156,22 @@ def test_table_exists_scoped_to_current_schema(spark, tmp_path):
     # lives in Derby's SYS schema, not the connection's current schema
     assert not J.table_exists(spark, url, "SYSTABLES")
     assert not J.table_exists(spark, url, "systables")
+
+
+def test_table_exists_escapes_schema_pattern_wildcards(spark, tmp_path):
+    """The current schema name is passed to getTables as a metadata
+    PATTERN, where '_' is a single-char wildcard: a connection whose
+    schema is MY_SCHEMA must not enumerate tables of MYXSCHEMA (a
+    residual cross-schema false 'exists' that skips the initial load).
+    Derby's default schema is the connection user, so two users stand in
+    for the two schemas."""
+    db = str(tmp_path / "escdb")
+    url_x = J.derby_url(db) + ";user=MYXSCHEMA"
+    src = _bars(spark, BASE).where(F.col("close") != 0)
+    J.replicate_jdbc_incremental(
+        spark, src, url_x, "ghost", watermark_col="trade_date")
+    assert J.table_exists(spark, url_x, "ghost")
+    # same db, current schema MY_SCHEMA: the unescaped pattern matched
+    # MYXSCHEMA and reported the table as existing
+    url_u = J.derby_url(db) + ";user=MY_SCHEMA"
+    assert not J.table_exists(spark, url_u, "ghost")

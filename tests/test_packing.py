@@ -215,3 +215,14 @@ def test_boundary_packing_rejects_negative_bucket(spark):
         packing.pack_documents(docs, "doc_id", "n_tokens", budget=100,
                                strategy="nextfit",
                                boundary_col="bucket").collect()
+
+
+def test_boundary_bucket_overflow_raises(spark):
+    """bucket << 24 must fit int64 alongside the 24-bit pack counter: a
+    bucket >= 2**39 would silently collide pack_id spaces, so it raises
+    like the negative-bucket validation."""
+    df = spark.createDataFrame([(1, 10, 1 << 39)],
+                               "doc_id long, n_tokens int, bkt long")
+    with pytest.raises(Exception, match="2\\*\\*39"):
+        packing.pack_documents(df, "doc_id", "n_tokens", 100,
+                               boundary_col="bkt").collect()
