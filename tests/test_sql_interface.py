@@ -26,9 +26,13 @@ from data_integration_celery_spark.queries import QUERIES
 # a11 by renaming the reserved output column 'column' -> 'metric' and
 # the two components queries by spelling integer division as
 # CAST(floor(a / b) AS BIGINT) — `//` is DuckDB-only, and float division
-# is exact here because rn < 2^26)
+# is exact here because rn < 2^26; round 8 added a14b_sketch_errorband,
+# whose boolean-verdict oracle is plain ANSI aggregation — 47 total; the
+# recursive-CTE oracles (w8b/pack/bpe) remain DuckDB-only by their list
+# functions (string_split_regex/list_position), not by the recursion)
 PORTABLE_CORE = [
     "a11_accumulation_detect",
+    "a14b_sketch_errorband",
     "a13_sessionize", "a1_watermark_per_key", "a2_agg_rollup",
     "dedup_components", "dedup_components_star",
     "a7_two_level_agg", "a8_median_cross_section", "a9_describe",
@@ -51,7 +55,7 @@ PORTABLE_CORE = [
     "w8_quarterize",
 ]
 
-MIN_PORTABLE = 44
+MIN_PORTABLE = 45
 
 
 def _canon(df):
