@@ -190,6 +190,9 @@ def main() -> None:
         "value_cold": payload["value_cold"],
         "n_isolated": len(isolated),
         "full_payload": f"BENCH_LAST_{_sf_tag()}.json",
+        # names whose cross-round history is non-comparable (details in
+        # the full payload's spec_changes dict)
+        "spec_changed": sorted(SPEC_CHANGES),
         "queries": {k: round(v, 2) for k, v in med.items()},
     }
     sys.stdout.write(_padded_compact_line(compact, med))

@@ -3065,6 +3065,31 @@ def ann_ivf_full_probe_q(spark, sf_dir):
                                iters=1)
 
 
+@q("ann_lsh_full_probe",
+   sql=_ANN_BRUTE_SQL.format(lo=300, hi=330),
+   doc="LSH exact full-ball identity: multi-probe with n_flips = "
+       "len(planes) probes the ENTIRE Hamming ball (all 2^P buckets), so "
+       "the banded probe machinery must reconstitute exact brute force — "
+       "hyperplane signatures partition the corpus (each candidate lives "
+       "in exactly one bucket, so no pair is dropped or duplicated "
+       "through the probe explode+join) and the in-bucket rescoring is "
+       "exact cosine. tests/test_dedup_similarity.py proved this "
+       "identity in pytest since round 2; this registers it as a driver "
+       "hash-match, completing exact-oracle evidence for all three ANN "
+       "families (IVF: ann_ivf_full_probe, PQ: ann_pq_rerank). The "
+       "approximate 1-flip production form stays ann_lsh_topk "
+       "(rows-only, recall floors pinned). Fixed 30-id query set "
+       "(300 <= vec_id < 330).")
+def ann_lsh_full_probe_q(spark, sf_dir):
+    import random
+    from .operators import similarity
+    rnd = random.Random(7)
+    planes = [[rnd.gauss(0, 1) for _ in range(64)] for _ in range(4)]
+    emb = _t(spark, sf_dir, "embeddings")
+    qset = emb.where((F.col("vec_id") >= 300) & (F.col("vec_id") < 330))
+    return similarity.lsh_topk(emb, qset, planes, n_flips=4)
+
+
 @q("ann_pq_rerank",
    sql=_ANN_BRUTE_SQL.format(lo=200, hi=220),
    doc="PQ exact full-shortlist identity: with shortlist >= |corpus| the "
@@ -4153,7 +4178,11 @@ def u5_schema_reconcile_q(spark, sf_dir):
 # the nprobe=K full-probe ≡ brute-force identity that converts the IVF
 # family to hash-match evidence, VERDICT item 2; ann_pq_rerank: the
 # shortlist≥|corpus| full-shortlist ≡ brute-force identity for PQ, item
-# 3; a14b_sketch_errorband: the boolean-verdict error-band oracle that
+# 3; ann_lsh_full_probe: the all-flips Hamming-ball ≡ brute-force
+# identity that completes the ANN trifecta — dedup_minhash_incremental_
+# md5 rests for its slot, r6+r7 double green, family keeps minhash_md5 +
+# frequent_ngrams + components_star in-window, stream≡batch pinned in
+# pytest; a14b_sketch_errorband: the boolean-verdict error-band oracle that
 # lets the HLL/GK sketch family hash-match, item 5), and eight of the
 # seventeen-strong age-2 cohort pulled a round early so round 9 faces
 # nine swaps, not seventeen (w1b, txt_pii_redact, stream_bars_1min, s6,
@@ -4195,7 +4224,6 @@ QUERY_PRIORITY: list[str] = [
     "pipeline_cluster_survivors",
     # LLM-pipeline operators
     "dedup_frequent_ngrams",
-    "dedup_minhash_incremental_md5",
     "dedup_minhash_md5",
     "dedup_components_star",
     "dedup_embedding_pairs",
@@ -4203,13 +4231,14 @@ QUERY_PRIORITY: list[str] = [
     "txt_ccnet_split",
     "txt_winnowing", "txt_contamination", "txt_pii_redact",
     "mm_image_features",
-    "ann_ivf_full_probe", "ann_pq_rerank",
+    "ann_ivf_full_probe", "ann_pq_rerank", "ann_lsh_full_probe",
     "smp_token_budget", "smp_dsir_md5", "smp_pack_sequences",
     "stream_bars_1min",
     "s6_upsert_last_write_wins",
     # ---- position 51+: triple/double-green history, sibling-covered,
     # ---- or rows-only (no oracle) ----
     "p4_inlist_semijoin",
+    "dedup_minhash_incremental_md5",
     "j5_anti_join_new_codes", "j8_interval_join",
     "j1_vendor_merge_full_outer", "j10_asof_point_lookup",
     "a9_describe", "a4_rebar", "f4_snapshot_audit",

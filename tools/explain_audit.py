@@ -310,6 +310,43 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
         [r"hashpartitioning\(sig", r"HashAggregate"],
         [r"CartesianProduct", r"BroadcastNestedLoopJoin",
          r"BatchEvalPython", r"ArrowEvalPython"]),
+    # IVF full-probe identity: per-query top-k must push into the shuffle
+    # as a WindowGroupLimit (partial+final — only ~k rows per query cross
+    # the exchange, not |Q|x|corpus|), probe fan-out joins stay hash
+    # joins (the 40-query probe table broadcasts), and no row-at-a-time
+    # Python anywhere (the only Python is the Arrow assign pass inside
+    # the persisted index build)
+    "ann_ivf_full_probe": (
+        [r"WindowGroupLimit", r"BroadcastHashJoin"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin",
+         r"BatchEvalPython"]),
+    # LSH full-ball identity: probe fan-out is an explode on the QUERY
+    # side only (the corpus is hashed and shuffled once on the bucket);
+    # top-k pushes into the shuffle as WindowGroupLimit; the bucket join
+    # must stay an equi-join, and there is no Python anywhere (signatures
+    # are pure-Column hyperplane folds)
+    "ann_lsh_full_probe": (
+        [r"WindowGroupLimit", r"Generate"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin",
+         r"BatchEvalPython", r"ArrowEvalPython",
+         r"FlatMapGroupsInPandas", r"MapInPandas"]),
+    # PQ re-rank: same top-k pushdown contract on the exact rescore; the
+    # shortlist->corpus vector fetch must stay an equi-join (never a
+    # nested loop), queries broadcast
+    "ann_pq_rerank": (
+        [r"WindowGroupLimit", r"BroadcastHashJoin"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin",
+         r"BatchEvalPython"]),
+    # sketch error-band verdict: everything is map-side-combinable
+    # aggregation (partial_ pushdown) + joins of 5-row per-group
+    # aggregates — no Python nodes, no cartesian shapes; the GK/HLL
+    # sketches live inside objHashAggregate buffers, never a sort of the
+    # row universe
+    "a14b_sketch_errorband": (
+        [r"partial_", r"HashAggregate"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin",
+         r"BatchEvalPython", r"ArrowEvalPython",
+         r"FlatMapGroupsInPandas"]),
 }
 
 
