@@ -159,3 +159,19 @@ def test_pq_zero_norm_vectors_never_poison_codebook(spark, emb):
     a = {r.vec_id: tuple(r.codes)
          for r in S.pq_encode(poisoned, cb).collect()}
     assert a == codes  # deterministic, zero row included
+
+
+def test_pq_full_shortlist_equals_brute_force(emb, queries, codebook):
+    """The ann_pq_rerank driver identity as a pytest twin: with shortlist
+    >= |corpus| the ADC scan keeps every candidate, so the exact re-rank
+    must reproduce brute force EXACTLY (same pairs, same ranks, same
+    rounded scores) — and in particular the -inf self row that survives
+    a full-shortlist ADC cut must never reach the re-rank output."""
+    codes = S.pq_encode(emb, codebook)
+    got = {(r.query_id, r.rank): (r.cand_id, r.cos_sim)
+           for r in S.pq_topk_rerank(codes, emb, queries, codebook,
+                                     k=5, shortlist=1 << 30).collect()}
+    want = {(r.query_id, r.rank): (r.cand_id, r.cos_sim)
+            for r in S.brute_force_topk(emb, queries, k=5).collect()}
+    assert got == want
+    assert all(q != c for (q, _), (c, _) in got.items())  # no self matches
