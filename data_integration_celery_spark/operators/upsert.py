@@ -131,7 +131,9 @@ def write_upsert(spark, updates: DataFrame, path: str, keys: list[str],
     The unreadable window is two metadata renames, not a data-sized rewrite.
     Single-writer protocol (the reference's Celery tasks are likewise
     serialized per table); S3-class stores without atomic dir rename should
-    publish via a manifest file instead.
+    publish via a manifest file instead. For MULTI-writer atomicity use
+    ``sinks.txlog.TxTable.merge_upsert`` — the same last-write-wins kernel
+    under an optimistic-concurrency commit log.
 
     O(target) per merge by construction (whole-table rewrite); prefer
     ``write_upsert_partitioned`` for anything that grows.

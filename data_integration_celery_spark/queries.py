@@ -331,6 +331,43 @@ def s6_upsert(spark, sf_dir):
     return upsert.upsert_frames(o, updates, keys=["o_orderkey"])
 
 
+@q("s6b_acid_merge",
+   sql="""
+   WITH unioned AS (
+     SELECT o_orderkey, o_totalprice, o_orderstatus, 0 AS batch_id FROM orders
+     UNION ALL
+     SELECT o_orderkey, o_totalprice * 2, 'R', 1 FROM orders WHERE o_orderkey % 10 = 0)
+   SELECT o_orderkey, o_totalprice, o_orderstatus FROM (
+     SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY batch_id DESC) AS rn
+     FROM unioned) WHERE rn = 1
+   """,
+   doc="S6 (ACID form): the same last-write-wins MERGE executed END-TO-END "
+       "through the transaction-log table (sinks/txlog.py) — create commit, "
+       "copy-on-write merge commit with file-level stat pruning, snapshot "
+       "read-back of the committed version. Oracle checks the on-disk "
+       "committed state, not an in-memory frame; this is the multi-writer "
+       "atomicity the reference got from MySQL statement atomicity "
+       "(tasks/backend/__init__.py:16-38) and write_upsert documents as its "
+       "single-writer gap.")
+def s6b_acid_merge(spark, sf_dir):
+    import glob as _glob
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from .sinks.txlog import TxTable
+    for old in _glob.glob(f"{_tempfile.gettempdir()}/txlog_q_*"):
+        _shutil.rmtree(old, ignore_errors=True)
+    root = _tempfile.mkdtemp(prefix="txlog_q_")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus")
+    t = TxTable(spark, f"{root}/orders", batch_partitions=8)
+    t.create(o, stats_cols=["o_orderkey"])
+    updates = (o.where(F.col("o_orderkey") % 10 == 0)
+                .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+                .withColumn("o_orderstatus", F.lit("R")))
+    t.merge_upsert(updates, keys=["o_orderkey"])
+    return t.snapshot()
+
+
 # ---------------------------------------------------------------------------
 # Windows (W1, W2, W3, W4, W5, W6, W10) / sorts & top-k (O3)
 # ---------------------------------------------------------------------------
@@ -4201,6 +4238,14 @@ def u5_schema_reconcile_q(spark, sf_dir):
 # components_star in), ann_cosine_topk (both new ANN identities ARE
 # brute-force-equivalent evidence), u5_schema_reconcile (r6+r7 double
 # green).
+# Round-8 session 2: s6_upsert_last_write_wins' slot transfers to
+# s6b_acid_merge — the SAME last-write-wins semantics and oracle, but
+# executed end-to-end through the new transaction-log table (create commit →
+# CoW merge commit → committed-snapshot read-back), so the gated evidence now
+# covers the ACID path too (a never-checked exact oracle must hold a gated
+# slot). s6 itself rests at the head of the tail: it is r6-green, its merge
+# kernel (upsert_frames) is INSIDE s6b's gated plan, and it rotates back
+# normally in r9.
 QUERY_PRIORITY: list[str] = [
     # scans / predicates / cleaning
     "f5_rename_ladder", "p3_regex_filter", "f3_cleaning_exprs",
@@ -4234,9 +4279,10 @@ QUERY_PRIORITY: list[str] = [
     "ann_ivf_full_probe", "ann_pq_rerank", "ann_lsh_full_probe",
     "smp_token_budget", "smp_dsir_md5", "smp_pack_sequences",
     "stream_bars_1min",
-    "s6_upsert_last_write_wins",
+    "s6b_acid_merge",
     # ---- position 51+: triple/double-green history, sibling-covered,
     # ---- or rows-only (no oracle) ----
+    "s6_upsert_last_write_wins",
     "p4_inlist_semijoin",
     "dedup_minhash_incremental_md5",
     "j5_anti_join_new_codes", "j8_interval_join",

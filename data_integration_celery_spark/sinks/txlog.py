@@ -1,0 +1,455 @@
+"""ACID transaction-log table on plain Parquet — concurrent-writer atomicity.
+
+Closes the one semantic gap ``operators/upsert.py`` documents: the reference's
+``INSERT … ON DUPLICATE KEY UPDATE`` sink (/root/reference
+tasks/backend/__init__.py:16-38) gets *statement* atomicity from MySQL, and
+``write_upsert``'s staging+rename protocol is crash-safe but single-writer.
+This module adds the multi-writer half with the standard public design — an
+ordered log of immutable commits over immutable data files (the architecture
+published for Delta Lake in "Delta Lake: High-Performance ACID Table Storage
+over Cloud Object Stores", VLDB 2020) — implemented from scratch on plain
+parquet, no table-format dependency.
+
+Layout::
+
+    table/
+      _txlog/00000000000000000001.json    # one JSON doc per commit
+      _data/<uuid>/part-*.parquet          # immutable data files, never renamed
+
+A commit *is* the atomic creation of ``_txlog/<version>.json`` (put-if-absent:
+two writers racing for the same version — exactly one wins). Data files are
+written BEFORE the commit under fresh UUID dirs, so a loser's files are simply
+never referenced (invisible to readers; ``vacuum`` reclaims them) and a reader
+never sees a partial write. Readers replay the log to a version: the live file
+set is adds minus removes — snapshot isolation and time travel for free.
+
+Scale notes (the 100 TB shape):
+
+* The log is tiny (one small JSON per commit); replay is O(commits) driver
+  work. Long-lived tables would roll a parquet checkpoint of the live set
+  every N commits (the standard mitigation); at this repo's commit volumes
+  replay is microseconds, so the checkpoint is documented, not built.
+* Every ``add`` carries per-file min/max stats for the declared
+  ``stats_cols`` (collected with one ``input_file_name()`` aggregation over
+  the just-written batch — one extra scan of the batch, not the table).
+  ``merge_upsert`` uses them for FILE-LEVEL pruning: only files whose stat
+  range overlaps the update keys are rewritten (copy-on-write), the rest of
+  the table is never opened. Batches are ``repartitionByRange`` on
+  ``stats_cols`` so ranges are tight and pruning actually bites.
+* ``put_if_absent`` maps to ``O_CREAT|O_EXCL`` locally (this module),
+  ``FileSystem.create(overwrite=false)`` on HDFS, and a coordination service
+  or conditional-PUT on object stores — the LogStore seam is one method.
+
+Concurrency contract (optimistic): blind ``append`` never conflicts — on a
+lost race it re-commits at the next version (its files are already on disk;
+only the log entry is retried), unless an intervening ``overwrite`` replaced
+the table wholesale. ``merge_upsert`` / ``overwrite`` / ``compact`` read the
+table, so ANY intervening commit invalidates them → ``ConflictError`` (the
+caller re-runs on the new snapshot; serializable, never silently lost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from urllib.parse import unquote, urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from data_integration_celery_spark.operators.upsert import dedup_last, upsert_frames
+
+_LOG_DIR = "_txlog"
+_DATA_DIR = "_data"
+_VERSION_DIGITS = 20
+
+
+class ConflictError(RuntimeError):
+    """Another writer committed between this transaction's read and commit."""
+
+
+class LocalLogStore:
+    """Atomic put-if-absent on a driver-visible filesystem.
+
+    ``O_CREAT|O_EXCL`` is the POSIX atomic create-exclusive primitive — of N
+    processes racing to create the same name, exactly one open() succeeds.
+    Payload is written to a temp name first and linked into place only when
+    complete, so a reader can never observe a half-written commit file.
+    """
+
+    def put_if_absent(self, path: str, payload: bytes) -> bool:
+        tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            # link(2) fails with EEXIST if path exists — atomic publish of a
+            # COMPLETE file (O_EXCL on the final name would expose a window
+            # where the file exists but is empty).
+            os.link(tmp, path)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    def read(self, path: str) -> dict:
+        with open(path, "rb") as f:
+            return json.loads(f.read())
+
+    def list_versions(self, log_dir: str) -> list[int]:
+        if not os.path.isdir(log_dir):
+            return []
+        out = []
+        for name in os.listdir(log_dir):
+            if name.endswith(".json") and name[:-5].isdigit():
+                out.append(int(name[:-5]))
+        return sorted(out)
+
+
+class TxTable:
+    """A parquet table with an ACID commit log (create/append/merge/overwrite,
+    snapshot isolation, time travel, vacuum, compaction)."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 store: LocalLogStore | None = None,
+                 batch_partitions: int | None = None):
+        """``batch_partitions`` pins the range-partition count per written
+        batch; default None lets AQE size files by data volume (the right
+        call at scale — tests pin it to exercise multi-file pruning)."""
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.store = store or LocalLogStore()
+        self.log_dir = os.path.join(self.path, _LOG_DIR)
+        self.batch_partitions = batch_partitions
+
+    # ---------------------------------------------------------------- log --
+
+    def _log_path(self, version: int) -> str:
+        return os.path.join(self.log_dir, f"{version:0{_VERSION_DIGITS}d}.json")
+
+    def latest_version(self) -> int:
+        """0 = table does not exist yet (version numbers start at 1)."""
+        versions = self.store.list_versions(self.log_dir)
+        return versions[-1] if versions else 0
+
+    def history(self) -> list[dict]:
+        return [self.store.read(self._log_path(v))
+                for v in self.store.list_versions(self.log_dir)]
+
+    def _commits_between(self, after: int, upto: int) -> list[dict]:
+        return [self.store.read(self._log_path(v))
+                for v in range(after + 1, upto + 1)]
+
+    # ----------------------------------------------------------- snapshot --
+
+    def _replay(self, version: int | None = None) -> tuple[int, dict, list[dict]]:
+        """Returns (version, last schema-bearing commit, live add-actions)."""
+        versions = self.store.list_versions(self.log_dir)
+        if version is not None:
+            versions = [v for v in versions if v <= version]
+            if not versions or versions[-1] != version:
+                raise ValueError(f"version {version} not in log at {self.path}")
+        if not versions:
+            raise FileNotFoundError(f"no TxTable at {self.path}")
+        live: dict[str, dict] = {}
+        meta: dict = {}
+        for v in versions:
+            commit = self.store.read(self._log_path(v))
+            if commit.get("schema"):
+                meta = commit
+            for rel in commit.get("remove", []):
+                live.pop(rel, None)
+            for add in commit.get("add", []):
+                live[add["path"]] = add
+        return versions[-1], meta, list(live.values())
+
+    def snapshot(self, version: int | None = None) -> DataFrame:
+        """Read the table as of ``version`` (default: latest). Reads ONLY the
+        live file set — uncommitted / removed files are invisible."""
+        _, meta, adds = self._replay(version)
+        schema = StructType.fromJson(json.loads(meta["schema"]))
+        if not adds:
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self.path, a["path"]) for a in adds]
+        # explicit schema: files written before a column was added read as
+        # NULL for it, and the column order is stable across batches
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def live_files(self, version: int | None = None) -> list[dict]:
+        return self._replay(version)[2]
+
+    # -------------------------------------------------------------- write --
+
+    def _write_batch(self, df: DataFrame, stats_cols: list[str],
+                     num: int | None = None) -> list[dict]:
+        """Write ``df`` as immutable files under a fresh UUID dir and return
+        add-actions with per-file row counts + min/max stats.
+
+        ``repartitionByRange`` on the stats columns clusters values so each
+        file's [min,max] is tight — this is what makes merge-time file
+        pruning effective (hash partitioning would smear every value range
+        across every file and pruning would degenerate to full rewrite).
+        """
+        batch = f"{_DATA_DIR}/{uuid.uuid4().hex}"
+        batch_dir = os.path.join(self.path, batch)
+        out = df
+        num = num or self.batch_partitions
+        if stats_cols:
+            cols = [F.col(c) for c in stats_cols]
+            out = (out.repartitionByRange(num, *cols) if num
+                   else out.repartitionByRange(*cols))
+        elif num:
+            out = out.coalesce(num)
+        out.write.mode("error").parquet(batch_dir)
+        # explicit schema: a 0-row batch writes no part files and inference
+        # would fail; with the schema given the scan is just empty
+        written = self.spark.read.schema(df.schema).parquet(batch_dir)
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for c in stats_cols:
+            aggs.append(F.min(c).alias(f"__min_{c}"))
+            aggs.append(F.max(c).alias(f"__max_{c}"))
+        per_file = (written.groupBy(F.input_file_name().alias("__file"))
+                    .agg(*aggs).collect())  # bounded: one row per written file
+        adds = []
+        for row in per_file:
+            parsed = urlparse(row["__file"])
+            abs_path = unquote(parsed.path)
+            rel = os.path.relpath(abs_path, self.path)
+            stats = {c: {"min": _json_safe(row[f"__min_{c}"]),
+                         "max": _json_safe(row[f"__max_{c}"])}
+                     for c in stats_cols}
+            adds.append({"path": rel, "rows": row["__rows"], "stats": stats})
+        return adds
+
+    def last_txn(self, app_id: str) -> int | None:
+        """Highest committed writer batch id for ``app_id`` (None if never).
+        The idempotence handle for exactly-once streaming sinks: a replayed
+        micro-batch with batch_id <= last_txn(app) is a no-op."""
+        last = None
+        for commit in self.history():
+            txn = commit.get("txn")
+            if txn and txn["app_id"] == app_id:
+                last = txn["batch_id"] if last is None else max(last, txn["batch_id"])
+        return last
+
+    def _commit(self, op: str, adds: list[dict], removes: list[str],
+                read_version: int, schema_json: str,
+                extra: dict | None = None, blind_append: bool = False,
+                txn: dict | None = None) -> int:
+        """Optimistic commit. Returns the committed version.
+
+        ``blind_append`` retries through lost races (appends commute with
+        appends/merges/compactions); table-reading ops raise ``ConflictError``
+        on ANY intervening commit — strict serializability, no lost updates.
+
+        ``txn`` = ``{"app_id": str, "batch_id": int}`` stamps the commit with
+        a writer version; a commit whose txn is already at-or-past the log's
+        ``last_txn(app_id)`` is skipped (returns the current version) — the
+        public idempotent-writer design (Delta's ``txn`` action). The check
+        re-runs inside the retry loop so a replayed writer racing itself
+        still applies exactly once; a skipped commit's staged files become
+        vacuumable orphans.
+        """
+        os.makedirs(self.log_dir, exist_ok=True)
+        attempt_version = read_version + 1
+        while True:
+            latest = self.latest_version()
+            if txn is not None:
+                applied = self.last_txn(txn["app_id"])
+                if applied is not None and applied >= txn["batch_id"]:
+                    return latest  # replayed batch: already committed
+            if latest >= attempt_version:
+                intervening = self._commits_between(read_version, latest)
+                if not blind_append:
+                    raise ConflictError(
+                        f"{op} read version {read_version} of {self.path} but "
+                        f"{[c['op'] for c in intervening]} committed "
+                        f"version(s) {read_version + 1}..{latest}; re-run on "
+                        f"the new snapshot")
+                if any(c["op"] in ("overwrite", "create") for c in intervening):
+                    raise ConflictError(
+                        f"append lost to a table-replacing commit at {self.path}")
+                attempt_version = latest + 1
+            payload = {
+                "version": attempt_version, "op": op,
+                "ts": time.time_ns() // 1_000_000,
+                "read_version": read_version, "schema": schema_json,
+                "add": adds, "remove": removes,
+            }
+            if extra:
+                payload.update(extra)
+            if txn is not None:
+                payload["txn"] = txn
+            body = json.dumps(payload, sort_keys=True).encode()
+            if self.store.put_if_absent(self._log_path(attempt_version), body):
+                self.spark.catalog.refreshByPath(self.path)
+                return attempt_version
+            # lost the O_EXCL race for this exact version: loop re-reads the
+            # log; blind appends move to the next slot, readers raise above
+            attempt_version += 1 if blind_append else 0
+
+    # ---------------------------------------------------------------- ops --
+
+    def create(self, df: DataFrame, stats_cols: list[str] | None = None) -> int:
+        """Create the table (version 1). Fails if it already exists."""
+        if self.latest_version():
+            raise FileExistsError(f"TxTable already exists at {self.path}")
+        stats_cols = stats_cols or []
+        adds = self._write_batch(df, stats_cols)
+        return self._commit("create", adds, [], read_version=0,
+                            schema_json=df.schema.json(),
+                            extra={"stats_cols": stats_cols})
+
+    def _stats_cols(self, meta: dict) -> list[str]:
+        for commit in reversed(self.history()):
+            if "stats_cols" in commit:
+                return commit["stats_cols"]
+        return []
+
+    def append(self, df: DataFrame, txn: dict | None = None) -> int:
+        """Blind append — never conflicts (retries through lost races).
+        ``txn={"app_id", "batch_id"}`` makes replays idempotent (exactly-once
+        for a restarted streaming writer re-emitting a committed batch)."""
+        version, meta, _ = self._replay()
+        if txn is not None:
+            applied = self.last_txn(txn["app_id"])
+            if applied is not None and applied >= txn["batch_id"]:
+                return version  # replay of a committed batch: skip the write
+        stats_cols = self._stats_cols(meta)
+        df = _conform(df, meta)
+        adds = self._write_batch(df, stats_cols)
+        return self._commit("append", adds, [], read_version=version,
+                            schema_json=meta["schema"], blind_append=True,
+                            txn=txn)
+
+    def overwrite(self, df: DataFrame) -> int:
+        """Replace the table contents atomically (readers see old or new)."""
+        version, meta, live = self._replay()
+        stats_cols = self._stats_cols(meta)
+        adds = self._write_batch(df, stats_cols)
+        return self._commit("overwrite", adds, [a["path"] for a in live],
+                            read_version=version, schema_json=df.schema.json(),
+                            extra={"stats_cols": stats_cols})
+
+    def merge_upsert(self, updates: DataFrame, keys: list[str],
+                     order_col: str = "batch_id",
+                     txn: dict | None = None) -> int:
+        """MERGE: last-write-wins per PK (``upsert_frames`` semantics) as a
+        copy-on-write commit — the ACID form of ``write_upsert``.
+
+        File pruning: only live files whose [min,max] stats range overlaps an
+        update key value are read+rewritten; files that provably contain no
+        updated key stay live untouched. Requires the FIRST stats column to
+        be one of ``keys``; otherwise the merge rewrites the whole table
+        (still correct, documented degradation).
+        """
+        version, meta, live = self._replay()
+        if txn is not None:
+            applied = self.last_txn(txn["app_id"])
+            if applied is not None and applied >= txn["batch_id"]:
+                return version  # replay of a committed batch: skip the write
+        stats_cols = self._stats_cols(meta)
+        prune_col = stats_cols[0] if stats_cols and stats_cols[0] in keys else None
+        if prune_col is not None and live:
+            bounds = updates.select(
+                F.min(prune_col).alias("lo"), F.max(prune_col).alias("hi")
+            ).collect()[0]  # bounded: one row
+            # stats were stored json-safe (dates → ISO strings, order-
+            # preserving); normalize the update bounds the same way so the
+            # comparisons are like-typed
+            lo, hi = _json_safe(bounds["lo"]), _json_safe(bounds["hi"])
+            touched, kept = [], []
+            for add in live:
+                st = add.get("stats", {}).get(prune_col)
+                if (st is None or st["min"] is None or lo is None
+                        or not (st["max"] < lo or st["min"] > hi)):
+                    touched.append(add)
+                else:
+                    kept.append(add)
+        else:
+            touched, kept = list(live), []
+        schema = StructType.fromJson(json.loads(meta["schema"]))
+        if touched:
+            base = self.spark.read.schema(schema).parquet(
+                *[os.path.join(self.path, a["path"]) for a in touched])
+        else:
+            base = self.spark.createDataFrame([], schema)
+        merged = upsert_frames(base, _conform(updates, meta, keep=order_col),
+                               keys, order_col)
+        adds = self._write_batch(merged, stats_cols)
+        return self._commit("merge_upsert", adds, [a["path"] for a in touched],
+                            read_version=version, schema_json=meta["schema"],
+                            extra={"pruned_files": len(kept)}, txn=txn)
+
+    def compact(self, target_files: int = 1) -> int:
+        """Rewrite the live set into ``target_files`` files (data unchanged)."""
+        version, meta, live = self._replay()
+        stats_cols = self._stats_cols(meta)
+        adds = self._write_batch(self.snapshot(), stats_cols, num=target_files)
+        return self._commit("compact", adds, [a["path"] for a in live],
+                            read_version=version, schema_json=meta["schema"])
+
+    def vacuum(self, ttl_seconds: float = 7 * 86400) -> list[str]:
+        """Delete data files no snapshot references, older than ``ttl_seconds``.
+
+        The TTL protects files an in-flight writer has staged but not yet
+        committed, and readers of recent-but-superseded versions; time travel
+        earlier than the horizon stops working for vacuumed files (the same
+        contract Delta documents for VACUUM).
+        """
+        referenced = {a["path"] for a in self.live_files()}
+        data_root = os.path.join(self.path, _DATA_DIR)
+        removed: list[str] = []
+        now = time.time()
+        for dirpath, _dirnames, filenames in os.walk(data_root):
+            for name in filenames:
+                abs_path = os.path.join(dirpath, name)
+                rel = os.path.relpath(abs_path, self.path)
+                if rel in referenced or name.startswith((".", "_")):
+                    continue  # live file, checksum, or _SUCCESS marker
+                if now - os.path.getmtime(abs_path) >= ttl_seconds:
+                    os.unlink(abs_path)
+                    removed.append(rel)
+        # prune emptied batch dirs
+        for dirpath, dirnames, filenames in list(os.walk(data_root, topdown=False)):
+            if dirpath != data_root and not dirnames and not _has_data(filenames):
+                _rm_dir_quiet(dirpath)
+        return removed
+
+
+def _has_data(filenames: list[str]) -> bool:
+    return any(not n.startswith((".", "_")) for n in filenames)
+
+
+def _rm_dir_quiet(path: str) -> None:
+    for name in os.listdir(path):  # only markers (_SUCCESS, .crc) remain
+        os.unlink(os.path.join(path, name))
+    os.rmdir(path)
+
+
+def _json_safe(value):
+    """Commit files are JSON: stats for dates/decimals serialize as ISO
+    strings / floats. Ordering comparisons in merge pruning then happen on
+    the ORIGINAL values read back — so non-primitive stats are stored as
+    strings and compared as strings, which preserves order for ISO dates
+    (the common partition column) and is documented lossy elsewhere."""
+    if value is None or isinstance(value, (int, float, str, bool)):
+        return value
+    return str(value)
+
+
+def _conform(df: DataFrame, meta: dict, keep: str | None = None) -> DataFrame:
+    """Project ``df`` onto the table schema (order + missing→NULL), keeping
+    ``keep`` (the merge order column) if present."""
+    schema = StructType.fromJson(json.loads(meta["schema"]))
+    cols = [F.col(f.name).cast(f.dataType) if f.name in df.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields]
+    if keep and keep in df.columns and keep not in [f.name for f in schema.fields]:
+        cols.append(F.col(keep))
+    return df.select(*cols)

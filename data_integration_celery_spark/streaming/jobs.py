@@ -84,6 +84,45 @@ def upsert_sink(stream: DataFrame, path: str, keys: list[str],
             .outputMode("update"))
 
 
+def txlog_sink(stream: DataFrame, path: str, keys: list[str] | None,
+               checkpoint: str, app_id: str) -> "DataStreamWriter":
+    """Exactly-once foreachBatch sink into the ACID table (sinks/txlog.py).
+
+    The checkpoint gives at-least-once batch replay; the table's ``txn``
+    stamp (app_id, batch_id) turns the replay into exactly-once — a
+    restarted query re-emitting an already-committed micro-batch hits
+    ``last_txn(app_id) >= batch_id`` and commits nothing (the public
+    idempotent-writer design Delta documents for its streaming sink). With
+    ``keys`` each batch is a last-write-wins MERGE commit; ``keys=None``
+    is a pure append stream — the case where replay WOULD duplicate rows
+    without the txn stamp (plain-parquet upsert replay is only idempotent
+    because the merge is; appends have no such luck)."""
+    from ..sinks.txlog import TxTable
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        table = TxTable(batch_df.sparkSession, path)
+        if table.latest_version() == 0:
+            # bootstrap an EMPTY table (one atomic commit) so batch 0 flows
+            # through the same txn-stamped merge/append path as every other
+            # batch; a concurrent bootstrap loses the version-1 race cleanly
+            try:
+                table.create(batch_df.sparkSession.createDataFrame(
+                    [], batch_df.schema), stats_cols=list(keys or [])[:1])
+            except FileExistsError:
+                pass
+        txn = {"app_id": app_id, "batch_id": batch_id}
+        if keys:
+            stamped = batch_df.withColumn("batch_id", F.lit(batch_id + 1))
+            table.merge_upsert(stamped, keys, txn=txn)
+        else:
+            table.append(batch_df, txn=txn)
+
+    return (stream.writeStream
+            .foreachBatch(commit_batch)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("update" if keys else "append"))
+
+
 def stream_sessionize(events: DataFrame, key_cols: list[str], ts_col: str,
                       gap: str = "30 minutes",
                       watermark: str = "30 minutes") -> DataFrame:

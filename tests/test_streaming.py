@@ -511,3 +511,64 @@ def test_stream_incremental_semdedup_rejects_empty_centroids(spark,
         jobs.stream_incremental_semdedup(
             stream, str(tmp_path / "m"), str(tmp_path / "p"),
             str(tmp_path / "c"), np.zeros((0, 0)))
+
+
+def test_stream_txlog_sink_append_exactly_once(spark, events_dir, tmp_path):
+    """The ACID-table sink (jobs.txlog_sink) in APPEND mode — the mode where
+    checkpoint replay WOULD duplicate rows — restarted mid-stream: the txn
+    stamp (app_id, batch_id) skips replayed batches and every event lands
+    exactly once, with every state a committed snapshot (no torn reads, the
+    gap the plain-parquet exactly-once test has to shrug at)."""
+    import time
+
+    from data_integration_celery_spark.sinks.txlog import TxTable
+
+    src = spark.read.parquet(events_dir).select("event_id", "ts", "value")
+    split_dir = str(tmp_path / "split")
+    src.repartition(6).write.mode("overwrite").parquet(split_dir)
+    target, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+
+    def start():
+        stream = (spark.readStream.schema(src.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(split_dir))
+        return (jobs.txlog_sink(stream, target, keys=None, checkpoint=ckpt,
+                                app_id="events-append")
+                .trigger(availableNow=True).start())
+
+    q1 = start()
+    for _ in range(600):
+        if any(p["numInputRows"] > 0 for p in q1.recentProgress):
+            break
+        time.sleep(0.1)
+    q1.stop()
+    q1.awaitTermination(60)
+    table = TxTable(spark, target)
+    mid = table.snapshot().count()  # ALWAYS readable: commits are atomic
+    q2 = start()
+    q2.awaitTermination(120)
+    got = table.snapshot()
+    assert mid <= src.count()
+    assert got.count() == src.count(), "replayed batch duplicated rows"
+    assert got.select("event_id").distinct().count() == src.count()
+    # the log records one txn per distinct batch, none twice
+    txns = [c["txn"]["batch_id"] for c in table.history() if c.get("txn")]
+    assert len(txns) == len(set(txns))
+
+
+def test_stream_txlog_sink_merge_mode(spark, events_dir, tmp_path):
+    """MERGE mode: duplicated source (every event twice) still lands one row
+    per PK, equal to the batch upsert oracle."""
+    src = spark.read.parquet(events_dir).select("event_id", "ts", "value")
+    dup_dir = str(tmp_path / "dup")
+    src.write.mode("overwrite").parquet(dup_dir)
+    src.write.mode("append").parquet(dup_dir)
+    target, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    stream = spark.readStream.schema(src.schema).parquet(dup_dir)
+    q = (jobs.txlog_sink(stream, keys=["event_id"], path=target,
+                         checkpoint=ckpt, app_id="events-merge")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    from data_integration_celery_spark.sinks.txlog import TxTable
+    got = TxTable(spark, target).snapshot()
+    assert got.count() == src.count()
+    assert got.select("event_id").distinct().count() == src.count()

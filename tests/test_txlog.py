@@ -1,0 +1,340 @@
+"""ACID transaction-log table (sinks/txlog.py): atomic commits, snapshot
+isolation, optimistic concurrency, time travel, pruned MERGE, vacuum.
+
+Reference parity: the MySQL sink's statement atomicity
+(tasks/backend/__init__.py:16-38) extended to multi-writer table atomicity —
+the gap write_upsert documents as single-writer.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_integration_celery_spark.operators.upsert import upsert_frames
+from data_integration_celery_spark.sinks.txlog import (
+    ConflictError, LocalLogStore, TxTable)
+
+
+@pytest.fixture()
+def tdir():
+    d = tempfile.mkdtemp(prefix="txlog_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _orders(spark, sf_dir):
+    return (spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .select("o_orderkey", "o_totalprice", "o_orderstatus"))
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# ---------------------------------------------------------------- log store
+
+
+def test_put_if_absent_exactly_one_winner(tdir):
+    store = LocalLogStore()
+    path = os.path.join(tdir, "00000000000000000001.json")
+    assert store.put_if_absent(path, b'{"a": 1}') is True
+    assert store.put_if_absent(path, b'{"a": 2}') is False
+    assert store.read(path) == {"a": 1}  # loser never clobbers the winner
+    assert not glob.glob(os.path.join(tdir, "*.tmp"))  # temp staging cleaned
+
+
+# ------------------------------------------------------------- create/read
+
+
+def test_create_snapshot_roundtrip_and_stats(spark, sf_dir, tdir):
+    t = TxTable(spark, tdir)
+    src = _orders(spark, sf_dir)
+    v = t.create(src, stats_cols=["o_orderkey"])
+    assert v == 1
+    assert _rows(t.snapshot()) == _rows(src)
+    adds = t.live_files()
+    assert sum(a["rows"] for a in adds) == src.count()
+    # repartitionByRange on the stats col ⇒ files carry DISJOINT key ranges
+    spans = sorted((a["stats"]["o_orderkey"]["min"],
+                    a["stats"]["o_orderkey"]["max"]) for a in adds)
+    for (lo, hi), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert lo <= hi < lo2
+    with pytest.raises(FileExistsError):
+        t.create(src)
+
+
+def test_append_and_time_travel(spark, sf_dir, tdir):
+    t = TxTable(spark, tdir)
+    src = _orders(spark, sf_dir).limit(50)
+    t.create(src)
+    extra = src.withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
+    v2 = t.append(extra)
+    assert v2 == 2
+    assert t.snapshot().count() == 100
+    assert t.snapshot(version=1).count() == 50  # time travel
+    assert _rows(t.snapshot(version=1)) == _rows(src)
+    with pytest.raises(ValueError):
+        t.snapshot(version=99)
+
+
+def test_overwrite_atomic_swap(spark, sf_dir, tdir):
+    t = TxTable(spark, tdir)
+    src = _orders(spark, sf_dir).limit(40)
+    t.create(src)
+    repl = src.limit(7).withColumn("o_orderstatus", F.lit("Z"))
+    t.overwrite(repl)
+    assert _rows(t.snapshot()) == _rows(repl)
+    assert t.snapshot(version=1).count() == 40  # old version still readable
+
+
+# -------------------------------------------------------------------- merge
+
+
+def test_merge_upsert_matches_upsert_frames(spark, sf_dir, tdir):
+    t = TxTable(spark, tdir)
+    src = _orders(spark, sf_dir)
+    t.create(src, stats_cols=["o_orderkey"])
+    updates = (src.where(F.col("o_orderkey") % 10 == 0)
+               .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+               .withColumn("o_orderstatus", F.lit("R")))
+    expected = upsert_frames(src, updates, keys=["o_orderkey"])
+    t.merge_upsert(updates, keys=["o_orderkey"])
+    assert _rows(t.snapshot()) == _rows(expected)
+    # idempotent replay (same batch, same result)
+    t.merge_upsert(updates, keys=["o_orderkey"])
+    assert _rows(t.snapshot()) == _rows(expected)
+
+
+def test_merge_prunes_untouched_files(spark, sf_dir, tdir):
+    t = TxTable(spark, tdir, batch_partitions=8)
+    src = _orders(spark, sf_dir)
+    t.create(src, stats_cols=["o_orderkey"])
+    before = {a["path"]: a for a in t.live_files()}
+    assert len(before) >= 4
+    lo_keys = sorted(a["stats"]["o_orderkey"]["max"] for a in before.values())
+    # touch only keys inside the lowest file's range
+    cutoff = lo_keys[0]
+    updates = (src.where(F.col("o_orderkey") <= cutoff)
+               .withColumn("o_orderstatus", F.lit("X")))
+    t.merge_upsert(updates, keys=["o_orderkey"])
+    after = {a["path"] for a in t.live_files()}
+    survivors = set(before) & after
+    # at least one disjoint-range file was provably untouched and stayed live
+    assert survivors, "file pruning rewrote the whole table"
+    touched = set(before) - after
+    assert touched, "no file was rewritten"
+    hist = t.history()[-1]
+    assert hist["op"] == "merge_upsert" and hist["pruned_files"] == len(survivors)
+    expected = upsert_frames(src, updates, keys=["o_orderkey"])
+    assert _rows(t.snapshot()) == _rows(expected)
+
+
+def test_merge_conform_missing_column_null(spark, sf_dir, tdir):
+    t = TxTable(spark, tdir)
+    src = _orders(spark, sf_dir).limit(30)
+    t.create(src, stats_cols=["o_orderkey"])
+    updates = (src.limit(5).select("o_orderkey", "o_totalprice")
+               .withColumn("o_totalprice", F.lit(0.0)))
+    t.merge_upsert(updates, keys=["o_orderkey"])
+    got = t.snapshot().where(F.col("o_totalprice") == 0.0)
+    assert got.count() == 5
+    assert all(r.o_orderstatus is None for r in got.collect())
+
+
+# -------------------------------------------------------------- concurrency
+
+
+def test_concurrent_appends_both_land(spark, sf_dir, tdir):
+    """Two writers race the same version: the loser auto-retries at the next
+    slot — blind appends never conflict and no rows are lost."""
+    src = _orders(spark, sf_dir).limit(10)
+    a, b = TxTable(spark, tdir), TxTable(spark, tdir)
+    a.create(src)
+    # force the race: B stages its files and computes read_version=1, then A
+    # commits version 2 before B's commit attempt
+    orig_commit = TxTable._commit
+    state = {"fired": False}
+
+    def racing_commit(self, *args, **kwargs):
+        if not state["fired"]:
+            state["fired"] = True
+            a.append(src.withColumn("o_orderkey", F.col("o_orderkey") + 100))
+        return orig_commit(self, *args, **kwargs)
+
+    b_updates = src.withColumn("o_orderkey", F.col("o_orderkey") + 200)
+    try:
+        TxTable._commit = racing_commit
+        b.append(b_updates)
+    finally:
+        TxTable._commit = orig_commit
+    assert b.latest_version() == 3
+    assert b.snapshot().count() == 30
+    ops = [c["op"] for c in b.history()]
+    assert ops == ["create", "append", "append"]
+
+
+def test_merge_conflict_raises_not_lost_update(spark, sf_dir, tdir):
+    """A commit landing between a merge's read and its commit must fail the
+    merge loudly (serializable), never silently drop the intervening write."""
+    src = _orders(spark, sf_dir).limit(10)
+    a, b = TxTable(spark, tdir), TxTable(spark, tdir)
+    a.create(src, stats_cols=["o_orderkey"])
+    orig_commit = TxTable._commit
+    state = {"fired": False}
+
+    def racing_commit(self, op, *args, **kwargs):
+        if op == "merge_upsert" and not state["fired"]:
+            state["fired"] = True
+            a.append(src.withColumn("o_orderkey", F.col("o_orderkey") + 500))
+        return orig_commit(self, op, *args, **kwargs)
+
+    try:
+        TxTable._commit = racing_commit
+        with pytest.raises(ConflictError):
+            b.merge_upsert(src.withColumn("o_orderstatus", F.lit("R")),
+                           keys=["o_orderkey"])
+    finally:
+        TxTable._commit = orig_commit
+    # the intervening append is intact; the failed merge left no trace
+    assert b.snapshot().count() == 20
+    # caller retries on the new snapshot and succeeds
+    b.merge_upsert(src.withColumn("o_orderstatus", F.lit("R")),
+                   keys=["o_orderkey"])
+    assert b.snapshot().where(F.col("o_orderstatus") == "R").count() == 10
+
+
+def test_append_loses_to_overwrite(spark, sf_dir, tdir):
+    src = _orders(spark, sf_dir).limit(10)
+    a, b = TxTable(spark, tdir), TxTable(spark, tdir)
+    a.create(src)
+    orig_commit = TxTable._commit
+    state = {"fired": False}
+
+    def racing_commit(self, op, *args, **kwargs):
+        if op == "append" and not state["fired"]:
+            state["fired"] = True
+            a.overwrite(src.limit(3))
+        return orig_commit(self, op, *args, **kwargs)
+
+    try:
+        TxTable._commit = racing_commit
+        with pytest.raises(ConflictError):
+            b.append(src)
+    finally:
+        TxTable._commit = orig_commit
+    assert b.snapshot().count() == 3  # overwrite won; append refused
+
+
+# ---------------------------------------------------- crash safety / vacuum
+
+
+def test_uncommitted_files_invisible_and_vacuumed(spark, sf_dir, tdir):
+    t = TxTable(spark, tdir)
+    src = _orders(spark, sf_dir).limit(20)
+    t.create(src, stats_cols=["o_orderkey"])
+    # simulate a writer that crashed after staging data, before commit
+    orphan_dir = os.path.join(tdir, "_data", "deadbeefdeadbeef")
+    src.limit(5).write.parquet(orphan_dir)
+    assert t.snapshot().count() == 20  # invisible to readers
+    # a merge leaves the old files on disk but removed from the live set
+    t.merge_upsert(src.withColumn("o_orderstatus", F.lit("R")),
+                   keys=["o_orderkey"])
+    removed = t.vacuum(ttl_seconds=0)
+    assert removed, "vacuum found nothing to reclaim"
+    assert not os.path.isdir(orphan_dir)
+    # table still fully readable after vacuum; time travel to v1 is gone
+    assert t.snapshot().count() == 20
+    with pytest.raises(Exception):
+        t.snapshot(version=1).collect()
+
+
+def test_vacuum_ttl_protects_recent_files(spark, sf_dir, tdir):
+    t = TxTable(spark, tdir)
+    src = _orders(spark, sf_dir).limit(20)
+    t.create(src)
+    t.overwrite(src.limit(5))
+    assert t.vacuum(ttl_seconds=3600) == []  # too young to reclaim
+    assert t.snapshot(version=1).count() == 20  # time travel intact
+
+
+def test_compact_preserves_data(spark, sf_dir, tdir):
+    t = TxTable(spark, tdir, batch_partitions=8)
+    src = _orders(spark, sf_dir)
+    t.create(src, stats_cols=["o_orderkey"])
+    assert len(t.live_files()) >= 4
+    t.compact(target_files=1)
+    assert len(t.live_files()) == 1
+    assert _rows(t.snapshot()) == _rows(src)
+
+
+def test_commit_files_are_valid_json_with_schema(spark, sf_dir, tdir):
+    t = TxTable(spark, tdir)
+    t.create(_orders(spark, sf_dir).limit(5))
+    log_files = sorted(glob.glob(os.path.join(tdir, "_txlog", "*.json")))
+    assert len(log_files) == 1
+    with open(log_files[0]) as f:
+        commit = json.load(f)
+    assert commit["version"] == 1 and commit["op"] == "create"
+    assert {"o_orderkey", "o_totalprice", "o_orderstatus"} == {
+        f["name"] for f in json.loads(commit["schema"])["fields"]}
+
+
+# --------------------------------------------------------------------- plan
+
+
+def test_merge_plan_is_one_key_shuffle_no_python(spark, sf_dir):
+    """The CoW merge's data path: union → ONE hashpartitioning exchange on
+    the PK (the window dedup) — no Python eval nodes, no cartesian shapes,
+    no single-partition funnel of data rows. Same shuffle a Delta MERGE
+    plans; at 100 TB file pruning bounds its input to the touched files."""
+    src = _orders(spark, sf_dir)
+    updates = src.limit(10).withColumn("o_orderstatus", F.lit("R"))
+    merged = upsert_frames(src, updates, keys=["o_orderkey"])
+    jvm_mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
+    plan = merged._jdf.queryExecution().explainString(
+        jvm_mode.fromString("formatted"))
+    assert "hashpartitioning(o_orderkey" in plan
+    assert "Exchange SinglePartition" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                 "FlatMapGroupsInPandas", "CartesianProduct"):
+        assert node not in plan
+
+
+# -------------------------------------------------------- txn / exactly-once
+
+
+def test_txn_append_replay_is_noop(spark, sf_dir, tdir):
+    t = TxTable(spark, tdir)
+    src = _orders(spark, sf_dir).limit(10)
+    t.create(src)
+    t.append(src, txn={"app_id": "job-a", "batch_id": 0})
+    assert t.snapshot().count() == 20
+    # crash-replay of the SAME batch: skipped (appends would double otherwise)
+    t.append(src, txn={"app_id": "job-a", "batch_id": 0})
+    assert t.snapshot().count() == 20
+    assert t.last_txn("job-a") == 0 and t.last_txn("job-b") is None
+    # a different app's batch 0 is independent
+    t.append(src, txn={"app_id": "job-b", "batch_id": 0})
+    assert t.snapshot().count() == 30
+    # the next batch of job-a applies
+    t.append(src, txn={"app_id": "job-a", "batch_id": 1})
+    assert t.snapshot().count() == 40
+
+
+def test_txn_merge_replay_is_noop(spark, sf_dir, tdir):
+    t = TxTable(spark, tdir)
+    src = _orders(spark, sf_dir).limit(10)
+    t.create(src, stats_cols=["o_orderkey"])
+    upd = src.withColumn("o_orderstatus", F.lit("R"))
+    v = t.merge_upsert(upd, keys=["o_orderkey"],
+                       txn={"app_id": "m", "batch_id": 7})
+    assert t.merge_upsert(upd, keys=["o_orderkey"],
+                          txn={"app_id": "m", "batch_id": 7}) == v
+    assert len(t.history()) == 2  # create + one merge; replay left no commit
