@@ -26,9 +26,13 @@ set is adds minus removes — snapshot isolation and time travel for free.
 Scale notes (the 100 TB shape):
 
 * The log is tiny (one small JSON per commit); replay is O(commits) driver
-  work. Long-lived tables would roll a parquet checkpoint of the live set
-  every N commits (the standard mitigation); at this repo's commit volumes
-  replay is microseconds, so the checkpoint is documented, not built.
+  work. Every ``checkpoint_interval`` commits the writer rolls a checkpoint
+  (``<version>.checkpoint.json``: the full live set + schema at that
+  version) and replay restarts from the newest checkpoint at-or-below the
+  requested version — O(interval) per read regardless of table age, the
+  standard log-compaction design. Checkpoints are derived data: best-effort,
+  never required for correctness (a missing or stale checkpoint just means a
+  longer replay).
 * Every ``add`` carries per-file min/max stats for the declared
   ``stats_cols`` (collected with one ``input_file_name()`` aggregation over
   the just-written batch — one extra scan of the batch, not the table).
@@ -101,13 +105,14 @@ class LocalLogStore:
         with open(path, "rb") as f:
             return json.loads(f.read())
 
-    def list_versions(self, log_dir: str) -> list[int]:
+    def list_versions(self, log_dir: str, suffix: str = ".json") -> list[int]:
         if not os.path.isdir(log_dir):
             return []
         out = []
         for name in os.listdir(log_dir):
-            if name.endswith(".json") and name[:-5].isdigit():
-                out.append(int(name[:-5]))
+            stem = name[:-len(suffix)]
+            if name.endswith(suffix) and stem.isdigit():
+                out.append(int(stem))
         return sorted(out)
 
 
@@ -117,15 +122,20 @@ class TxTable:
 
     def __init__(self, spark: SparkSession, path: str,
                  store: LocalLogStore | None = None,
-                 batch_partitions: int | None = None):
+                 batch_partitions: int | None = None,
+                 checkpoint_interval: int = 20):
         """``batch_partitions`` pins the range-partition count per written
         batch; default None lets AQE size files by data volume (the right
-        call at scale — tests pin it to exercise multi-file pruning)."""
+        call at scale — tests pin it to exercise multi-file pruning).
+        ``checkpoint_interval``: roll a live-set checkpoint every N commits
+        (0 disables); reads replay only the commits past the newest
+        checkpoint, so replay cost is bounded for long-lived tables."""
         self.spark = spark
         self.path = path.rstrip("/")
         self.store = store or LocalLogStore()
         self.log_dir = os.path.join(self.path, _LOG_DIR)
         self.batch_partitions = batch_partitions
+        self.checkpoint_interval = checkpoint_interval
 
     # ---------------------------------------------------------------- log --
 
@@ -147,8 +157,27 @@ class TxTable:
 
     # ----------------------------------------------------------- snapshot --
 
+    def _ckpt_path(self, version: int) -> str:
+        return os.path.join(
+            self.log_dir, f"{version:0{_VERSION_DIGITS}d}.checkpoint.json")
+
+    def _write_checkpoint(self, version: int) -> None:
+        """Roll a live-set checkpoint at ``version`` — derived data, written
+        put-if-absent (racing writers produce byte-identical content), and
+        best-effort: any failure leaves reads on the plain replay path."""
+        try:
+            top, meta, adds = self._replay(version)
+            body = json.dumps({"version": top, "schema": meta["schema"],
+                               "stats_cols": self._stats_cols(meta),
+                               "add": adds}, sort_keys=True).encode()
+            self.store.put_if_absent(self._ckpt_path(version), body)
+        except Exception:
+            pass
+
     def _replay(self, version: int | None = None) -> tuple[int, dict, list[dict]]:
-        """Returns (version, last schema-bearing commit, live add-actions)."""
+        """Returns (version, last schema-bearing commit, live add-actions).
+        Starts from the newest checkpoint at-or-below the target, replaying
+        only the commits past it — O(checkpoint_interval) per read."""
         versions = self.store.list_versions(self.log_dir)
         if version is not None:
             versions = [v for v in versions if v <= version]
@@ -158,6 +187,18 @@ class TxTable:
             raise FileNotFoundError(f"no TxTable at {self.path}")
         live: dict[str, dict] = {}
         meta: dict = {}
+        ckpts = [c for c in self.store.list_versions(
+                     self.log_dir, suffix=".checkpoint.json")
+                 if c <= versions[-1]]
+        if ckpts:
+            try:
+                ck = self.store.read(self._ckpt_path(ckpts[-1]))
+                live = {a["path"]: a for a in ck["add"]}
+                meta = {"schema": ck["schema"],
+                        "stats_cols": ck.get("stats_cols", [])}
+                versions = [v for v in versions if v > ck["version"]]
+            except Exception:
+                live, meta = {}, {}  # corrupt/unreadable checkpoint: full replay
         for v in versions:
             commit = self.store.read(self._log_path(v))
             if commit.get("schema"):
@@ -166,13 +207,34 @@ class TxTable:
                 live.pop(rel, None)
             for add in commit.get("add", []):
                 live[add["path"]] = add
-        return versions[-1], meta, list(live.values())
+        return (version if version is not None
+                else max(versions[-1] if versions else 0,
+                         ckpts[-1] if ckpts else 0),
+                meta, list(live.values()))
 
-    def snapshot(self, version: int | None = None) -> DataFrame:
+    def snapshot(self, version: int | None = None,
+                 prune: dict[str, tuple] | None = None) -> DataFrame:
         """Read the table as of ``version`` (default: latest). Reads ONLY the
-        live file set — uncommitted / removed files are invisible."""
+        live file set — uncommitted / removed files are invisible.
+
+        ``prune={col: (lo, hi)}`` is log-level data skipping: files whose
+        recorded [min,max] for ``col`` cannot intersect [lo,hi] are dropped
+        from the scan BEFORE Spark ever lists them — the manifest-level
+        pruning a lakehouse format adds on top of parquet's own row-group
+        stats, and the reason the commit log pays for itself at 100 TB (a
+        date-bounded query on a range-clustered table opens only the
+        matching files, no directory listing of the rest). Pruning is a
+        pure optimization: callers still apply the real filter (files KEPT
+        may contain out-of-range rows). A file with no recorded stats for
+        ``col`` is conservatively kept."""
         _, meta, adds = self._replay(version)
         schema = StructType.fromJson(json.loads(meta["schema"]))
+        for col, (lo, hi) in (prune or {}).items():
+            lo, hi = _json_safe(lo), _json_safe(hi)
+            adds = [a for a in adds
+                    if (st := a.get("stats", {}).get(col)) is None
+                    or st["min"] is None or lo is None
+                    or not (st["max"] < lo or st["min"] > hi)]
         if not adds:
             return self.spark.createDataFrame([], schema)
         paths = [os.path.join(self.path, a["path"]) for a in adds]
@@ -288,6 +350,9 @@ class TxTable:
             body = json.dumps(payload, sort_keys=True).encode()
             if self.store.put_if_absent(self._log_path(attempt_version), body):
                 self.spark.catalog.refreshByPath(self.path)
+                if (self.checkpoint_interval
+                        and attempt_version % self.checkpoint_interval == 0):
+                    self._write_checkpoint(attempt_version)
                 return attempt_version
             # lost the O_EXCL race for this exact version: loop re-reads the
             # log; blind appends move to the next slot, readers raise above
@@ -306,26 +371,49 @@ class TxTable:
                             extra={"stats_cols": stats_cols})
 
     def _stats_cols(self, meta: dict) -> list[str]:
+        if "stats_cols" in meta:  # checkpoint/create/overwrite metas carry it
+            return meta["stats_cols"]
         for commit in reversed(self.history()):
             if "stats_cols" in commit:
                 return commit["stats_cols"]
         return []
 
-    def append(self, df: DataFrame, txn: dict | None = None) -> int:
+    def append(self, df: DataFrame, txn: dict | None = None,
+               merge_schema: bool = False) -> int:
         """Blind append — never conflicts (retries through lost races).
         ``txn={"app_id", "batch_id"}`` makes replays idempotent (exactly-once
-        for a restarted streaming writer re-emitting a committed batch)."""
+        for a restarted streaming writer re-emitting a committed batch).
+
+        Columns of ``df`` the table lacks are an ERROR unless
+        ``merge_schema=True``, which widens the table schema (new fields
+        appended; files written before the widening read as NULL for them —
+        the explicit-schema scan makes evolution free, no rewrite). Silently
+        dropping unknown columns is the one behavior a sink must never have.
+        """
         version, meta, _ = self._replay()
         if txn is not None:
             applied = self.last_txn(txn["app_id"])
             if applied is not None and applied >= txn["batch_id"]:
                 return version  # replay of a committed batch: skip the write
+        schema = StructType.fromJson(json.loads(meta["schema"]))
+        known = {f.name for f in schema.fields}
+        new_cols = [c for c in df.columns if c not in known]
+        if new_cols and not merge_schema:
+            raise ValueError(
+                f"append has columns the table lacks: {new_cols} — pass "
+                f"merge_schema=True to widen the schema, or drop them")
+        schema_json = meta["schema"]
+        if new_cols:
+            widened = StructType(list(schema.fields)
+                                 + [df.schema[c] for c in new_cols])
+            schema_json = widened.json()
+            meta = dict(meta, schema=schema_json)
         stats_cols = self._stats_cols(meta)
         df = _conform(df, meta)
         adds = self._write_batch(df, stats_cols)
         return self._commit("append", adds, [], read_version=version,
-                            schema_json=meta["schema"], blind_append=True,
-                            txn=txn)
+                            schema_json=schema_json,
+                            blind_append=not new_cols, txn=txn)
 
     def overwrite(self, df: DataFrame) -> int:
         """Replace the table contents atomically (readers see old or new)."""

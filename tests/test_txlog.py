@@ -338,3 +338,70 @@ def test_txn_merge_replay_is_noop(spark, sf_dir, tdir):
     assert t.merge_upsert(upd, keys=["o_orderkey"],
                           txn={"app_id": "m", "batch_id": 7}) == v
     assert len(t.history()) == 2  # create + one merge; replay left no commit
+
+
+def test_snapshot_prune_skips_files(spark, sf_dir, tdir):
+    """Log-level data skipping: a range-bounded read opens ONLY the files
+    whose recorded stats overlap — the others never reach Spark's scan."""
+    t = TxTable(spark, tdir, batch_partitions=8)
+    src = _orders(spark, sf_dir)
+    t.create(src, stats_cols=["o_orderkey"])
+    cut = sorted(a["stats"]["o_orderkey"]["max"]
+                 for a in t.live_files())[0]
+    pruned = t.snapshot(prune={"o_orderkey": (0, cut)})
+    assert len(pruned.inputFiles()) < len(t.live_files())
+    # pruning is an optimization, not a filter: with the real predicate
+    # applied the result equals the unpruned read
+    want = _rows(src.where(F.col("o_orderkey") <= cut))
+    got = _rows(pruned.where(F.col("o_orderkey") <= cut))
+    assert got == want and len(got) > 0
+    # a column with no stats is conservatively unprunable
+    full = t.snapshot(prune={"o_totalprice": (0.0, 1.0)})
+    assert len(full.inputFiles()) == len(t.live_files())
+
+
+def test_append_schema_evolution(spark, sf_dir, tdir):
+    t = TxTable(spark, tdir)
+    src = _orders(spark, sf_dir).limit(10)
+    t.create(src)
+    widened = src.withColumn("o_source", F.lit("vendor_b"))
+    # unknown columns are an ERROR by default — never silently dropped
+    with pytest.raises(ValueError, match="o_source"):
+        t.append(widened)
+    t.append(widened, merge_schema=True)
+    got = t.snapshot()
+    assert "o_source" in got.columns
+    assert got.count() == 20
+    # pre-widening files read as NULL for the new column; new rows carry it
+    assert got.where(F.col("o_source").isNull()).count() == 10
+    assert got.where(F.col("o_source") == "vendor_b").count() == 10
+    # the widened schema persists for later plain appends
+    t.append(src)
+    assert t.snapshot().where(F.col("o_source").isNull()).count() == 20
+
+
+def test_checkpoint_bounds_replay_and_is_derived(spark, sf_dir, tdir):
+    """Every N commits a live-set checkpoint rolls; reads replay only past
+    it. Checkpoints are derived data: corrupting one falls back to full
+    replay with identical results."""
+    t = TxTable(spark, tdir, checkpoint_interval=4)
+    src = _orders(spark, sf_dir).limit(5)
+    t.create(src)
+    for i in range(1, 9):
+        t.append(src.withColumn("o_orderkey",
+                                F.col("o_orderkey") + 1000 * i))
+    assert t.latest_version() == 9
+    ckpts = sorted(glob.glob(os.path.join(tdir, "_txlog", "*.checkpoint.json")))
+    assert [os.path.basename(c) for c in ckpts] == [
+        "00000000000000000004.checkpoint.json",
+        "00000000000000000008.checkpoint.json"]
+    assert t.snapshot().count() == 45
+    # time travel BEFORE the first checkpoint (full replay of 1..3)
+    assert t.snapshot(version=3).count() == 15
+    # time travel BETWEEN checkpoints (ckpt 4 + commits 5..6)
+    assert t.snapshot(version=6).count() == 30
+    # corrupt the newest checkpoint: reads must fall back, same answer
+    with open(ckpts[-1], "w") as f:
+        f.write("{not json")
+    assert t.snapshot().count() == 45
+    assert t.snapshot(version=6).count() == 30
