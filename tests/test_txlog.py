@@ -405,3 +405,52 @@ def test_checkpoint_bounds_replay_and_is_derived(spark, sf_dir, tdir):
         f.write("{not json")
     assert t.snapshot().count() == 45
     assert t.snapshot(version=6).count() == 30
+
+
+def test_state_machine_vs_model(spark, sf_dir, tdir):
+    """Randomized op sequence (seeded) against a dict model: after every
+    commit the committed snapshot equals the model exactly — the state-
+    machine check that crosses checkpoints, compaction, merges, overwrites
+    and vacuum in one history."""
+    import random
+
+    rng = random.Random(0xAC1D)
+    t = TxTable(spark, tdir, batch_partitions=2, checkpoint_interval=3)
+
+    def batch(tag: int, n: int):
+        rows = [(rng.randrange(0, 40), float(tag), f"s{tag}")
+                for _ in range(n)]
+        # one row per key per batch (the upsert_frames uniqueness contract)
+        uniq = {k: (k, p, s) for k, p, s in rows}
+        return (spark.createDataFrame(
+                    sorted(uniq.values()),
+                    "o_orderkey long, o_totalprice double, o_orderstatus string"),
+                uniq)
+
+    df0, model = batch(0, 12)
+    t.create(df0, stats_cols=["o_orderkey"])
+
+    for step in range(1, 13):
+        op = rng.choice(["merge", "merge", "append", "overwrite", "compact"])
+        if op == "merge":
+            dfu, upd = batch(step, rng.randrange(1, 10))
+            t.merge_upsert(dfu, keys=["o_orderkey"])
+            model.update(upd)
+        elif op == "append":
+            # append fresh never-seen keys so the PK invariant holds
+            rows = {1000 * step + i: (1000 * step + i, float(step), f"a{step}")
+                    for i in range(rng.randrange(1, 4))}
+            t.append(spark.createDataFrame(
+                sorted(rows.values()),
+                "o_orderkey long, o_totalprice double, o_orderstatus string"))
+            model.update(rows)
+        elif op == "overwrite":
+            dfo, model = batch(step, rng.randrange(2, 8))
+            t.overwrite(dfo)
+        elif op == "compact":
+            t.compact(target_files=1)
+        got = sorted(tuple(r) for r in t.snapshot().collect())
+        assert got == sorted(model.values()), f"diverged after step {step} ({op})"
+    t.vacuum(ttl_seconds=0)
+    got = sorted(tuple(r) for r in t.snapshot().collect())
+    assert got == sorted(model.values())
