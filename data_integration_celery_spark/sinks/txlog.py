@@ -474,6 +474,58 @@ class TxTable:
                             read_version=version, schema_json=meta["schema"],
                             extra={"pruned_files": len(kept)}, txn=txn)
 
+    def changes(self, v_from: int, v_to: int | None = None,
+                keys: list[str] | None = None) -> DataFrame:
+        """Row-level change feed between two committed versions (CDC).
+
+        Returns the table columns plus ``_change`` ∈ {insert, delete,
+        update_pre, update_post} (with ``keys``) or {insert, delete}
+        (multiset diff without keys).
+
+        Immutability makes this cheap: a file live in BOTH versions is
+        byte-identical, so only the symmetric difference of the two live
+        sets is ever read. Rows that merely moved files unchanged (CoW
+        carry-over, compaction) cancel in the diff; with the PK invariant a
+        key resident in a shared file provably did not change. Cost scales
+        with the churned files, not the table — the property that makes a
+        version-to-version incremental consumer viable at 100 TB.
+        """
+        v_to = v_to if v_to is not None else self.latest_version()
+        _, meta_to, adds_to = self._replay(v_to)
+        _, _meta_from, adds_from = self._replay(v_from)
+        schema = StructType.fromJson(json.loads(meta_to["schema"]))
+        from_paths = {a["path"] for a in adds_from}
+        to_paths = {a["path"] for a in adds_to}
+
+        def read_only(paths: set[str]) -> DataFrame:
+            if not paths:
+                return self.spark.createDataFrame([], schema)
+            return self.spark.read.schema(schema).parquet(
+                *[os.path.join(self.path, p) for p in sorted(paths)])
+
+        old = read_only(from_paths - to_paths)  # churned-away files only
+        new = read_only(to_paths - from_paths)  # churned-in files only
+        if not keys:
+            ins = new.exceptAll(old).withColumn("_change", F.lit("insert"))
+            dele = old.exceptAll(new).withColumn("_change", F.lit("delete"))
+            return ins.unionByName(dele)
+        data_cols = [f.name for f in schema.fields if f.name not in keys]
+        o = old.select(*keys, F.struct(*data_cols).alias("__o"))
+        n = new.select(*keys, F.struct(*data_cols).alias("__n"))
+        j = o.join(n, keys, "full_outer")
+        unpack_o = [F.col(f"__o.{c}").alias(c) for c in data_cols]
+        unpack_n = [F.col(f"__n.{c}").alias(c) for c in data_cols]
+        cols = [*keys]
+        ins = (j.where(F.col("__o").isNull() & F.col("__n").isNotNull())
+               .select(*cols, *unpack_n, F.lit("insert").alias("_change")))
+        dele = (j.where(F.col("__n").isNull() & F.col("__o").isNotNull())
+                .select(*cols, *unpack_o, F.lit("delete").alias("_change")))
+        upd = j.where(F.col("__o").isNotNull() & F.col("__n").isNotNull()
+                      & ~F.col("__o").eqNullSafe(F.col("__n")))
+        pre = upd.select(*cols, *unpack_o, F.lit("update_pre").alias("_change"))
+        post = upd.select(*cols, *unpack_n, F.lit("update_post").alias("_change"))
+        return ins.unionByName(dele).unionByName(pre).unionByName(post)
+
     def compact(self, target_files: int = 1) -> int:
         """Rewrite the live set into ``target_files`` files (data unchanged)."""
         version, meta, live = self._replay()

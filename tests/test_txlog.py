@@ -454,3 +454,59 @@ def test_state_machine_vs_model(spark, sf_dir, tdir):
     t.vacuum(ttl_seconds=0)
     got = sorted(tuple(r) for r in t.snapshot().collect())
     assert got == sorted(model.values())
+
+
+def test_changes_cdc_classification(spark, sf_dir, tdir):
+    t = TxTable(spark, tdir, batch_partitions=4)
+    src = _orders(spark, sf_dir).limit(100)
+    t.create(src, stats_cols=["o_orderkey"])                       # v1
+    upd = (src.where(F.col("o_orderkey") < 5)
+           .withColumn("o_orderstatus", F.lit("R")))
+    t.merge_upsert(upd, keys=["o_orderkey"])                       # v2
+    t.append(src.withColumn("o_orderkey",
+                            F.col("o_orderkey") + 7777))           # v3
+    ch = t.changes(1, 3, keys=["o_orderkey"])
+    got = {(r.o_orderkey, r._change) for r in ch.collect()}
+    n_upd = upd.count()
+    assert {c for _, c in got} == {"insert", "update_pre", "update_post"}
+    assert sum(1 for _, c in got if c == "insert") == 100
+    assert sum(1 for _, c in got if c == "update_pre") == n_upd
+    assert sum(1 for _, c in got if c == "update_post") == n_upd
+    # unchanged keys (the other ~95) never appear
+    assert all(k < 5 or k >= 7777 for k, c in got if c != "insert")
+    # delete shows up via overwrite
+    t.overwrite(t.snapshot().where(F.col("o_orderkey") >= 5))      # v4
+    dels = t.changes(3, 4, keys=["o_orderkey"])
+    assert {r._change for r in dels.collect()} == {"delete"}
+    assert dels.count() == upd.count()
+
+
+def test_changes_compaction_is_silent_and_diff_reads_churn_only(
+        spark, sf_dir, tdir):
+    """Compaction rewrites every file but changes() must report nothing —
+    rows that merely moved files cancel; and a merge's diff reads only the
+    churned files (shared files are provably identical)."""
+    t = TxTable(spark, tdir, batch_partitions=8)
+    src = _orders(spark, sf_dir)
+    t.create(src, stats_cols=["o_orderkey"])                       # v1
+    v1_files = {a["path"] for a in t.live_files(1)}
+    t.compact(target_files=2)                                      # v2
+    assert t.changes(1, 2, keys=["o_orderkey"]).count() == 0
+    assert t.changes(1, 2).count() == 0  # multiset mode agrees
+    # pruned merge: only low-range files churn
+    cut = sorted(a["stats"]["o_orderkey"]["max"] for a in t.live_files())[0]
+    t.merge_upsert(src.where(F.col("o_orderkey") <= cut)
+                   .withColumn("o_orderstatus", F.lit("Z")),
+                   keys=["o_orderkey"])                            # v3
+    ch = t.changes(2, 3, keys=["o_orderkey"])
+    shared = {a["path"] for a in t.live_files(2)} & {
+        a["path"] for a in t.live_files(3)}
+    assert shared, "merge churned every file; pruning is broken"
+    touched_files = {f for f in ch.inputFiles()}
+    assert all(os.path.relpath(f.replace("file:", ""), tdir) not in shared
+               for f in touched_files), "CDC read a shared (unchanged) file"
+    got = {(r.o_orderkey, r._change) for r in ch.collect()}
+    want_keys = {r.o_orderkey for r in src.where(
+        F.col("o_orderkey") <= cut).collect()}
+    assert {k for k, c in got if c == "update_post"} == want_keys
+    assert v1_files is not None
