@@ -248,7 +248,8 @@ class TxTable:
     # -------------------------------------------------------------- write --
 
     def _write_batch(self, df: DataFrame, stats_cols: list[str],
-                     num: int | None = None) -> list[dict]:
+                     num: int | None = None,
+                     layout_by: str | None = None) -> list[dict]:
         """Write ``df`` as immutable files under a fresh UUID dir and return
         add-actions with per-file row counts + min/max stats.
 
@@ -261,7 +262,14 @@ class TxTable:
         batch_dir = os.path.join(self.path, batch)
         out = df
         num = num or self.batch_partitions
-        if stats_cols:
+        if layout_by is not None:
+            # explicit layout column (e.g. a z-order key): cluster + sort by
+            # it, then project it away — it orders the files, not the schema
+            key = F.col(layout_by)
+            out = (out.repartitionByRange(num, key) if num
+                   else out.repartitionByRange(key))
+            out = out.sortWithinPartitions(layout_by).drop(layout_by)
+        elif stats_cols:
             cols = [F.col(c) for c in stats_cols]
             out = (out.repartitionByRange(num, *cols) if num
                    else out.repartitionByRange(*cols))
@@ -526,13 +534,28 @@ class TxTable:
         post = upd.select(*cols, *unpack_n, F.lit("update_post").alias("_change"))
         return ins.unionByName(dele).unionByName(pre).unionByName(post)
 
-    def compact(self, target_files: int = 1) -> int:
-        """Rewrite the live set into ``target_files`` files (data unchanged)."""
+    def compact(self, target_files: int = 1,
+                zorder: list[str] | None = None, bits: int = 4) -> int:
+        """Rewrite the live set into ``target_files`` files (data unchanged).
+
+        ``zorder=[c1, c2, ...]`` lays the files out along the Morton curve of
+        those columns (operators/zorder.py) and records per-file stats for
+        ALL of them — after which ``snapshot(prune=...)`` skips files on a
+        predicate over ANY interleaved column, not just the primary range
+        key. The lakehouse OPTIMIZE ZORDER, as one CoW commit."""
         version, meta, live = self._replay()
         stats_cols = self._stats_cols(meta)
-        adds = self._write_batch(self.snapshot(), stats_cols, num=target_files)
+        df, layout, stat_set = self.snapshot(), None, list(stats_cols)
+        if zorder:
+            from ..operators.zorder import with_zorder_key
+            df = with_zorder_key(df, zorder, bits)
+            layout = "__z"
+            stat_set = sorted(set(stats_cols) | set(zorder))
+        adds = self._write_batch(df, stat_set, num=target_files,
+                                 layout_by=layout)
         return self._commit("compact", adds, [a["path"] for a in live],
-                            read_version=version, schema_json=meta["schema"])
+                            read_version=version, schema_json=meta["schema"],
+                            extra={"zorder": zorder} if zorder else None)
 
     def vacuum(self, ttl_seconds: float = 7 * 86400) -> list[str]:
         """Delete data files no snapshot references, older than ``ttl_seconds``.

@@ -510,3 +510,68 @@ def test_changes_compaction_is_silent_and_diff_reads_churn_only(
         F.col("o_orderkey") <= cut).collect()}
     assert {k for k, c in got if c == "update_post"} == want_keys
     assert v1_files is not None
+
+
+def test_changes_apply_reconstructs_snapshot(spark, sf_dir, tdir):
+    """The CDC identity: snapshot(v1) + changes(v1, v3) == snapshot(v3) —
+    an incremental consumer that applies the feed stays exactly in sync
+    without ever re-reading the table."""
+    t = TxTable(spark, tdir, batch_partitions=4)
+    src = _orders(spark, sf_dir).limit(200)
+    t.create(src, stats_cols=["o_orderkey"])                       # v1
+    t.merge_upsert(src.where(F.col("o_orderkey") % 7 == 0)
+                   .withColumn("o_totalprice", F.lit(1.0)),
+                   keys=["o_orderkey"])                            # v2
+    t.overwrite(t.snapshot().where(F.col("o_orderkey") % 11 != 0)) # v3
+    ch = t.changes(1, 3, keys=["o_orderkey"])
+    base = t.snapshot(version=1)
+    gone = ch.where(F.col("_change").isin("delete", "update_pre")) \
+             .drop("_change")
+    added = ch.where(F.col("_change").isin("insert", "update_post")) \
+              .drop("_change")
+    rebuilt = base.exceptAll(gone.select(*base.columns)) \
+                  .unionByName(added.select(*base.columns))
+    assert _rows(rebuilt) == _rows(t.snapshot(version=3))
+
+
+# ------------------------------------------------------------------- zorder
+
+
+def test_zorder_compact_skips_on_both_columns(spark, sf_dir, tdir):
+    """After OPTIMIZE-ZORDER on (o_orderkey, o_custkey), a range predicate
+    on EITHER column prunes files — single-column range layout can only
+    ever serve one of them."""
+    t = TxTable(spark, tdir)
+    src = (_orders_full(spark, sf_dir)
+           .select("o_orderkey", "o_custkey", "o_totalprice"))
+    t.create(src, stats_cols=["o_orderkey"])
+    t.compact(target_files=16, zorder=["o_orderkey", "o_custkey"], bits=4)
+    live = t.live_files()
+    assert len(live) >= 8
+    # every file carries stats for BOTH z-ordered columns
+    assert all({"o_orderkey", "o_custkey"} <= set(a["stats"]) for a in live)
+    kmax = src.agg(F.max("o_orderkey")).collect()[0][0]
+    cmax = src.agg(F.max("o_custkey")).collect()[0][0]
+    by_key = t.snapshot(prune={"o_orderkey": (0, kmax // 8)})
+    by_cust = t.snapshot(prune={"o_custkey": (0, cmax // 8)})
+    assert len(by_key.inputFiles()) < len(live)
+    assert len(by_cust.inputFiles()) < len(live)
+    # pruning stays a pure optimization: filtered results are exact
+    want = _rows(src.where(F.col("o_custkey") <= cmax // 8))
+    got = _rows(by_cust.where(F.col("o_custkey") <= cmax // 8))
+    assert got == want and len(got) > 0
+    # data unchanged by the z-order rewrite
+    assert t.snapshot().count() == src.count()
+
+
+def _orders_full(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+
+def test_zorder_rejects_bad_inputs(spark, sf_dir, tdir):
+    from data_integration_celery_spark.operators.zorder import with_zorder_key
+    src = _orders_full(spark, sf_dir).select("o_orderkey", "o_orderstatus")
+    with pytest.raises(ValueError, match="non-numeric"):
+        with_zorder_key(src, ["o_orderstatus"])
+    with pytest.raises(ValueError, match="<= 62"):
+        with_zorder_key(src, ["o_orderkey"], bits=63)
