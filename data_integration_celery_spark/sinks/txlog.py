@@ -344,6 +344,14 @@ class TxTable:
                 if any(c["op"] in ("overwrite", "create") for c in intervening):
                     raise ConflictError(
                         f"append lost to a table-replacing commit at {self.path}")
+                # carry the NEWEST schema forward: re-committing this append's
+                # stale schema after a concurrent widening would regress the
+                # table schema for every later reader (files are unaffected —
+                # the explicit-schema scan fills missing columns with NULL)
+                for c in reversed(intervening):
+                    if c.get("schema"):
+                        schema_json = c["schema"]
+                        break
                 attempt_version = latest + 1
             payload = {
                 "version": attempt_version, "op": op,
@@ -424,9 +432,11 @@ class TxTable:
                             blind_append=not new_cols, txn=txn)
 
     def overwrite(self, df: DataFrame) -> int:
-        """Replace the table contents atomically (readers see old or new)."""
+        """Replace the table contents atomically (readers see old or new).
+        The overwrite's schema becomes the table schema; stats columns the
+        new frame lacks are dropped from the recorded layout."""
         version, meta, live = self._replay()
-        stats_cols = self._stats_cols(meta)
+        stats_cols = [c for c in self._stats_cols(meta) if c in df.columns]
         adds = self._write_batch(df, stats_cols)
         return self._commit("overwrite", adds, [a["path"] for a in live],
                             read_version=version, schema_json=df.schema.json(),

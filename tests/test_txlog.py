@@ -575,3 +575,38 @@ def test_zorder_rejects_bad_inputs(spark, sf_dir, tdir):
         with_zorder_key(src, ["o_orderstatus"])
     with pytest.raises(ValueError, match="<= 62"):
         with_zorder_key(src, ["o_orderkey"], bits=63)
+
+
+def test_append_race_does_not_regress_widened_schema(spark, sf_dir, tdir):
+    """A blind append that loses the race to a schema-widening commit must
+    carry the WIDENED schema forward, not re-commit its own stale one."""
+    src = _orders(spark, sf_dir).limit(10)
+    a, b = TxTable(spark, tdir), TxTable(spark, tdir)
+    a.create(src)
+    orig_commit = TxTable._commit
+    state = {"fired": False}
+
+    def racing_commit(self, op, *args, **kwargs):
+        if op == "append" and not state["fired"]:
+            state["fired"] = True
+            a.append(src.withColumn("o_flag", F.lit(1)), merge_schema=True)
+        return orig_commit(self, op, *args, **kwargs)
+
+    try:
+        TxTable._commit = racing_commit
+        b.append(src.withColumn("o_orderkey", F.col("o_orderkey") + 900))
+    finally:
+        TxTable._commit = orig_commit
+    got = b.snapshot()
+    assert "o_flag" in got.columns, "lost-race append regressed the schema"
+    assert got.count() == 30
+    assert got.where(F.col("o_flag") == 1).count() == 10
+
+
+def test_overwrite_narrower_schema_drops_stale_stats_col(spark, sf_dir, tdir):
+    t = TxTable(spark, tdir)
+    src = _orders(spark, sf_dir).limit(10)
+    t.create(src, stats_cols=["o_orderkey"])
+    t.overwrite(src.select("o_totalprice", "o_orderstatus"))
+    assert t.snapshot().columns == ["o_totalprice", "o_orderstatus"]
+    assert t.snapshot().count() == 10
