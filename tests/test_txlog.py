@@ -610,3 +610,18 @@ def test_overwrite_narrower_schema_drops_stale_stats_col(spark, sf_dir, tdir):
     t.overwrite(src.select("o_totalprice", "o_orderstatus"))
     assert t.snapshot().columns == ["o_totalprice", "o_orderstatus"]
     assert t.snapshot().count() == 10
+
+
+def test_zorder_key_is_pure_codegen(spark, sf_dir):
+    """The z-key is a when-chain + bit-interleave of Column expressions —
+    whole-stage codegen, no Python eval nodes, no exchange of its own."""
+    from data_integration_celery_spark.operators.zorder import with_zorder_key
+    src = _orders_full(spark, sf_dir).select("o_orderkey", "o_custkey")
+    zdf = with_zorder_key(src, ["o_orderkey", "o_custkey"], bits=4)
+    jvm_mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
+    plan = zdf._jdf.queryExecution().explainString(
+        jvm_mode.fromString("formatted"))
+    assert "codegen id" in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                 "FlatMapGroupsInPandas", "Exchange"):
+        assert node not in plan
