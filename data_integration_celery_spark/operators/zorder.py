@@ -33,11 +33,14 @@ _NUMERIC = ("int", "bigint", "smallint", "tinyint", "double", "float",
 
 def _bucket_expr(col: str, boundaries: list[float]) -> Column:
     """Equi-depth bucket id (0..len(boundaries)) as a when-chain over the
-    quantile boundaries — a flat codegen-able comparison ladder."""
+    quantile boundaries — a flat codegen-able comparison ladder. NULLs go
+    to bucket 0 explicitly: a NULL comparison is three-valued FALSE in
+    every ``when`` arm, so without the leading isNull arm they would fall
+    through to the TOP bucket, not the documented bottom."""
     out = F.lit(len(boundaries))
     for i in reversed(range(len(boundaries))):
         out = F.when(F.col(col) <= F.lit(boundaries[i]), F.lit(i)).otherwise(out)
-    return out.cast("long")
+    return F.when(F.col(col).isNull(), F.lit(0)).otherwise(out).cast("long")
 
 
 def interleave_bits(bucket_cols: list[Column], bits: int) -> Column:
@@ -72,11 +75,9 @@ def with_zorder_key(df: DataFrame, cols: list[str], bits: int = 4,
                              f"first (order-preserving)")
     n_buckets = 1 << bits
     probs = [i / n_buckets for i in range(1, n_buckets)]
-    bucket_exprs = []
-    for c in cols:
-        bs = df.approxQuantile(c, probs, rel_err)  # bounded driver collect
-        uniq = sorted(set(bs))
-        bucket_exprs.append(
-            F.coalesce(_bucket_expr(c, uniq), F.lit(0)).alias(f"__b_{c}"))
-    return df.withColumn(key_col, interleave_bits(
-        [e for e in bucket_exprs], bits))
+    # ONE pass for all columns (approxQuantile takes a column list) — a
+    # per-column loop would re-scan the whole frame len(cols) times
+    all_bs = df.approxQuantile(cols, probs, rel_err)  # bounded driver collect
+    bucket_exprs = [_bucket_expr(c, sorted(set(bs)))
+                    for c, bs in zip(cols, all_bs)]
+    return df.withColumn(key_col, interleave_bits(bucket_exprs, bits))

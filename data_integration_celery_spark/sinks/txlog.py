@@ -64,7 +64,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-from data_integration_celery_spark.operators.upsert import dedup_last, upsert_frames
+from data_integration_celery_spark.operators.upsert import upsert_frames
 
 _LOG_DIR = "_txlog"
 _DATA_DIR = "_data"
@@ -164,15 +164,43 @@ class TxTable:
     def _write_checkpoint(self, version: int) -> None:
         """Roll a live-set checkpoint at ``version`` — derived data, written
         put-if-absent (racing writers produce byte-identical content), and
-        best-effort: any failure leaves reads on the plain replay path."""
+        best-effort: any failure leaves reads on the plain replay path.
+        Carries the per-app txn high-water marks so ``last_txn`` (run on
+        EVERY txn-stamped commit) is O(interval), not O(table age)."""
         try:
             top, meta, adds = self._replay(version)
             body = json.dumps({"version": top, "schema": meta["schema"],
                                "stats_cols": self._stats_cols(meta),
+                               "txns": self._txn_state(version),
                                "add": adds}, sort_keys=True).encode()
             self.store.put_if_absent(self._ckpt_path(version), body)
         except Exception:
             pass
+
+    def _txn_state(self, upto: int) -> dict[str, int]:
+        """Per-app max committed batch_id at version ``upto`` — resumed from
+        the newest checkpoint below it, then rolled forward commit by
+        commit (falls back to a full scan if no checkpoint carries txns)."""
+        state: dict[str, int] = {}
+        start = 0
+        ckpts = [c for c in self.store.list_versions(
+                     self.log_dir, suffix=".checkpoint.json") if c < upto]
+        for c in reversed(ckpts):
+            try:
+                ck = self.store.read(self._ckpt_path(c))
+            except Exception:
+                continue
+            if "txns" in ck:
+                state = dict(ck["txns"])
+                start = ck["version"]
+                break
+        for commit in self._commits_between(start, upto):
+            txn = commit.get("txn")
+            if txn:
+                prev = state.get(txn["app_id"])
+                state[txn["app_id"]] = (txn["batch_id"] if prev is None
+                                        else max(prev, txn["batch_id"]))
+        return state
 
     def _replay(self, version: int | None = None) -> tuple[int, dict, list[dict]]:
         """Returns (version, last schema-bearing commit, live add-actions).
@@ -230,11 +258,9 @@ class TxTable:
         _, meta, adds = self._replay(version)
         schema = StructType.fromJson(json.loads(meta["schema"]))
         for col, (lo, hi) in (prune or {}).items():
-            lo, hi = _json_safe(lo), _json_safe(hi)
+            lo, hi = _widen(lo, -1), _widen(hi, +1)
             adds = [a for a in adds
-                    if (st := a.get("stats", {}).get(col)) is None
-                    or st["min"] is None or lo is None
-                    or not (st["max"] < lo or st["min"] > hi)]
+                    if _overlaps(a.get("stats", {}).get(col), lo, hi)]
         if not adds:
             return self.spark.createDataFrame([], schema)
         paths = [os.path.join(self.path, a["path"]) for a in adds]
@@ -290,8 +316,8 @@ class TxTable:
             parsed = urlparse(row["__file"])
             abs_path = unquote(parsed.path)
             rel = os.path.relpath(abs_path, self.path)
-            stats = {c: {"min": _json_safe(row[f"__min_{c}"]),
-                         "max": _json_safe(row[f"__max_{c}"])}
+            stats = {c: {"min": _widen(row[f"__min_{c}"], -1),
+                         "max": _widen(row[f"__max_{c}"], +1)}
                      for c in stats_cols}
             adds.append({"path": rel, "rows": row["__rows"], "stats": stats})
         return adds
@@ -299,13 +325,9 @@ class TxTable:
     def last_txn(self, app_id: str) -> int | None:
         """Highest committed writer batch id for ``app_id`` (None if never).
         The idempotence handle for exactly-once streaming sinks: a replayed
-        micro-batch with batch_id <= last_txn(app) is a no-op."""
-        last = None
-        for commit in self.history():
-            txn = commit.get("txn")
-            if txn and txn["app_id"] == app_id:
-                last = txn["batch_id"] if last is None else max(last, txn["batch_id"])
-        return last
+        micro-batch with batch_id <= last_txn(app) is a no-op. Checkpoint-
+        accelerated: O(checkpoint_interval) commit reads, not O(table age)."""
+        return self._txn_state(self.latest_version()).get(app_id)
 
     def _commit(self, op: str, adds: list[dict], removes: list[str],
                 read_version: int, schema_json: str,
@@ -465,15 +487,13 @@ class TxTable:
             bounds = updates.select(
                 F.min(prune_col).alias("lo"), F.max(prune_col).alias("hi")
             ).collect()[0]  # bounded: one row
-            # stats were stored json-safe (dates → ISO strings, order-
-            # preserving); normalize the update bounds the same way so the
-            # comparisons are like-typed
-            lo, hi = _json_safe(bounds["lo"]), _json_safe(bounds["hi"])
+            # bounds normalized like the stored stats; Decimal bounds widen
+            # OUTWARD so float rounding can only disable pruning, never
+            # prune a file that holds an updated key
+            lo, hi = _widen(bounds["lo"], -1), _widen(bounds["hi"], +1)
             touched, kept = [], []
             for add in live:
-                st = add.get("stats", {}).get(prune_col)
-                if (st is None or st["min"] is None or lo is None
-                        or not (st["max"] < lo or st["min"] > hi)):
+                if _overlaps(add.get("stats", {}).get(prune_col), lo, hi):
                     touched.append(add)
                 else:
                     kept.append(add)
@@ -556,16 +576,23 @@ class TxTable:
         version, meta, live = self._replay()
         stats_cols = self._stats_cols(meta)
         df, layout, stat_set = self.snapshot(), None, list(stats_cols)
+        extra = None
         if zorder:
             from ..operators.zorder import with_zorder_key
             df = with_zorder_key(df, zorder, bits)
             layout = "__z"
-            stat_set = sorted(set(stats_cols) | set(zorder))
+            # ORDER MATTERS twice over: stats_cols[0] stays the merge prune
+            # key, and persisting the widened list via the commit keeps
+            # FUTURE batches recording stats for the z-order columns too —
+            # without it multi-column skipping silently decays as appends
+            # accumulate stat-less files
+            stat_set = stats_cols + [c for c in zorder if c not in stats_cols]
+            extra = {"zorder": zorder, "stats_cols": stat_set}
         adds = self._write_batch(df, stat_set, num=target_files,
                                  layout_by=layout)
         return self._commit("compact", adds, [a["path"] for a in live],
                             read_version=version, schema_json=meta["schema"],
-                            extra={"zorder": zorder} if zorder else None)
+                            extra=extra)
 
     def vacuum(self, ttl_seconds: float = 7 * 86400) -> list[str]:
         """Delete data files no snapshot references, older than ``ttl_seconds``.
@@ -579,7 +606,9 @@ class TxTable:
         data_root = os.path.join(self.path, _DATA_DIR)
         removed: list[str] = []
         now = time.time()
-        for dirpath, _dirnames, filenames in os.walk(data_root):
+        for dirpath, dirnames, filenames in os.walk(data_root):
+            if "_temporary" in dirnames:
+                dirnames.remove("_temporary")  # an in-flight Spark write
             for name in filenames:
                 abs_path = os.path.join(dirpath, name)
                 rel = os.path.relpath(abs_path, self.path)
@@ -588,9 +617,12 @@ class TxTable:
                 if now - os.path.getmtime(abs_path) >= ttl_seconds:
                     os.unlink(abs_path)
                     removed.append(rel)
-        # prune emptied batch dirs
+        # prune emptied batch dirs — same TTL guard as the files: a young
+        # empty dir is an in-flight writer's staging area, not garbage
         for dirpath, dirnames, filenames in list(os.walk(data_root, topdown=False)):
-            if dirpath != data_root and not dirnames and not _has_data(filenames):
+            if (dirpath != data_root and not dirnames
+                    and not _has_data(filenames)
+                    and now - os.path.getmtime(dirpath) >= ttl_seconds):
                 _rm_dir_quiet(dirpath)
         return removed
 
@@ -600,20 +632,64 @@ def _has_data(filenames: list[str]) -> bool:
 
 
 def _rm_dir_quiet(path: str) -> None:
-    for name in os.listdir(path):  # only markers (_SUCCESS, .crc) remain
-        os.unlink(os.path.join(path, name))
-    os.rmdir(path)
+    try:
+        for name in os.listdir(path):  # only markers (_SUCCESS, .crc) remain
+            os.unlink(os.path.join(path, name))
+        os.rmdir(path)
+    except OSError:
+        pass  # a concurrent writer raced in; leave the dir for the next pass
 
 
 def _json_safe(value):
-    """Commit files are JSON: stats for dates/decimals serialize as ISO
-    strings / floats. Ordering comparisons in merge pruning then happen on
-    the ORIGINAL values read back — so non-primitive stats are stored as
-    strings and compared as strings, which preserves order for ISO dates
-    (the common partition column) and is documented lossy elsewhere."""
+    """Normalize a stat/bound value for JSON storage AND ordering:
+
+    - int/float/str pass through (numeric compares stay numeric; ISO
+      date/timestamp strings compare in value order);
+    - Decimal widens CONSERVATIVELY to float (min rounds down, max rounds
+      up via ``_widen``) — a lexicographic str() compare would order
+      '100' < '90' and prune files that DO contain updated keys, silently
+      duplicating primary keys;
+    - anything else stringifies (dates/timestamps: ISO, order-preserving).
+
+    ``_overlaps`` additionally refuses to compare mismatched families, so
+    an unexpected type can only ever DISABLE pruning, never mis-prune."""
     if value is None or isinstance(value, (int, float, str, bool)):
         return value
+    import decimal
+    if isinstance(value, decimal.Decimal):
+        return float(value)  # callers widen via _widen at the use site
     return str(value)
+
+
+def _widen(value, direction: int):
+    """Nudge a float stat outward so Decimal→float rounding can never make
+    a pruning range NARROWER than the true data range (conservative)."""
+    import decimal
+    import math
+    if isinstance(value, decimal.Decimal):
+        f = float(value)
+        return math.nextafter(f, -math.inf if direction < 0 else math.inf)
+    return _json_safe(value)
+
+
+def _overlaps(st: dict | None, lo, hi) -> bool:
+    """None-aware, type-guarded interval overlap for pruning decisions.
+    Returns True (= keep the file) whenever the comparison cannot be made
+    safely — pruning must only ever drop files PROVABLY out of range."""
+    if st is None or st.get("min") is None:
+        return True
+    smin, smax = st["min"], st["max"]
+
+    def comparable(a, b):
+        num = (int, float)
+        return (isinstance(a, num) and isinstance(b, num)) or (
+            isinstance(a, str) and isinstance(b, str))
+
+    if lo is not None and comparable(smax, lo) and smax < lo:
+        return False
+    if hi is not None and comparable(smin, hi) and smin > hi:
+        return False
+    return True
 
 
 def _conform(df: DataFrame, meta: dict, keep: str | None = None) -> DataFrame:

@@ -72,11 +72,16 @@ def upsert_sink(stream: DataFrame, path: str, keys: list[str],
     from ..operators.upsert import write_upsert
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # +1: write_upsert stamps the existing base with batch_id 0, so a
-        # raw batch_id of 0 would TIE with the base and make batch 0's
-        # last-write-wins nondeterministic against a pre-existing table
-        stamped = batch_df.withColumn("batch_id", F.lit(batch_id + 1))
-        write_upsert(batch_df.sparkSession, stamped, path, keys)
+        # +1: write_upsert stamps the existing base with order 0, so a raw
+        # batch_id of 0 would TIE with the base and make batch 0's
+        # last-write-wins nondeterministic against a pre-existing table.
+        # The stamp uses a RESERVED column name: stamping literal
+        # "batch_id" would silently clobber (and, post-merge, drop) a user
+        # data column of that name — the repo's own documented convention
+        # for callers carrying ingest versions.
+        stamped = batch_df.withColumn("__mb_batch", F.lit(batch_id + 1))
+        write_upsert(batch_df.sparkSession, stamped, path, keys,
+                     order_col="__mb_batch")
 
     return (stream.writeStream
             .foreachBatch(merge_batch)
@@ -100,20 +105,24 @@ def txlog_sink(stream: DataFrame, path: str, keys: list[str] | None,
     from ..sinks.txlog import TxTable
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ..sinks.txlog import ConflictError
         table = TxTable(batch_df.sparkSession, path)
         if table.latest_version() == 0:
             # bootstrap an EMPTY table (one atomic commit) so batch 0 flows
             # through the same txn-stamped merge/append path as every other
             # batch; a concurrent bootstrap loses the version-1 race cleanly
+            # (as FileExistsError from create's precheck, or ConflictError
+            # from the version-1 put-if-absent race itself)
             try:
                 table.create(batch_df.sparkSession.createDataFrame(
                     [], batch_df.schema), stats_cols=list(keys or [])[:1])
-            except FileExistsError:
+            except (FileExistsError, ConflictError):
                 pass
         txn = {"app_id": app_id, "batch_id": batch_id}
         if keys:
-            stamped = batch_df.withColumn("batch_id", F.lit(batch_id + 1))
-            table.merge_upsert(stamped, keys, txn=txn)
+            # reserved stamp name — never clobber a user batch_id column
+            stamped = batch_df.withColumn("__mb_batch", F.lit(batch_id + 1))
+            table.merge_upsert(stamped, keys, order_col="__mb_batch", txn=txn)
         else:
             table.append(batch_df, txn=txn)
 

@@ -625,3 +625,87 @@ def test_zorder_key_is_pure_codegen(spark, sf_dir):
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                  "FlatMapGroupsInPandas", "Exchange"):
         assert node not in plan
+
+
+# ------------------------------------------------------- review regressions
+
+
+def test_merge_pruning_decimal_key_no_lost_update(spark, sf_dir, tdir):
+    """Decimal stats serialize as widened floats, never str() — a
+    lexicographic compare orders '100' < '90' and would prune files that DO
+    hold updated keys, silently duplicating PKs."""
+    t = TxTable(spark, tdir, batch_partitions=4)
+    src = (_orders(spark, sf_dir).limit(300)
+           .withColumn("o_orderkey",
+                       F.col("o_orderkey").cast("decimal(20,2)")))
+    t.create(src, stats_cols=["o_orderkey"])
+    for a in t.live_files():
+        st = a["stats"]["o_orderkey"]
+        assert isinstance(st["min"], float) and isinstance(st["max"], float)
+    updates = (src.where((F.col("o_orderkey") >= 90)
+                         & (F.col("o_orderkey") <= 200))
+               .withColumn("o_orderstatus", F.lit("D")))
+    n_upd = updates.count()
+    assert n_upd > 0
+    t.merge_upsert(updates, keys=["o_orderkey"])
+    got = t.snapshot()
+    assert got.count() == 300  # no duplicated PKs
+    assert got.where(F.col("o_orderstatus") == "D").count() == n_upd
+
+
+def test_snapshot_prune_half_open_ranges(spark, sf_dir, tdir):
+    t = TxTable(spark, tdir, batch_partitions=8)
+    src = _orders(spark, sf_dir)
+    t.create(src, stats_cols=["o_orderkey"])
+    live = len(t.live_files())
+    kmax = src.agg(F.max("o_orderkey")).collect()[0][0]
+    hi_only = t.snapshot(prune={"o_orderkey": (None, kmax // 8)})
+    lo_only = t.snapshot(prune={"o_orderkey": (kmax * 7 // 8, None)})
+    assert 0 < len(hi_only.inputFiles()) < live
+    assert 0 < len(lo_only.inputFiles()) < live
+    got = _rows(lo_only.where(F.col("o_orderkey") >= kmax * 7 // 8))
+    want = _rows(src.where(F.col("o_orderkey") >= kmax * 7 // 8))
+    assert got == want and len(got) > 0
+
+
+def test_zorder_nulls_in_bottom_bucket(spark, sf_dir):
+    from data_integration_celery_spark.operators.zorder import with_zorder_key
+    src = (_orders_full(spark, sf_dir).limit(100)
+           .select(F.when(F.col("o_orderkey") % 10 == 0, None)
+                   .otherwise(F.col("o_orderkey")).alias("k")))
+    z = with_zorder_key(src, ["k"], bits=3)
+    nz = {r["__z"] for r in z.where(F.col("k").isNull()).collect()}
+    assert nz == {0}, f"NULLs must land in bucket 0, got z={nz}"
+
+
+def test_zorder_compact_persists_widened_stats_cols(spark, sf_dir, tdir):
+    """After compact(zorder=[a,b]) the table's recorded stats_cols widen, so
+    FUTURE appends keep recording stats for both columns (without this the
+    multi-column skipping silently decays as stat-less files accumulate)."""
+    t = TxTable(spark, tdir, batch_partitions=4)
+    src = (_orders_full(spark, sf_dir)
+           .select("o_orderkey", "o_custkey", "o_totalprice"))
+    t.create(src.limit(200), stats_cols=["o_orderkey"])
+    t.compact(target_files=4, zorder=["o_orderkey", "o_custkey"])
+    t.append(src.where(F.col("o_orderkey") > 200).limit(50))
+    appended = t.history()[-1]["add"]
+    assert appended
+    assert all({"o_orderkey", "o_custkey"} <= set(a["stats"])
+               for a in appended)
+    # and the merge prune key is STILL the original first stats col
+    assert t._stats_cols({})[0] == "o_orderkey"
+
+
+def test_merge_reserved_order_col_preserves_user_batch_id(spark, sf_dir, tdir):
+    """A user data column literally named batch_id survives a sink merge —
+    the micro-batch stamp uses the reserved __mb_batch name."""
+    t = TxTable(spark, tdir)
+    src = (_orders(spark, sf_dir).limit(20)
+           .withColumn("batch_id", F.lit(42).cast("long")))
+    t.create(src, stats_cols=["o_orderkey"])
+    upd = (src.limit(5).withColumn("o_orderstatus", F.lit("R"))
+           .withColumn("__mb_batch", F.lit(1)))
+    t.merge_upsert(upd, keys=["o_orderkey"], order_col="__mb_batch")
+    got = t.snapshot()
+    assert "batch_id" in got.columns
+    assert got.where(F.col("batch_id") == 42).count() == 20

@@ -298,3 +298,28 @@ def test_upsert_frames_equal_order_prefers_updates(spark):
     for _ in range(3):
         got = U.upsert_frames(base, upd, ["k"]).collect()
         assert len(got) == 1 and got[0]["v"] == "update"
+
+
+def test_overwrite_partitions_empty_frame_is_noop(spark, sf_dir, tmp_path):
+    """A first-ever EMPTY dynamic overwrite must not create the target dir:
+    the _SUCCESS-only directory it used to leave passes _exists() but fails
+    every schema-inferring read — an all-filtered first micro-batch would
+    brick the incremental-dedup index path until manual deletion."""
+    from pyspark.sql import functions as F
+
+    from data_integration_celery_spark.operators.upsert import (
+        _exists, overwrite_partitions)
+    target = str(tmp_path / "idx")
+    src = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+           .select("o_orderkey", "o_orderstatus"))
+    overwrite_partitions(src.limit(0).withColumn("batch_id", F.lit(0)),
+                         target, ["batch_id"])
+    assert not _exists(spark, target)  # no brick directory
+    # a later real batch initializes the table normally
+    overwrite_partitions(src.limit(7).withColumn("batch_id", F.lit(1)),
+                         target, ["batch_id"])
+    assert spark.read.parquet(target).count() == 7
+    # and subsequent empty batches leave it untouched
+    overwrite_partitions(src.limit(0).withColumn("batch_id", F.lit(2)),
+                         target, ["batch_id"])
+    assert spark.read.parquet(target).count() == 7
