@@ -233,14 +233,16 @@ def overwrite_partitions(df: DataFrame, path: str, partition_cols: list[str]) ->
     table needs ``sinks.compact_table`` immediately. Callers with a single
     huge partition value can pre-split by salting before the write.
 
-    An EMPTY frame is a no-op, checked up front: dynamic overwrite of
-    nothing replaces nothing anyway, but a first-ever empty write would
-    create the directory with only ``_SUCCESS`` — after which every later
-    schema-inferring ``spark.read.parquet`` on the path throws and a
-    streaming job probing the index with ``_exists`` is bricked until the
-    dir is deleted by hand (an all-filtered first micro-batch was enough).
+    A first-ever EMPTY write is a no-op: it would create the directory with
+    only ``_SUCCESS`` — after which every later schema-inferring
+    ``spark.read.parquet`` on the path throws and a streaming job probing
+    the index with ``_exists`` is bricked until the dir is deleted by hand
+    (an all-filtered first micro-batch was enough). The emptiness probe
+    (which must execute the upstream pipeline) runs ONLY in that
+    target-missing case — on an existing table an empty dynamic overwrite
+    already replaces nothing, so steady-state batches pay no extra job.
     """
-    if df.isEmpty():
+    if not _exists(df.sparkSession, path) and df.isEmpty():
         return
     (df.repartition(*[F.col(c) for c in partition_cols])
        .write.mode("overwrite")
