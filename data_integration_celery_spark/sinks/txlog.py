@@ -594,6 +594,32 @@ class TxTable:
                             read_version=version, schema_json=meta["schema"],
                             extra=extra)
 
+    def restore(self, version: int) -> int:
+        """Roll the table back to ``version`` — as a NEW commit that re-adds
+        that version's live set and removes the current one. History is
+        append-only (the bad commits stay inspectable; CDC across the
+        restore reports the rows that came back); no data is rewritten,
+        only manifest pointers, so restore is O(files) driver work at any
+        table size. Fails with ConflictError if anything commits
+        concurrently; fails fast if ``vacuum`` already reclaimed any of the
+        target version's files (the documented time-travel horizon)."""
+        cur_version, meta, cur_live = self._replay()
+        _, old_meta, old_live = self._replay(version)
+        missing = [a["path"] for a in old_live
+                   if not os.path.exists(os.path.join(self.path, a["path"]))]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot restore {self.path} to v{version}: {len(missing)} "
+                f"file(s) already vacuumed, e.g. {missing[0]}")
+        cur_paths = {a["path"] for a in cur_live}
+        return self._commit(
+            "restore",
+            [a for a in old_live],  # re-add (shared paths: add wins replay)
+            [p for p in cur_paths - {a["path"] for a in old_live}],
+            read_version=cur_version, schema_json=old_meta["schema"],
+            extra={"restored_version": version,
+                   "stats_cols": self._stats_cols(old_meta)})
+
     def vacuum(self, ttl_seconds: float = 7 * 86400) -> list[str]:
         """Delete data files no snapshot references, older than ``ttl_seconds``.
 

@@ -709,3 +709,27 @@ def test_merge_reserved_order_col_preserves_user_batch_id(spark, sf_dir, tdir):
     got = t.snapshot()
     assert "batch_id" in got.columns
     assert got.where(F.col("batch_id") == 42).count() == 20
+
+
+def test_restore_rolls_back_as_new_commit(spark, sf_dir, tdir):
+    t = TxTable(spark, tdir, batch_partitions=4)
+    src = _orders(spark, sf_dir).limit(100)
+    t.create(src, stats_cols=["o_orderkey"])                       # v1
+    t.merge_upsert(src.where(F.col("o_orderkey") < 10)
+                   .withColumn("o_orderstatus", F.lit("BAD")),
+                   keys=["o_orderkey"])                            # v2
+    v3 = t.restore(1)
+    assert v3 == 3
+    assert _rows(t.snapshot()) == _rows(src)              # back to v1 content
+    assert t.snapshot(version=2).where(
+        F.col("o_orderstatus") == "BAD").count() > 0      # history intact
+    assert t.history()[-1]["op"] == "restore"
+    # CDC across the restore reports the reverted rows
+    ch = t.changes(2, 3, keys=["o_orderkey"])
+    assert {r._change for r in ch.collect()} == {"update_pre", "update_post"}
+    # restore past the vacuum horizon fails fast
+    t.merge_upsert(src.limit(5).withColumn("o_orderstatus", F.lit("X")),
+                   keys=["o_orderkey"])                            # v4
+    t.vacuum(ttl_seconds=0)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        t.restore(2)
