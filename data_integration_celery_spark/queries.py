@@ -368,6 +368,47 @@ def s6b_acid_merge(spark, sf_dir):
     return t.snapshot()
 
 
+@q("s6c_cdc_feed",
+   sql="""
+   WITH upd AS (
+     SELECT o_orderkey, o_totalprice * 2 AS o_totalprice,
+            'X' AS o_orderstatus
+     FROM orders WHERE o_orderkey % 10 = 0)
+   SELECT b.o_orderkey, b.o_totalprice, b.o_orderstatus,
+          'update_pre' AS _change
+   FROM orders b JOIN upd USING (o_orderkey)
+   UNION ALL
+   SELECT o_orderkey, o_totalprice, o_orderstatus,
+          'update_post' AS _change
+   FROM upd
+   """,
+   doc="S6c: the transaction-log table's CDC change feed, driver-checked — "
+       "create v1 from orders, MERGE the doubled/flagged rows as v2, then "
+       "changes(1, 2) classifies update_pre/update_post per PK. The feed "
+       "reads ONLY the files the merge churned (immutability cancels CoW "
+       "carry-over rows); the oracle recomputes the expected diff in SQL. "
+       "Status flips to 'X' (outside the data's F/O/P domain) so every "
+       "touched key PROVABLY changes — a no-op update would be excluded "
+       "by the feed but included by the oracle join.")
+def s6c_cdc_feed(spark, sf_dir):
+    import glob as _glob
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from .sinks.txlog import TxTable
+    for old in _glob.glob(f"{_tempfile.gettempdir()}/txlog_cdc_*"):
+        _shutil.rmtree(old, ignore_errors=True)
+    root = _tempfile.mkdtemp(prefix="txlog_cdc_")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus")
+    t = TxTable(spark, f"{root}/orders", batch_partitions=8)
+    t.create(o, stats_cols=["o_orderkey"])
+    updates = (o.where(F.col("o_orderkey") % 10 == 0)
+                .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+                .withColumn("o_orderstatus", F.lit("X")))
+    t.merge_upsert(updates, keys=["o_orderkey"])
+    return t.changes(1, 2, keys=["o_orderkey"])
+
+
 # ---------------------------------------------------------------------------
 # Windows (W1, W2, W3, W4, W5, W6, W10) / sorts & top-k (O3)
 # ---------------------------------------------------------------------------
@@ -4245,10 +4286,13 @@ def u5_schema_reconcile_q(spark, sf_dir):
 # covers the ACID path too (a never-checked exact oracle must hold a gated
 # slot). s6 itself rests at the head of the tail: it is r6-green, its merge
 # kernel (upsert_frames) is INSIDE s6b's gated plan, and it rotates back
-# normally in r9.
+# normally in r9. Session 2 also gated s6c_cdc_feed (the change feed's
+# never-checked exact oracle must hold a slot — green sf0.01+sf0.1 locally
+# first try); f3_cleaning_exprs rests for it (r7-green, f5+p3 keep the
+# scan/cleaning family in-window, due r10 as before).
 QUERY_PRIORITY: list[str] = [
     # scans / predicates / cleaning
-    "f5_rename_ladder", "p3_regex_filter", "f3_cleaning_exprs",
+    "f5_rename_ladder", "p3_regex_filter",
     # joins
     "pipeline_e2_merge_daily",
     "j9_asof_last_report", "j13_incremental_ranges",
@@ -4279,9 +4323,10 @@ QUERY_PRIORITY: list[str] = [
     "ann_ivf_full_probe", "ann_pq_rerank", "ann_lsh_full_probe",
     "smp_token_budget", "smp_dsir_md5", "smp_pack_sequences",
     "stream_bars_1min",
-    "s6b_acid_merge",
+    "s6b_acid_merge", "s6c_cdc_feed",
     # ---- position 51+: triple/double-green history, sibling-covered,
     # ---- or rows-only (no oracle) ----
+    "f3_cleaning_exprs",
     "s6_upsert_last_write_wins",
     "p4_inlist_semijoin",
     "dedup_minhash_incremental_md5",
