@@ -71,6 +71,18 @@ def _exists(spark, path: str) -> bool:
     return fs.exists(jpath)
 
 
+def _has_parquet_files(spark, path: str) -> bool:
+    """True if any non-hidden file under ``path`` (recursive — partitioned
+    layouts nest) looks like data. One FS listing, no Spark job."""
+    fs, jpath = _fs(spark, path)
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        name = it.next().getPath().getName()
+        if not name.startswith((".", "_")):
+            return True
+    return False
+
+
 def _rename(spark, src: str, dst: str) -> None:
     """Directory rename — a single atomic metadata operation on HDFS and
     local filesystems (the commit primitive; on S3 use a manifest instead)."""
@@ -233,22 +245,24 @@ def overwrite_partitions(df: DataFrame, path: str, partition_cols: list[str]) ->
     table needs ``sinks.compact_table`` immediately. Callers with a single
     huge partition value can pre-split by salting before the write.
 
-    A first-ever EMPTY write is a no-op: it would create the directory with
-    only ``_SUCCESS`` — after which every later schema-inferring
-    ``spark.read.parquet`` on the path throws and a streaming job probing
-    the index with ``_exists`` is bricked until the dir is deleted by hand
-    (an all-filtered first micro-batch was enough). The emptiness probe
-    (which must execute the upstream pipeline) runs ONLY in that
-    target-missing case — on an existing table an empty dynamic overwrite
-    already replaces nothing, so steady-state batches pay no extra job.
+    A first-ever EMPTY write must not leave a ``_SUCCESS``-only directory:
+    it passes ``_exists()`` but fails every later schema-inferring
+    ``spark.read.parquet`` — an all-filtered first micro-batch would brick
+    a streaming index path until someone deletes the dir by hand. Checked
+    AFTER the write by listing for data files (one metadata listing, never
+    a second execution of the upstream pipeline the way an up-front
+    ``isEmpty()`` probe would cost); an existing table is never at risk —
+    an empty dynamic overwrite replaces nothing.
     """
-    if not _exists(df.sparkSession, path) and df.isEmpty():
-        return
+    spark = df.sparkSession
+    fresh = not _exists(spark, path)
     (df.repartition(*[F.col(c) for c in partition_cols])
        .write.mode("overwrite")
        .option("partitionOverwriteMode", "dynamic")
        .partitionBy(*partition_cols)
        .parquet(path))
+    if fresh and not _has_parquet_files(spark, path):
+        _hadoop_rm(spark, path)
 
 
 def dedup_last(df: DataFrame, keys: list[str], order_cols: list[str]) -> DataFrame:
