@@ -733,3 +733,33 @@ def test_restore_rolls_back_as_new_commit(spark, sf_dir, tdir):
     t.vacuum(ttl_seconds=0)
     with pytest.raises(FileNotFoundError, match="vacuumed"):
         t.restore(2)
+
+
+def test_last_txn_resumes_from_checkpoint(spark, sf_dir, tdir):
+    """txn high-water marks ride the checkpoints (the O(interval) write-path
+    bound); a corrupt newest checkpoint falls back without losing marks."""
+    t = TxTable(spark, tdir, checkpoint_interval=2)
+    src = _orders(spark, sf_dir).limit(5)
+    t.create(src)
+    for b in range(4):
+        t.append(src, txn={"app_id": "stream-a", "batch_id": b})
+    t.append(src, txn={"app_id": "stream-b", "batch_id": 100})
+    assert t.latest_version() == 6
+    ckpts = sorted(glob.glob(os.path.join(tdir, "_txlog", "*.checkpoint.json")))
+    assert len(ckpts) == 3  # v2, v4, v6
+    with open(ckpts[-1]) as f:
+        # ckpt v6 covers commits 1..6: stream-a batches 0..3 (v2..v5),
+        # stream-b batch 100 (v6)
+        assert json.load(f)["txns"] == {"stream-a": 3, "stream-b": 100}
+    assert t.last_txn("stream-a") == 3
+    assert t.last_txn("stream-b") == 100
+    # replay of an old batch stays a no-op across the checkpoint boundary
+    t.append(src, txn={"app_id": "stream-a", "batch_id": 1})
+    assert t.latest_version() == 6 and t.snapshot().count() == 30
+    # corrupt the newest checkpoint: marks still resolved (older ckpt +
+    # commit scan), correctness unchanged
+    with open(ckpts[-1], "w") as f:
+        f.write("{broken")
+    assert t.last_txn("stream-a") == 3
+    assert t.last_txn("stream-b") == 100
+    assert t.snapshot().count() == 30
