@@ -22,9 +22,18 @@ from .text import normalized
 
 def exact_dedup(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
-    """Keep the lowest id per identical normalized text (hash-groupBy)."""
+    """Keep the lowest id per identical normalized text (hash-groupBy).
+
+    NULL-text docs are NOT duplicates of each other (groupBy treats NULL
+    keys as equal, so without the guard a corpus of unfetched rows would
+    collapse to ONE survivor and a keep-list consumer would drop the
+    rest); they pass through as singleton groups keyed by their own id."""
+    fp = F.md5(normalized(F.col(text_col)))
     return (docs
-            .withColumn("__fp", F.md5(normalized(F.col(text_col))))
+            .withColumn("__fp", F.when(fp.isNull(),
+                                       F.concat(F.lit("__null_"),
+                                                F.col(id_col).cast("string")))
+                                 .otherwise(fp))
             .groupBy("__fp")
             .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_dups"))
             .drop("__fp"))
@@ -647,8 +656,16 @@ def simhash_near_dup_pairs(docs: DataFrame, text_col: str = "text",
         raise ValueError(f"bits={bits} too small for k={k} (k+1 bands)")
     sig_fn = (simhash_signatures_md5 if hasher == "md5"
               else simhash_signatures)
+    # persist: the signature table feeds FIVE independent subtrees (the
+    # distinct-signature contraction, both member-expansion joins, and the
+    # two same-signature branches) — without materialization each one
+    # re-runs the full explode + bits-way vote over the corpus (the same
+    # rationale as the minhash siblings' persist above; lineage retained
+    # for executor-loss recovery, unlike localCheckpoint)
+    from pyspark import StorageLevel
     sigs = (sig_fn(docs, text_col, id_col, bits)
-            .select(F.col(id_col).alias("id"), "sig"))
+            .select(F.col(id_col).alias("id"), "sig")
+            .persist(StorageLevel.MEMORY_AND_DISK))
     mask = (1 << width) - 1
     # Exact-duplicate contraction: the banded self-join runs over DISTINCT
     # signatures, never documents. A boilerplate cluster of B identical docs
@@ -715,7 +732,7 @@ def simhash_near_dup_pairs(docs: DataFrame, text_col: str = "text",
 
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
-                        threshold: float = 0.0,
+                        threshold: float = 0.5,
                         block_col: str | None = None,
                         method: str = "count") -> DataFrame:
     """Exact n-gram Jaccard via an inverted-index join (never documents²).
@@ -882,9 +899,16 @@ def remove_duplicated_spans(docs: DataFrame, text_col: str = "text",
                             F.ceil(F.size("ws") / w).cast("int") - 1),
                  lambda i: F.array_join(F.slice("ws", i * w + 1, w), " ")))
                  .alias("pos", "span")))
-    key = F.xxhash64("span") if hash_spans else F.col("span")
+    # the hash key must stay NULL for NULL spans (posexplode_outer emits one
+    # per null-text doc): xxhash64(NULL) is the CONSTANT 42, so unguarded
+    # hashing would pool every null-text doc onto one hot key and report a
+    # phantom n_removed=1 each — diverging from the string-keyed twin,
+    # where NULL keys never equi-join
+    key = (F.when(F.col("span").isNotNull(), F.xxhash64("span"))
+           if hash_spans else F.col("span"))
     keyed = spans.select(id_col, "pos", "span", key.alias("k"))
-    hot = (keyed.groupBy("k")
+    hot = (keyed.where(F.col("k").isNotNull())
+           .groupBy("k")
            .agg(F.countDistinct(id_col).alias("nd"))
            .where(F.col("nd") >= min_docs)
            .select("k", F.lit(1).alias("dup")))

@@ -54,10 +54,17 @@ def stopword_ratio(text: Column, stopwords: tuple[str, ...] = _LANG_MARKERS["en"
 
 def quality_score(text: Column) -> Column:
     """Composite quality heuristic: length band + low punctuation + stopword
-    presence. Bounded [0,1]; mirrors common pretraining-filter recipes."""
+    presence. Bounded [0,1]; mirrors common pretraining-filter recipes.
+
+    The punctuation credit is gated on having tokens at all: punct_ratio
+    defaults empty/NULL text to 0.0, which would otherwise hand a
+    contentless document the full 0.3 — above a genuine punctuation-heavy
+    document — and a `quality >= 0.3` pretraining filter would keep every
+    unfetched row."""
     n = token_count(text)
     len_ok = F.when((n >= 10) & (n <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
-    punct_ok = F.when(punct_ratio(text) < 0.2, F.lit(0.3)).otherwise(F.lit(0.0))
+    punct_ok = F.when((n > 0) & (punct_ratio(text) < 0.2),
+                      F.lit(0.3)).otherwise(F.lit(0.0))
     stop_ok = F.when(stopword_ratio(text) > 0.0, F.lit(0.3)).otherwise(F.lit(0.0))
     return len_ok + punct_ok + stop_ok
 
@@ -111,11 +118,18 @@ def pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     redacted output. Counting each pattern independently on the raw text
     disagreed with the redaction: phone digits inside an email address
     were counted as a phone but never redacted as one, giving auditors
-    phantom spans to reconcile."""
+    phantom spans to reconcile.
+
+    NULL text counts 0 for every type (regexp_count(NULL) is NULL and
+    would break the invariant above — NULL placeholders is not a number —
+    and silently drop the rows from `n_email > 0`-style predicates);
+    redacted stays NULL (there is no text to redact)."""
     stage = F.col(text_col)
     out = df
     for name, pat, token in PII_PATTERNS:
-        out = out.withColumn(f"n_{name}", F.regexp_count(stage, F.lit(pat)))
+        out = out.withColumn(
+            f"n_{name}",
+            F.coalesce(F.regexp_count(stage, F.lit(pat)), F.lit(0)))
         stage = F.regexp_replace(stage, pat, token)
     return out.withColumn("redacted", stage)
 
@@ -152,6 +166,26 @@ def vocab_topk(docs: DataFrame, text_col: str = "text",
             .limit(k))
 
 
+def _winnow_gram_hashes(docs: DataFrame, text_col: str, id_col: str,
+                        k: int) -> DataFrame:
+    """(id, pos, h): md5 of each FULL token k-gram — the scaffold shared by
+    both winnowing variants so the two can never drift (the simhash/minhash
+    shared-builder rule from operators/dedup.py). k=1 is valid (token-level
+    fingerprinting): ``leads`` is then empty and every gram is full — the
+    same guard shingle_postings documents (leads[-1] on an empty list
+    crashed plan construction)."""
+    from pyspark.sql import Window
+    toks = docs.select(id_col,
+                       F.posexplode(F.split(normalized(F.col(text_col)), " "))
+                        .alias("pos", "tok"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.lead("tok", i).over(w) for i in range(1, k)]
+    grams = (toks.withColumn("gram", F.concat_ws(" ", F.col("tok"), *leads))
+                 .withColumn("full",
+                             leads[-1].isNotNull() if leads else F.lit(True)))
+    return grams.where("full").select(id_col, "pos", F.md5("gram").alias("h"))
+
+
 def winnowing_fingerprints(docs: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", k: int = 3,
                            window: int = 4) -> DataFrame:
@@ -172,15 +206,7 @@ def winnowing_fingerprints(docs: DataFrame, text_col: str = "text",
     to implement it.
     """
     from pyspark.sql import Window
-    toks = docs.select(id_col,
-                       F.posexplode(F.split(normalized(F.col(text_col)), " "))
-                        .alias("pos", "tok"))
-    w = Window.partitionBy(id_col).orderBy("pos")
-    leads = [F.lead("tok", i).over(w) for i in range(1, k)]
-    grams = (toks.withColumn("gram", F.concat_ws(" ", F.col("tok"), *leads))
-                 .withColumn("full", leads[-1].isNotNull()))
-    hashes = grams.where("full").select(
-        id_col, "pos", F.md5("gram").alias("h"))
+    hashes = _winnow_gram_hashes(docs, text_col, id_col, k)
     roll = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
     doc_w = Window.partitionBy(id_col)
     # FULL windows only (paper semantics — Schleimer's windows are the
@@ -220,15 +246,7 @@ def winnowing_fingerprints_positional(docs: DataFrame, text_col: str = "text",
     variant. Returns (id, fp, fp_pos) distinct.
     """
     from pyspark.sql import Window
-    toks = docs.select(id_col,
-                       F.posexplode(F.split(normalized(F.col(text_col)), " "))
-                        .alias("pos", "tok"))
-    w = Window.partitionBy(id_col).orderBy("pos")
-    leads = [F.lead("tok", i).over(w) for i in range(1, k)]
-    grams = (toks.withColumn("gram", F.concat_ws(" ", F.col("tok"), *leads))
-                 .withColumn("full", leads[-1].isNotNull()))
-    hashes = grams.where("full").select(
-        id_col, "pos", F.md5("gram").alias("h"))
+    hashes = _winnow_gram_hashes(docs, text_col, id_col, k)
     roll = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
     doc_w = Window.partitionBy(id_col)
     sel = F.min(F.struct(F.col("h").alias("v"),

@@ -794,3 +794,55 @@ def test_registered_queries_never_use_unbounded_min_label():
         call = src[m.start():src.index(")", m.start()) + 1]
         assert re.search(r"fixed_rounds\s*=\s*\d+", call), (
             f"unbounded min-label call in queries.py: {call!r}")
+
+
+# --------------------------------------------------- r8s2 review regressions
+
+
+def test_null_text_rows_are_not_duplicates_of_each_other(spark):
+    """NULL/empty-text semantics across the corpus operators: NULL-text docs
+    must never pool into one duplicate group, a phantom hot span, a PII
+    NULL-count, or a free quality credit."""
+    from data_integration_celery_spark.operators import dedup, text as tx
+    from pyspark.sql import functions as F
+    docs = spark.createDataFrame(
+        [(1, "the alpha beta gamma delta epsilon zeta eta theta iota"),
+         (2, None), (3, None), (4, ""), (5, "")],
+        "doc_id long, text string")
+    # exact dedup: each NULL/empty doc survives as its own group
+    kept = dedup.exact_dedup(docs)
+    assert kept.count() == 4  # doc1 + doc2 + doc3 + one group for ''==''
+    assert kept.where(F.col("n_dups") > 1).count() == 1  # only the '' pair
+    # span removal: hash and string paths agree — no phantom n_removed
+    for hs in (True, False):
+        out = {r.doc_id: (r.n_spans, r.n_removed)
+               for r in dedup.remove_duplicated_spans(
+                   docs, span_words=3, min_docs=2, hash_spans=hs).collect()}
+        assert out[2] == (0, 0) and out[3] == (0, 0), (hs, out)
+    # pii: NULL text counts 0, never NULL
+    pii = {r.doc_id: (r.n_email, r.n_ip, r.n_phone)
+           for r in tx.pii_counts(docs).collect()}
+    assert pii[2] == (0, 0, 0) and pii[4] == (0, 0, 0)
+    # quality: contentless docs score 0.0, not the 0.3 punct credit
+    q = {r.doc_id: r.q for r in docs.select(
+        "doc_id", tx.quality_score(F.col("text")).alias("q")).collect()}
+    assert q[2] == 0.0 and q[4] == 0.0 and q[1] == 1.0
+
+
+def test_winnowing_k1_and_defaults(spark):
+    """k=1 (token-level grams) builds and fingerprints; ngram_jaccard_pairs
+    is callable with its own defaults."""
+    from data_integration_celery_spark.operators import dedup, text as tx
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc dd ee"), (2, "aa bb cc dd ee"), (3, "zz yy")],
+        "doc_id long, text string")
+    fp = tx.winnowing_fingerprints(docs, k=1, window=2)
+    fpp = tx.winnowing_fingerprints_positional(docs, k=1, window=2)
+    assert fp.count() > 0 and fpp.count() > 0
+    # identical docs share identical fingerprint value sets at k=1 too
+    a = {r.fp for r in fp.where("doc_id = 1").collect()}
+    b = {r.fp for r in fp.where("doc_id = 2").collect()}
+    assert a == b and len(a) > 0
+    pairs = dedup.ngram_jaccard_pairs(docs, n=2)  # default threshold works
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(1, 2)}
