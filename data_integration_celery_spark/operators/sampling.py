@@ -130,12 +130,20 @@ def mixture_fractions(counts: dict[str, int],
     """
     if not target_shares:
         raise ValueError("at least one stratum share required")
-    missing = [s for s in target_shares if s not in counts or counts[s] == 0]
+    if any(sh < 0 for sh in target_shares.values()):
+        raise ValueError(f"negative target shares: {target_shares}")
+    # share 0.0 = 'drop this stratum' — exclude it from the T minimization
+    # (count/0 raised a bare ZeroDivisionError) and keep fraction 0
+    live = {s: sh for s, sh in target_shares.items() if sh > 0}
+    if not live:
+        raise ValueError("all target shares are zero")
+    missing = [s for s in live if s not in counts or counts[s] == 0]
     if missing:
         raise ValueError(f"strata with no rows cannot be targeted: {missing}")
-    t = min(counts[s] / target_shares[s] for s in target_shares)
-    return {s: min(1.0, _floor6(target_shares[s] * t / counts[s]))
-            for s in target_shares}
+    t = min(counts[s] / live[s] for s in live)
+    out = {s: min(1.0, _floor6(live[s] * t / counts[s])) for s in live}
+    out.update({s: 0.0 for s in target_shares if s not in live})
+    return out
 
 
 def resample_to_mixture(df: DataFrame, id_col: str, strata_col: str,

@@ -498,6 +498,12 @@ def quantile_split(df: DataFrame, score_col: str,
             0.0 < f < 1.0 for f in fractions):
         raise ValueError(f"fractions must be ascending in (0,1): {fractions}")
     from .windows import rank_rows_scalable
+    # rank_rows_scalable's order_col contract is NON-NULL (a NULL score is
+    # NULL in every range-bucket CASE arm and lands in the last bucket at
+    # an arbitrary local rank, shifting every real row's split) — filter
+    # them out of BOTH the ranking and n_total, the select_token_budget
+    # rule
+    df = df.where(F.col(score_col).isNotNull())
     ranked = rank_rows_scalable(df, score_col, tiebreaks or [], alias="rn")
     total = df.agg(F.count(F.lit(1)).alias("n_total"))
     out = ranked.crossJoin(F.broadcast(total))

@@ -41,7 +41,9 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    # try_divide: a zero-norm side yields NULL (no direction), not an ANSI
+    # DIVIDE_BY_ZERO job failure; nonzero divisors are bit-identical
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 def _cosine_pre(a: Column, b: Column, a_norm: Column,
@@ -55,8 +57,9 @@ def _cosine_pre(a: Column, b: Column, a_norm: Column,
     store it in the hashed relation), leaving only the dot fold on the
     pair path — measured 2.6x on the 10x-replica LSH rescore. The norm
     expression is unchanged (same fold, same order), so the quotient is
-    bit-identical to cosine() and every oracle hash still matches."""
-    return _dot(a, b) / (a_norm * b_norm)
+    bit-identical to cosine() and every oracle hash still matches.
+    try_divide mirrors cosine(): zero-norm → NULL, never an ANSI error."""
+    return F.try_divide(_dot(a, b), a_norm * b_norm)
 
 
 def _normalized_vecs(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -97,25 +100,57 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     if method == "blas":
         import numpy as np
 
+        # degenerate rows (NULL/empty/zero-norm) are excluded on BOTH sides,
+        # the _normalized_vecs rule: a zero vector normalizes to NaN, and one
+        # NaN column poisons np.partition's threshold — the k-th finite
+        # candidate then fails the cut and valid rows silently vanish
         qpdf = queries.select(id_col, vec_col).toPandas()
+        qpdf = qpdf[qpdf[vec_col].map(
+            lambda v: v is not None and len(v) > 0)]
         q_ids = qpdf[id_col].to_numpy()
-        qm = np.stack(qpdf[vec_col].to_numpy()).astype("float64")
-        qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+        qm = (np.stack(qpdf[vec_col].to_numpy()).astype("float64")
+              if len(q_ids) else np.zeros((0, 1)))
+        qn = np.linalg.norm(qm, axis=1, keepdims=True)
+        q_ok = qn[:, 0] > 0
+        q_ids, qm, qn = q_ids[q_ok], qm[q_ok], qn[q_ok]
+        if len(q_ids):
+            qm = qm / qn
         bc = corpus.sparkSession.sparkContext.broadcast((q_ids, qm))
         margin = 10.0 ** (-round_dp)
 
         def gen(batches):
             import pandas as pd
             ids_q, mq = bc.value
+            empty = pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                  "cand_id": pd.Series(dtype="int64"),
+                                  "cos_sim": pd.Series(dtype="float64")})
+            if not len(ids_q):
+                yield empty
+                return
             for block in batches:
+                ok = block[vec_col].map(
+                    lambda v: v is not None and len(v) > 0)
+                block = block[ok]
+                if not len(block):
+                    continue
                 c_ids = block[id_col].to_numpy()
                 cm = np.stack(block[vec_col].to_numpy()).astype("float64")
-                cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+                cn = np.linalg.norm(cm, axis=1, keepdims=True)
+                good = cn[:, 0] > 0
+                c_ids, cm, cn = c_ids[good], cm[good], cn[good]
+                if not len(c_ids):
+                    continue
+                cm = cm / cn
                 sims = mq @ cm.T  # queries x block
                 np.place(sims, ids_q[:, None] == c_ids[None, :], -np.inf)
                 kk = min(k, sims.shape[1])
                 thr = np.partition(sims, -kk, axis=1)[:, -kk]
-                keep = np.argwhere(sims >= (thr - margin)[:, None])
+                # isfinite: when a query has < k candidates in the block the
+                # threshold collapses to the -inf self cell, which would
+                # otherwise pass >= thr and leak a (q, q, -inf) row the expr
+                # path never emits
+                keep = np.argwhere((sims >= (thr - margin)[:, None])
+                                   & np.isfinite(sims))
                 yield pd.DataFrame({
                     "query_id": ids_q[keep[:, 0]],
                     "cand_id": c_ids[keep[:, 1]],
@@ -187,9 +222,15 @@ def all_pairs_topk(emb: DataFrame, k: int = 20, id_col: str = "vec_id",
                 _BLOCK_COUNT_CACHE[key] = n
         n_blocks = max(1, -(-n // block_rows))
     B = int(n_blocks)
-    src = emb.select(
-        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int").alias("blk"))
+    # _normalized_vecs rule: NULL/empty/zero-norm rows out BEFORE the kernel
+    # — one NaN row from 0-norm division poisons np.partition's ravel
+    # threshold for the whole tile and true top-k pairs silently vanish
+    src = (emb.where(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+           .withColumn("__nrm", _norm(F.col(vec_col)))
+           .where(F.col("__nrm") > 0)
+           .select(
+               F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
+               F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int").alias("blk")))
     pairs = spark.createDataFrame(
         [(a, b) for a in range(B) for b in range(a, B)],
         "blk_a int, blk_b int")
@@ -256,8 +297,20 @@ def ivf_build(corpus: DataFrame, n_centroids: int = 16, iters: int = 3,
     """
     import numpy as np
 
+    # the pq_train rule: degenerate rows (NULL/empty/zero-norm) are excluded
+    # from the whole build — ONE zero vector among the lowest-id seeds
+    # normalizes to an all-NaN centroid row, np.argmax then returns that
+    # poisoned column for EVERY vector, and the index collapses to a single
+    # bucket with no error raised
+    corpus = (corpus.where(F.col(vec_col).isNotNull()
+                           & (F.size(vec_col) > 0))
+              .withColumn("__nrm", _norm(F.col(vec_col)))
+              .where(F.col("__nrm") > 0).drop("__nrm"))
     seed_pdf = (corpus.orderBy(id_col).limit(n_centroids)
                 .select(vec_col).toPandas())
+    if not len(seed_pdf):
+        raise ValueError("ivf_build: no valid (non-null, nonzero-norm) "
+                         "vectors to seed centroids from")
     centroids = np.stack(seed_pdf[vec_col].to_numpy()).astype("float64")
     centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
     sc = corpus.sparkSession.sparkContext
@@ -282,10 +335,23 @@ def ivf_build(corpus: DataFrame, n_centroids: int = 16, iters: int = 3,
             assign, f"{id_col} long, bucket int")
         if it == iters - 1:
             break
-        # centroid update: mean per (bucket, dim), normalised
-        joined = corpus.join(assignments, id_col)
-        means = (joined.select("bucket", F.posexplode(vec_col).alias("pos", "x"))
-                 .groupBy("bucket", "pos").agg(F.avg("x").alias("m"))
+        # centroid update: mean per (bucket, dim) of the NORMALIZED members
+        # — assignment scores unit vectors, so averaging RAW components
+        # would let one large-magnitude member drag the centroid and make
+        # Lloyd's two steps optimize different objectives (the pq_train
+        # rule: normalize on both sides). The mean routes through
+        # DECIMAL(38,6) so partial-aggregation order can never move a
+        # boundary assignment between runs.
+        from ..functions.numeric import DEC
+        normed = (corpus.withColumn("__cn", _norm(F.col(vec_col)))
+                  .select(id_col, F.transform(
+                      F.col(vec_col),
+                      lambda x: x.cast("double") / F.col("__cn")).alias("__nv")))
+        joined = normed.join(assignments, id_col)
+        means = (joined.select("bucket", F.posexplode("__nv").alias("pos", "x"))
+                 .groupBy("bucket", "pos")
+                 .agg((F.sum(F.col("x").cast(DEC)).cast("double")
+                       / F.count(F.lit(1))).alias("m"))
                  .groupBy("bucket")
                  .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("vs"))
                  .select("bucket", F.transform("vs", lambda s: s.m).alias("c"))
@@ -484,6 +550,13 @@ def centroid_outlier_scores(emb: DataFrame, id_col: str = "vec_id",
     With ``bottom_k`` set, returns only each label's k most-outlying
     vectors (rank ascending by cos, vec-id tiebreak) — the prune list.
     """
+    # degenerate rows out up front (the _normalized_vecs rule): a NULL or
+    # zero-norm embedding scores cos_centroid NULL, and ASC ordering is
+    # NULLS FIRST — the junk row would take outlier_rank 1 and push a
+    # GENUINE semantic outlier off the prune list
+    emb = (emb.where(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+           .withColumn("__con", _norm(F.col(vec_col)))
+           .where(F.col("__con") > 0).drop("__con"))
     pv = emb.select(label_col,
                     F.posexplode(F.col(vec_col)).alias("pos", "v"))
     from ..functions.numeric import DEC
@@ -1015,7 +1088,11 @@ def pq_topk(codes_df: DataFrame, queries: DataFrame, codebook,
             np.place(sims, ids_q[:, None] == c_ids[None, :], -np.inf)
             kk = min(k, sims.shape[1])
             thr = np.partition(sims, -kk, axis=1)[:, -kk]
-            keep = np.argwhere(sims >= (thr - margin)[:, None])
+            # isfinite: with < k candidates in a block thr collapses to the
+            # -inf self cell, which would pass >= thr and leak the (q, q,
+            # -inf) row the docstring's "self-matches excluded" forbids
+            keep = np.argwhere((sims >= (thr - margin)[:, None])
+                               & np.isfinite(sims))
             yield pd.DataFrame({
                 "query_id": ids_q[keep[:, 0]],
                 "cand_id": c_ids[keep[:, 1]],

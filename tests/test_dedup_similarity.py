@@ -317,3 +317,67 @@ def test_incremental_semdedup_equals_full_restriction(spark, sf_dir):
     assert got == want and got
     # and strictly no old-old pair leaked
     assert all((x % 5 == 0) or (y % 5 == 0) for x, y, _ in got)
+
+
+# --------------------------------------------------- r8s2 review regressions
+
+
+def test_ann_kernels_survive_degenerate_vectors(spark):
+    """NULL / zero-norm vectors must not poison the numpy ANN kernels: no
+    NaN thresholds dropping valid candidates, no (q, q, -inf) self rows,
+    no single-bucket IVF collapse from a poisoned seed."""
+    import numpy as np
+
+    from data_integration_celery_spark.operators import similarity as sim
+    from pyspark.sql import functions as F
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(12)]
+    rows += [(12, [0.0] * 8), (13, None)]  # zero-norm + NULL
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    blas = sim.brute_force_topk(emb, emb, k=5, method="blas")
+    expr = sim.brute_force_topk(emb, emb, k=5, method="expr")
+    got_b = {(r.query_id, r.rank, r.cand_id) for r in blas.collect()}
+    got_e = {(r.query_id, r.rank, r.cand_id)
+             for r in expr.where(F.col("cos_sim").isNotNull()).collect()}
+    assert got_b == {(q, rk, c) for q, rk, c in got_e if q <= 11 and c <= 11}
+    assert blas.where(F.col("query_id") == F.col("cand_id")).count() == 0
+    assert blas.where(F.col("cos_sim").isNull() | F.isnan("cos_sim")
+                      | (F.col("cos_sim") == float("-inf"))).count() == 0
+
+    pairs = sim.all_pairs_topk(emb, k=6, n_blocks=3)
+    assert pairs.count() == 6
+    assert pairs.where(F.col("id_a").isin(12, 13)
+                       | F.col("id_b").isin(12, 13)).count() == 0
+
+    assign, cents = sim.ivf_build(emb, n_centroids=4, iters=2)
+    assert not np.isnan(cents).any(), "zero-norm seed poisoned a centroid"
+    n_buckets = assign.select("bucket").distinct().count()
+    assert n_buckets > 1, "assignments collapsed to one bucket"
+
+    lab = emb.withColumn("label", F.lit("a"))
+    out = sim.centroid_outlier_scores(lab, label_col="label", bottom_k=3)
+    assert out.where(F.col("vec_id").isin(12, 13)).count() == 0
+    assert out.where(F.col("cos_centroid").isNull()).count() == 0
+
+
+def test_mixture_fractions_zero_share_and_split_null_scores(spark):
+    from data_integration_celery_spark.operators import sampling, selection
+    from pyspark.sql import functions as F
+    fr = sampling.mixture_fractions({"en": 100, "de": 50},
+                                    {"en": 0.8, "de": 0.0})
+    assert fr["de"] == 0.0 and 0 < fr["en"] <= 1.0
+    import pytest as _pt
+    with _pt.raises(ValueError, match="negative"):
+        sampling.mixture_fractions({"en": 10}, {"en": -0.1})
+    with _pt.raises(ValueError, match="zero"):
+        sampling.mixture_fractions({"en": 10}, {"en": 0.0})
+    # NULL scores neither rank nor count toward the split thresholds
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(9)] + [(100, None), (101, None)],
+        "doc_id long, ce double")
+    out = selection.quantile_split(df, "ce", tiebreaks=["doc_id"])
+    rows = {r.doc_id: r.split for r in out.collect()}
+    assert 100 not in rows and 101 not in rows
+    assert [rows[i] for i in range(9)] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3)
