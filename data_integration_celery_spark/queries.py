@@ -4290,44 +4290,79 @@ def u5_schema_reconcile_q(spark, sf_dir):
 # never-checked exact oracle must hold a slot — green sf0.01+sf0.1 locally
 # first try); f3_cleaning_exprs rests for it (r7-green, f5+p3 keep the
 # scan/cleaning family in-window, due r10 as before).
+# Round-9 rotation (mechanically from check_correctness --stale 2 at round
+# open, per VERDICT r8 item 1): IN — the ten age-3 stale oracles the r8
+# verdict names (s6_upsert_last_write_wins, j14_main_sec_join,
+# eav_unpivot_pivot, dedup_simhash_md5, dedup_simhash_hamming_md5,
+# mm_video_frames, emb_centroid_outliers, smp_hash_split,
+# smp_mixture_resample, smp_source_quota — all re-verified locally 10/10
+# before the swap) and nine of the nineteen-strong age-2 cohort pulled a
+# round early so round 10 never faces a 19-swap (s1_filtered_scan,
+# a1_watermark_per_key, a3_tick_to_bars, j7_code_extract_join,
+# dedup_exact, txt_features, w9_expand_calendar, pipeline_revenue_topk,
+# dedup_semdedup_incremental — re-verified 9/9; leaving ten due r10:
+# a2, j11, dedup_components, mm_audio, txt_corpus_stats, w3,
+# u4_membership, pipeline_sector_median, smp_epoch_shuffle,
+# stream_dedup_incremental_md5). OUT — nineteen freshly r8-green queries
+# whose family keeps in-window reps: f5 (p3 + s1 cover scan/pushdown/
+# rename), j2+j13 (e2 is the merge-family rep, j14/j7 come in, j13's
+# watermark driver is a1 coming in), a7+a8+a11 (a13/a14b stay — a14b
+# recomputes the exact describe columns; a1/a3 come in), u1 (u4_scd2
+# stays, eav comes in for set/pivot shapes), w2+w10+w5+w12 (w8b/w7/w1b/
+# w11b/w6 stay + w9 comes in), pipeline_dedup_survivors
+# (cluster_survivors is its superset and stays), dedup_frequent_ngrams+
+# dedup_minhash_md5+dedup_components_star (dedup_exact + both simhash
+# twins + semdedup_incremental come in; minhash stream≡batch stays
+# pinned in pytest), txt_winnowing+txt_contamination+txt_pii_redact
+# (lm/chunk/bpe_train/ccnet stay + txt_features comes in),
+# mm_image_features (mm_video_frames comes in).
 QUERY_PRIORITY: list[str] = [
     # scans / predicates / cleaning
-    "f5_rename_ladder", "p3_regex_filter",
+    "p3_regex_filter", "s1_filtered_scan",
     # joins
     "pipeline_e2_merge_daily",
-    "j9_asof_last_report", "j13_incremental_ranges",
-    "j2_three_source_merge", "j6_code_mapping_maintenance",
+    "j9_asof_last_report", "j6_code_mapping_maintenance",
     "j8b_interval_join_bucketed",
+    "j14_main_sec_join", "j7_code_extract_join",
     # aggregations
     "pipeline_worst_window_return",
-    "a7_two_level_agg", "a13_sessionize", "a8_median_cross_section",
-    "a11_accumulation_detect", "a14b_sketch_errorband",
+    "a13_sessionize", "a14b_sketch_errorband",
+    "a1_watermark_per_key", "a3_tick_to_bars",
     # audits / ordering / sets
-    "o3_topk_worst", "u4_scd2_intervals", "u1_union_distinct",
+    "o3_topk_worst", "u4_scd2_intervals", "eav_unpivot_pivot",
     # windows
-    "w8b_quarterize_exact", "w7_continuous_contract", "w2_lead_lag_gaps",
-    "w10_monthly_sample", "w1b_rank_scalable", "w11b_adjusted_diff",
-    "w5_rolling_mean", "w6_argmax_cross_section", "w12_pivot_status",
+    "w8b_quarterize_exact", "w7_continuous_contract", "w1b_rank_scalable",
+    "w11b_adjusted_diff", "w6_argmax_cross_section", "w9_expand_calendar",
     # composites
-    "pipeline_quality_filter", "pipeline_dedup_survivors",
-    "pipeline_cluster_survivors",
+    "pipeline_quality_filter", "pipeline_cluster_survivors",
+    "pipeline_revenue_topk",
     # LLM-pipeline operators
-    "dedup_frequent_ngrams",
-    "dedup_minhash_md5",
-    "dedup_components_star",
+    "dedup_exact",
     "dedup_embedding_pairs",
+    "dedup_simhash_md5", "dedup_simhash_hamming_md5",
+    "dedup_semdedup_incremental",
     "txt_lm_perplexity", "txt_chunk_stride", "txt_bpe_train",
-    "txt_ccnet_split",
-    "txt_winnowing", "txt_contamination", "txt_pii_redact",
-    "mm_image_features",
+    "txt_ccnet_split", "txt_features",
+    "mm_video_frames",
     "ann_ivf_full_probe", "ann_pq_rerank", "ann_lsh_full_probe",
+    "emb_centroid_outliers",
     "smp_token_budget", "smp_dsir_md5", "smp_pack_sequences",
+    "smp_hash_split", "smp_mixture_resample", "smp_source_quota",
     "stream_bars_1min",
     "s6b_acid_merge", "s6c_cdc_feed",
+    "s6_upsert_last_write_wins",
     # ---- position 51+: triple/double-green history, sibling-covered,
     # ---- or rows-only (no oracle) ----
+    "f5_rename_ladder", "j2_three_source_merge", "j13_incremental_ranges",
+    "a7_two_level_agg", "a8_median_cross_section",
+    "a11_accumulation_detect", "u1_union_distinct",
+    "w2_lead_lag_gaps", "w10_monthly_sample", "w5_rolling_mean",
+    "w12_pivot_status",
+    "pipeline_dedup_survivors",
+    "dedup_frequent_ngrams", "dedup_minhash_md5", "dedup_components_star",
+    "txt_winnowing", "txt_contamination", "txt_pii_redact",
+    "mm_image_features",
     "f3_cleaning_exprs",
-    "s6_upsert_last_write_wins",
     "p4_inlist_semijoin",
     "dedup_minhash_incremental_md5",
     "j5_anti_join_new_codes", "j8_interval_join",
@@ -4340,17 +4375,10 @@ QUERY_PRIORITY: list[str] = [
     "txt_repetition", "txt_vocab_topk", "txt_bpe_segment",
     "dedup_semdedup", "ann_cosine_topk", "u5_schema_reconcile",
     "stream_dedup_incremental_md5",
-    "s1_filtered_scan", "a1_watermark_per_key", "a2_agg_rollup",
-    "a3_tick_to_bars", "j7_code_extract_join",
-    "j11_argmax_latest_per_key", "dedup_exact", "dedup_components",
-    "mm_audio_features", "txt_features", "txt_corpus_stats",
-    "w9_expand_calendar", "w3_cum_chain", "u4_membership_changepoints",
-    "pipeline_revenue_topk", "pipeline_sector_median",
-    "dedup_semdedup_incremental", "smp_epoch_shuffle",
-    "j14_main_sec_join", "eav_unpivot_pivot",
-    "dedup_simhash_hamming_md5", "dedup_simhash_md5",
-    "mm_video_frames", "emb_centroid_outliers",
-    "smp_hash_split", "smp_mixture_resample", "smp_source_quota",
+    "a2_agg_rollup", "j11_argmax_latest_per_key", "dedup_components",
+    "mm_audio_features", "txt_corpus_stats",
+    "w3_cum_chain", "u4_membership_changepoints",
+    "pipeline_sector_median", "smp_epoch_shuffle",
     "w11_adjusted_continuous",
     "ann_ivf_topk", "dedup_minhash_lsh",
     "dedup_simhash", "ann_lsh_topk", "dedup_simhash_hamming",
