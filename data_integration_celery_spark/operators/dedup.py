@@ -19,6 +19,27 @@ from pyspark.sql import functions as F
 
 from .text import normalized
 
+# One live persisted signature table per family (slot name). The returned
+# pair/cluster DataFrames are lazy, so the cache must outlive the call —
+# but without a bound, repeated calls accumulate cached RDD blocks until
+# the SparkContext dies. Swapping per slot caps cache pressure at one
+# signature table per family; a result DataFrame from an EARLIER call is
+# still correct after a swap (persist keeps lineage — it just recomputes).
+_live_sig_cache: dict[str, DataFrame] = {}
+
+
+def _persist_swap(slot: str, df: DataFrame) -> DataFrame:
+    from pyspark import StorageLevel
+    prev = _live_sig_cache.pop(slot, None)
+    if prev is not None:
+        try:
+            prev.unpersist(False)
+        except Exception:
+            pass
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _live_sig_cache[slot] = df
+    return df
+
 
 def exact_dedup(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
@@ -243,10 +264,10 @@ def minhash_clusters(docs: DataFrame, text_col: str = "text",
     signature/index table anyway (``banded_signatures`` stores the same
     rows bucketed).
     """
-    from pyspark import StorageLevel
-    sig_df = minhash_signature_table(docs, text_col, id_col, num_hashes,
-                                     perm_hash).persist(
-                                         StorageLevel.MEMORY_AND_DISK)
+    sig_df = _persist_swap(
+        "minhash_clusters",
+        minhash_signature_table(docs, text_col, id_col, num_hashes,
+                                perm_hash))
     usig = sig_df.groupBy("sig").agg(F.min(id_col).alias("rep"))
     rep_banded = _band_explode(usig.select("rep", "sig"), ["rep"],
                                num_hashes, bands, bucket_hash)
@@ -340,10 +361,10 @@ def minhash_banded_pairs(docs: DataFrame, text_col: str, id_col: str,
     instead of failing the job — the signature stage is non-iterative, so
     plan truncation buys nothing here (see minhash_clusters).
     """
-    from pyspark import StorageLevel
-    sig_df = minhash_signature_table(docs, text_col, id_col, num_hashes,
-                                     perm_hash).persist(
-                                         StorageLevel.MEMORY_AND_DISK)
+    sig_df = _persist_swap(
+        "minhash_banded_pairs",
+        minhash_signature_table(docs, text_col, id_col, num_hashes,
+                                perm_hash))
     usig = sig_df.groupBy("sig").agg(F.min(id_col).alias("rep"),
                                      F.count(F.lit(1)).alias("cnt"))
     rep_banded = _band_explode(usig.select("rep", "sig"), ["rep"],
@@ -661,11 +682,12 @@ def simhash_near_dup_pairs(docs: DataFrame, text_col: str = "text",
     # two same-signature branches) — without materialization each one
     # re-runs the full explode + bits-way vote over the corpus (the same
     # rationale as the minhash siblings' persist above; lineage retained
-    # for executor-loss recovery, unlike localCheckpoint)
-    from pyspark import StorageLevel
-    sigs = (sig_fn(docs, text_col, id_col, bits)
-            .select(F.col(id_col).alias("id"), "sig")
-            .persist(StorageLevel.MEMORY_AND_DISK))
+    # for executor-loss recovery, unlike localCheckpoint). _persist_swap
+    # bounds repeated-call cache pressure to one live signature table.
+    sigs = _persist_swap(
+        "simhash_near_dup_pairs",
+        sig_fn(docs, text_col, id_col, bits)
+        .select(F.col(id_col).alias("id"), "sig"))
     mask = (1 << width) - 1
     # Exact-duplicate contraction: the banded self-join runs over DISTINCT
     # signatures, never documents. A boilerplate cluster of B identical docs

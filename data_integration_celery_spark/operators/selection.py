@@ -170,17 +170,45 @@ def bucket_log_ratios_fused(docs: DataFrame, target_cond: Column,
     feats = grams.select(
         "__t", feature_bucket(F.col("s"), n_buckets, hasher,
                               salt).alias("bucket"))
+    return _ratios_from_tagged_feats(docs.sparkSession, feats, n_buckets,
+                                     smoothing)
+
+
+def _ratios_from_tagged_feats(spark, feats: DataFrame, n_buckets: int,
+                              smoothing: float) -> DataFrame:
+    """Bucket log-ratios from a tagged feature stream — one row per hashed
+    gram with (``__t`` target-membership flag, ``bucket``). The shared
+    kernel of ``bucket_log_ratios_fused`` and ``dsir_select``'s
+    Column-target branch: count + count_if per bucket in one pass."""
     both = (feats.groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("raw_count"),
                  F.count_if(F.coalesce("__t", F.lit(False)))
                   .alias("target_count")))
-    spine = _bucket_spine(docs.sparkSession, n_buckets)
+    spine = _bucket_spine(spark, n_buckets)
     counts = (spine.join(both, "bucket", "left")
               .select("bucket",
                       F.coalesce("target_count", F.lit(0))
                        .alias("target_count"),
                       F.coalesce("raw_count", F.lit(0)).alias("raw_count")))
     return _ratios_from_counts(counts, n_buckets, smoothing)
+
+
+def _scores_from_feats(docs: DataFrame, feats: DataFrame,
+                       log_ratios: DataFrame, id_col: str) -> DataFrame:
+    """Per-document Σ log_ratio(bucket) from a (id, bucket) feature stream.
+    Broadcast join on the bucket, one shuffle (the per-doc aggregation);
+    featureless docs (empty/null text) keep a 0.0 score so selection sees
+    the whole corpus. Shared by ``dsir_scores`` and ``dsir_select``."""
+    scored = (feats.join(F.broadcast(log_ratios.select("bucket",
+                                                       "log_ratio")),
+                         "bucket")
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).alias("n_feats"),
+                   dsum("log_ratio", "score")))
+    return (docs.select(id_col).join(scored, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+                    F.coalesce("score", F.lit(0.0)).alias("score")))
 
 
 def dsir_scores(docs: DataFrame, log_ratios: DataFrame,
@@ -193,16 +221,7 @@ def dsir_scores(docs: DataFrame, log_ratios: DataFrame,
     0.0 score so selection sees the whole corpus."""
     feats = hashed_ngram_features(docs, text_col, id_col, n_buckets,
                                   hasher, salt)
-    scored = (feats.join(F.broadcast(log_ratios.select("bucket",
-                                                       "log_ratio")),
-                         "bucket")
-              .groupBy(id_col)
-              .agg(F.count(F.lit(1)).alias("n_feats"),
-                   dsum("log_ratio", "score")))
-    return (docs.select(id_col).join(scored, id_col, "left")
-            .select(id_col,
-                    F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
-                    F.coalesce("score", F.lit(0.0)).alias("score")))
+    return _scores_from_feats(docs, feats, log_ratios, id_col)
 
 
 def gumbel_topk(scored: DataFrame, k: int, score_col: str = "score",
@@ -266,28 +285,9 @@ def dsir_select(docs: DataFrame, target: DataFrame | Column, k: int,
                          feature_bucket(F.col("s"), n_buckets,
                                         hasher).alias("bucket"))
                  .persist(StorageLevel.MEMORY_AND_DISK))
-        both = (feats.groupBy("bucket")
-                .agg(F.count(F.lit(1)).alias("raw_count"),
-                     F.count_if(F.coalesce("__t", F.lit(False)))
-                      .alias("target_count")))
-        spine = _bucket_spine(docs.sparkSession, n_buckets)
-        counts = (spine.join(both, "bucket", "left")
-                  .select("bucket",
-                          F.coalesce("target_count", F.lit(0))
-                           .alias("target_count"),
-                          F.coalesce("raw_count", F.lit(0))
-                           .alias("raw_count")))
-        ratios = _ratios_from_counts(counts, n_buckets, smoothing)
-        per_doc = (feats.join(F.broadcast(ratios.select("bucket",
-                                                        "log_ratio")),
-                              "bucket")
-                   .groupBy(id_col)
-                   .agg(F.count(F.lit(1)).alias("n_feats"),
-                        dsum("log_ratio", "score")))
-        scored = (docs.select(id_col).join(per_doc, id_col, "left")
-                  .select(id_col,
-                          F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
-                          F.coalesce("score", F.lit(0.0)).alias("score")))
+        ratios = _ratios_from_tagged_feats(docs.sparkSession, feats,
+                                           n_buckets, smoothing)
+        scored = _scores_from_feats(docs, feats, ratios, id_col)
     else:
         t_feats = hashed_ngram_features(target, text_col, id_col,
                                         n_buckets, hasher)

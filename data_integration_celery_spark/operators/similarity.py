@@ -291,8 +291,9 @@ def ivf_build(corpus: DataFrame, n_centroids: int = 16, iters: int = 3,
     """Build an IVF (inverted-file) index: Lloyd's k-means over the corpus.
 
     Deterministic seeding (lowest ids), assignments via broadcast-centroid
-    BLAS blocks, centroid update via posexplode + per-dimension mean — every
-    step distributed except the (n_centroids × dim) centroid matrix itself.
+    BLAS blocks, centroid update via per-Arrow-batch partial sums reduced
+    driver-side in a fixed sort order — every step distributed except the
+    (n_centroids × dim) centroid matrix itself.
     Returns (assignments DataFrame (id, bucket), centroids ndarray).
     """
     import numpy as np
@@ -335,32 +336,46 @@ def ivf_build(corpus: DataFrame, n_centroids: int = 16, iters: int = 3,
             assign, f"{id_col} long, bucket int")
         if it == iters - 1:
             break
-        # centroid update: mean per (bucket, dim) of the NORMALIZED members
-        # — assignment scores unit vectors, so averaging RAW components
+        # centroid update: mean per bucket of the NORMALIZED members —
+        # assignment scores unit vectors, so averaging RAW components
         # would let one large-magnitude member drag the centroid and make
         # Lloyd's two steps optimize different objectives (the pq_train
-        # rule: normalize on both sides). The mean routes through
-        # DECIMAL(38,6) so partial-aggregation order can never move a
-        # boundary assignment between runs.
-        from ..functions.numeric import DEC
-        normed = (corpus.withColumn("__cn", _norm(F.col(vec_col)))
-                  .select(id_col, F.transform(
-                      F.col(vec_col),
-                      lambda x: x.cast("double") / F.col("__cn")).alias("__nv")))
-        joined = normed.join(assignments, id_col)
-        means = (joined.select("bucket", F.posexplode("__nv").alias("pos", "x"))
-                 .groupBy("bucket", "pos")
-                 .agg((F.sum(F.col("x").cast(DEC)).cast("double")
-                       / F.count(F.lit(1))).alias("m"))
-                 .groupBy("bucket")
-                 .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("vs"))
-                 .select("bucket", F.transform("vs", lambda s: s.m).alias("c"))
-                 .toPandas())
-        for _, row in means.iterrows():
-            v = np.array(row["c"], dtype="float64")
+        # rule: normalize on both sides). Computed as per-Arrow-batch
+        # float64 partial sums in ONE mapInPandas pass (assignment redone
+        # inline — cheap numpy), reduced on the driver in (bucket, batch
+        # min-id) sorted order: every float add happens in the same order
+        # every run, so a boundary assignment can never move between runs
+        # — the determinism the previous DECIMAL(38,6) posexplode mean
+        # bought, without its join + n×dim shuffle (measured ~1.5-2 s per
+        # update pass at sf0.1; this is training-only but ann_ivf_topk
+        # retrains per run by construction). Partials are K rows per Arrow
+        # batch — driver state stays bounded at batches × K × dim.
+
+        def partials(batches):
+            import pandas as pd
+            cm = bc.value
+            for block in batches:
+                vm = np.stack(block[vec_col].to_numpy()).astype("float64")
+                vm /= np.linalg.norm(vm, axis=1, keepdims=True)
+                bucket = np.argmax(vm @ cm.T, axis=1)
+                pkey = int(block[id_col].min())
+                rows = [(pkey, int(b), int((bucket == b).sum()),
+                         vm[bucket == b].sum(axis=0).tolist())
+                        for b in np.unique(bucket)]
+                yield pd.DataFrame(
+                    rows, columns=["pkey", "bucket", "cnt", "vsum"])
+
+        part_pdf = (corpus.select(id_col, vec_col)
+                    .mapInPandas(partials,
+                                 "pkey long, bucket int, cnt long, "
+                                 "vsum array<double>")
+                    .toPandas())
+        part_pdf = part_pdf.sort_values(["bucket", "pkey"])
+        for b, grp in part_pdf.groupby("bucket", sort=True):
+            v = np.sum(np.stack(grp["vsum"].to_numpy()), axis=0)
             n = np.linalg.norm(v)
             if n > 0:
-                centroids[int(row["bucket"])] = v / n
+                centroids[int(b)] = v / n
     # materialize the index (it IS the product — at scale it would be
     # written to storage) so the corpus cache can be released
     assignments = assignments.persist()

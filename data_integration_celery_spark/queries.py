@@ -409,6 +409,63 @@ def s6c_cdc_feed(spark, sf_dir):
     return t.changes(1, 2, keys=["o_orderkey"])
 
 
+@q("s10b_zorder_skipping",
+   sql="""
+   SELECT TRUE  AS custkey_prune_before_full,
+          TRUE  AS custkey_prune_after_lt_full,
+          TRUE  AS custkey_prune_after_le_half,
+          TRUE  AS orderkey_prune_after_lt_full,
+          (SELECT count(*) FROM orders
+           WHERE o_custkey <= (SELECT CAST(floor(max(o_custkey) / 8.0) AS BIGINT)
+                               FROM orders)) AS n_match
+   """,
+   doc="S10 (z-order form), driver-checked via the a14b boolean-verdict "
+       "pattern: multi-dimensional clustering claims that ARE checkable "
+       "as booleans even though file counts aren't SQL-expressible. "
+       "Create a TxTable range-clustered on o_orderkey (16 files): a "
+       "low-eighth o_custkey range prunes NOTHING (every file overlaps — "
+       "single-column range layout serves one column only). OPTIMIZE-"
+       "ZORDER on (o_orderkey, o_custkey) (operators/zorder.py Morton "
+       "interleave of equi-depth bucket ids, pure codegen): the same "
+       "predicate now opens < all files and <= half of them, while the "
+       "first column STILL prunes — the both-directions skipping that "
+       "pays for the commit log at 100 TB. n_match proves the pruned "
+       "scan is exact (no row lost to manifest-side skipping); the "
+       "oracle recomputes it from raw orders plus literal TRUEs.")
+def s10b_zorder_skipping(spark, sf_dir):
+    import glob as _glob
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from .sinks.txlog import TxTable
+    for old in _glob.glob(f"{_tempfile.gettempdir()}/txlog_zq_*"):
+        _shutil.rmtree(old, ignore_errors=True)
+    root = _tempfile.mkdtemp(prefix="txlog_zq_")
+    src = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    t = TxTable(spark, f"{root}/orders", batch_partitions=16)
+    t.create(src, stats_cols=["o_orderkey"])
+    n0 = len(t.live_files())
+    cmax = src.agg(F.max("o_custkey")).collect()[0][0]
+    hi = cmax // 8
+    before = len(t.snapshot(prune={"o_custkey": (0, hi)}).inputFiles())
+    t.compact(target_files=16, zorder=["o_orderkey", "o_custkey"], bits=4)
+    n1 = len(t.live_files())
+    pruned = t.snapshot(prune={"o_custkey": (0, hi)})
+    after = len(pruned.inputFiles())
+    kmax = src.agg(F.max("o_orderkey")).collect()[0][0]
+    key_after = len(
+        t.snapshot(prune={"o_orderkey": (0, kmax // 8)}).inputFiles())
+    n_match = pruned.where(F.col("o_custkey") <= hi).count()
+    return spark.createDataFrame(
+        [(before == n0, after < n1, after * 2 <= n1, key_after < n1,
+          n_match)],
+        "custkey_prune_before_full boolean, "
+        "custkey_prune_after_lt_full boolean, "
+        "custkey_prune_after_le_half boolean, "
+        "orderkey_prune_after_lt_full boolean, n_match bigint")
+
+
 # ---------------------------------------------------------------------------
 # Windows (W1, W2, W3, W4, W5, W6, W10) / sorts & top-k (O3)
 # ---------------------------------------------------------------------------
@@ -895,6 +952,26 @@ def txt_contamination_q(spark, sf_dir):
     return dedup.contamination_scores(corpus, bench)
 
 
+def _chain_edges(spark, sf_dir):
+    """Chain-graph edge fixture (consecutive orders linked within blocks of
+    4) built WITHOUT a global window: the engine's own two-phase rank
+    (hashpartitioned per-bucket windows + an n_buckets-row offset rollup)
+    replaces the r8 ``Window.orderBy`` row_number/lag — no data-row
+    ``Exchange SinglePartition`` anywhere in the generator; the predecessor
+    key comes from an equi-join on rn-1. Plan-contract-audited directly
+    (tools/explain_audit.py) because the components fixpoint checkpoints,
+    hiding the generator from the final plan."""
+    from .operators.windows import rank_rows_scalable
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    r = rank_rows_scalable(o, "o_orderkey")
+    cur = (r.where((F.col("rn") - 1) % 4 != 0)
+           .select(F.col("o_orderkey").alias("id_a"),
+                   (F.col("rn") - 1).alias("pr")))
+    prev = r.select(F.col("rn").alias("pr"),
+                    F.col("o_orderkey").alias("id_b"))
+    return cur.join(prev, "pr").select("id_a", "id_b")
+
+
 @q("dedup_components",
    sql="""
    WITH r AS (
@@ -916,14 +993,8 @@ def txt_contamination_q(spark, sf_dir):
        "converges in <=3 join+min-agg rounds.")
 def dedup_components_q(spark, sf_dir):
     from .operators import dedup
-    o = _t(spark, sf_dir, "orders").select("o_orderkey")
-    w = Window.orderBy("o_orderkey")
-    r = o.select("o_orderkey", F.row_number().over(w).alias("rn"),
-                 F.lag("o_orderkey").over(w).alias("prev_key"))
-    edges = (r.where((F.col("rn") - 1) % 4 != 0)
-             .select(F.col("o_orderkey").alias("id_a"),
-                     F.col("prev_key").alias("id_b")))
-    return dedup.connected_components(edges, fixed_rounds=3)\
+    return dedup.connected_components(_chain_edges(spark, sf_dir),
+                                      fixed_rounds=3)\
         .select("node", "component")
 
 
@@ -947,14 +1018,8 @@ def dedup_components_q(spark, sf_dir):
        "tests cover chains (min-label's worst case) and random graphs.")
 def dedup_components_star_q(spark, sf_dir):
     from .operators import dedup
-    o = _t(spark, sf_dir, "orders").select("o_orderkey")
-    w = Window.orderBy("o_orderkey")
-    r = o.select("o_orderkey", F.row_number().over(w).alias("rn"),
-                 F.lag("o_orderkey").over(w).alias("prev_key"))
-    edges = (r.where((F.col("rn") - 1) % 4 != 0)
-             .select(F.col("o_orderkey").alias("id_a"),
-                     F.col("prev_key").alias("id_b")))
-    return dedup.connected_components_star(edges).select("node", "component")
+    return dedup.connected_components_star(_chain_edges(spark, sf_dir))\
+        .select("node", "component")
 
 
 @q("dedup_minhash_lsh", sql=None,
@@ -4315,7 +4380,12 @@ def u5_schema_reconcile_q(spark, sf_dir):
 # twins + semdedup_incremental come in; minhash stream≡batch stays
 # pinned in pytest), txt_winnowing+txt_contamination+txt_pii_redact
 # (lm/chunk/bpe_train/ccnet stay + txt_features comes in),
-# mm_image_features (mm_video_frames comes in).
+# mm_image_features (mm_video_frames comes in). Session addition: the new
+# never-checked exact oracle s10b_zorder_skipping (VERDICT item 4 — z-order
+# + stats pruning promoted from pytest-only to a gated boolean-verdict
+# query) must hold a gated slot; ann_pq_rerank rests for it (r8-green,
+# full-shortlist ≡ brute-force identity ALSO pinned as a pytest twin in
+# test_pq.py, ANN family keeps ivf_full_probe + lsh_full_probe in-window).
 QUERY_PRIORITY: list[str] = [
     # scans / predicates / cleaning
     "p3_regex_filter", "s1_filtered_scan",
@@ -4344,15 +4414,17 @@ QUERY_PRIORITY: list[str] = [
     "txt_lm_perplexity", "txt_chunk_stride", "txt_bpe_train",
     "txt_ccnet_split", "txt_features",
     "mm_video_frames",
-    "ann_ivf_full_probe", "ann_pq_rerank", "ann_lsh_full_probe",
+    "ann_ivf_full_probe", "ann_lsh_full_probe",
     "emb_centroid_outliers",
     "smp_token_budget", "smp_dsir_md5", "smp_pack_sequences",
     "smp_hash_split", "smp_mixture_resample", "smp_source_quota",
     "stream_bars_1min",
     "s6b_acid_merge", "s6c_cdc_feed",
     "s6_upsert_last_write_wins",
+    "s10b_zorder_skipping",
     # ---- position 51+: triple/double-green history, sibling-covered,
     # ---- or rows-only (no oracle) ----
+    "ann_pq_rerank",
     "f5_rename_ladder", "j2_three_source_merge", "j13_incremental_ranges",
     "a7_two_level_agg", "a8_median_cross_section",
     "a11_accumulation_detect", "u1_union_distinct",

@@ -40,9 +40,10 @@ Scale notes (the 100 TB shape):
   range overlaps the update keys are rewritten (copy-on-write), the rest of
   the table is never opened. Batches are ``repartitionByRange`` on
   ``stats_cols`` so ranges are tight and pruning actually bites.
-* ``put_if_absent`` maps to ``O_CREAT|O_EXCL`` locally (this module),
-  ``FileSystem.create(overwrite=false)`` on HDFS, and a coordination service
-  or conditional-PUT on object stores — the LogStore seam is one method.
+* ``put_if_absent`` maps to ``O_CREAT|O_EXCL`` locally (``LocalLogStore``),
+  an atomic no-overwrite ``FileContext.rename`` on HDFS (``HadoopLogStore``),
+  and a coordination service or conditional-PUT on object stores — the
+  LogStore seam is one method.
 
 Concurrency contract (optimistic): blind ``append`` never conflicts — on a
 lost race it re-commits at the next version (its files are already on disk;
@@ -115,13 +116,98 @@ class LocalLogStore:
                 out.append(int(stem))
         return sorted(out)
 
+    def ensure_dir(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+
+class HadoopLogStore:
+    """Atomic put-if-absent via Hadoop's ``FileContext.rename(...,
+    Options.Rename.NONE)`` — the published HDFS LogStore design (Armbrust
+    et al., "Delta Lake", VLDB 2020, §3.2: write the payload to a unique
+    temp name, then an atomic no-overwrite rename publishes it; of N
+    writers racing to publish the same version, exactly ONE rename
+    succeeds in the NameNode). This is the store that makes ``TxTable``
+    cluster-real: commits work on ``hdfs://`` paths from any executor
+    host, where ``LocalLogStore``'s ``link(2)`` needs a shared POSIX
+    filesystem. On ``file://`` it degrades to the same POSIX rename
+    semantics. NOT safe on raw S3A — S3 has no atomic no-overwrite
+    rename; an S3 port needs an external coordinator (the paper's
+    DynamoDB LogStore), which this seam accommodates as a third class.
+
+    Needs a live ``SparkSession`` only for py4j access to the JVM Hadoop
+    client; all I/O (read/list/mkdirs) goes through the same
+    ``FileSystem``, so a TxTable rooted at an ``hdfs://`` path works
+    end-to-end with this store.
+    """
+
+    def __init__(self, spark: SparkSession):
+        self._jvm = spark._jvm
+        self._gw = spark.sparkContext._gateway
+        self._conf = spark._jsc.hadoopConfiguration()
+
+    def _hpath(self, path: str):
+        return self._jvm.org.apache.hadoop.fs.Path(path)
+
+    def _fs(self, hpath):
+        return hpath.getFileSystem(self._conf)
+
+    def put_if_absent(self, path: str, payload: bytes) -> bool:
+        dst = self._hpath(path)
+        tmp = self._hpath(f"{path}.{uuid.uuid4().hex}.tmp")
+        fs = self._fs(dst)
+        out = fs.create(tmp, True)
+        try:
+            out.write(bytearray(payload))
+            out.hflush()
+        finally:
+            out.close()
+        fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            dst.toUri(), self._conf)
+        opts = self._gw.new_array(
+            self._jvm.org.apache.hadoop.fs.Options.Rename, 1)
+        opts[0] = self._jvm.org.apache.hadoop.fs.Options.Rename.NONE
+        try:
+            fc.rename(tmp, dst, opts)
+            return True
+        except Exception as exc:  # FileAlreadyExistsException → lost race
+            fs.delete(tmp, False)
+            if "FileAlreadyExists" in str(exc) or "already exists" in str(exc):
+                return False
+            raise
+
+    def read(self, path: str) -> dict:
+        p = self._hpath(path)
+        stream = self._fs(p).open(p)
+        try:
+            raw = self._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        finally:
+            stream.close()
+        return json.loads(bytes(raw))
+
+    def list_versions(self, log_dir: str, suffix: str = ".json") -> list[int]:
+        d = self._hpath(log_dir)
+        fs = self._fs(d)
+        if not fs.exists(d):
+            return []
+        out = []
+        for st in fs.listStatus(d):
+            name = st.getPath().getName()
+            stem = name[:-len(suffix)]
+            if name.endswith(suffix) and stem.isdigit():
+                out.append(int(stem))
+        return sorted(out)
+
+    def ensure_dir(self, path: str) -> None:
+        p = self._hpath(path)
+        self._fs(p).mkdirs(p)
+
 
 class TxTable:
     """A parquet table with an ACID commit log (create/append/merge/overwrite,
     snapshot isolation, time travel, vacuum, compaction)."""
 
     def __init__(self, spark: SparkSession, path: str,
-                 store: LocalLogStore | None = None,
+                 store: "LocalLogStore | HadoopLogStore | None" = None,
                  batch_partitions: int | None = None,
                  checkpoint_interval: int = 20):
         """``batch_partitions`` pins the range-partition count per written
@@ -230,7 +316,13 @@ class TxTable:
         for v in versions:
             commit = self.store.read(self._log_path(v))
             if commit.get("schema"):
-                meta = commit
+                # every commit carries 'schema', but only create/overwrite/
+                # compact carry 'stats_cols' — preserve the carried value so
+                # _stats_cols never needs its O(table-age) history() fallback
+                if "stats_cols" in commit or "stats_cols" not in meta:
+                    meta = commit
+                else:
+                    meta = dict(commit, stats_cols=meta["stats_cols"])
             for rel in commit.get("remove", []):
                 live.pop(rel, None)
             for add in commit.get("add", []):
@@ -347,7 +439,7 @@ class TxTable:
         still applies exactly once; a skipped commit's staged files become
         vacuumable orphans.
         """
-        os.makedirs(self.log_dir, exist_ok=True)
+        self.store.ensure_dir(self.log_dir)
         attempt_version = read_version + 1
         while True:
             latest = self.latest_version()
@@ -392,9 +484,13 @@ class TxTable:
                         and attempt_version % self.checkpoint_interval == 0):
                     self._write_checkpoint(attempt_version)
                 return attempt_version
-            # lost the O_EXCL race for this exact version: loop re-reads the
-            # log; blind appends move to the next slot, readers raise above
-            attempt_version += 1 if blind_append else 0
+            # lost the O_EXCL race for this exact version: loop WITHOUT
+            # advancing attempt_version — latest_version() now sees the
+            # rival commit, so the `latest >= attempt_version` branch runs
+            # the overwrite/create conflict check and schema carry-forward
+            # before picking the next slot (advancing here would skip both:
+            # the append could land after a table replacement, or re-commit
+            # a stale schema over a concurrent widening)
 
     # ---------------------------------------------------------------- ops --
 
@@ -529,6 +625,10 @@ class TxTable:
         version-to-version incremental consumer viable at 100 TB.
         """
         v_to = v_to if v_to is not None else self.latest_version()
+        if v_from > v_to:
+            raise ValueError(
+                f"changes() requires v_from <= v_to, got {v_from} > {v_to} "
+                f"(a reversed range would silently invert the feed)")
         _, meta_to, adds_to = self._replay(v_to)
         _, _meta_from, adds_from = self._replay(v_from)
         schema = StructType.fromJson(json.loads(meta_to["schema"]))

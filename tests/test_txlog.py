@@ -763,3 +763,160 @@ def test_last_txn_resumes_from_checkpoint(spark, sf_dir, tdir):
     assert t.last_txn("stream-a") == 3
     assert t.last_txn("stream-b") == 100
     assert t.snapshot().count() == 30
+
+
+# ------------------------------------------- lost put_if_absent races (r9)
+
+
+class _LosingStore(LocalLogStore):
+    """Fires a rival commit (via another handle) IMMEDIATELY BEFORE the first
+    append-commit's put_if_absent, so the O_EXCL create itself loses — the
+    race branch the pre-r9 tests never reached (they only simulated a rival
+    landing before the attempt started)."""
+
+    def __init__(self, rival_fn):
+        self.rival_fn = rival_fn
+        self.fired = False
+
+    def put_if_absent(self, path, payload):
+        if not self.fired and json.loads(payload).get("op") == "append":
+            self.fired = True
+            self.rival_fn()
+        return super().put_if_absent(path, payload)
+
+
+def test_append_lost_putifabsent_to_overwrite_raises(spark, sf_dir, tdir):
+    """An append whose put_if_absent loses to a table-replacing commit must
+    raise ConflictError, never silently land after the replacement."""
+    src = _orders(spark, sf_dir).limit(10)
+    a = TxTable(spark, tdir)
+    a.create(src)
+    b = TxTable(spark, tdir,
+                store=_LosingStore(lambda: a.overwrite(src.limit(3))))
+    with pytest.raises(ConflictError):
+        b.append(src)
+    assert a.snapshot().count() == 3  # the overwrite's state is untouched
+
+
+def test_append_lost_putifabsent_carries_widened_schema(spark, sf_dir, tdir):
+    """An append whose put_if_absent loses to a schema-widening commit must
+    retry with the WIDENED schema (advancing attempt_version on the lost
+    race used to skip the carry-forward and regress the table schema)."""
+    src = _orders(spark, sf_dir).limit(10)
+    a = TxTable(spark, tdir)
+    a.create(src)
+    widen = lambda: a.append(src.withColumn("o_flag", F.lit(1)),
+                             merge_schema=True)
+    b = TxTable(spark, tdir, store=_LosingStore(widen))
+    v = b.append(src)
+    assert v == 3  # create=1, rival widen=2, retried append=3
+    with open(os.path.join(tdir, "_txlog", f"{v:020d}.json")) as f:
+        assert "o_flag" in json.load(f)["schema"]
+    got = b.snapshot()
+    assert "o_flag" in got.columns
+    assert got.count() == 30
+    assert got.where(F.col("o_flag") == 1).count() == 10
+
+
+def test_changes_rejects_reversed_range(spark, sf_dir, tdir):
+    t = TxTable(spark, tdir)
+    src = _orders(spark, sf_dir).limit(10)
+    t.create(src)
+    t.append(src)
+    with pytest.raises(ValueError, match="v_from <= v_to"):
+        t.changes(2, 1)
+
+
+def test_stats_cols_survive_replay_without_history_scan(spark, sf_dir, tdir):
+    """Append commits carry 'schema' but not 'stats_cols'; _replay must
+    preserve the carried stats_cols so _stats_cols never falls back to the
+    O(table-age) full-history scan."""
+    t = TxTable(spark, tdir)
+    src = _orders(spark, sf_dir).limit(10)
+    t.create(src, stats_cols=["o_orderkey"])
+    t.append(src)
+    t.append(src)
+    _, meta, _ = t._replay()
+    assert meta.get("stats_cols") == ["o_orderkey"]
+    t.history = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("O(table-age) history() fallback was used"))
+    assert t._stats_cols(meta) == ["o_orderkey"]
+
+
+# --------------------------------------------- HadoopLogStore (r9, VERDICT 3)
+
+
+def test_hadoop_logstore_end_to_end(spark, sf_dir, tdir):
+    """TxTable runs its full create → append → pruned CoW merge → snapshot /
+    time-travel cycle through the Hadoop FileContext store (the HDFS
+    LogStore design), not the POSIX link(2) one."""
+    from data_integration_celery_spark.sinks.txlog import HadoopLogStore
+    t = TxTable(spark, tdir, store=HadoopLogStore(spark),
+                batch_partitions=4)
+    src = _orders(spark, sf_dir).limit(100)
+    assert t.create(src, stats_cols=["o_orderkey"]) == 1
+    assert t.append(src.withColumn("o_orderkey",
+                                   F.col("o_orderkey") + 10_000_000)) == 2
+    upd = (src.limit(10)
+           .withColumn("o_totalprice", F.col("o_totalprice") * 2))
+    assert t.merge_upsert(upd, keys=["o_orderkey"]) == 3
+    assert t.snapshot().count() == 200
+    assert t.snapshot(1).count() == 100  # time travel through the same store
+    # commit files written by the Hadoop store are plain JSON on disk —
+    # byte-compatible with LocalLogStore readers
+    t2 = TxTable(spark, tdir)  # default LocalLogStore
+    assert t2.snapshot().count() == 200
+
+
+def test_hadoop_and_local_store_race_one_winner(spark, tdir):
+    """The two stores' primitives (link(2) vs FileContext rename-NONE) are
+    mutually exclusive on the same path: racing one of each, exactly one
+    put_if_absent wins and the winner's payload survives intact."""
+    from data_integration_celery_spark.sinks.txlog import HadoopLogStore
+    path = os.path.join(tdir, "00000000000000000007.json")
+    local, hadoop = LocalLogStore(), HadoopLogStore(spark)
+    r1 = local.put_if_absent(path, b'{"who": "local"}')
+    r2 = hadoop.put_if_absent(path, b'{"who": "hadoop"}')
+    assert (r1, r2) == (True, False)
+    assert local.read(path) == {"who": "local"}
+    assert hadoop.read(path) == {"who": "local"}
+    # and the reverse order on a fresh path
+    path2 = os.path.join(tdir, "00000000000000000008.json")
+    assert hadoop.put_if_absent(path2, b'{"who": "hadoop"}') is True
+    assert local.put_if_absent(path2, b'{"who": "local"}') is False
+    assert hadoop.read(path2) == {"who": "hadoop"}
+    assert hadoop.list_versions(tdir) == [7, 8]
+
+
+def _race_worker(path, idx, barrier, q):
+    """Top-level for fork: barrier-sync N OS processes, then race
+    put_if_absent on the SAME commit path; report (idx, won) via queue."""
+    from data_integration_celery_spark.sinks.txlog import LocalLogStore
+    barrier.wait(timeout=30)
+    won = LocalLogStore().put_if_absent(path, b'{"winner": %d}' % idx)
+    q.put((idx, won))
+
+
+def test_put_if_absent_cross_process_race(tdir):
+    """Cross-PROCESS put-if-absent: 8 OS processes (not threads) race to
+    commit the same version; exactly one open(O_EXCL)/link wins — the
+    multi-writer guarantee TxTable's optimistic commit is built on
+    (in-process thread races can't prove O_EXCL, only the GIL)."""
+    import multiprocessing as mp
+    ctx = mp.get_context("fork")
+    n = 8
+    barrier = ctx.Barrier(n)
+    q = ctx.Queue()
+    path = os.path.join(tdir, "00000000000000000001.json")
+    procs = [ctx.Process(target=_race_worker, args=(path, i, barrier, q))
+             for i in range(n)]
+    for pr in procs:
+        pr.start()
+    results = [q.get(timeout=60) for _ in range(n)]
+    for pr in procs:
+        pr.join(timeout=30)
+    winners = [i for i, won in results if won]
+    assert len(winners) == 1, f"expected exactly one winner, got {winners}"
+    body = json.load(open(path))
+    assert body == {"winner": winners[0]}  # payload intact, never clobbered
+    assert not glob.glob(os.path.join(tdir, "*.tmp"))

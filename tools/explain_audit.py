@@ -99,6 +99,18 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
     "w1b_rank_scalable": (
         [r"hashpartitioning\(__bkt"],
         [r"CartesianProduct"]),
+    # connected-components fixture: the chain-edge generator must use the
+    # two-phase rank (per-bucket windows), never a data-row global window
+    # — the only SinglePartition allowed is the n_buckets-row offset
+    # rollup (input [__bkt, __n]); an o_orderkey-carrying SinglePartition
+    # is the r8 Window.orderBy shape this guard exists to ban. Audited on
+    # the generator DF itself (EXTRA_PLANS) because the components
+    # fixpoint checkpoints — the final plan is an RDD scan that would
+    # make a registry-level guard vacuously green.
+    "dedup_components__edges": (
+        [r"hashpartitioning\(__bkt"],
+        [r"CartesianProduct",
+         r"\[[^\]\n]*o_orderkey[^\]\n]*\]\nArguments: SinglePartition"]),
     # deterministic sampling: a pure map-only projection — NO shuffle at
     # all, and the scan must prune to the id column alone
     "smp_hash_split": (
@@ -350,6 +362,14 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
 }
 
 
+def _extra_plans():
+    """Audited DataFrames that are NOT registry queries — sub-plans whose
+    contract would be hidden from the final plan (checkpoint/persist
+    truncation). name → callable(spark, sf_dir) -> DataFrame."""
+    from data_integration_celery_spark.queries import _chain_edges
+    return {"dedup_components__edges": _chain_edges}
+
+
 def main() -> None:
     from data_integration_celery_spark.queries import QUERIES
     from data_integration_celery_spark.session import get_spark
@@ -357,9 +377,13 @@ def main() -> None:
     spark = get_spark("explain-audit")
     spark.sparkContext.setLogLevel("ERROR")
     jvm_mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
+    extra = _extra_plans()
     failures = []
     for name, (must, must_not) in RULES.items():
-        df = QUERIES[name].spark(spark, SF)
+        if name in extra:
+            df = extra[name](spark, SF)
+        else:
+            df = QUERIES[name].spark(spark, SF)
         plan = df._jdf.queryExecution().explainString(jvm_mode.fromString("formatted"))
         for pat in must:
             if not re.search(pat, plan):
