@@ -11,6 +11,28 @@ Scale notes: the window-dedup shuffles once on the PK — exactly the shuffle a
 Delta MERGE would do. At 100 TB you'd bound it by partitioning the target by
 date and only rewriting touched partitions (``replaceWhere`` semantics —
 see ``overwrite_partitions``); per-key conflict resolution stays identical.
+
+One upsert story — the engine ships TWO durability contracts around ONE
+merge kernel (``upsert_frames``; single-code-path contract pinned by
+tests/test_txlog.py::test_single_upsert_kernel_contract, value equivalence
+by ``test_merge_upsert_matches_upsert_frames`` /
+``test_write_upsert_and_txtable_agree_on_disk``):
+
+=====================  ==============================  =======================
+concern                ``write_upsert`` (+partitioned)  ``TxTable.merge_upsert``
+=====================  ==============================  =======================
+writers                ONE per table (staging+rename)  many (optimistic log)
+crash safety           ``recover_table`` rollback      log is the truth
+readers during write   2-rename unreadable window      snapshot isolation
+history                latest only                     time travel, CDC, restore
+write amplification    whole table / touched parts     stat-pruned CoW files
+metadata cost          none (bare parquet)             commit log + checkpoints
+choose it for          single-writer staging, simple   shared tables, streaming
+                       exports, scratch outputs        exactly-once, audits
+=====================  ==============================  =======================
+
+A pipeline can switch contracts without changing merge semantics: both sinks
+resolve conflicts with the same last-write-wins rule, tiebreaks included.
 """
 
 from __future__ import annotations

@@ -27,7 +27,10 @@ from data_integration_celery_spark.queries import QUERIES
 # the two components queries by spelling integer division as
 # CAST(floor(a / b) AS BIGINT) — `//` is DuckDB-only, and float division
 # is exact here because rn < 2^26; round 8 added a14b_sketch_errorband,
-# whose boolean-verdict oracle is plain ANSI aggregation — 47 total; the
+# whose boolean-verdict oracle is plain ANSI aggregation — 47; round 9
+# added the three ACID/z-order oracles (s6b_acid_merge, s6c_cdc_feed,
+# s10b_zorder_skipping — plain ANSI: unions, windows, literal-TRUE
+# verdicts, scalar subqueries) — 50 total; the
 # recursive-CTE oracles (w8b/pack/bpe) remain DuckDB-only by their list
 # functions (string_split_regex/list_position), not by the recursion)
 PORTABLE_CORE = [
@@ -47,7 +50,8 @@ PORTABLE_CORE = [
     "pipeline_e2_merge_daily", "pipeline_region_revenue",
     "pipeline_revenue_topk", "pipeline_sector_median",
     "pipeline_worst_window_return", "s1_filtered_scan",
-    "s6_upsert_last_write_wins", "smp_hash_split",
+    "s6_upsert_last_write_wins", "s6b_acid_merge", "s6c_cdc_feed",
+    "s10b_zorder_skipping", "smp_hash_split",
     "smp_mixture_resample", "smp_source_quota", "u1_union_distinct",
     "u4_scd2_intervals", "w10_monthly_sample", "w12_pivot_status",
     "w1_rank_returns", "w1b_rank_scalable", "w2_lead_lag_gaps",
@@ -55,7 +59,7 @@ PORTABLE_CORE = [
     "w8_quarterize",
 ]
 
-MIN_PORTABLE = 45
+MIN_PORTABLE = 48
 
 
 def _canon(df):

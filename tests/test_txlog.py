@@ -920,3 +920,46 @@ def test_put_if_absent_cross_process_race(tdir):
     body = json.load(open(path))
     assert body == {"winner": winners[0]}  # payload intact, never clobbered
     assert not glob.glob(os.path.join(tdir, "*.tmp"))
+
+
+# -------------------------------------- one-upsert-story contract (r9, V8)
+
+
+def test_single_upsert_kernel_contract():
+    """Both durability contracts (write_upsert's staging+rename and
+    TxTable.merge_upsert's commit log) must resolve conflicts through the
+    ONE shared kernel — upsert_frames. A second inline merge implementation
+    is exactly the drift the decision matrix in operators/upsert.py exists
+    to prevent."""
+    import inspect
+
+    from data_integration_celery_spark.sinks import txlog
+    from data_integration_celery_spark.operators import upsert as upsert_mod
+    assert "upsert_frames(" in inspect.getsource(TxTable.merge_upsert)
+    assert txlog.upsert_frames is upsert_mod.upsert_frames
+    assert "upsert_frames(" in inspect.getsource(upsert_mod.write_upsert)
+    assert "upsert_frames(" in inspect.getsource(
+        upsert_mod.write_upsert_partitioned)
+
+
+def test_write_upsert_and_txtable_agree_on_disk(spark, sf_dir, tdir):
+    """End-to-end value equivalence of the two durability contracts on the
+    SAME inputs, including the order_col tiebreak: the single-writer
+    staging sink and the ACID table commit identical on-disk states."""
+    from data_integration_celery_spark.operators.upsert import write_upsert
+    src = (_orders(spark, sf_dir).limit(200)
+           .withColumn("batch_id", F.lit(0)))
+    upd = (src.where(F.col("o_orderkey") % 3 == 0)
+           .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+           .withColumn("batch_id", F.lit(1)))
+    plain = os.path.join(tdir, "plain")
+    write_upsert(spark, src, plain, keys=["o_orderkey"])
+    write_upsert(spark, upd, plain, keys=["o_orderkey"])
+
+    t = TxTable(spark, os.path.join(tdir, "acid"))
+    t.create(src.drop("batch_id"))
+    t.merge_upsert(upd, keys=["o_orderkey"])
+
+    got_plain = _rows(spark.read.parquet(plain))
+    got_acid = _rows(t.snapshot())
+    assert got_plain == got_acid and len(got_plain) == 200
