@@ -466,6 +466,57 @@ def s10b_zorder_skipping(spark, sf_dir):
         "orderkey_prune_after_lt_full boolean, n_match bigint")
 
 
+@q("s6d_stream_txlog_exactly_once",
+   sql="""
+   SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+   """,
+   doc="§2.10 + S6b composed, driver-checked: the exactly-once streaming "
+       "sink into the ACID table (streaming/jobs.txlog_sink, APPEND mode — "
+       "the mode where checkpoint replay WOULD duplicate rows without the "
+       "txn stamp). Orders is split into 6 files, streamed one file per "
+       "micro-batch, and the query is STOPPED after the first progress "
+       "then restarted — the restart replays at-least-once from the "
+       "checkpoint, the table's (app_id, batch_id) txn dedup makes it "
+       "exactly-once. The oracle is the bare source relation: any "
+       "replayed-batch duplicate breaks the row-count match, any lost "
+       "batch breaks it the other way, and the hash match proves the "
+       "committed snapshot is byte-faithful to the source.")
+def s6d_stream_txlog_exactly_once(spark, sf_dir):
+    import glob as _glob
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import time as _time
+
+    from .sinks.txlog import TxTable
+    from .streaming import jobs
+    for old in _glob.glob(f"{_tempfile.gettempdir()}/txlog_sq_*"):
+        _shutil.rmtree(old, ignore_errors=True)
+    root = _tempfile.mkdtemp(prefix="txlog_sq_")
+    src = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    split_dir = f"{root}/src"
+    src.repartition(6).write.parquet(split_dir)
+    target, ckpt = f"{root}/table", f"{root}/ckpt"
+
+    def start():
+        stream = (spark.readStream.schema(src.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(split_dir))
+        return (jobs.txlog_sink(stream, target, keys=None, checkpoint=ckpt,
+                                app_id="orders-append")
+                .trigger(availableNow=True).start())
+
+    q1 = start()
+    for _ in range(600):  # stop mid-stream once the first batch committed
+        if any(p["numInputRows"] > 0 for p in q1.recentProgress):
+            break
+        _time.sleep(0.05)
+    q1.stop()
+    q1.awaitTermination(60)
+    q2 = start()  # replays from the checkpoint; txn stamps dedup
+    q2.awaitTermination(120)
+    return TxTable(spark, target).snapshot()
+
+
 # ---------------------------------------------------------------------------
 # Windows (W1, W2, W3, W4, W5, W6, W10) / sorts & top-k (O3)
 # ---------------------------------------------------------------------------
@@ -4386,6 +4437,11 @@ def u5_schema_reconcile_q(spark, sf_dir):
 # query) must hold a gated slot; ann_pq_rerank rests for it (r8-green,
 # full-shortlist ≡ brute-force identity ALSO pinned as a pytest twin in
 # test_pq.py, ANN family keeps ivf_full_probe + lsh_full_probe in-window).
+# Second session addition: s6d_stream_txlog_exactly_once (the exactly-once
+# streaming→ACID-table sink promoted from pytest-only to a gated
+# restart-replay query, green sf0.01+sf0.1 first try, ~12s FIXED micro-
+# batch cost at both SFs); txt_chunk_stride rests for it (r8-green, the
+# text family keeps lm/bpe_train/ccnet/features in-window).
 QUERY_PRIORITY: list[str] = [
     # scans / predicates / cleaning
     "p3_regex_filter", "s1_filtered_scan",
@@ -4411,7 +4467,7 @@ QUERY_PRIORITY: list[str] = [
     "dedup_embedding_pairs",
     "dedup_simhash_md5", "dedup_simhash_hamming_md5",
     "dedup_semdedup_incremental",
-    "txt_lm_perplexity", "txt_chunk_stride", "txt_bpe_train",
+    "txt_lm_perplexity", "txt_bpe_train",
     "txt_ccnet_split", "txt_features",
     "mm_video_frames",
     "ann_ivf_full_probe", "ann_lsh_full_probe",
@@ -4421,10 +4477,10 @@ QUERY_PRIORITY: list[str] = [
     "stream_bars_1min",
     "s6b_acid_merge", "s6c_cdc_feed",
     "s6_upsert_last_write_wins",
-    "s10b_zorder_skipping",
+    "s10b_zorder_skipping", "s6d_stream_txlog_exactly_once",
     # ---- position 51+: triple/double-green history, sibling-covered,
     # ---- or rows-only (no oracle) ----
-    "ann_pq_rerank",
+    "ann_pq_rerank", "txt_chunk_stride",
     "f5_rename_ladder", "j2_three_source_merge", "j13_incremental_ranges",
     "a7_two_level_agg", "a8_median_cross_section",
     "a11_accumulation_detect", "u1_union_distinct",
