@@ -331,6 +331,26 @@ def s6_upsert(spark, sf_dir):
     return upsert.upsert_frames(o, updates, keys=["o_orderkey"])
 
 
+def _fresh_tmp_table_root(prefix: str) -> str:
+    """mkdtemp for a query-scoped TxTable, reclaiming ONLY stale siblings
+    (>1h old). An unconditional glob-rmtree here made concurrent harness
+    runs of the same query mutually destructive: pytest's registry sweep
+    deleted the scale tool's in-flight table mid-read (r9 incident). The
+    age guard keeps /tmp bounded without cross-run interference."""
+    import glob as _glob
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import time as _time
+    now = _time.time()
+    for old in _glob.glob(f"{_tempfile.gettempdir()}/{prefix}*"):
+        try:
+            if now - os.path.getmtime(old) > 3600:
+                _shutil.rmtree(old, ignore_errors=True)
+        except OSError:
+            pass
+    return _tempfile.mkdtemp(prefix=prefix)
+
+
 @q("s6b_acid_merge",
    sql="""
    WITH unioned AS (
@@ -350,14 +370,8 @@ def s6_upsert(spark, sf_dir):
        "(tasks/backend/__init__.py:16-38) and write_upsert documents as its "
        "single-writer gap.")
 def s6b_acid_merge(spark, sf_dir):
-    import glob as _glob
-    import shutil as _shutil
-    import tempfile as _tempfile
-
     from .sinks.txlog import TxTable
-    for old in _glob.glob(f"{_tempfile.gettempdir()}/txlog_q_*"):
-        _shutil.rmtree(old, ignore_errors=True)
-    root = _tempfile.mkdtemp(prefix="txlog_q_")
+    root = _fresh_tmp_table_root("txlog_q_")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus")
     t = TxTable(spark, f"{root}/orders", batch_partitions=8)
     t.create(o, stats_cols=["o_orderkey"])
@@ -391,14 +405,8 @@ def s6b_acid_merge(spark, sf_dir):
        "touched key PROVABLY changes — a no-op update would be excluded "
        "by the feed but included by the oracle join.")
 def s6c_cdc_feed(spark, sf_dir):
-    import glob as _glob
-    import shutil as _shutil
-    import tempfile as _tempfile
-
     from .sinks.txlog import TxTable
-    for old in _glob.glob(f"{_tempfile.gettempdir()}/txlog_cdc_*"):
-        _shutil.rmtree(old, ignore_errors=True)
-    root = _tempfile.mkdtemp(prefix="txlog_cdc_")
+    root = _fresh_tmp_table_root("txlog_cdc_")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus")
     t = TxTable(spark, f"{root}/orders", batch_partitions=8)
     t.create(o, stats_cols=["o_orderkey"])
@@ -433,14 +441,8 @@ def s6c_cdc_feed(spark, sf_dir):
        "scan is exact (no row lost to manifest-side skipping); the "
        "oracle recomputes it from raw orders plus literal TRUEs.")
 def s10b_zorder_skipping(spark, sf_dir):
-    import glob as _glob
-    import shutil as _shutil
-    import tempfile as _tempfile
-
     from .sinks.txlog import TxTable
-    for old in _glob.glob(f"{_tempfile.gettempdir()}/txlog_zq_*"):
-        _shutil.rmtree(old, ignore_errors=True)
-    root = _tempfile.mkdtemp(prefix="txlog_zq_")
+    root = _fresh_tmp_table_root("txlog_zq_")
     src = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice")
     t = TxTable(spark, f"{root}/orders", batch_partitions=16)
@@ -482,16 +484,11 @@ def s10b_zorder_skipping(spark, sf_dir):
        "batch breaks it the other way, and the hash match proves the "
        "committed snapshot is byte-faithful to the source.")
 def s6d_stream_txlog_exactly_once(spark, sf_dir):
-    import glob as _glob
-    import shutil as _shutil
-    import tempfile as _tempfile
     import time as _time
 
     from .sinks.txlog import TxTable
     from .streaming import jobs
-    for old in _glob.glob(f"{_tempfile.gettempdir()}/txlog_sq_*"):
-        _shutil.rmtree(old, ignore_errors=True)
-    root = _tempfile.mkdtemp(prefix="txlog_sq_")
+    root = _fresh_tmp_table_root("txlog_sq_")
     src = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderstatus")
     split_dir = f"{root}/src"

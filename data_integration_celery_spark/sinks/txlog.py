@@ -119,6 +119,37 @@ class LocalLogStore:
     def ensure_dir(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
 
+    # --- maintenance I/O (vacuum/restore run wherever the driver runs) ---
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def delete(self, path: str) -> None:
+        os.unlink(path)
+
+    def list_files(self, root: str) -> list[tuple[str, float]]:
+        """All (abs_path, mtime_seconds) under ``root``, skipping in-flight
+        Spark ``_temporary`` staging subtrees."""
+        out: list[tuple[str, float]] = []
+        for dirpath, dirnames, filenames in os.walk(root):
+            if "_temporary" in dirnames:
+                dirnames.remove("_temporary")
+            for name in filenames:
+                p = os.path.join(dirpath, name)
+                out.append((p, os.path.getmtime(p)))
+        return out
+
+    def prune_empty_dirs(self, root: str, ttl_seconds: float,
+                         now: float) -> None:
+        """Remove emptied batch dirs older than the TTL (a young empty dir
+        is an in-flight writer's staging area, not garbage)."""
+        for dirpath, dirnames, filenames in list(
+                os.walk(root, topdown=False)):
+            if (dirpath != root and not dirnames
+                    and not _has_data(filenames)
+                    and now - os.path.getmtime(dirpath) >= ttl_seconds):
+                _rm_dir_quiet(dirpath)
+
 
 class HadoopLogStore:
     """Atomic put-if-absent via Hadoop's ``FileContext.rename(...,
@@ -200,6 +231,57 @@ class HadoopLogStore:
     def ensure_dir(self, path: str) -> None:
         p = self._hpath(path)
         self._fs(p).mkdirs(p)
+
+    # --- maintenance I/O — same contract as LocalLogStore, so vacuum/
+    # restore/time-travel work against hdfs:// tables too ---
+
+    def exists(self, path: str) -> bool:
+        p = self._hpath(path)
+        return self._fs(p).exists(p)
+
+    def delete(self, path: str) -> None:
+        p = self._hpath(path)
+        self._fs(p).delete(p, False)
+
+    def list_files(self, root: str) -> list[tuple[str, float]]:
+        r = self._hpath(root)
+        fs = self._fs(r)
+        if not fs.exists(r):
+            return []
+        out: list[tuple[str, float]] = []
+        it = fs.listFiles(r, True)
+        while it.hasNext():
+            st = it.next()
+            p = st.getPath().toUri().getPath()
+            if "/_temporary/" in p:
+                continue  # in-flight Spark staging
+            out.append((p, st.getModificationTime() / 1000.0))
+        return out
+
+    def prune_empty_dirs(self, root: str, ttl_seconds: float,
+                         now: float) -> None:
+        r = self._hpath(root)
+        fs = self._fs(r)
+        if not fs.exists(r):
+            return
+        # bottom-up: collect dirs, deepest first
+        dirs = []
+        stack = [r]
+        while stack:
+            d = stack.pop()
+            for st in fs.listStatus(d):
+                if st.isDirectory():
+                    stack.append(st.getPath())
+                    dirs.append(st)
+        for st in sorted(dirs, key=lambda s: -len(str(s.getPath()))):
+            d = st.getPath()
+            kids = fs.listStatus(d)
+            names = [k.getPath().getName() for k in kids]
+            if (not any(k.isDirectory() for k in kids)
+                    and not _has_data(names)
+                    and now - st.getModificationTime() / 1000.0
+                    >= ttl_seconds):
+                fs.delete(d, True)  # only markers remain
 
 
 class TxTable:
@@ -706,7 +788,8 @@ class TxTable:
         cur_version, meta, cur_live = self._replay()
         _, old_meta, old_live = self._replay(version)
         missing = [a["path"] for a in old_live
-                   if not os.path.exists(os.path.join(self.path, a["path"]))]
+                   if not self.store.exists(
+                       os.path.join(self.path, a["path"]))]
         if missing:
             raise FileNotFoundError(
                 f"cannot restore {self.path} to v{version}: {len(missing)} "
@@ -732,24 +815,20 @@ class TxTable:
         data_root = os.path.join(self.path, _DATA_DIR)
         removed: list[str] = []
         now = time.time()
-        for dirpath, dirnames, filenames in os.walk(data_root):
-            if "_temporary" in dirnames:
-                dirnames.remove("_temporary")  # an in-flight Spark write
-            for name in filenames:
-                abs_path = os.path.join(dirpath, name)
-                rel = os.path.relpath(abs_path, self.path)
-                if rel in referenced or name.startswith((".", "_")):
-                    continue  # live file, checksum, or _SUCCESS marker
-                if now - os.path.getmtime(abs_path) >= ttl_seconds:
-                    os.unlink(abs_path)
-                    removed.append(rel)
+        # all maintenance I/O goes through the LogStore seam, so vacuum
+        # (like commit/read) works against hdfs:// tables with
+        # HadoopLogStore, not just a driver-local filesystem
+        for abs_path, mtime in self.store.list_files(data_root):
+            name = os.path.basename(abs_path)
+            rel = os.path.relpath(abs_path, self.path)
+            if rel in referenced or name.startswith((".", "_")):
+                continue  # live file, checksum, or _SUCCESS marker
+            if now - mtime >= ttl_seconds:
+                self.store.delete(abs_path)
+                removed.append(rel)
         # prune emptied batch dirs — same TTL guard as the files: a young
         # empty dir is an in-flight writer's staging area, not garbage
-        for dirpath, dirnames, filenames in list(os.walk(data_root, topdown=False)):
-            if (dirpath != data_root and not dirnames
-                    and not _has_data(filenames)
-                    and now - os.path.getmtime(dirpath) >= ttl_seconds):
-                _rm_dir_quiet(dirpath)
+        self.store.prune_empty_dirs(data_root, ttl_seconds, now)
         return removed
 
 
