@@ -4439,45 +4439,67 @@ def u5_schema_reconcile_q(spark, sf_dir):
 # restart-replay query, green sf0.01+sf0.1 first try, ~12s FIXED micro-
 # batch cost at both SFs); txt_chunk_stride rests for it (r8-green, the
 # text family keeps lm/bpe_train/ccnet/features in-window).
+# Third session move (r10 smoothing): without it, round 10 faces a
+# 31-swap (ten r6-greens + the 21 r7-greens rotated out in r8). Ten of
+# the r7-green cohort pulled a round early (p4, j1, j10, a9, f4, w4,
+# pipeline_region_revenue, dedup_span_removal, txt_vocab_topk,
+# u5_schema_reconcile — re-verified 10/10 locally), resting ten fresh
+# r8-greens with family reps: j9 (j10 is the as-of rep now, j8b/j14/j7
+# stay), o3 + pipeline_worst_window_return (pipeline_revenue_topk /
+# quality metrics stay in-window), txt_lm_perplexity (vocab_topk/
+# bpe_train/ccnet/features cover text), dedup_embedding_pairs
+# (semdedup_incremental + both simhash twins in-window),
+# smp_token_budget (five smp reps in-window), ann_ivf_full_probe
+# (lsh_full_probe stays; ivf/pq identities also pytest-pinned),
+# w7_continuous_contract (j14 covers the contract family; goldens stay
+# pinned in test_continuous.py), pipeline_quality_filter (txt_features
+# carries the quality-score exprs), stream_bars_1min (s6d is the gated
+# streaming rep; stream≡batch stays pinned in test_streaming.py).
+# Round 10 then faces ~22 due, not 31.
 QUERY_PRIORITY: list[str] = [
     # scans / predicates / cleaning
     "p3_regex_filter", "s1_filtered_scan",
     # joins
     "pipeline_e2_merge_daily",
-    "j9_asof_last_report", "j6_code_mapping_maintenance",
+    "j6_code_mapping_maintenance",
     "j8b_interval_join_bucketed",
     "j14_main_sec_join", "j7_code_extract_join",
+    "j1_vendor_merge_full_outer", "j10_asof_point_lookup",
     # aggregations
-    "pipeline_worst_window_return",
     "a13_sessionize", "a14b_sketch_errorband",
     "a1_watermark_per_key", "a3_tick_to_bars",
+    "a9_describe", "f4_snapshot_audit",
     # audits / ordering / sets
-    "o3_topk_worst", "u4_scd2_intervals", "eav_unpivot_pivot",
+    "u4_scd2_intervals", "eav_unpivot_pivot",
+    "p4_inlist_semijoin", "u5_schema_reconcile",
     # windows
-    "w8b_quarterize_exact", "w7_continuous_contract", "w1b_rank_scalable",
+    "w8b_quarterize_exact", "w1b_rank_scalable",
     "w11b_adjusted_diff", "w6_argmax_cross_section", "w9_expand_calendar",
+    "w4_ffill",
     # composites
-    "pipeline_quality_filter", "pipeline_cluster_survivors",
-    "pipeline_revenue_topk",
+    "pipeline_cluster_survivors",
+    "pipeline_revenue_topk", "pipeline_region_revenue",
     # LLM-pipeline operators
-    "dedup_exact",
-    "dedup_embedding_pairs",
+    "dedup_exact", "dedup_span_removal",
     "dedup_simhash_md5", "dedup_simhash_hamming_md5",
     "dedup_semdedup_incremental",
-    "txt_lm_perplexity", "txt_bpe_train",
-    "txt_ccnet_split", "txt_features",
+    "txt_bpe_train",
+    "txt_ccnet_split", "txt_features", "txt_vocab_topk",
     "mm_video_frames",
-    "ann_ivf_full_probe", "ann_lsh_full_probe",
+    "ann_lsh_full_probe",
     "emb_centroid_outliers",
-    "smp_token_budget", "smp_dsir_md5", "smp_pack_sequences",
+    "smp_dsir_md5", "smp_pack_sequences",
     "smp_hash_split", "smp_mixture_resample", "smp_source_quota",
-    "stream_bars_1min",
     "s6b_acid_merge", "s6c_cdc_feed",
     "s6_upsert_last_write_wins",
     "s10b_zorder_skipping", "s6d_stream_txlog_exactly_once",
     # ---- position 51+: triple/double-green history, sibling-covered,
     # ---- or rows-only (no oracle) ----
     "ann_pq_rerank", "txt_chunk_stride",
+    "j9_asof_last_report", "o3_topk_worst", "pipeline_worst_window_return",
+    "txt_lm_perplexity", "dedup_embedding_pairs", "smp_token_budget",
+    "ann_ivf_full_probe", "w7_continuous_contract",
+    "pipeline_quality_filter", "stream_bars_1min",
     "f5_rename_ladder", "j2_three_source_merge", "j13_incremental_ranges",
     "a7_two_level_agg", "a8_median_cross_section",
     "a11_accumulation_detect", "u1_union_distinct",
@@ -4488,17 +4510,14 @@ QUERY_PRIORITY: list[str] = [
     "txt_winnowing", "txt_contamination", "txt_pii_redact",
     "mm_image_features",
     "f3_cleaning_exprs",
-    "p4_inlist_semijoin",
     "dedup_minhash_incremental_md5",
     "j5_anti_join_new_codes", "j8_interval_join",
-    "j1_vendor_merge_full_outer", "j10_asof_point_lookup",
-    "a9_describe", "a4_rebar", "f4_snapshot_audit",
-    "w1_rank_returns", "w8_quarterize", "w4_ffill",
-    "pipeline_region_revenue",
-    "dedup_span_removal", "dedup_ngram_jaccard",
+    "a4_rebar",
+    "w1_rank_returns", "w8_quarterize",
+    "dedup_ngram_jaccard",
     "dedup_cross_contamination_md5",
-    "txt_repetition", "txt_vocab_topk", "txt_bpe_segment",
-    "dedup_semdedup", "ann_cosine_topk", "u5_schema_reconcile",
+    "txt_repetition", "txt_bpe_segment",
+    "dedup_semdedup", "ann_cosine_topk",
     "stream_dedup_incremental_md5",
     "a2_agg_rollup", "j11_argmax_latest_per_key", "dedup_components",
     "mm_audio_features", "txt_corpus_stats",
