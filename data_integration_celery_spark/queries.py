@@ -1041,8 +1041,8 @@ def _chain_edges(spark, sf_dir):
        "converges in <=3 join+min-agg rounds.")
 def dedup_components_q(spark, sf_dir):
     from .operators import dedup
-    return dedup.connected_components(_chain_edges(spark, sf_dir),
-                                      fixed_rounds=3)\
+    edges = _chain_edges(spark, sf_dir)
+    return dedup.connected_components(edges, fixed_rounds=3)\
         .select("node", "component")
 
 

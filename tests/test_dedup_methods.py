@@ -772,10 +772,15 @@ def test_minhash_signature_cache_retains_lineage():
 
     from data_integration_celery_spark.operators import dedup
 
-    for fn in (dedup.minhash_banded_pairs, dedup.minhash_clusters):
+    for fn in (dedup.minhash_banded_pairs, dedup.minhash_clusters,
+               dedup.simhash_near_dup_pairs):
         src = inspect.getsource(fn)
         assert ".localCheckpoint(" not in src, fn.__name__
-        assert "MEMORY_AND_DISK" in src, fn.__name__
+        # r9: persists route through the shared swap helper (bounds cache
+        # pressure to one live signature table per family slot)
+        assert "_persist_swap(" in src, fn.__name__
+    helper = inspect.getsource(dedup._persist_swap)
+    assert "MEMORY_AND_DISK" in helper and ".localCheckpoint(" not in helper
 
 
 def test_registered_queries_never_use_unbounded_min_label():
