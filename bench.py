@@ -57,6 +57,19 @@ SPEC_CHANGES = {
         " scaling rows measure engine scaling, not |Q| growth; 1.47s-era"
         " r1-r6 history is a 5x-smaller workload at sf0.1 and is not"
         " comparable to the ~2.5s r7+ series"),
+    "ann_ivf_topk": (
+        "r9: query set respecified from fraction-defined (vec_id % 100 = 0)"
+        " to a FIXED 100 ids (vec_id < 100) after the century sweep read"
+        " alpha 1.36 — |Q| and bucket size both grew linearly, so probe"
+        " candidates grew quadratically; the fixed set measures engine"
+        " scaling. Also r9: the Lloyd centroid update's DECIMAL posexplode"
+        " mean was replaced by per-Arrow-batch partial sums (3.3s -> ~1.9s"
+        " warm at sf0.1) — r9 values are not comparable to r8's on either"
+        " axis"),
+    "ann_pq_topk": (
+        "r9: query set respecified to the same FIXED 100 ids as"
+        " ann_ivf_topk (the ADC scan is |Q| x |codes|; fraction-defined"
+        " |Q| made it quadratic at the century scale)"),
     "txt_bpe_train": (
         "r7: exact-oracle form (deterministic tie-breaks + checkpoint"
         " cadence) costs ~0.26s over the r6 rows-only trainer; r1-r6"

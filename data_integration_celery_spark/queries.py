@@ -3187,7 +3187,12 @@ def j6_mapping_maintenance(spark, sf_dir):
 def ann_ivf_q(spark, sf_dir):
     from .operators import similarity
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(emb, emb.where(F.col("vec_id") % 100 == 0),
+    # FIXED 100-id query set (the r7 ann_lsh_topk lesson, applied here in
+    # r9 after the century sweep measured alpha 1.36: a fraction-defined
+    # |Q| grows with the corpus while nprobe buckets also grow linearly,
+    # so candidate pairs grow quadratically — that measures workload
+    # growth, not engine scaling)
+    return similarity.ivf_topk(emb, emb.where(F.col("vec_id") < 100),
                                k=5, n_centroids=8, nprobe=3, iters=2)
 
 
@@ -3207,8 +3212,10 @@ def ann_pq_q(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     cb = similarity.pq_train(emb, m_sub=8, k_codes=16, iters=2)
     codes = similarity.pq_encode(emb, cb)
+    # fixed |Q| for the same reason as ann_ivf_topk (ADC scan is
+    # |Q| x |codes| — fraction-defined |Q| makes it quadratic)
     return similarity.pq_topk_rerank(
-        codes, emb, emb.where(F.col("vec_id") % 100 == 0), cb,
+        codes, emb, emb.where(F.col("vec_id") < 100), cb,
         k=5, shortlist=50)
 
 
