@@ -468,6 +468,49 @@ def s10b_zorder_skipping(spark, sf_dir):
         "orderkey_prune_after_lt_full boolean, n_match bigint")
 
 
+@q("s10c_bloom_point_lookup",
+   sql="""
+   SELECT TRUE  AS bloom_prune_lt_full,
+          TRUE  AS absent_prunes_most,
+          TRUE  AS no_false_negatives,
+          (SELECT count(*) FROM orders
+           WHERE o_custkey = (SELECT min(o_custkey) FROM orders)) AS n_match
+   """,
+   doc="S10 (Bloom form), boolean-verdict oracle like s10b: per-file Bloom "
+       "sidecars (sinks/txlog.py _build_blooms — sparse explode+bit_or "
+       "aggregation, base64-packed int64 words in the add-actions) serve "
+       "EQUALITY probes that min/max range stats cannot: the table is "
+       "range-clustered on o_orderkey, so every file's o_custkey range "
+       "overlaps every probe, yet snapshot(prune_eq=) opens only files "
+       "whose filter admits the value. Claims: the present-value probe "
+       "opens < all files; an absent value prunes to <= a quarter; and "
+       "the pruned scan has NO false negatives (pruned count == unpruned "
+       "count Spark-side, AND n_match recomputed by the oracle from raw "
+       "orders). Probe hashes are computed with the "
+       "same Spark expressions the build used, so build/probe can never "
+       "diverge.")
+def s10c_bloom_point_lookup(spark, sf_dir):
+    from .sinks.txlog import TxTable
+    root = _fresh_tmp_table_root("txlog_bq_")
+    src = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    t = TxTable(spark, f"{root}/orders", batch_partitions=16)
+    t.create(src, stats_cols=["o_orderkey"], bloom_cols=["o_custkey"],
+             bloom_bits=1 << 16, bloom_k=5)
+    n = len(t.live_files())
+    probe = src.agg(F.min("o_custkey")).collect()[0][0]
+    pruned = t.snapshot(prune_eq={"o_custkey": probe})
+    opened = len(pruned.inputFiles())
+    absent = len(t.snapshot(prune_eq={"o_custkey": -987654321})
+                 .inputFiles())
+    n_match = pruned.where(F.col("o_custkey") == probe).count()
+    n_unpruned = t.snapshot().where(F.col("o_custkey") == probe).count()
+    return spark.createDataFrame(
+        [(opened < n, absent * 4 <= n, n_match == n_unpruned, n_match)],
+        "bloom_prune_lt_full boolean, absent_prunes_most boolean, "
+        "no_false_negatives boolean, n_match bigint")
+
+
 @q("s6d_stream_txlog_exactly_once",
    sql="""
    SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
@@ -4463,6 +4506,11 @@ def u5_schema_reconcile_q(spark, sf_dir):
 # carries the quality-score exprs), stream_bars_1min (s6d is the gated
 # streaming rep; stream≡batch stays pinned in test_streaming.py).
 # Round 10 then faces ~22 due, not 31.
+# Fourth session addition: s10c_bloom_point_lookup (per-file Bloom
+# sidecars — the equality-probe complement to min/max stats — promoted
+# straight to a gated boolean-verdict query, green sf0.01+sf0.1 first
+# try); w6_argmax_cross_section rests for it (r8-green; w1b/w11b/w9/w4/
+# w8b keep windows covered, j11 is the argmax rep due r10).
 QUERY_PRIORITY: list[str] = [
     # scans / predicates / cleaning
     "p3_regex_filter", "s1_filtered_scan",
@@ -4481,7 +4529,7 @@ QUERY_PRIORITY: list[str] = [
     "p4_inlist_semijoin", "u5_schema_reconcile",
     # windows
     "w8b_quarterize_exact", "w1b_rank_scalable",
-    "w11b_adjusted_diff", "w6_argmax_cross_section", "w9_expand_calendar",
+    "w11b_adjusted_diff", "w9_expand_calendar",
     "w4_ffill",
     # composites
     "pipeline_cluster_survivors",
@@ -4500,9 +4548,10 @@ QUERY_PRIORITY: list[str] = [
     "s6b_acid_merge", "s6c_cdc_feed",
     "s6_upsert_last_write_wins",
     "s10b_zorder_skipping", "s6d_stream_txlog_exactly_once",
+    "s10c_bloom_point_lookup",
     # ---- position 51+: triple/double-green history, sibling-covered,
     # ---- or rows-only (no oracle) ----
-    "ann_pq_rerank", "txt_chunk_stride",
+    "ann_pq_rerank", "txt_chunk_stride", "w6_argmax_cross_section",
     "j9_asof_last_report", "o3_topk_worst", "pipeline_worst_window_return",
     "txt_lm_perplexity", "dedup_embedding_pairs", "smp_token_budget",
     "ann_ivf_full_probe", "w7_continuous_contract",

@@ -76,6 +76,27 @@ class ConflictError(RuntimeError):
     """Another writer committed between this transaction's read and commit."""
 
 
+def _bloom_pos_exprs(col, bits: int, k: int) -> list:
+    """k Bloom positions for a value as pure Columns. The value is cast to
+    string before hashing so the build (a table column) and the probe (a
+    Python literal) hash identically regardless of arrival type."""
+    s = col.cast("string")
+    return [F.pmod(F.xxhash64(F.concat(F.lit(f"__bf{i}:"), s)),
+                   F.lit(bits)) for i in range(k)]
+
+
+def _bloom_admits(entry: dict, positions: list[int]) -> bool:
+    """True iff the packed filter has every probe bit set (maybe-present).
+    Python's arbitrary-precision arithmetic shift makes the signed-int64
+    bit test exact for negative words."""
+    import base64
+    import struct
+
+    nwords = (entry["bits"] + 63) // 64
+    dense = struct.unpack(f"<{nwords}q", base64.b64decode(entry["words"]))
+    return all((dense[p >> 6] >> (p & 63)) & 1 for p in positions)
+
+
 class LocalLogStore:
     """Atomic put-if-absent on a driver-visible filesystem.
 
@@ -392,6 +413,8 @@ class TxTable:
                 live = {a["path"]: a for a in ck["add"]}
                 meta = {"schema": ck["schema"],
                         "stats_cols": ck.get("stats_cols", [])}
+                if "bloom" in ck:
+                    meta["bloom"] = ck["bloom"]
                 versions = [v for v in versions if v > ck["version"]]
             except Exception:
                 live, meta = {}, {}  # corrupt/unreadable checkpoint: full replay
@@ -399,12 +422,12 @@ class TxTable:
             commit = self.store.read(self._log_path(v))
             if commit.get("schema"):
                 # every commit carries 'schema', but only create/overwrite/
-                # compact carry 'stats_cols' — preserve the carried value so
-                # _stats_cols never needs its O(table-age) history() fallback
-                if "stats_cols" in commit or "stats_cols" not in meta:
-                    meta = commit
-                else:
-                    meta = dict(commit, stats_cols=meta["stats_cols"])
+                # compact carry 'stats_cols'/'bloom' — preserve the carried
+                # values so _stats_cols/_bloom_spec never need their
+                # O(table-age) history() fallback
+                carried = {kk: meta[kk] for kk in ("stats_cols", "bloom")
+                           if kk in meta and kk not in commit}
+                meta = dict(commit, **carried) if carried else commit
             for rel in commit.get("remove", []):
                 live.pop(rel, None)
             for add in commit.get("add", []):
@@ -415,7 +438,8 @@ class TxTable:
                 meta, list(live.values()))
 
     def snapshot(self, version: int | None = None,
-                 prune: dict[str, tuple] | None = None) -> DataFrame:
+                 prune: dict[str, tuple] | None = None,
+                 prune_eq: dict[str, object] | None = None) -> DataFrame:
         """Read the table as of ``version`` (default: latest). Reads ONLY the
         live file set — uncommitted / removed files are invisible.
 
@@ -435,6 +459,26 @@ class TxTable:
             lo, hi = _widen(lo, -1), _widen(hi, +1)
             adds = [a for a in adds
                     if _overlaps(a.get("stats", {}).get(col), lo, hi)]
+        for col, value in (prune_eq or {}).items():
+            # Bloom point-lookup skipping: a file whose filter lacks any of
+            # the probe's bits PROVABLY does not contain the value (no
+            # false negatives); kept files may still miss it (bounded FPR),
+            # so callers apply the real equality filter — same conservative
+            # contract as the range prune. Files without a recorded filter
+            # for the column are kept.
+            pos_cache: dict[tuple[int, int], list[int]] = {}
+            kept = []
+            for a in adds:
+                entry = a.get("bloom", {}).get(col)
+                if entry is None:
+                    kept.append(a)
+                    continue
+                key = (entry["bits"], entry["k"])
+                if key not in pos_cache:  # spec may differ across rewrites
+                    pos_cache[key] = self._bloom_positions(value, *key)
+                if _bloom_admits(entry, pos_cache[key]):
+                    kept.append(a)
+            adds = kept
         if not adds:
             return self.spark.createDataFrame([], schema)
         paths = [os.path.join(self.path, a["path"]) for a in adds]
@@ -449,7 +493,8 @@ class TxTable:
 
     def _write_batch(self, df: DataFrame, stats_cols: list[str],
                      num: int | None = None,
-                     layout_by: str | None = None) -> list[dict]:
+                     layout_by: str | None = None,
+                     bloom: dict | None = None) -> list[dict]:
         """Write ``df`` as immutable files under a fresh UUID dir and return
         add-actions with per-file row counts + min/max stats.
 
@@ -494,7 +539,65 @@ class TxTable:
                          "max": _widen(row[f"__max_{c}"], +1)}
                      for c in stats_cols}
             adds.append({"path": rel, "rows": row["__rows"], "stats": stats})
+        if bloom and bloom.get("cols"):
+            blooms = self._build_blooms(written, bloom)
+            for a in adds:
+                if a["path"] in blooms:
+                    a["bloom"] = blooms[a["path"]]
         return adds
+
+    def _build_blooms(self, written: DataFrame, bloom: dict) -> dict:
+        """Per-file Bloom sidecars for the declared columns: one sparse
+        explode → bit_or aggregation per column (rows x k hash positions
+        through ONE shuffle — linear in the batch for any filter size,
+        where a dense per-word aggregate would need bits/64 aggregate
+        expressions). Words are base64-packed little-endian int64."""
+        import base64
+        import struct
+
+        bits, k = int(bloom["bits"]), int(bloom["k"])
+        nwords = (bits + 63) // 64
+        out: dict[str, dict] = {}
+        for c in bloom["cols"]:
+            poss = _bloom_pos_exprs(F.col(c), bits, k)
+            named = (written.where(F.col(c).isNotNull())
+                     .select(F.input_file_name().alias("__file"),
+                             *[p.alias(f"__p{i}")
+                               for i, p in enumerate(poss)]))
+            # shiftleft's shift amount must be a literal int in the Python
+            # API — the column-shift form goes through F.expr
+            hits = named.select("__file", F.explode(F.array(*[
+                F.struct(
+                    F.shiftright(F.col(f"__p{i}"), 6).cast("int").alias("w"),
+                    F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                           f"CAST(__p{i} % 64 AS INT))").alias("b"))
+                for i in range(k)])).alias("x"))
+            words = (hits.groupBy("__file", F.col("x.w").alias("w"))
+                     .agg(F.bit_or("x.b").alias("bits"))
+                     .groupBy("__file")
+                     .agg(F.collect_list(F.struct("w", "bits")).alias("wb"))
+                     .collect())  # bounded: files x min(rows*k, bits/64)
+            for row in words:
+                rel = os.path.relpath(unquote(urlparse(row["__file"]).path),
+                                      self.path)
+                dense = [0] * nwords
+                for e in row["wb"]:
+                    dense[e["w"]] = e["bits"]
+                blob = base64.b64encode(
+                    struct.pack(f"<{nwords}q", *dense)).decode("ascii")
+                out.setdefault(rel, {})[c] = {
+                    "bits": bits, "k": k, "words": blob}
+        return out
+
+    def _bloom_positions(self, value, bits: int, k: int) -> list[int]:
+        """Probe positions for ``value`` — computed with the SAME Spark hash
+        expressions the build used (one tiny local job), so build and probe
+        can never disagree on the hash function."""
+        exprs = _bloom_pos_exprs(F.lit(value), bits, k)
+        row = (self.spark.range(1)
+               .select(*[e.alias(f"p{i}") for i, e in enumerate(exprs)])
+               .collect()[0])
+        return [int(row[f"p{i}"]) for i in range(k)]
 
     def last_txn(self, app_id: str) -> int | None:
         """Highest committed writer batch id for ``app_id`` (None if never).
@@ -576,15 +679,32 @@ class TxTable:
 
     # ---------------------------------------------------------------- ops --
 
-    def create(self, df: DataFrame, stats_cols: list[str] | None = None) -> int:
-        """Create the table (version 1). Fails if it already exists."""
+    def create(self, df: DataFrame, stats_cols: list[str] | None = None,
+               bloom_cols: list[str] | None = None,
+               bloom_bits: int = 65536, bloom_k: int = 5) -> int:
+        """Create the table (version 1). Fails if it already exists.
+
+        ``bloom_cols`` declares columns to index with a per-file Bloom
+        filter (``bloom_bits`` bits, ``bloom_k`` hashes) — the equality-
+        probe complement to min/max range stats: after range clustering or
+        z-ordering on OTHER columns, every file's [min,max] for a
+        high-cardinality key overlaps every probe, but a point lookup
+        (``snapshot(prune_eq=...)``) still opens only the files whose
+        filter admits the value. Size ``bloom_bits`` at >= 8-10 bits per
+        distinct value per file (the classic ~5% FPR point); a production
+        port at 1M-row files would move the sidecars from the commit JSON
+        to index files — the add-action dict is the seam."""
         if self.latest_version():
             raise FileExistsError(f"TxTable already exists at {self.path}")
         stats_cols = stats_cols or []
-        adds = self._write_batch(df, stats_cols)
+        bloom = ({"cols": bloom_cols, "bits": int(bloom_bits),
+                  "k": int(bloom_k)} if bloom_cols else None)
+        adds = self._write_batch(df, stats_cols, bloom=bloom)
+        extra = {"stats_cols": stats_cols}
+        if bloom:
+            extra["bloom"] = bloom
         return self._commit("create", adds, [], read_version=0,
-                            schema_json=df.schema.json(),
-                            extra={"stats_cols": stats_cols})
+                            schema_json=df.schema.json(), extra=extra)
 
     def _stats_cols(self, meta: dict) -> list[str]:
         if "stats_cols" in meta:  # checkpoint/create/overwrite metas carry it
@@ -593,6 +713,16 @@ class TxTable:
             if "stats_cols" in commit:
                 return commit["stats_cols"]
         return []
+
+    def _bloom_spec(self, meta: dict) -> dict | None:
+        """The table's Bloom-index spec ({cols, bits, k}) or None — carried
+        through _replay meta exactly like stats_cols."""
+        if "bloom" in meta:
+            return meta["bloom"]
+        for commit in reversed(self.history()):
+            if "bloom" in commit:
+                return commit["bloom"]
+        return None
 
     def append(self, df: DataFrame, txn: dict | None = None,
                merge_schema: bool = False) -> int:
@@ -626,7 +756,8 @@ class TxTable:
             meta = dict(meta, schema=schema_json)
         stats_cols = self._stats_cols(meta)
         df = _conform(df, meta)
-        adds = self._write_batch(df, stats_cols)
+        adds = self._write_batch(df, stats_cols,
+                                 bloom=self._bloom_spec(meta))
         return self._commit("append", adds, [], read_version=version,
                             schema_json=schema_json,
                             blind_append=not new_cols, txn=txn)
@@ -637,10 +768,17 @@ class TxTable:
         new frame lacks are dropped from the recorded layout."""
         version, meta, live = self._replay()
         stats_cols = [c for c in self._stats_cols(meta) if c in df.columns]
-        adds = self._write_batch(df, stats_cols)
+        bloom = self._bloom_spec(meta)
+        if bloom:
+            cols = [c for c in bloom["cols"] if c in df.columns]
+            bloom = dict(bloom, cols=cols) if cols else None
+        adds = self._write_batch(df, stats_cols, bloom=bloom)
+        extra = {"stats_cols": stats_cols}
+        if bloom:
+            extra["bloom"] = bloom
         return self._commit("overwrite", adds, [a["path"] for a in live],
                             read_version=version, schema_json=df.schema.json(),
-                            extra={"stats_cols": stats_cols})
+                            extra=extra)
 
     def merge_upsert(self, updates: DataFrame, keys: list[str],
                      order_col: str = "batch_id",
@@ -685,7 +823,8 @@ class TxTable:
             base = self.spark.createDataFrame([], schema)
         merged = upsert_frames(base, _conform(updates, meta, keep=order_col),
                                keys, order_col)
-        adds = self._write_batch(merged, stats_cols)
+        adds = self._write_batch(merged, stats_cols,
+                                  bloom=self._bloom_spec(meta))
         return self._commit("merge_upsert", adds, [a["path"] for a in touched],
                             read_version=version, schema_json=meta["schema"],
                             extra={"pruned_files": len(kept)}, txn=txn)
@@ -771,7 +910,8 @@ class TxTable:
             stat_set = stats_cols + [c for c in zorder if c not in stats_cols]
             extra = {"zorder": zorder, "stats_cols": stat_set}
         adds = self._write_batch(df, stat_set, num=target_files,
-                                 layout_by=layout)
+                                 layout_by=layout,
+                                 bloom=self._bloom_spec(meta))
         return self._commit("compact", adds, [a["path"] for a in live],
                             read_version=version, schema_json=meta["schema"],
                             extra=extra)

@@ -30,7 +30,8 @@ from data_integration_celery_spark.queries import QUERIES
 # whose boolean-verdict oracle is plain ANSI aggregation — 47; round 9
 # added the three ACID/z-order oracles (s6b_acid_merge, s6c_cdc_feed,
 # s10b_zorder_skipping — plain ANSI: unions, windows, literal-TRUE
-# verdicts, scalar subqueries) — 50 total; the
+# verdicts, scalar subqueries; s10c_bloom_point_lookup joined the same
+# family in-session) — 51 total; the
 # recursive-CTE oracles (w8b/pack/bpe) remain DuckDB-only by their list
 # functions (string_split_regex/list_position), not by the recursion)
 PORTABLE_CORE = [
@@ -51,7 +52,7 @@ PORTABLE_CORE = [
     "pipeline_revenue_topk", "pipeline_sector_median",
     "pipeline_worst_window_return", "s1_filtered_scan",
     "s6_upsert_last_write_wins", "s6b_acid_merge", "s6c_cdc_feed",
-    "s10b_zorder_skipping", "smp_hash_split",
+    "s10b_zorder_skipping", "s10c_bloom_point_lookup", "smp_hash_split",
     "smp_mixture_resample", "smp_source_quota", "u1_union_distinct",
     "u4_scd2_intervals", "w10_monthly_sample", "w12_pivot_status",
     "w1_rank_returns", "w1b_rank_scalable", "w2_lead_lag_gaps",
@@ -59,7 +60,7 @@ PORTABLE_CORE = [
     "w8_quarterize",
 ]
 
-MIN_PORTABLE = 48
+MIN_PORTABLE = 49
 
 
 def _canon(df):

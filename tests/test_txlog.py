@@ -963,3 +963,73 @@ def test_write_upsert_and_txtable_agree_on_disk(spark, sf_dir, tdir):
     got_plain = _rows(spark.read.parquet(plain))
     got_acid = _rows(t.snapshot())
     assert got_plain == got_acid and len(got_plain) == 200
+
+
+# ------------------------------------------- Bloom point-lookup skipping (r9)
+
+
+def test_bloom_point_lookup_prunes_files(spark, sf_dir, tdir):
+    """Per-file Bloom sidecars serve EQUALITY probes that range stats can't:
+    the table is range-clustered on o_orderkey, so every file's o_custkey
+    [min,max] overlaps every probe — but prune_eq opens only the files
+    whose filter admits the value, with zero false negatives."""
+    src = _orders_full(spark, sf_dir).select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    t = TxTable(spark, tdir, batch_partitions=16)
+    t.create(src, stats_cols=["o_orderkey"], bloom_cols=["o_custkey"],
+             bloom_bits=1 << 16, bloom_k=5)
+    n = len(t.live_files())
+    assert n >= 8
+    assert all("o_custkey" in a.get("bloom", {}) for a in t.live_files())
+    probe = src.limit(1).collect()[0]["o_custkey"]
+    pruned = t.snapshot(prune_eq={"o_custkey": probe})
+    # no false negatives: the pruned scan finds every matching row
+    want = _rows(src.where(F.col("o_custkey") == probe))
+    got = _rows(pruned.where(F.col("o_custkey") == probe))
+    assert got == want and len(got) > 0
+    # and it actually skips: the value lives in far fewer files than all
+    assert len(pruned.inputFiles()) < n
+    # a value outside the domain prunes (almost) everything — with 5
+    # hashes at ~10 bits/value the chance any file admits it is tiny
+    absent = t.snapshot(prune_eq={"o_custkey": -987654321})
+    assert len(absent.inputFiles()) <= max(1, n // 4)
+    assert absent.where(F.col("o_custkey") == -987654321).count() == 0
+
+
+def test_bloom_survives_merge_compact_and_checkpoint(spark, sf_dir, tdir):
+    """The Bloom spec rides the commit-log meta like stats_cols: CoW merge
+    rewrites, appends, compaction, and checkpoint replay all keep newly
+    written files indexed."""
+    src = (_orders_full(spark, sf_dir).limit(400)
+           .select("o_orderkey", "o_custkey", "o_totalprice"))
+    t = TxTable(spark, tdir, batch_partitions=4, checkpoint_interval=2)
+    t.create(src, stats_cols=["o_orderkey"], bloom_cols=["o_custkey"],
+             bloom_bits=1 << 14, bloom_k=5)
+    t.append(src.withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000))
+    upd = (src.limit(50)
+           .withColumn("o_totalprice", F.col("o_totalprice") * 2))
+    t.merge_upsert(upd, keys=["o_orderkey"])
+    t.compact(target_files=4)
+    assert all("o_custkey" in a.get("bloom", {}) for a in t.live_files())
+    probe = src.limit(1).collect()[0]["o_custkey"]
+    got = t.snapshot(prune_eq={"o_custkey": probe}) \
+        .where(F.col("o_custkey") == probe)
+    want = src.unionByName(
+        src.withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)) \
+        .where(F.col("o_custkey") == probe)
+    assert got.count() == want.count() > 0
+
+
+def test_bloom_probe_matches_build_hashes(spark, tdir):
+    """Build and probe share the same Spark hash expressions — a filter
+    built from a one-value table must admit exactly that value's bits."""
+    df = spark.createDataFrame([(1, 777)], "id long, v long")
+    t = TxTable(spark, tdir)
+    t.create(df, bloom_cols=["v"], bloom_bits=4096, bloom_k=5)
+    entry = t.live_files()[0]["bloom"]["v"]
+    from data_integration_celery_spark.sinks.txlog import _bloom_admits
+    assert _bloom_admits(entry, t._bloom_positions(777, 4096, 5))
+    # 20 random absent probes: k=5 bits over 4096 with one value set ->
+    # essentially impossible to collide on all five
+    assert not any(_bloom_admits(entry, t._bloom_positions(x, 4096, 5))
+                   for x in range(1000, 1020))
