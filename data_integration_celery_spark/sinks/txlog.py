@@ -76,6 +76,17 @@ class ConflictError(RuntimeError):
     """Another writer committed between this transaction's read and commit."""
 
 
+def _plain_path(path: str) -> str:
+    """Scheme-less filesystem path for rel-path arithmetic: a TxTable rooted
+    at ``hdfs://nn/warehouse/t`` or ``file:///tmp/t`` records add-actions
+    relative to the PLAIN path, while store I/O keeps the full URI (so the
+    right FileSystem resolves)."""
+    parsed = urlparse(path)
+    # Hadoop stringifies local URIs as "file:/tmp/..." (single slash) —
+    # scheme detection must not require "://"
+    return unquote(parsed.path) if parsed.scheme else path
+
+
 def _bloom_pos_exprs(col, bits: int, k: int) -> list:
     """k Bloom positions for a value as pure Columns. The value is cast to
     string before hashing so the build (a table column) and the probe (a
@@ -207,12 +218,16 @@ class HadoopLogStore:
         dst = self._hpath(path)
         tmp = self._hpath(f"{path}.{uuid.uuid4().hex}.tmp")
         fs = self._fs(dst)
-        out = fs.create(tmp, True)
         try:
-            out.write(bytearray(payload))
-            out.hflush()
-        finally:
-            out.close()
+            out = fs.create(tmp, True)
+            try:
+                out.write(bytearray(payload))
+                out.hflush()
+            finally:
+                out.close()
+        except Exception:
+            fs.delete(tmp, False)
+            raise
         fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
             dst.toUri(), self._conf)
         opts = self._gw.new_array(
@@ -273,7 +288,7 @@ class HadoopLogStore:
         it = fs.listFiles(r, True)
         while it.hasNext():
             st = it.next()
-            p = st.getPath().toUri().getPath()
+            p = str(st.getPath())  # full URI — delete() resolves the SAME fs
             if "/_temporary/" in p:
                 continue  # in-flight Spark staging
             out.append((p, st.getModificationTime() / 1000.0))
@@ -296,13 +311,16 @@ class HadoopLogStore:
                     dirs.append(st)
         for st in sorted(dirs, key=lambda s: -len(str(s.getPath()))):
             d = st.getPath()
-            kids = fs.listStatus(d)
-            names = [k.getPath().getName() for k in kids]
-            if (not any(k.isDirectory() for k in kids)
-                    and not _has_data(names)
-                    and now - st.getModificationTime() / 1000.0
-                    >= ttl_seconds):
-                fs.delete(d, True)  # only markers remain
+            try:
+                kids = fs.listStatus(d)
+                names = [k.getPath().getName() for k in kids]
+                if (not any(k.isDirectory() for k in kids)
+                        and not _has_data(names)
+                        and now - st.getModificationTime() / 1000.0
+                        >= ttl_seconds):
+                    fs.delete(d, True)  # only markers remain
+            except Exception:
+                pass  # a concurrent writer/vacuum raced in; next pass
 
 
 class TxTable:
@@ -534,7 +552,7 @@ class TxTable:
         for row in per_file:
             parsed = urlparse(row["__file"])
             abs_path = unquote(parsed.path)
-            rel = os.path.relpath(abs_path, self.path)
+            rel = os.path.relpath(abs_path, _plain_path(self.path))
             stats = {c: {"min": _widen(row[f"__min_{c}"], -1),
                          "max": _widen(row[f"__max_{c}"], +1)}
                      for c in stats_cols}
@@ -579,7 +597,7 @@ class TxTable:
                      .collect())  # bounded: files x min(rows*k, bits/64)
             for row in words:
                 rel = os.path.relpath(unquote(urlparse(row["__file"]).path),
-                                      self.path)
+                                      _plain_path(self.path))
                 dense = [0] * nwords
                 for e in row["wb"]:
                     dense[e["w"]] = e["bits"]
@@ -960,7 +978,8 @@ class TxTable:
         # HadoopLogStore, not just a driver-local filesystem
         for abs_path, mtime in self.store.list_files(data_root):
             name = os.path.basename(abs_path)
-            rel = os.path.relpath(abs_path, self.path)
+            rel = os.path.relpath(_plain_path(abs_path),
+                                  _plain_path(self.path))
             if rel in referenced or name.startswith((".", "_")):
                 continue  # live file, checksum, or _SUCCESS marker
             if now - mtime >= ttl_seconds:
