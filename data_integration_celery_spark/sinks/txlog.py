@@ -378,6 +378,7 @@ class TxTable:
             top, meta, adds = self._replay(version)
             body = json.dumps({"version": top, "schema": meta["schema"],
                                "stats_cols": self._stats_cols(meta),
+                               "bloom": self._bloom_spec(meta),
                                "txns": self._txn_state(version),
                                "add": adds}, sort_keys=True).encode()
             self.store.put_if_absent(self._ckpt_path(version), body)
@@ -718,11 +719,13 @@ class TxTable:
         bloom = ({"cols": bloom_cols, "bits": int(bloom_bits),
                   "k": int(bloom_k)} if bloom_cols else None)
         adds = self._write_batch(df, stats_cols, bloom=bloom)
-        extra = {"stats_cols": stats_cols}
-        if bloom:
-            extra["bloom"] = bloom
+        # 'bloom' is recorded even when None: _bloom_spec runs on EVERY
+        # append/merge, and an absent key would send bloom-less tables
+        # down the O(table-age) history fallback each time
         return self._commit("create", adds, [], read_version=0,
-                            schema_json=df.schema.json(), extra=extra)
+                            schema_json=df.schema.json(),
+                            extra={"stats_cols": stats_cols,
+                                   "bloom": bloom})
 
     def _stats_cols(self, meta: dict) -> list[str]:
         if "stats_cols" in meta:  # checkpoint/create/overwrite metas carry it
@@ -791,12 +794,9 @@ class TxTable:
             cols = [c for c in bloom["cols"] if c in df.columns]
             bloom = dict(bloom, cols=cols) if cols else None
         adds = self._write_batch(df, stats_cols, bloom=bloom)
-        extra = {"stats_cols": stats_cols}
-        if bloom:
-            extra["bloom"] = bloom
         return self._commit("overwrite", adds, [a["path"] for a in live],
                             read_version=version, schema_json=df.schema.json(),
-                            extra=extra)
+                            extra={"stats_cols": stats_cols, "bloom": bloom})
 
     def merge_upsert(self, updates: DataFrame, keys: list[str],
                      order_col: str = "batch_id",
@@ -959,7 +959,8 @@ class TxTable:
             [p for p in cur_paths - {a["path"] for a in old_live}],
             read_version=cur_version, schema_json=old_meta["schema"],
             extra={"restored_version": version,
-                   "stats_cols": self._stats_cols(old_meta)})
+                   "stats_cols": self._stats_cols(old_meta),
+                   "bloom": self._bloom_spec(old_meta)})
 
     def vacuum(self, ttl_seconds: float = 7 * 86400) -> list[str]:
         """Delete data files no snapshot references, older than ``ttl_seconds``.

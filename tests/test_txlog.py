@@ -1063,3 +1063,19 @@ def test_hadoop_store_uri_root_full_cycle(spark, sf_dir, tdir):
     removed = t.vacuum(ttl_seconds=0)
     assert isinstance(removed, list)
     assert t.snapshot().count() == 120  # live data untouched
+
+
+def test_bloomless_tables_never_scan_history_for_spec(spark, sf_dir, tdir):
+    """_bloom_spec runs on every append/merge; a table created WITHOUT
+    bloom_cols must resolve the (null) spec from replay meta, never the
+    O(table-age) history fallback."""
+    t = TxTable(spark, tdir)
+    src = _orders(spark, sf_dir).limit(20)
+    t.create(src)
+    t.append(src)
+    _, meta, _ = t._replay()
+    assert "bloom" in meta and meta["bloom"] is None
+    t.history = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("history() fallback used for bloom spec"))
+    assert t._bloom_spec(meta) is None
+    assert t._stats_cols(meta) == []
