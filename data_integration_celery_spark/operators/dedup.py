@@ -35,19 +35,25 @@ from .text import normalized
 # plans persist fresh and the oldest entry past the cap is unpersisted.
 # A result DataFrame holding an evicted table stays correct — persist
 # keeps lineage, it just recomputes. Deterministic plans make handle
-# reuse value-safe.
+# reuse value-safe. The key is the PLAN hash alone, NOT (slot, hash):
+# sibling entry points (minhash_clusters / minhash_banded_pairs on the
+# same corpus) build semantically-equal plans that Spark's CacheManager
+# backs with ONE InMemoryRelation — two slot-distinct LRU keys would
+# alias that single cache entry, and evicting either would silently
+# strand the other as a never-hitting handle (the slot arg remains for
+# diagnostics only).
 from collections import OrderedDict
 
 SIG_CACHE_CAP = 12
-_live_sig_cache: "OrderedDict[tuple[str, int], DataFrame]" = OrderedDict()
+_live_sig_cache: "OrderedDict[int, DataFrame]" = OrderedDict()
 
 
 def _persist_swap(slot: str, df: DataFrame) -> DataFrame:
     from pyspark import StorageLevel
     try:
-        key = (slot, df.semanticHash())
+        key = df.semanticHash()
     except Exception:
-        key = (slot, -1)
+        key = -1
     prev = _live_sig_cache.get(key)
     if prev is not None:
         try:

@@ -344,12 +344,16 @@ def ivf_build(corpus: DataFrame, n_centroids: int = 16, iters: int = 3,
         # float64 partial sums in ONE mapInPandas pass (assignment redone
         # inline — cheap numpy), reduced on the driver in (bucket, batch
         # min-id) sorted order: every float add happens in the same order
-        # every run, so a boundary assignment can never move between runs
-        # — the determinism the previous DECIMAL(38,6) posexplode mean
-        # bought, without its join + n×dim shuffle (measured ~1.5-2 s per
-        # update pass at sf0.1; this is training-only but ann_ivf_topk
-        # retrains per run by construction). Partials are K rows per Arrow
-        # batch — driver state stays bounded at batches × K × dim.
+        # for a FIXED partition/Arrow-batch layout, so repeated runs on
+        # the same data + config are bit-identical. Unlike the previous
+        # DECIMAL(38,6) posexplode mean (exact, hence layout-invariant,
+        # but ~1.5-2 s/update at sf0.1 via its join + n×dim shuffle) a
+        # config change (cores, maxRecordsPerBatch, maxPartitionBytes)
+        # MAY move a boundary assignment — acceptable because nothing
+        # oracle-gated depends on assignments: ann_ivf_topk is rows-only
+        # and ann_ivf_full_probe's output is assignment-invariant by
+        # construction. Partials are K rows per Arrow batch — driver
+        # state stays bounded at batches × K × dim.
 
         def partials(batches):
             import pandas as pd
@@ -359,15 +363,13 @@ def ivf_build(corpus: DataFrame, n_centroids: int = 16, iters: int = 3,
                 vm /= np.linalg.norm(vm, axis=1, keepdims=True)
                 bucket = np.argmax(vm @ cm.T, axis=1)
                 pkey = int(block[id_col].min())
-                rows = [(pkey, int(b), int((bucket == b).sum()),
-                         vm[bucket == b].sum(axis=0).tolist())
+                rows = [(pkey, int(b), vm[bucket == b].sum(axis=0).tolist())
                         for b in np.unique(bucket)]
-                yield pd.DataFrame(
-                    rows, columns=["pkey", "bucket", "cnt", "vsum"])
+                yield pd.DataFrame(rows, columns=["pkey", "bucket", "vsum"])
 
         part_pdf = (corpus.select(id_col, vec_col)
                     .mapInPandas(partials,
-                                 "pkey long, bucket int, cnt long, "
+                                 "pkey long, bucket int, "
                                  "vsum array<double>")
                     .toPandas())
         part_pdf = part_pdf.sort_values(["bucket", "pkey"])

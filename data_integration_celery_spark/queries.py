@@ -446,7 +446,16 @@ def s10b_zorder_skipping(spark, sf_dir):
     src = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice")
     t = TxTable(spark, f"{root}/orders", batch_partitions=16)
-    t.create(src, stats_cols=["o_orderkey"])
+    # custkey stats ARE recorded: the before-claim must witness genuine
+    # range overlap on every file (custkey is random within the
+    # o_orderkey-clustered layout), not the vacuous absent-stats keep
+    # (r9 review catch). repartitionByRange keys on stats_cols[0] first,
+    # so the layout is still o_orderkey-clustered. Caveat for the replica
+    # scale sweeps (timing-only, no value check): key-SHIFTED replicas
+    # correlate custkey with orderkey, so on striped synthetic data the
+    # claim legitimately reads FALSE — it is a property of real data
+    # (custkey ⟂ orderkey), which is what the driver's gate runs on.
+    t.create(src, stats_cols=["o_orderkey", "o_custkey"])
     n0 = len(t.live_files())
     cmax = src.agg(F.max("o_custkey")).collect()[0][0]
     hi = cmax // 8
@@ -495,10 +504,16 @@ def s10c_bloom_point_lookup(spark, sf_dir):
     src = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice")
     t = TxTable(spark, f"{root}/orders", batch_partitions=16)
+    # size the filter to the DATA (>= ~10 bits per row per file), else the
+    # fixed 2^16 saturates above ~sf0.3 and the absent-probe verdict
+    # silently flips FALSE at the scale sweeps (r9 review catch)
+    n_rows, cmin = src.agg(
+        F.count(F.lit(1)), F.min("o_custkey")).collect()[0]
+    bloom_bits = 1 << max(16, (int(n_rows) // 16 * 10).bit_length())
     t.create(src, stats_cols=["o_orderkey"], bloom_cols=["o_custkey"],
-             bloom_bits=1 << 16, bloom_k=5)
+             bloom_bits=bloom_bits, bloom_k=5)
     n = len(t.live_files())
-    probe = src.agg(F.min("o_custkey")).collect()[0][0]
+    probe = cmin
     pruned = t.snapshot(prune_eq={"o_custkey": probe})
     opened = len(pruned.inputFiles())
     absent = len(t.snapshot(prune_eq={"o_custkey": -987654321})

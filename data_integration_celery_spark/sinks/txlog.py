@@ -192,10 +192,15 @@ class HadoopLogStore:
     succeeds in the NameNode). This is the store that makes ``TxTable``
     cluster-real: commits work on ``hdfs://`` paths from any executor
     host, where ``LocalLogStore``'s ``link(2)`` needs a shared POSIX
-    filesystem. On ``file://`` it degrades to the same POSIX rename
-    semantics. NOT safe on raw S3A — S3 has no atomic no-overwrite
-    rename; an S3 port needs an external coordinator (the paper's
-    DynamoDB LogStore), which this seam accommodates as a third class.
+    filesystem. The no-overwrite rename is atomic ONLY where the
+    filesystem contract makes it so (HDFS serializes it in the NameNode);
+    on local/``file://`` paths the default AbstractFileSystem check is
+    check-then-act and POSIX rename overwrites — so this store DELEGATES
+    those schemes to the O_EXCL/link(2) primitive, keeping exactly-one-
+    winner on every supported scheme. NOT safe on raw S3A — S3 has no
+    atomic no-overwrite rename; an S3 port needs an external coordinator
+    (the paper's DynamoDB LogStore), which this seam accommodates as a
+    third class.
 
     Needs a live ``SparkSession`` only for py4j access to the JVM Hadoop
     client; all I/O (read/list/mkdirs) goes through the same
@@ -215,6 +220,11 @@ class HadoopLogStore:
         return hpath.getFileSystem(self._conf)
 
     def put_if_absent(self, path: str, payload: bytes) -> bool:
+        if urlparse(path).scheme in ("", "file"):
+            # POSIX rename overwrites, and the local AbstractFileSystem's
+            # no-overwrite check is check-then-act — two racers could both
+            # "win". link(2) is the atomic primitive there.
+            return LocalLogStore().put_if_absent(_plain_path(path), payload)
         dst = self._hpath(path)
         tmp = self._hpath(f"{path}.{uuid.uuid4().hex}.tmp")
         fs = self._fs(dst)
