@@ -4526,46 +4526,83 @@ def u5_schema_reconcile_q(spark, sf_dir):
 # straight to a gated boolean-verdict query, green sf0.01+sf0.1 first
 # try); w6_argmax_cross_section rests for it (r8-green; w1b/w11b/w9/w4/
 # w8b keep windows covered, j11 is the argmax rep due r10).
+# Round-10 rotation (mechanically from check_correctness --stale 2 at
+# round open, per VERDICT r9 item 1): IN — all 23 stale oracles (the ten
+# age-3 r6-greens the verdict names, dedup_components FIRST since its
+# fixture generator changed in r9 on r6 evidence, plus the full age-2
+# r7-green cohort so nothing older than r8 remains after this round:
+# a2, j11, dedup_components, mm_audio_features, txt_corpus_stats, w3,
+# u4_membership_changepoints, pipeline_sector_median, smp_epoch_shuffle,
+# stream_dedup_incremental_md5, w8, w1, txt_repetition, txt_bpe_segment,
+# j8, j5, f3, dedup_semdedup, dedup_ngram_jaccard,
+# dedup_minhash_incremental_md5, dedup_cross_contamination_md5,
+# ann_cosine_topk, a4 — ALL re-verified locally 23/23 at sf0.01 before
+# the swap). OUT — 23 freshly r9-green queries, each with an in-window
+# family sibling or exact twin: p3+s1 (f3 carries scan/cleaning; entry()
+# smokes the scan every round), j1+j10+j8b (j8/j14/j7/j6 + e2 cover
+# joins; j8b's bucketed plan is j8's scale form, pytest-pinned equal),
+# a1+a3+a13+a9+f4 (a2/a4/a14b in — a14b recomputes describe exactly;
+# f4's audit UDAFs covered by a11's pytest + u4_mc incoming), u4_scd2+u5
+# (u4_membership_changepoints is the same interval machinery), w8b+w1b+
+# w4+w9 (w8/w1/w3 in, w11b stays), dedup_span_removal+dedup_simhash_md5+
+# dedup_semdedup_incremental (exact/md5 twins of in-window members),
+# txt_bpe_train+txt_vocab_topk (bpe_segment/corpus_stats/repetition in),
+# mm_video_frames (mm_audio in), ann_lsh_full_probe (ann_cosine_topk IS
+# the brute-force ground truth the identities compare against).
 QUERY_PRIORITY: list[str] = [
     # scans / predicates / cleaning
-    "p3_regex_filter", "s1_filtered_scan",
+    "f3_cleaning_exprs",
     # joins
     "pipeline_e2_merge_daily",
     "j6_code_mapping_maintenance",
-    "j8b_interval_join_bucketed",
+    "j8_interval_join",
     "j14_main_sec_join", "j7_code_extract_join",
-    "j1_vendor_merge_full_outer", "j10_asof_point_lookup",
+    "j5_anti_join_new_codes", "j11_argmax_latest_per_key",
     # aggregations
-    "a13_sessionize", "a14b_sketch_errorband",
-    "a1_watermark_per_key", "a3_tick_to_bars",
-    "a9_describe", "f4_snapshot_audit",
+    "a2_agg_rollup", "a4_rebar",
+    "a14b_sketch_errorband",
     # audits / ordering / sets
-    "u4_scd2_intervals", "eav_unpivot_pivot",
-    "p4_inlist_semijoin", "u5_schema_reconcile",
+    "u4_membership_changepoints", "eav_unpivot_pivot",
+    "p4_inlist_semijoin",
     # windows
-    "w8b_quarterize_exact", "w1b_rank_scalable",
-    "w11b_adjusted_diff", "w9_expand_calendar",
-    "w4_ffill",
+    "w8_quarterize", "w1_rank_returns",
+    "w3_cum_chain", "w11b_adjusted_diff",
     # composites
     "pipeline_cluster_survivors",
     "pipeline_revenue_topk", "pipeline_region_revenue",
+    "pipeline_sector_median",
     # LLM-pipeline operators
-    "dedup_exact", "dedup_span_removal",
-    "dedup_simhash_md5", "dedup_simhash_hamming_md5",
-    "dedup_semdedup_incremental",
-    "txt_bpe_train",
-    "txt_ccnet_split", "txt_features", "txt_vocab_topk",
-    "mm_video_frames",
-    "ann_lsh_full_probe",
+    "dedup_exact", "dedup_components",
+    "dedup_simhash_hamming_md5",
+    "dedup_semdedup", "dedup_ngram_jaccard",
+    "dedup_minhash_incremental_md5", "dedup_cross_contamination_md5",
+    "txt_corpus_stats", "txt_repetition", "txt_bpe_segment",
+    "txt_ccnet_split", "txt_features",
+    "mm_audio_features",
+    "ann_cosine_topk",
     "emb_centroid_outliers",
     "smp_dsir_md5", "smp_pack_sequences",
     "smp_hash_split", "smp_mixture_resample", "smp_source_quota",
+    "smp_epoch_shuffle",
+    "stream_dedup_incremental_md5",
     "s6b_acid_merge", "s6c_cdc_feed",
     "s6_upsert_last_write_wins",
     "s10b_zorder_skipping", "s6d_stream_txlog_exactly_once",
     "s10c_bloom_point_lookup",
     # ---- position 51+: triple/double-green history, sibling-covered,
     # ---- or rows-only (no oracle) ----
+    "p3_regex_filter", "s1_filtered_scan",
+    "j1_vendor_merge_full_outer", "j10_asof_point_lookup",
+    "j8b_interval_join_bucketed",
+    "a1_watermark_per_key", "a3_tick_to_bars",
+    "a13_sessionize", "a9_describe", "f4_snapshot_audit",
+    "u4_scd2_intervals", "u5_schema_reconcile",
+    "w8b_quarterize_exact", "w1b_rank_scalable",
+    "w4_ffill", "w9_expand_calendar",
+    "dedup_span_removal", "dedup_simhash_md5",
+    "dedup_semdedup_incremental",
+    "txt_bpe_train", "txt_vocab_topk",
+    "mm_video_frames", "ann_lsh_full_probe",
     "ann_pq_rerank", "txt_chunk_stride", "w6_argmax_cross_section",
     "j9_asof_last_report", "o3_topk_worst", "pipeline_worst_window_return",
     "txt_lm_perplexity", "dedup_embedding_pairs", "smp_token_budget",
@@ -4580,20 +4617,6 @@ QUERY_PRIORITY: list[str] = [
     "dedup_frequent_ngrams", "dedup_minhash_md5", "dedup_components_star",
     "txt_winnowing", "txt_contamination", "txt_pii_redact",
     "mm_image_features",
-    "f3_cleaning_exprs",
-    "dedup_minhash_incremental_md5",
-    "j5_anti_join_new_codes", "j8_interval_join",
-    "a4_rebar",
-    "w1_rank_returns", "w8_quarterize",
-    "dedup_ngram_jaccard",
-    "dedup_cross_contamination_md5",
-    "txt_repetition", "txt_bpe_segment",
-    "dedup_semdedup", "ann_cosine_topk",
-    "stream_dedup_incremental_md5",
-    "a2_agg_rollup", "j11_argmax_latest_per_key", "dedup_components",
-    "mm_audio_features", "txt_corpus_stats",
-    "w3_cum_chain", "u4_membership_changepoints",
-    "pipeline_sector_median", "smp_epoch_shuffle",
     "w11_adjusted_continuous",
     "ann_ivf_topk", "dedup_minhash_lsh",
     "dedup_simhash", "ann_lsh_topk", "dedup_simhash_hamming",
