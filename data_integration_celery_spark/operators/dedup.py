@@ -48,7 +48,26 @@ SIG_CACHE_CAP = 12
 _live_sig_cache: "OrderedDict[int, DataFrame]" = OrderedDict()
 
 
+def clear_sig_cache() -> None:
+    """Unpersist and drop every live cached signature table. Callers whose
+    SOURCE FILES change between calls must invalidate: an equal plan over
+    rewritten files would otherwise serve the previously cached blocks
+    (Spark's CacheManager matches plans, not file contents)."""
+    while _live_sig_cache:
+        _, old = _live_sig_cache.popitem(last=False)
+        try:
+            old.unpersist(False)
+        except Exception:
+            pass
+
+
 def _persist_swap(slot: str, df: DataFrame) -> DataFrame:
+    """Persist ``df`` (or return the live cached handle for a semantically
+    equal plan). ASSUMES IMMUTABLE INPUT FILES — the engine-wide contract
+    (TxTable data files are immutable UUIDs; testdata parquet is static).
+    If the files behind an equal plan are rewritten in place, call
+    ``clear_sig_cache()`` first, or the cached blocks win over the new
+    bytes."""
     from pyspark import StorageLevel
     try:
         key = df.semanticHash()

@@ -336,15 +336,34 @@ def _fresh_tmp_table_root(prefix: str) -> str:
     (>1h old). An unconditional glob-rmtree here made concurrent harness
     runs of the same query mutually destructive: pytest's registry sweep
     deleted the scale tool's in-flight table mid-read (r9 incident). The
-    age guard keeps /tmp bounded without cross-run interference."""
+    age guard keeps /tmp bounded without cross-run interference.
+
+    Staleness is judged on the NEWEST mtime anywhere under the sibling's
+    tree, not the root dir's: mkdtemp stamps the root once and writes land
+    in nested _txlog/_data subdirs without bumping it, so a root-mtime
+    check would still rmtree a >1h-old run's in-flight table — the exact
+    mutual-destruction mode the guard exists to prevent, on a longer fuse.
+    """
     import glob as _glob
     import shutil as _shutil
     import tempfile as _tempfile
     import time as _time
+
+    def _newest_mtime(root: str) -> float:
+        newest = os.path.getmtime(root)
+        for dirpath, _dirs, files in os.walk(root):
+            try:
+                newest = max(newest, os.path.getmtime(dirpath),
+                             *(os.path.getmtime(os.path.join(dirpath, f))
+                               for f in files))
+            except OSError:
+                continue  # entry vanished mid-walk (concurrent cleanup)
+        return newest
+
     now = _time.time()
     for old in _glob.glob(f"{_tempfile.gettempdir()}/{prefix}*"):
         try:
-            if now - os.path.getmtime(old) > 3600:
+            if now - _newest_mtime(old) > 3600:
                 _shutil.rmtree(old, ignore_errors=True)
         except OSError:
             pass

@@ -87,10 +87,30 @@ def _plain_path(path: str) -> str:
     return unquote(parsed.path) if parsed.scheme else path
 
 
+def _is_java_exc(exc: Exception, *class_names: str) -> bool:
+    """True iff a py4j error wraps a Java exception whose class (or any of
+    its causes, following getCause) is one of ``class_names`` — exception
+    identity by CLASS, never by message substring."""
+    jexc = getattr(exc, "java_exception", None)
+    seen = 0
+    while jexc is not None and seen < 16:  # cause chains are short
+        try:
+            if jexc.getClass().getName() in class_names:
+                return True
+            jexc = jexc.getCause()
+        except Exception:
+            return False
+        seen += 1
+    return False
+
+
 def _bloom_pos_exprs(col, bits: int, k: int) -> list:
     """k Bloom positions for a value as pure Columns. The value is cast to
-    string before hashing so the build (a table column) and the probe (a
-    Python literal) hash identically regardless of arrival type."""
+    string before hashing, so build and probe agree whenever the probe
+    literal stringifies like the stored type — the probe path therefore
+    casts literals to the column's schema type first (see
+    ``_bloom_positions_batch``), since e.g. int 777 and DOUBLE 777.0
+    stringify differently."""
     s = col.cast("string")
     return [F.pmod(F.xxhash64(F.concat(F.lit(f"__bf{i}:"), s)),
                    F.lit(bits)) for i in range(k)]
@@ -248,7 +268,26 @@ class HadoopLogStore:
             return True
         except Exception as exc:  # FileAlreadyExistsException → lost race
             fs.delete(tmp, False)
-            if "FileAlreadyExists" in str(exc) or "already exists" in str(exc):
+            # Do NOT classify by message text — a transient fault whose
+            # message merely contains "already exists" must surface, not
+            # read as a lost race (which would send _commit into a busy
+            # retry of the same version). The destination's actual state is
+            # the authoritative evidence: if a commit file is there, either
+            # a rival won (the expected shape, whatever exception class the
+            # FS reported) or our own rename landed but the response was
+            # lost — disambiguated by content, since commit payloads carry
+            # writer-unique UUID data-file names.
+            if fs.exists(dst):
+                try:
+                    return self.read(path) == json.loads(payload)
+                except Exception:
+                    return False  # unreadable rival → treat as lost race
+            if _is_java_exc(exc,
+                            "org.apache.hadoop.fs.FileAlreadyExistsException",
+                            "java.nio.file.FileAlreadyExistsException"):
+                # the FS reported the destination taken, but it has since
+                # vanished (e.g. swept by maintenance) — a rival DID win
+                # the slot; the retry loop re-reads the log and moves on
                 return False
             raise
 
@@ -488,26 +527,30 @@ class TxTable:
             lo, hi = _widen(lo, -1), _widen(hi, +1)
             adds = [a for a in adds
                     if _overlaps(a.get("stats", {}).get(col), lo, hi)]
-        for col, value in (prune_eq or {}).items():
+        if prune_eq:
             # Bloom point-lookup skipping: a file whose filter lacks any of
             # the probe's bits PROVABLY does not contain the value (no
             # false negatives); kept files may still miss it (bounded FPR),
             # so callers apply the real equality filter — same conservative
             # contract as the range prune. Files without a recorded filter
-            # for the column are kept.
-            pos_cache: dict[tuple[int, int], list[int]] = {}
-            kept = []
-            for a in adds:
-                entry = a.get("bloom", {}).get(col)
-                if entry is None:
-                    kept.append(a)
-                    continue
-                key = (entry["bits"], entry["k"])
-                if key not in pos_cache:  # spec may differ across rewrites
-                    pos_cache[key] = self._bloom_positions(value, *key)
-                if _bloom_admits(entry, pos_cache[key]):
-                    kept.append(a)
-            adds = kept
+            # for the column are kept. All probes across all columns and
+            # filter specs resolve through ONE local Spark job.
+            dtypes = {f.name: f.dataType for f in schema.fields}
+            probes: list[tuple] = []  # (col, value, dtype, bits, k)
+            for col, value in prune_eq.items():
+                for a in adds:  # spec may differ across rewrites
+                    e = a.get("bloom", {}).get(col)
+                    if e is not None:
+                        key = (col, value, dtypes.get(col),
+                               e["bits"], e["k"])
+                        if key not in probes:
+                            probes.append(key)
+            pos = dict(zip(probes, self._bloom_positions_batch(probes)))
+            for col, value in prune_eq.items():
+                adds = [a for a in adds
+                        if (e := a.get("bloom", {}).get(col)) is None
+                        or _bloom_admits(e, pos[(col, value, dtypes.get(col),
+                                                 e["bits"], e["k"])])]
         if not adds:
             return self.spark.createDataFrame([], schema)
         paths = [os.path.join(self.path, a["path"]) for a in adds]
@@ -618,15 +661,38 @@ class TxTable:
                     "bits": bits, "k": k, "words": blob}
         return out
 
-    def _bloom_positions(self, value, bits: int, k: int) -> list[int]:
+    def _bloom_positions(self, value, bits: int, k: int,
+                         dtype=None) -> list[int]:
         """Probe positions for ``value`` — computed with the SAME Spark hash
-        expressions the build used (one tiny local job), so build and probe
-        can never disagree on the hash function."""
-        exprs = _bloom_pos_exprs(F.lit(value), bits, k)
-        row = (self.spark.range(1)
-               .select(*[e.alias(f"p{i}") for i, e in enumerate(exprs)])
-               .collect()[0])
-        return [int(row[f"p{i}"]) for i in range(k)]
+        expressions the build used, so build and probe can never disagree
+        on the hash function."""
+        return self._bloom_positions_batch([(None, value, dtype, bits, k)])[0]
+
+    def _bloom_positions_batch(self, probes: list[tuple]) -> list[list[int]]:
+        """Positions for many ``(col, value, dtype, bits, k)`` probes in ONE
+        local Spark job (an N-point-lookup pays one job launch, not N).
+
+        ``dtype`` is the probed column's type from the table schema: the
+        Python literal is cast to it BEFORE the string cast the hash uses,
+        so a cross-typed probe (777 against a DOUBLE column) stringifies
+        exactly like the stored values ("777.0") and hashes to the bits the
+        build set — without the cast, a type-mismatched probe would hash to
+        different positions and reject files that DO contain the value (a
+        false negative, violating the pruning contract). A probe the type
+        cannot represent try_casts to NULL (an ANSI cast would throw),
+        which cannot match any built value — any prune outcome is then
+        safe, since the value cannot exist in the column either."""
+        if not probes:
+            return []
+        exprs = []
+        for j, (_, value, dtype, bits, k) in enumerate(probes):
+            lit = (F.lit(value).try_cast(dtype) if dtype is not None
+                   else F.lit(value))
+            exprs.extend(e.alias(f"p{j}_{i}") for i, e
+                         in enumerate(_bloom_pos_exprs(lit, bits, k)))
+        row = self.spark.range(1).select(*exprs).collect()[0]
+        return [[int(row[f"p{j}_{i}"]) for i in range(k)]
+                for j, (_, _, _, _, k) in enumerate(probes)]
 
     def last_txn(self, app_id: str) -> int | None:
         """Highest committed writer batch id for ``app_id`` (None if never).

@@ -888,6 +888,53 @@ def test_hadoop_and_local_store_race_one_winner(spark, tdir):
     assert hadoop.list_versions(tdir) == [7, 8]
 
 
+def test_java_exc_classified_by_class_not_message():
+    """A lost rename race is recognized by the Java exception CLASS (or a
+    cause in its chain) — never by message substring, so a transient fault
+    whose message merely contains 'already exists' surfaces as an error
+    instead of silently reading as a lost race (which would busy-retry the
+    same commit version forever)."""
+    from data_integration_celery_spark.sinks.txlog import _is_java_exc
+
+    class FakeJException:
+        def __init__(self, name, cause=None):
+            self._name, self._cause = name, cause
+
+        def getClass(self):
+            outer = self
+
+            class C:
+                def getName(self):
+                    return outer._name
+            return C()
+
+        def getCause(self):
+            return self._cause
+
+    class FakePy4JError(Exception):
+        def __init__(self, jexc):
+            super().__init__("java side says: file already exists (maybe)")
+            self.java_exception = jexc
+
+    faee = "org.apache.hadoop.fs.FileAlreadyExistsException"
+    # direct hit
+    assert _is_java_exc(FakePy4JError(FakeJException(faee)), faee)
+    # hit via the cause chain (RemoteException wrapping)
+    wrapped = FakeJException("org.apache.hadoop.ipc.RemoteException",
+                             cause=FakeJException(faee))
+    assert _is_java_exc(FakePy4JError(wrapped), faee)
+    # message mentions "already exists" but the class is a transient fault:
+    # must NOT classify as a lost race
+    transient = FakePy4JError(FakeJException("java.io.IOException"))
+    assert not _is_java_exc(transient, faee)
+    # a plain Python exception (no java_exception attr) never matches
+    assert not _is_java_exc(RuntimeError("already exists"), faee)
+    # self-referential cause chain terminates
+    loop = FakeJException("java.io.IOException")
+    loop._cause = loop
+    assert not _is_java_exc(FakePy4JError(loop), faee)
+
+
 def _race_worker(path, idx, barrier, q):
     """Top-level for fork: barrier-sync N OS processes, then race
     put_if_absent on the SAME commit path; report (idx, won) via queue."""
@@ -994,6 +1041,50 @@ def test_bloom_point_lookup_prunes_files(spark, sf_dir, tdir):
     absent = t.snapshot(prune_eq={"o_custkey": -987654321})
     assert len(absent.inputFiles()) <= max(1, n // 4)
     assert absent.where(F.col("o_custkey") == -987654321).count() == 0
+
+
+def test_bloom_cross_type_probe_no_false_negative(spark, tdir):
+    """A probe whose Python type differs from the column's SQL type must
+    still find every file containing the value: the probe literal is cast
+    to the schema type before the string cast the hash uses (int 777 vs
+    DOUBLE stringifies "777" vs "777.0" — uncast, the probe would hash to
+    different bits and WRONGLY prune files that contain the value)."""
+    df = spark.createDataFrame(
+        [(i, float(i % 7) * 111.0, i % 5) for i in range(400)],
+        "id long, d double, m int").selectExpr(
+        "id", "d", "CAST(m * 1.25 AS DECIMAL(12,2)) AS dec")
+    t = TxTable(spark, tdir, batch_partitions=8)
+    t.create(df, bloom_cols=["d", "dec"], bloom_bits=4096, bloom_k=5)
+    # int probe against DOUBLE column: 3*111 = 333.0 exists
+    got = t.snapshot(prune_eq={"d": 333}).where(F.col("d") == 333)
+    assert got.count() == df.where(F.col("d") == 333).count() > 0
+    # float probe against DECIMAL(12,2) column: 2*1.25 = 2.50 exists
+    got2 = t.snapshot(prune_eq={"dec": 2.5}).where(F.col("dec") == 2.5)
+    assert got2.count() == df.where(F.col("dec") == 2.5).count() > 0
+    # an unrepresentable probe must not crash and finds nothing
+    assert t.snapshot(prune_eq={"d": "not-a-number"}) \
+        .where(F.col("d").cast("string") == "not-a-number").count() == 0
+
+
+def test_bloom_batched_probe_single_job(spark, tdir):
+    """N point-lookup probes resolve through ONE local Spark job (the
+    per-value spark.range(1) launch was O(N) jobs), and the batch agrees
+    with the single-probe path bit-for-bit."""
+    df = spark.createDataFrame([(i, i * 3) for i in range(100)],
+                               "id long, v long")
+    t = TxTable(spark, tdir)
+    t.create(df, bloom_cols=["v"], bloom_bits=4096, bloom_k=5)
+    probes = [(None, val, None, 4096, 5) for val in (3, 33, 333, 12, 777)]
+    sc = spark.sparkContext
+    sc.setJobGroup("bloom-batch-probe", "one job for N probes")
+    try:
+        batch = t._bloom_positions_batch(probes)
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("bloom-batch-probe")
+    assert len(jobs) == 1, jobs
+    for (_, val, _, bits, k), pos in zip(probes, batch):
+        assert pos == t._bloom_positions(val, bits, k)
 
 
 def test_bloom_survives_merge_compact_and_checkpoint(spark, sf_dir, tdir):
