@@ -84,6 +84,26 @@ SPEC_CHANGES = {
         " history measures the cheaper non-oracled form"),
 }
 
+# Adjudicated cause for suite-median inflation that the SAME-process
+# isolated re-run exonerates (payload key "interference"). r10 probes on
+# the five r9-flagged dedup queries established what it is NOT: not LRU
+# thrash (instrumented SIG_CACHE_STATS read zero evictions across full
+# suite rounds — later rounds HIT the signature cache), not cached-block
+# pressure (<= 16 MB total, clearCache() between rounds changed nothing),
+# not GC (~2s per 130s round). A controlled 3-round suite read all five
+# at ~1.0x baseline in every round, while an uncontrolled probe minutes
+# earlier on identical code read up to 4x in round 1 — the inflation
+# follows the measurement WINDOW (transient host CPU contention; load
+# average ~6 observed with the repo idle), not suite position or cache
+# state. Isolated min-of-3 escapes the window; medians of 3 round-robin
+# passes cannot.
+INTERFERENCE_CAUSE = (
+    "transient host CPU contention windows (shared-host VM; idle load avg"
+    " ~6); ruled out by instrumentation: sig-cache LRU (0 evictions,"
+    " later-round hits), cached blocks (<=16MB), GC (~2s/round), plan"
+    " state (clearCache A/B identical). Same-process isolated min-of-3 is"
+    " the adjudicated number.")
+
 
 def _sf_tag() -> str:
     return os.path.basename(SF_DIR.rstrip("/"))
@@ -170,6 +190,21 @@ def main() -> None:
     for name, adj in isolated.items():
         baseline_q[name] = adj["isolated"]
 
+    # interference ledger: queries whose suite median inflated >=1.8x over
+    # the prior adjudicated value while the SAME-PROCESS isolated re-run
+    # sits at <=1.25x of it — measured, named suite-context interference
+    # (see INTERFERENCE_CAUSE), not plan drift. A reader comparing
+    # "queries" medians against "queries_baseline" should use the
+    # "isolated" number for these rows.
+    interference = {
+        name: {"suite_median": adj["median"], "prev": adj["prev"],
+               "isolated": adj["isolated"],
+               "suite_vs_isolated": round(adj["median"]
+                                          / max(adj["isolated"], 1e-9), 2)}
+        for name, adj in isolated.items()
+        if adj["median"] >= adj["prev"] * 1.8
+        and adj["isolated"] <= adj["prev"] * 1.25}
+
     # key order matters: the driver records only the LAST 2000 chars of
     # stdout, so the big per-query dicts go first and the headline scalars
     # + the isolation adjudications go last, where they always survive.
@@ -185,6 +220,8 @@ def main() -> None:
         "value_cold": round(sum(rounds[0].values()), 3),
         "sec_per_query": round(sum(med.values()) / len(med), 3),
         "queries_isolated": isolated,
+        "interference": interference,
+        "interference_cause": INTERFERENCE_CAUSE if interference else None,
         "spec_changes": SPEC_CHANGES,
         "sf": sf_val,
     }
@@ -210,6 +247,7 @@ def main() -> None:
         "sec_per_query": payload["sec_per_query"],
         "value_cold": payload["value_cold"],
         "n_isolated": len(isolated),
+        "n_interference": len(interference),
         "full_payload": f"BENCH_LAST_{_sf_tag()}.json",
         # names whose cross-round history is non-comparable (details in
         # the full payload's spec_changes dict)

@@ -46,6 +46,10 @@ from collections import OrderedDict
 
 SIG_CACHE_CAP = 12
 _live_sig_cache: "OrderedDict[int, DataFrame]" = OrderedDict()
+# diagnostics: cumulative reuse/persist/evict counts since import — the
+# bench interference probe reads these to tell "LRU thrash" apart from
+# scheduler noise without touching the measured plans
+SIG_CACHE_STATS = {"hits": 0, "misses": 0, "evictions": 0}
 
 
 def clear_sig_cache() -> None:
@@ -80,6 +84,7 @@ def _persist_swap(slot: str, df: DataFrame) -> DataFrame:
         except Exception:
             same = False
         if same:
+            SIG_CACHE_STATS["hits"] += 1
             _live_sig_cache.move_to_end(key)
             return prev
         # hash collision or stale handle: evict and re-persist below
@@ -88,9 +93,11 @@ def _persist_swap(slot: str, df: DataFrame) -> DataFrame:
             prev.unpersist(False)
         except Exception:
             pass
+    SIG_CACHE_STATS["misses"] += 1
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     _live_sig_cache[key] = df
     while len(_live_sig_cache) > SIG_CACHE_CAP:
+        SIG_CACHE_STATS["evictions"] += 1
         _, old = _live_sig_cache.popitem(last=False)
         try:
             old.unpersist(False)
