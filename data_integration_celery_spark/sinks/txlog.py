@@ -372,12 +372,130 @@ class HadoopLogStore:
                 pass  # a concurrent writer/vacuum raced in; next pass
 
 
+class InMemoryConditionalPutClient:
+    """Contract-faithful fake of an object store with conditional PUT.
+
+    Models the primitive every major object store now exposes for
+    exactly-one-winner creates — S3 ``PutObject`` with ``If-None-Match: *``
+    (GA Aug 2024), GCS ``x-goog-if-generation-match: 0``, Azure Blob
+    ``If-None-Match: *`` — plus strongly consistent GET/LIST (S3 since
+    Dec 2020). ``put_if_none_match`` is an atomic compare-and-create
+    under one lock, so of N concurrent writers exactly one succeeds; the
+    loser's payload is never partially visible (objects are immutable
+    whole-payload puts, there is no half-written state to observe).
+
+    No cloud SDK ships in this environment, so this client IS the third
+    storage class's coordinator for tests; a production port swaps the
+    constructor for a boto3/gcs wrapper with the same five methods —
+    ``ObjectStoreLogStore`` below never sees the difference.
+    """
+
+    def __init__(self):
+        import threading
+        self._objects: dict[str, tuple[bytes, float]] = {}
+        self._lock = threading.Lock()
+
+    def put_if_none_match(self, key: str, payload: bytes) -> bool:
+        with self._lock:
+            if key in self._objects:
+                return False
+            self._objects[key] = (bytes(payload), time.time())
+            return True
+
+    def get(self, key: str) -> bytes:
+        with self._lock:
+            if key not in self._objects:
+                raise FileNotFoundError(key)
+            return self._objects[key][0]
+
+    def list(self, prefix: str) -> list[tuple[str, float]]:
+        with self._lock:
+            return sorted((k, m) for k, (_, m) in self._objects.items()
+                          if k.startswith(prefix))
+
+    def exists(self, key: str) -> bool:
+        with self._lock:
+            return key in self._objects
+
+    def delete(self, key: str) -> None:
+        with self._lock:
+            self._objects.pop(key, None)
+
+
+class ObjectStoreLogStore:
+    """Commit arbitration on an object store via conditional PUT — the
+    third storage class after ``LocalLogStore`` (POSIX ``link(2)``) and
+    ``HadoopLogStore`` (HDFS no-overwrite rename).
+
+    Raw object stores have no atomic rename, so the Delta paper's S3
+    deployment (Armbrust et al., VLDB 2020, §3.2) arbitrates commits
+    through an external coordinator (their DynamoDB LogStore). Native
+    conditional PUT has since subsumed that: ``If-None-Match: *`` makes
+    the object store itself the coordinator, and this store maps
+    ``put_if_absent`` straight onto it.
+
+    Plane split, mirroring the production layout:
+
+    - LOG plane (commit + checkpoint JSON under ``_txlog/``) → the
+      conditional-PUT ``client``, keyed by path. Atomicity lives here and
+      only here.
+    - DATA plane (immutable UUID-named parquet written by Spark, vacuum /
+      restore maintenance I/O) → ``data_store`` (default
+      ``LocalLogStore``, standing in for the s3a/gs connector Spark would
+      use against a real bucket). Data files need no atomicity: their
+      names are writer-unique UUIDs and only a committed log entry makes
+      them visible.
+    """
+
+    def __init__(self, client: InMemoryConditionalPutClient,
+                 data_store=None):
+        self.client = client
+        self.data = data_store or LocalLogStore()
+
+    # --- log plane: conditional PUT is the commit arbiter ---
+
+    def put_if_absent(self, path: str, payload: bytes) -> bool:
+        return self.client.put_if_none_match(path, payload)
+
+    def read(self, path: str) -> dict:
+        return json.loads(self.client.get(path))
+
+    def list_versions(self, log_dir: str, suffix: str = ".json") -> list[int]:
+        prefix = log_dir.rstrip("/") + "/"
+        out = []
+        for key, _mtime in self.client.list(prefix):
+            name = key[len(prefix):]
+            stem = name[:-len(suffix)]
+            if "/" not in name and name.endswith(suffix) and stem.isdigit():
+                out.append(int(stem))
+        return sorted(out)
+
+    def ensure_dir(self, path: str) -> None:
+        pass  # object stores have no directories; keys appear on first put
+
+    # --- data plane: Spark-written parquet + maintenance I/O ---
+
+    def exists(self, path: str) -> bool:
+        return self.data.exists(path)
+
+    def delete(self, path: str) -> None:
+        self.data.delete(path)
+
+    def list_files(self, root: str) -> list[tuple[str, float]]:
+        return self.data.list_files(root)
+
+    def prune_empty_dirs(self, root: str, ttl_seconds: float,
+                         now: float) -> None:
+        self.data.prune_empty_dirs(root, ttl_seconds, now)
+
+
 class TxTable:
     """A parquet table with an ACID commit log (create/append/merge/overwrite,
     snapshot isolation, time travel, vacuum, compaction)."""
 
     def __init__(self, spark: SparkSession, path: str,
-                 store: "LocalLogStore | HadoopLogStore | None" = None,
+                 store: "LocalLogStore | HadoopLogStore | "
+                        "ObjectStoreLogStore | None" = None,
                  batch_partitions: int | None = None,
                  checkpoint_interval: int = 20):
         """``batch_partitions`` pins the range-partition count per written
