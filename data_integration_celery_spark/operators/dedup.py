@@ -817,6 +817,87 @@ def simhash_near_dup_pairs(docs: DataFrame, text_col: str = "text",
     return cross.unionByName(same)
 
 
+def cap_pairs_per_id(pairs: DataFrame, cap: int,
+                     id_a: str = "id_a", id_b: str = "id_b",
+                     order_cols: list[str] | None = None,
+                     descending: bool = False
+                     ) -> tuple[DataFrame, DataFrame]:
+    """Bounded-output production form for quadratic pair emitters.
+
+    Near-dup pair output is inherently output-bound: densify the dup rate
+    and emitted pairs grow superlinearly while per-pair throughput holds
+    (the decade-sweep alpha>1 rows on the hamming/jaccard emitters are
+    exactly this). At 100 TB the consumer (a components pass, a review
+    queue) rarely needs every pair of a B-member template cluster — it
+    needs each document's best partners. This keeps, per document, its
+    ``cap`` best pairs ranked by ``order_cols`` (ties broken by partner
+    id, so the cut is deterministic); a pair survives if EITHER endpoint
+    ranks it (OR-semantics — no document is isolated because its partner
+    is popular, and single-link connectivity to each doc's nearest
+    neighbor is preserved).
+
+    NO SILENT CAPS: returns ``(kept, stats)`` where ``kept`` carries
+    ``(id_a, id_b, *order_cols)`` and ``stats`` is a 1-row DataFrame
+    (pairs_kept, pairs_dropped, docs_truncated) — production callers
+    surface it (log/metrics) so truncation is always visible.
+    ``pairs_dropped = 0`` ⇔ the capped output is the exact pair set.
+
+    Cost shape: one evaluation of ``pairs`` (already output-sized, never
+    corpus²) → explode to both orientations → one window shuffle on doc
+    id → one canonicalizing groupBy on the pair key. No self-join back to
+    the emitter.
+    """
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    ordc = order_cols or []
+    # Per-DOCUMENT ranking needs the doc on a single axis: ONE evaluation
+    # of (possibly expensive) ``pairs`` explodes each pair into both
+    # orientations (doc, partner); rank within doc; then canonicalize back
+    # to (id_a < id_b, as every emitter in this module guarantees) keeping
+    # the better of the two orientation ranks. A pair survives if EITHER
+    # endpoint ranked it within cap. Everything downstream (kept, dropped,
+    # the ledger) derives from this one lineage — the emitter is never
+    # joined back to itself.
+    both = (pairs.select(
+        F.explode(F.array(
+            F.struct(F.col(id_a).alias("__d"), F.col(id_b).alias("__o")),
+            F.struct(F.col(id_b).alias("__d"), F.col(id_a).alias("__o"))))
+        .alias("__e"), *[F.col(c) for c in ordc])
+        .select(F.col("__e.__d").alias("__d"), F.col("__e.__o").alias("__o"),
+                *ordc))
+    keys = [(F.col(c).desc() if descending else F.col(c).asc())
+            for c in ordc] + [F.col("__o").asc()]
+    ranked = both.withColumn("__r", F.row_number().over(
+        Window.partitionBy("__d").orderBy(*keys)))
+    canon = (ranked
+             .groupBy(F.least("__d", "__o").alias(id_a),
+                      F.greatest("__d", "__o").alias(id_b))
+             # the two orientations carry identical score values; min is
+             # just the deterministic way to pick one
+             .agg(F.min("__r").alias("__minr"),
+                  *[F.min(c).alias(c) for c in ordc]))
+    # kept and the ledger both consume canon; it is output-sized (the
+    # already-thresholded pair set), so one managed persist halves the
+    # emitter cost instead of doubling the biggest term
+    canon = _persist_swap("cap_pairs_canon", canon)
+    kept = (canon.where(F.col("__minr") <= cap)
+            .select(id_a, id_b, *ordc))
+    stats = (canon
+             .select("__minr",
+                     F.explode(F.array(F.col(id_a), F.col(id_b)))
+                     .alias("__e"))
+             .agg(F.coalesce(
+                      F.sum(F.when(F.col("__minr") <= cap, 1)) / F.lit(2),
+                      F.lit(0)).cast("bigint").alias("pairs_kept"),
+                  F.coalesce(
+                      F.sum(F.when(F.col("__minr") > cap, 1)) / F.lit(2),
+                      F.lit(0)).cast("bigint").alias("pairs_dropped"),
+                  F.count_distinct(
+                      F.when(F.col("__minr") > cap, F.col("__e")))
+                  .alias("docs_truncated")))
+    return kept, stats
+
+
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold: float = 0.5,

@@ -1038,6 +1038,70 @@ def dedup_ngram_q(spark, sf_dir):
         .select("id_a", "id_b", "jaccard")
 
 
+@q("dedup_pairs_capped",
+   sql="""
+   WITH norm AS (
+     SELECT doc_id, source,
+            string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                               '\\s+') AS tok
+     FROM documents),
+   sh AS (
+     SELECT doc_id, source,
+            CASE WHEN len(tok) >= 3
+                 THEN list_distinct(list_transform(range(1, len(tok) - 1),
+                                                   i -> array_to_string(tok[i:i+2], ' ')))
+                 ELSE [array_to_string(tok, ' ')] END AS sh
+     FROM norm),
+   pairs AS (
+     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+     FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+     WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.2),
+   ends AS (
+     SELECT id_a AS d, id_b AS o, jaccard FROM pairs
+     UNION ALL
+     SELECT id_b AS d, id_a AS o, jaccard FROM pairs),
+   keepers AS (
+     SELECT DISTINCT least(d, o) AS ka, greatest(d, o) AS kb FROM (
+       SELECT d, o,
+              row_number() OVER (PARTITION BY d ORDER BY jaccard DESC, o) AS r
+       FROM ends) WHERE r <= 2),
+   kept AS (
+     SELECT p.id_a, p.id_b, p.jaccard
+     FROM pairs p JOIN keepers k ON p.id_a = k.ka AND p.id_b = k.kb),
+   dropped AS (
+     SELECT id_a, id_b FROM pairs p
+     WHERE NOT EXISTS (SELECT 1 FROM keepers k
+                       WHERE p.id_a = k.ka AND p.id_b = k.kb)),
+   ledger AS (
+     SELECT (SELECT CAST(count(*) AS BIGINT) FROM dropped) AS pairs_dropped,
+            (SELECT CAST(count(*) AS BIGINT) FROM
+               (SELECT id_a AS d FROM dropped
+                UNION SELECT id_b FROM dropped)) AS docs_truncated)
+   SELECT k.id_a, k.id_b, k.jaccard, l.pairs_dropped, l.docs_truncated
+   FROM kept k CROSS JOIN ledger l
+   """,
+   doc="Bounded-output production form of the near-dup pair emitter "
+       "(VERDICT r9 item 5): each document keeps its 2 best partners by "
+       "Jaccard (OR-semantics across endpoints, deterministic tiebreak), "
+       "and the truncation ledger (pairs_dropped, docs_truncated) rides "
+       "every row via a broadcast 1-row cross join — NO silent caps. At "
+       "100 TB this turns the output-bound alpha>1 emitters into "
+       "bounded-output defaults (operators/dedup.py cap_pairs_per_id).")
+def dedup_pairs_capped_q(spark, sf_dir):
+    from .operators import dedup
+    pairs = dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
+                                      threshold=0.2, block_col="source") \
+        .select("id_a", "id_b", "jaccard")
+    kept, stats = dedup.cap_pairs_per_id(pairs, cap=2,
+                                         order_cols=["jaccard"],
+                                         descending=True)
+    return kept.crossJoin(
+        F.broadcast(stats.select("pairs_dropped", "docs_truncated")))
+
+
 @q("txt_contamination",
    sql="""
    WITH norm AS (
@@ -4568,6 +4632,12 @@ def u5_schema_reconcile_q(spark, sf_dir):
 # txt_bpe_train+txt_vocab_topk (bpe_segment/corpus_stats/repetition in),
 # mm_video_frames (mm_audio in), ann_lsh_full_probe (ann_cosine_topk IS
 # the brute-force ground truth the identities compare against).
+# Session addition: dedup_pairs_capped (VERDICT r9 item 5 — the
+# bounded-output production form of the pair emitters, per-doc top-k with
+# an oracle-verified truncation ledger) is a never-checked exact oracle
+# and must hold a gated slot; pipeline_region_revenue rests for it
+# (r9-green; revenue_topk + sector_median + cluster_survivors keep the
+# pipeline family covered).
 QUERY_PRIORITY: list[str] = [
     # scans / predicates / cleaning
     "f3_cleaning_exprs",
@@ -4588,12 +4658,12 @@ QUERY_PRIORITY: list[str] = [
     "w3_cum_chain", "w11b_adjusted_diff",
     # composites
     "pipeline_cluster_survivors",
-    "pipeline_revenue_topk", "pipeline_region_revenue",
+    "pipeline_revenue_topk",
     "pipeline_sector_median",
     # LLM-pipeline operators
     "dedup_exact", "dedup_components",
     "dedup_simhash_hamming_md5",
-    "dedup_semdedup", "dedup_ngram_jaccard",
+    "dedup_semdedup", "dedup_ngram_jaccard", "dedup_pairs_capped",
     "dedup_minhash_incremental_md5", "dedup_cross_contamination_md5",
     "txt_corpus_stats", "txt_repetition", "txt_bpe_segment",
     "txt_ccnet_split", "txt_features",
@@ -4610,6 +4680,7 @@ QUERY_PRIORITY: list[str] = [
     "s10c_bloom_point_lookup",
     # ---- position 51+: triple/double-green history, sibling-covered,
     # ---- or rows-only (no oracle) ----
+    "pipeline_region_revenue",
     "p3_regex_filter", "s1_filtered_scan",
     "j1_vendor_merge_full_outer", "j10_asof_point_lookup",
     "j8b_interval_join_bucketed",

@@ -851,3 +851,87 @@ def test_winnowing_k1_and_defaults(spark):
     pairs = dedup.ngram_jaccard_pairs(docs, n=2)  # default threshold works
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert got == {(1, 2)}
+
+
+# ------------------------- capped-output pair emitters (r10, VERDICT r9 #5)
+
+
+def _pair_rows(df):
+    return sorted((r.id_a, r.id_b) for r in df.collect())
+
+
+def test_cap_pairs_infinite_cap_is_identity(spark, sf_dir):
+    """Differential: a cap larger than any doc's partner count reproduces
+    the uncapped pair set exactly, with a zeroed truncation ledger."""
+    from pyspark.sql import functions as F
+
+    from data_integration_celery_spark.operators import dedup
+    docs = catalog.load(spark, "documents", sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.2,
+                                      block_col="source") \
+        .select("id_a", "id_b", "jaccard")
+    kept, stats = dedup.cap_pairs_per_id(pairs, cap=10 ** 9,
+                                         order_cols=["jaccard"],
+                                         descending=True)
+    assert _pair_rows(kept) == _pair_rows(pairs)
+    s = stats.collect()[0]
+    assert (s.pairs_dropped, s.docs_truncated) == (0, 0)
+    assert s.pairs_kept == pairs.count()
+
+
+def test_cap_pairs_or_semantics_and_ledger(spark):
+    """A popular doc's cap never isolates its partners (OR-semantics), the
+    per-doc cut keeps the BEST partners, and the ledger counts exactly
+    what was dropped."""
+    from data_integration_celery_spark.operators import dedup
+
+    # hub doc 1 pairs with 2..5 at descending scores; 4-5 also pair weakly
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (1, 3, 0.8), (1, 4, 0.7), (1, 5, 0.6), (4, 5, 0.3)],
+        "id_a long, id_b long, jaccard double")
+    kept, stats = dedup.cap_pairs_per_id(pairs, cap=1,
+                                         order_cols=["jaccard"],
+                                         descending=True)
+    got = _pair_rows(kept)
+    # (1,2): rank 1 for doc 1. (1,3): dropped for 1 BUT rank-1 for doc 3 —
+    # OR-semantics keeps it. Same for (1,4) via doc 4, (1,5) via doc 5.
+    # (4,5): rank 2 for BOTH 4 and 5 -> the only true drop.
+    assert got == [(1, 2), (1, 3), (1, 4), (1, 5)]
+    s = stats.collect()[0]
+    assert (s.pairs_kept, s.pairs_dropped, s.docs_truncated) == (4, 1, 2)
+
+
+def test_cap_pairs_deterministic_tiebreak(spark):
+    """Equal scores cut deterministically by partner id — two runs (and two
+    engines) make the same cut."""
+    from data_integration_celery_spark.operators import dedup
+    pairs = spark.createDataFrame(
+        [(1, 9, 0.5), (1, 7, 0.5), (1, 8, 0.5)],
+        "id_a long, id_b long, jaccard double")
+    kept, _ = dedup.cap_pairs_per_id(pairs, cap=1, order_cols=["jaccard"],
+                                     descending=True)
+    for _ in range(2):
+        assert _pair_rows(kept) == [(1, 7), (1, 8), (1, 9)]
+        # 7 is doc 1's keeper; 8 and 9 survive only via their own side
+    kept2, stats2 = dedup.cap_pairs_per_id(
+        pairs.withColumn("id_b", pairs.id_b + 0),  # fresh plan, same data
+        cap=1, order_cols=["jaccard"], descending=True)
+    assert _pair_rows(kept2) == _pair_rows(kept)
+
+
+def test_cap_pairs_on_simhash_hamming(spark, sf_dir):
+    """The capped form composes with the hamming emitter (ascending order:
+    closest partners first) and cap=inf is again the identity."""
+    from data_integration_celery_spark.operators import dedup
+    docs = catalog.load(spark, "documents", sf_dir)
+    pairs = dedup.simhash_near_dup_pairs(docs, bits=24, k=1, hasher="md5")
+    kept, stats = dedup.cap_pairs_per_id(pairs, cap=10 ** 9,
+                                         order_cols=["hamming"],
+                                         descending=False)
+    assert _pair_rows(kept) == _pair_rows(pairs)
+    assert stats.collect()[0].pairs_dropped == 0
+    capped, st = dedup.cap_pairs_per_id(pairs, cap=1,
+                                        order_cols=["hamming"])
+    c, tot = capped.count(), pairs.count()
+    s = st.collect()[0]
+    assert c + s.pairs_dropped == tot and s.pairs_kept == c
