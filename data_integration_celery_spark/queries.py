@@ -3139,10 +3139,10 @@ def pipeline_cluster_survivors(spark, sf_dir):
      FROM documents),
    b AS (
      SELECT media_id, n_bytes, hx,
-            (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
-            + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS b0,
-            (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
-            + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) AS b1
+            (position(substr(hx, 1, 1) IN '0123456789abcdef') - 1) * 16
+            + (position(substr(hx, 2, 1) IN '0123456789abcdef') - 1) AS b0,
+            (position(substr(hx, 3, 1) IN '0123456789abcdef') - 1) * 16
+            + (position(substr(hx, 4, 1) IN '0123456789abcdef') - 1) AS b1
      FROM h)
    SELECT media_id, n_bytes,
           64 + b0 % 192 AS width, 64 + b1 % 192 AS height,
@@ -3170,14 +3170,14 @@ def mm_features_q(spark, sf_dir):
      FROM documents),
    b AS (
      SELECT media_id, n_bytes,
-            (strpos('0123456789abcdef', substr(hx, 5, 1)) - 1) * 16
-            + (strpos('0123456789abcdef', substr(hx, 6, 1)) - 1) AS b2,
-            (strpos('0123456789abcdef', substr(hx, 7, 1)) - 1) * 16
-            + (strpos('0123456789abcdef', substr(hx, 8, 1)) - 1) AS b3,
-            (strpos('0123456789abcdef', substr(hx, 9, 1)) - 1) * 16
-            + (strpos('0123456789abcdef', substr(hx, 10, 1)) - 1) AS b4,
-            (strpos('0123456789abcdef', substr(hx, 11, 1)) - 1) * 16
-            + (strpos('0123456789abcdef', substr(hx, 12, 1)) - 1) AS b5
+            (position(substr(hx, 5, 1) IN '0123456789abcdef') - 1) * 16
+            + (position(substr(hx, 6, 1) IN '0123456789abcdef') - 1) AS b2,
+            (position(substr(hx, 7, 1) IN '0123456789abcdef') - 1) * 16
+            + (position(substr(hx, 8, 1) IN '0123456789abcdef') - 1) AS b3,
+            (position(substr(hx, 9, 1) IN '0123456789abcdef') - 1) * 16
+            + (position(substr(hx, 10, 1) IN '0123456789abcdef') - 1) AS b4,
+            (position(substr(hx, 11, 1) IN '0123456789abcdef') - 1) * 16
+            + (position(substr(hx, 12, 1) IN '0123456789abcdef') - 1) AS b5
      FROM h)
    SELECT media_id, CAST(n_bytes AS INTEGER) AS n_bytes,
           CAST(1 + b2 % 300 AS INTEGER) AS duration_s,
@@ -3207,12 +3207,12 @@ def mm_audio_q(spark, sf_dir):
      FROM documents),
    b AS (
      SELECT media_id, text, hx,
-            (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
-            + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS b0,
-            (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
-            + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) AS b1,
-            (strpos('0123456789abcdef', substr(hx, 5, 1)) - 1) * 16
-            + (strpos('0123456789abcdef', substr(hx, 6, 1)) - 1) AS b2
+            (position(substr(hx, 1, 1) IN '0123456789abcdef') - 1) * 16
+            + (position(substr(hx, 2, 1) IN '0123456789abcdef') - 1) AS b0,
+            (position(substr(hx, 3, 1) IN '0123456789abcdef') - 1) * 16
+            + (position(substr(hx, 4, 1) IN '0123456789abcdef') - 1) AS b1,
+            (position(substr(hx, 5, 1) IN '0123456789abcdef') - 1) * 16
+            + (position(substr(hx, 6, 1) IN '0123456789abcdef') - 1) AS b2
      FROM h),
    v AS (
      SELECT media_id, text,
