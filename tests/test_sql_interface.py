@@ -57,10 +57,10 @@ PORTABLE_CORE = [
     "u4_scd2_intervals", "w10_monthly_sample", "w12_pivot_status",
     "w1_rank_returns", "w1b_rank_scalable", "w2_lead_lag_gaps",
     "w3_cum_chain", "w5_rolling_mean", "w6_argmax_cross_section",
-    "w8_quarterize",
+    "w8_quarterize", "w8b_quarterize_exact",
 ]
 
-MIN_PORTABLE = 49
+MIN_PORTABLE = 51
 
 
 def _canon(df):
@@ -81,7 +81,10 @@ _DUCKDB_ONLY = [
     ", 'g')",            # regexp flags arg
     "string_split", "list_transform", "list_distinct", "unnest(",
     "string_agg", "strpos(", "array_to_string", "regexp_matches",
-    " // ", "::", "RECURSIVE", "information_schema", "{'",
+    " // ", "::", "information_schema", "{'",
+    # NOTE: "RECURSIVE" left OFF this list since r10 — Spark 4.1 parses and
+    # runs WITH RECURSIVE, which made w8b_quarterize_exact portable (the
+    # other recursive oracles stay skipped via their list-function markers)
 ]
 
 
