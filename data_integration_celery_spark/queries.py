@@ -401,6 +401,40 @@ def s6b_acid_merge(spark, sf_dir):
     return t.snapshot()
 
 
+@q("s6e_deletion_vectors",
+   sql="""
+   SELECT o_orderkey, o_totalprice, o_orderstatus,
+          TRUE AS no_file_rewritten,
+          (SELECT CAST(count(*) AS BIGINT) FROM orders
+           WHERE o_orderstatus = 'F') AS deleted_rows
+   FROM orders WHERE o_orderstatus <> 'F'
+   """,
+   doc="S6e: merge-on-read DELETE via deletion vectors (sinks/txlog.py "
+       "delete_where) — the matched rows land in a distributed parquet "
+       "sidecar keyed by (file basename, parquet row_index) and readers "
+       "anti-join; NO data file is rewritten (write amplification of a "
+       "0.1%-selectivity delete drops from table-rewrite to "
+       "output-of-matched-rows — the published lakehouse DV design). The "
+       "no_file_rewritten verdict column is computed from the live-set "
+       "comparison, deleted_rows from the commit's ledger; both are "
+       "oracle-checked on every row alongside the surviving data.")
+def s6e_deletion_vectors(spark, sf_dir):
+    from .sinks.txlog import TxTable
+    root = _fresh_tmp_table_root("txdv_q_")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    t = TxTable(spark, f"{root}/orders", batch_partitions=8)
+    t.create(o, stats_cols=["o_orderkey"])
+    before = {a["path"] for a in t.live_files()}
+    t.delete_where(F.col("o_orderstatus") == "F")
+    after = t.live_files()
+    no_rewrite = {a["path"] for a in after} == before
+    deleted = int(t.history()[-1].get("deleted_rows", 0))
+    return (t.snapshot()
+            .withColumn("no_file_rewritten", F.lit(bool(no_rewrite)))
+            .withColumn("deleted_rows", F.lit(deleted).cast("bigint")))
+
+
 @q("s6c_cdc_feed",
    sql="""
    WITH upd AS (
@@ -4637,7 +4671,11 @@ def u5_schema_reconcile_q(spark, sf_dir):
 # an oracle-verified truncation ledger) is a never-checked exact oracle
 # and must hold a gated slot; pipeline_region_revenue rests for it
 # (r9-green; revenue_topk + sector_median + cluster_survivors keep the
-# pipeline family covered).
+# pipeline family covered). Second session addition: s6e_deletion_vectors
+# (the round's new capability — merge-on-read DELETE, never-checked exact
+# oracle, must hold a gated slot); s6_upsert_last_write_wins rests for it
+# (r9-green, and its upsert kernel executes INSIDE the still-gated s6b
+# plan every round).
 QUERY_PRIORITY: list[str] = [
     # scans / predicates / cleaning
     "f3_cleaning_exprs",
@@ -4675,12 +4713,12 @@ QUERY_PRIORITY: list[str] = [
     "smp_epoch_shuffle",
     "stream_dedup_incremental_md5",
     "s6b_acid_merge", "s6c_cdc_feed",
-    "s6_upsert_last_write_wins",
+    "s6e_deletion_vectors",
     "s10b_zorder_skipping", "s6d_stream_txlog_exactly_once",
     "s10c_bloom_point_lookup",
     # ---- position 51+: triple/double-green history, sibling-covered,
     # ---- or rows-only (no oracle) ----
-    "pipeline_region_revenue",
+    "pipeline_region_revenue", "s6_upsert_last_write_wins",
     "p3_regex_filter", "s1_filtered_scan",
     "j1_vendor_merge_full_outer", "j10_asof_point_lookup",
     "j8b_interval_join_bucketed",

@@ -669,12 +669,57 @@ class TxTable:
                         if (e := a.get("bloom", {}).get(col)) is None
                         or _bloom_admits(e, pos[(col, value, dtypes.get(col),
                                                  e["bits"], e["k"])])]
+        return self._read_adds(adds, schema)
+
+    def _read_adds(self, adds: list[dict], schema: StructType,
+                   with_rowid: bool = False) -> DataFrame:
+        """Scan these add-actions, applying deletion vectors (merge-on-read).
+
+        Files WITHOUT a deletion vector take the plain explicit-schema read
+        — the zero-DV fast path is byte-for-byte the pre-DV plan. Files
+        WITH one anti-join against their referenced DV sidecars on the
+        stable row identity (file basename, parquet ``_metadata.row_index``)
+        — the published deletion-vector read path (Delta protocol DVs),
+        expressed as a Spark join instead of a reader-level bitmap: the DV
+        side is exactly the deleted rows, so the anti-join is broadcast-
+        sized whenever deletes are a small fraction of the table.
+
+        Explicit schema everywhere: files written before a column was added
+        read as NULL for it, and the column order is stable across batches.
+        """
+        cols = [f.name for f in schema.fields]
+        rowid = [F.element_at(F.split(F.col("_metadata.file_path"), "/"),
+                              -1).alias("__file"),
+                 F.col("_metadata.row_index").alias("__pos")]
+        keep = cols + (["__file", "__pos"] if with_rowid else [])
         if not adds:
-            return self.spark.createDataFrame([], schema)
-        paths = [os.path.join(self.path, a["path"]) for a in adds]
-        # explicit schema: files written before a column was added read as
-        # NULL for it, and the column order is stable across batches
-        return self.spark.read.schema(schema).parquet(*paths)
+            empty = self.spark.createDataFrame([], schema)
+            if with_rowid:
+                empty = empty.withColumn("__file", F.lit(None).cast("string")) \
+                             .withColumn("__pos", F.lit(None).cast("bigint"))
+            return empty
+        dv_adds = [a for a in adds if a.get("dv", {}).get("refs")]
+        plain = [a for a in adds if not a.get("dv", {}).get("refs")]
+        parts: list[DataFrame] = []
+        if plain:
+            parts.append(self.spark.read.schema(schema).parquet(
+                *[os.path.join(self.path, a["path"]) for a in plain])
+                .select(*cols, *rowid).select(*keep))
+        if dv_adds:
+            refs = sorted({r for a in dv_adds for r in a["dv"]["refs"]})
+            dv = (self.spark.read.parquet(
+                      *[os.path.join(self.path, r) for r in refs])
+                  .select("__file", "__pos").dropDuplicates())
+            scan = (self.spark.read.schema(schema).parquet(
+                        *[os.path.join(self.path, a["path"])
+                          for a in dv_adds])
+                    .select(*cols, *rowid))
+            parts.append(scan.join(dv, ["__file", "__pos"], "left_anti")
+                         .select(*keep))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def live_files(self, version: int | None = None) -> list[dict]:
         return self._replay(version)[2]
@@ -1028,11 +1073,9 @@ class TxTable:
         else:
             touched, kept = list(live), []
         schema = StructType.fromJson(json.loads(meta["schema"]))
-        if touched:
-            base = self.spark.read.schema(schema).parquet(
-                *[os.path.join(self.path, a["path"]) for a in touched])
-        else:
-            base = self.spark.createDataFrame([], schema)
+        # DV-aware read: rows deleted merge-on-read must not resurrect
+        # through the CoW rewrite of their file
+        base = self._read_adds(touched, schema)
         merged = upsert_frames(base, _conform(updates, meta, keep=order_col),
                                keys, order_col)
         adds = self._write_batch(merged, stats_cols,
@@ -1040,6 +1083,68 @@ class TxTable:
         return self._commit("merge_upsert", adds, [a["path"] for a in touched],
                             read_version=version, schema_json=meta["schema"],
                             extra={"pruned_files": len(kept)}, txn=txn)
+
+    def delete_where(self, condition, txn: dict | None = None) -> int:
+        """DELETE matching rows WITHOUT rewriting any data file
+        (merge-on-read deletion vectors).
+
+        Copy-on-write DELETE pays full write amplification: dropping 0.1%
+        of a 1 GB file rewrites the gigabyte. At 100 TB that makes
+        small-predicate deletes (GDPR erasure, bad-batch retraction) the
+        most expensive operation on the table. Deletion vectors are the
+        published lakehouse answer (the Delta protocol's DV feature): mark
+        deleted rows in a sidecar keyed by stable row identity and apply
+        them at read time; physical removal is deferred to ``compact``.
+
+        Mechanics: one DV-aware scan of the live set evaluates
+        ``condition`` (a Column or SQL string) and writes the matched
+        (file basename, parquet ``_metadata.row_index``) pairs as a
+        parquet sidecar under ``_data/`` — written distributed by Spark,
+        never collected to the driver. The commit re-adds each affected
+        file with the sidecar appended to its ``dv.refs`` (cumulative
+        across deletes; replay's last-add-wins keeps the newest state, and
+        checkpoints carry it like stats/bloom). Readers anti-join; files
+        without DVs keep the untouched fast path. Table-reading op:
+        concurrent commits raise ``ConflictError``. ``compact()``
+        materializes the filtered rows and drops the DVs; ``vacuum``
+        protects referenced sidecars and reclaims them once unreferenced.
+
+        Returns the committed version (or the current one if nothing
+        matched — an empty delete never burns a commit).
+        """
+        version, meta, live = self._replay()
+        if txn is not None:
+            applied = self.last_txn(txn["app_id"])
+            if applied is not None and applied >= txn["batch_id"]:
+                return version  # replay of a committed batch
+        schema = StructType.fromJson(json.loads(meta["schema"]))
+        names = [os.path.basename(a["path"]) for a in live]
+        assert len(set(names)) == len(names), \
+            "DV row identity needs unique file basenames"
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        matched = (self._read_adds(live, schema, with_rowid=True)
+                   .where(cond).select("__file", "__pos"))
+        sidecar = f"{_DATA_DIR}/dv_{uuid.uuid4().hex}"
+        matched.write.parquet(os.path.join(self.path, sidecar))
+        counts = {r["__file"]: r["n"] for r in
+                  self.spark.read.parquet(os.path.join(self.path, sidecar))
+                  .groupBy("__file").agg(F.count(F.lit(1)).alias("n"))
+                  .collect()}  # bounded: one row per affected file
+        if not counts:
+            return version  # nothing matched; orphan sidecar is vacuumable
+        adds = []
+        for a in live:
+            n = counts.get(os.path.basename(a["path"]))
+            if n:
+                old = a.get("dv") or {"refs": [], "rows": 0}
+                adds.append({**a, "dv": {"refs": old["refs"] + [sidecar],
+                                         "rows": old["rows"] + int(n)}})
+        return self._commit(
+            "delete", adds, [], read_version=version,
+            schema_json=meta["schema"],
+            extra={"deleted_rows": int(sum(counts.values())),
+                   "dv_sidecars": [sidecar]},
+            txn=txn)
 
     def changes(self, v_from: int, v_to: int | None = None,
                 keys: list[str] | None = None) -> DataFrame:
@@ -1065,17 +1170,21 @@ class TxTable:
         _, meta_to, adds_to = self._replay(v_to)
         _, _meta_from, adds_from = self._replay(v_from)
         schema = StructType.fromJson(json.loads(meta_to["schema"]))
-        from_paths = {a["path"] for a in adds_from}
-        to_paths = {a["path"] for a in adds_to}
 
-        def read_only(paths: set[str]) -> DataFrame:
-            if not paths:
-                return self.spark.createDataFrame([], schema)
-            return self.spark.read.schema(schema).parquet(
-                *[os.path.join(self.path, p) for p in sorted(paths)])
+        # a file's CONTENT identity is (path, deletion-vector state): a
+        # merge-on-read delete leaves the path live in both versions but
+        # changes what a scan of it returns, so it must enter the diff on
+        # both sides (its DV-filtered old read vs its DV-filtered new read
+        # — the newly-deleted rows fall out as `delete` rows)
+        def dvkey(a: dict) -> tuple:
+            return (a["path"], tuple(a.get("dv", {}).get("refs", ())))
 
-        old = read_only(from_paths - to_paths)  # churned-away files only
-        new = read_only(to_paths - from_paths)  # churned-in files only
+        from_keyed = {dvkey(a): a for a in adds_from}
+        to_keyed = {dvkey(a): a for a in adds_to}
+        old = self._read_adds(  # churned-away file states only
+            [a for k, a in from_keyed.items() if k not in to_keyed], schema)
+        new = self._read_adds(  # churned-in file states only
+            [a for k, a in to_keyed.items() if k not in from_keyed], schema)
         if not keys:
             ins = new.exceptAll(old).withColumn("_change", F.lit("insert"))
             dele = old.exceptAll(new).withColumn("_change", F.lit("delete"))
@@ -1139,9 +1248,10 @@ class TxTable:
         target version's files (the documented time-travel horizon)."""
         cur_version, meta, cur_live = self._replay()
         _, old_meta, old_live = self._replay(version)
-        missing = [a["path"] for a in old_live
-                   if not self.store.exists(
-                       os.path.join(self.path, a["path"]))]
+        targets = [a["path"] for a in old_live] + sorted(
+            {r for a in old_live for r in a.get("dv", {}).get("refs", [])})
+        missing = [p for p in targets
+                   if not self.store.exists(os.path.join(self.path, p))]
         if missing:
             raise FileNotFoundError(
                 f"cannot restore {self.path} to v{version}: {len(missing)} "
@@ -1164,7 +1274,10 @@ class TxTable:
         earlier than the horizon stops working for vacuumed files (the same
         contract Delta documents for VACUUM).
         """
-        referenced = {a["path"] for a in self.live_files()}
+        live = self.live_files()
+        referenced = {a["path"] for a in live}
+        dv_dirs = {r for a in live
+                   for r in a.get("dv", {}).get("refs", [])}
         data_root = os.path.join(self.path, _DATA_DIR)
         removed: list[str] = []
         now = time.time()
@@ -1175,8 +1288,9 @@ class TxTable:
             name = os.path.basename(abs_path)
             rel = os.path.relpath(_plain_path(abs_path),
                                   _plain_path(self.path))
-            if rel in referenced or name.startswith((".", "_")):
-                continue  # live file, checksum, or _SUCCESS marker
+            if rel in referenced or name.startswith((".", "_")) \
+                    or any(rel.startswith(d + "/") for d in dv_dirs):
+                continue  # live file, marker, or referenced DV sidecar
             if now - mtime >= ttl_seconds:
                 self.store.delete(abs_path)
                 removed.append(rel)

@@ -1303,3 +1303,139 @@ def test_object_store_optimistic_retry_across_writers(spark, sf_dir, tdir):
     assert a.latest_version() == 3
     assert TxTable(spark, tdir, store=ObjectStoreLogStore(client)) \
         .snapshot().count() == 150  # both appends landed, nothing lost
+
+
+# ---------------------------- deletion vectors (r10, merge-on-read DELETE)
+
+
+def test_delete_where_no_file_rewrite(spark, sf_dir, tdir):
+    """DELETE marks rows in a sidecar instead of rewriting files: the live
+    data-file set is unchanged, the snapshot excludes exactly the matched
+    rows, and time travel to the pre-delete version still sees them."""
+    t = TxTable(spark, tdir, batch_partitions=8)
+    src = _orders(spark, sf_dir)
+    t.create(src, stats_cols=["o_orderkey"])
+    before = {a["path"] for a in t.live_files()}
+    v = t.delete_where(F.col("o_orderstatus") == "F")
+    assert v == 2
+    after = t.live_files()
+    assert {a["path"] for a in after} == before  # merge-on-read: no rewrite
+    want = _rows(src.where(F.col("o_orderstatus") != "F"))
+    assert _rows(t.snapshot()) == want
+    assert _rows(t.snapshot(1)) == _rows(src)  # time travel pre-delete
+    n_del = src.where(F.col("o_orderstatus") == "F").count()
+    assert sum(a.get("dv", {}).get("rows", 0) for a in after) == n_del
+    assert t.history()[-1]["deleted_rows"] == n_del
+
+
+def test_delete_where_cumulative_and_sql_string(spark, sf_dir, tdir):
+    """Two successive deletes accumulate DV refs per file; a SQL-string
+    condition works; an empty delete burns no commit."""
+    t = TxTable(spark, tdir, batch_partitions=4)
+    src = _orders(spark, sf_dir).limit(200)
+    t.create(src)
+    t.delete_where("o_orderstatus = 'F'")
+    v2 = t.latest_version()
+    t.delete_where(F.col("o_totalprice") > 150000)
+    want = _rows(src.where("NOT (o_orderstatus = 'F' OR o_totalprice > 150000)"))
+    assert _rows(t.snapshot()) == want
+    refs = {len(a.get("dv", {}).get("refs", [])) for a in t.live_files()}
+    assert max(refs) <= 2 and 2 in refs or 1 in refs
+    # delete matching nothing: version unchanged, no commit
+    v = t.delete_where("o_orderkey < 0")
+    assert v == t.latest_version() == v2 + 1
+
+
+def test_delete_then_merge_no_resurrection(spark, sf_dir, tdir):
+    """A CoW merge rewriting a DV-bearing file must NOT resurrect its
+    deleted rows."""
+    t = TxTable(spark, tdir, batch_partitions=4)
+    src = _orders(spark, sf_dir).limit(100)
+    t.create(src, stats_cols=["o_orderkey"])
+    t.delete_where(F.col("o_orderstatus") == "F")
+    upd = (src.where(F.col("o_orderstatus") != "F").limit(5)
+           .withColumn("o_totalprice", F.lit(1.0)))
+    t.merge_upsert(upd, keys=["o_orderkey"])
+    got = t.snapshot()
+    assert got.where(F.col("o_orderstatus") == "F").count() == 0
+    assert got.where(F.col("o_totalprice") == 1.0).count() == 5
+    expected = upsert_frames(src.where(F.col("o_orderstatus") != "F"),
+                             upd, keys=["o_orderkey"])
+    assert _rows(got) == _rows(expected)
+
+
+def test_delete_cdc_compact_vacuum_restore_cycle(spark, sf_dir, tdir):
+    """The DV delete plays with every other table feature: CDC reports the
+    deleted rows (file path unchanged, DV state changed), compact
+    materializes the filtered rows and drops the DVs, vacuum protects
+    referenced sidecars, and restore brings the rows back."""
+    t = TxTable(spark, tdir, batch_partitions=4)
+    src = _orders(spark, sf_dir).limit(300)
+    t.create(src, stats_cols=["o_orderkey"])       # v1
+    t.delete_where("o_orderstatus = 'F'")          # v2
+    n_del = src.where("o_orderstatus = 'F'").count()
+    # CDC across the delete: exactly the deleted rows, as 'delete'
+    chg = t.changes(1, 2, keys=["o_orderkey"])
+    assert chg.where(F.col("_change") == "delete").count() == n_del
+    assert chg.where(F.col("_change") != "delete").count() == 0
+    # vacuum now must NOT reclaim the referenced sidecar
+    t.vacuum(ttl_seconds=0)
+    want = _rows(src.where("o_orderstatus <> 'F'"))
+    assert _rows(t.snapshot()) == want
+    # compact materializes the delete physically and clears DVs
+    t.compact(target_files=2)                      # v3
+    assert all(not a.get("dv") for a in t.live_files())
+    assert _rows(t.snapshot()) == want
+    # restore to v1: deleted rows come back
+    t.restore(1)                                   # v4
+    assert _rows(t.snapshot()) == _rows(src)
+    # after compaction+restore, vacuum may reclaim the unreferenced
+    # sidecar and the compacted files; the restored snapshot is intact
+    t.vacuum(ttl_seconds=0)
+    assert _rows(t.snapshot()) == _rows(src)
+
+
+def test_delete_exactly_once_txn_and_conflict(spark, sf_dir, tdir):
+    """delete_where honors writer-version idempotence (a replayed batch is
+    a no-op) and is a table-reading op (concurrent commit -> ConflictError)."""
+    t = TxTable(spark, tdir)
+    src = _orders(spark, sf_dir).limit(100)
+    t.create(src)
+    t.delete_where("o_orderstatus = 'F'", txn={"app_id": "del", "batch_id": 1})
+    v = t.latest_version()
+    # replay of batch 1: skipped
+    assert t.delete_where("o_totalprice > 0",
+                          txn={"app_id": "del", "batch_id": 1}) == v
+    assert _rows(t.snapshot()) == _rows(src.where("o_orderstatus <> 'F'"))
+    # conflict: another commit lands between read and commit
+    orig = TxTable._commit
+    state = {"fired": False}
+
+    def racing(self, op, *a, **k):
+        if op == "delete" and not state["fired"]:
+            state["fired"] = True
+            TxTable(spark, tdir).append(
+                src.withColumn("o_orderkey", F.col("o_orderkey") + 10_000))
+        return orig(self, op, *a, **k)
+
+    try:
+        TxTable._commit = racing
+        with pytest.raises(ConflictError):
+            t.delete_where("o_totalprice > 100")
+    finally:
+        TxTable._commit = orig
+
+
+def test_delete_through_object_and_hadoop_stores(spark, sf_dir, tdir):
+    """DV deletes work through the other storage classes too (commit JSON
+    carries the dv entries; sidecars ride the data plane)."""
+    from data_integration_celery_spark.sinks.txlog import (
+        HadoopLogStore, InMemoryConditionalPutClient, ObjectStoreLogStore)
+    src = _orders(spark, sf_dir).limit(120)
+    for sub, store in (("obj", ObjectStoreLogStore(InMemoryConditionalPutClient())),
+                       ("had", HadoopLogStore(spark))):
+        root = os.path.join(tdir, sub)
+        t = TxTable(spark, root, store=store, batch_partitions=4)
+        t.create(src)
+        t.delete_where("o_orderstatus = 'F'")
+        assert _rows(t.snapshot()) == _rows(src.where("o_orderstatus <> 'F'"))
