@@ -89,6 +89,19 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
         [r"TakeOrderedAndProject"], [r"Sort .*global=true"]),
     "dedup_ngram_jaccard": (
         [r"HashAggregate"], [r"CartesianProduct"]),
+    # capped pair emitter: the per-doc ranking window must hashpartition on
+    # the exploded doc axis (__d) — never a global sort; the only
+    # nested-loop allowed is the sanctioned broadcast 1-row ledger cross
+    # join, so cartesian and sort-merge stay banned
+    "dedup_pairs_capped": (
+        [r"hashpartitioning\(__d"],
+        [r"CartesianProduct", r"SortMergeJoin"]),
+    # deletion-vector read: the DV anti-join must be a broadcast hash
+    # LeftAnti (the DV side is exactly the deleted rows), never a
+    # cartesian or a sort-merge over the data
+    "s6e_deletion_vectors": (
+        [r"LeftAnti", r"BroadcastHashJoin"],
+        [r"CartesianProduct", r"SortMergeJoin"]),
     # interval join: equi-key broadcast with the range as join condition —
     # never a nested-loop over the fact side
     "j8_interval_join": (
