@@ -435,6 +435,38 @@ def s6e_deletion_vectors(spark, sf_dir):
             .withColumn("deleted_rows", F.lit(deleted).cast("bigint")))
 
 
+@q("s6f_dv_update",
+   sql="""
+   SELECT o_orderkey,
+          CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2
+               ELSE o_totalprice END AS o_totalprice,
+          CASE WHEN o_orderstatus = 'F' THEN 'X'
+               ELSE o_orderstatus END AS o_orderstatus,
+          TRUE AS originals_untouched
+   FROM orders
+   """,
+   doc="S6f: merge-on-read UPDATE (sinks/txlog.py update_where) — one "
+       "atomic commit DV-marks the originals and appends the rewritten "
+       "rows derived from the SAME sidecar, so the delete set and the "
+       "re-insert set cannot diverge; no existing data file is rewritten "
+       "(originals_untouched verdict = the pre-update live set survives "
+       "intact). The DV complement to s6e's DELETE.")
+def s6f_dv_update(spark, sf_dir):
+    from .sinks.txlog import TxTable
+    root = _fresh_tmp_table_root("txdvu_q_")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    t = TxTable(spark, f"{root}/orders", batch_partitions=8)
+    t.create(o, stats_cols=["o_orderkey"])
+    before = {a["path"] for a in t.live_files()}
+    t.update_where(F.col("o_orderstatus") == "F",
+                   {"o_totalprice": "o_totalprice * 2",
+                    "o_orderstatus": F.lit("X")})
+    untouched = before <= {a["path"] for a in t.live_files()}
+    return (t.snapshot()
+            .withColumn("originals_untouched", F.lit(bool(untouched))))
+
+
 @q("s6c_cdc_feed",
    sql="""
    WITH upd AS (
@@ -4675,7 +4707,10 @@ def u5_schema_reconcile_q(spark, sf_dir):
 # (the round's new capability — merge-on-read DELETE, never-checked exact
 # oracle, must hold a gated slot); s6_upsert_last_write_wins rests for it
 # (r9-green, and its upsert kernel executes INSIDE the still-gated s6b
-# plan every round).
+# plan every round). Third: s6f_dv_update (the UPDATE complement,
+# never-checked exact oracle); smp_mixture_resample rests (r9-green; the
+# smp family keeps dsir_md5/pack/hash_split/quota/epoch_shuffle
+# in-window).
 QUERY_PRIORITY: list[str] = [
     # scans / predicates / cleaning
     "f3_cleaning_exprs",
@@ -4709,16 +4744,17 @@ QUERY_PRIORITY: list[str] = [
     "ann_cosine_topk",
     "emb_centroid_outliers",
     "smp_dsir_md5", "smp_pack_sequences",
-    "smp_hash_split", "smp_mixture_resample", "smp_source_quota",
+    "smp_hash_split", "smp_source_quota",
     "smp_epoch_shuffle",
     "stream_dedup_incremental_md5",
     "s6b_acid_merge", "s6c_cdc_feed",
-    "s6e_deletion_vectors",
+    "s6e_deletion_vectors", "s6f_dv_update",
     "s10b_zorder_skipping", "s6d_stream_txlog_exactly_once",
     "s10c_bloom_point_lookup",
     # ---- position 51+: triple/double-green history, sibling-covered,
     # ---- or rows-only (no oracle) ----
     "pipeline_region_revenue", "s6_upsert_last_write_wins",
+    "smp_mixture_resample",
     "p3_regex_filter", "s1_filtered_scan",
     "j1_vendor_merge_full_outer", "j10_asof_point_lookup",
     "j8b_interval_join_bucketed",

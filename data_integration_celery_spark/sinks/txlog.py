@@ -1146,6 +1146,76 @@ class TxTable:
                    "dv_sidecars": [sidecar]},
             txn=txn)
 
+    def update_where(self, condition, set_exprs: dict,
+                     txn: dict | None = None) -> int:
+        """UPDATE matching rows merge-on-read: one atomic commit marks the
+        originals in a deletion-vector sidecar AND appends the rewritten
+        rows as new files — no existing data file is rewritten.
+
+        The copy-on-write alternative rewrites every file containing a
+        matched row; at 100 TB a 0.1%-selectivity UPDATE (fix a bad field,
+        re-score a cohort) pays table-scale write amplification. Here the
+        write cost is exactly the matched rows (sidecar + new files), the
+        published DV-update design.
+
+        ``set_exprs`` maps column name → Column or SQL-string expression,
+        evaluated against the matched rows (so ``{"price": "price * 2"}``
+        works). Updated rows are derived from the SAME sidecar that marks
+        the originals (a semi-join against it), so the delete set and the
+        re-insert set can never disagree. Readers at the committed version
+        see the update atomically; time travel to the prior version sees
+        the originals. Table-reading op: concurrent commits raise
+        ``ConflictError``; ``txn`` gives replayed writers exactly-once.
+
+        Returns the committed version (current version if nothing matched).
+        """
+        version, meta, live = self._replay()
+        if txn is not None:
+            applied = self.last_txn(txn["app_id"])
+            if applied is not None and applied >= txn["batch_id"]:
+                return version  # replay of a committed batch
+        schema = StructType.fromJson(json.loads(meta["schema"]))
+        names = {f.name for f in schema.fields}
+        unknown = [c for c in set_exprs if c not in names]
+        if unknown:
+            raise ValueError(f"update_where sets columns the table lacks: "
+                             f"{unknown}")
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        matched = (self._read_adds(live, schema, with_rowid=True)
+                   .where(cond).select("__file", "__pos"))
+        sidecar = f"{_DATA_DIR}/dv_{uuid.uuid4().hex}"
+        matched.write.parquet(os.path.join(self.path, sidecar))
+        dv = self.spark.read.parquet(os.path.join(self.path, sidecar))
+        counts = {r["__file"]: r["n"] for r in
+                  dv.groupBy("__file").agg(F.count(F.lit(1)).alias("n"))
+                  .collect()}  # bounded: one row per affected file
+        if not counts:
+            return version  # nothing matched; orphan sidecar is vacuumable
+        # rewritten rows come from the SAME sidecar (semi-join), so the
+        # marked set and the re-inserted set cannot diverge
+        upd = (self._read_adds(live, schema, with_rowid=True)
+               .join(dv.select("__file", "__pos"), ["__file", "__pos"],
+                     "left_semi"))
+        for c, e in set_exprs.items():
+            expr = F.expr(e) if isinstance(e, str) else e
+            upd = upd.withColumn(c, expr.cast(schema[c].dataType))
+        upd = upd.select(*[f.name for f in schema.fields])
+        new_adds = self._write_batch(upd, self._stats_cols(meta),
+                                     bloom=self._bloom_spec(meta))
+        dv_adds = []
+        for a in live:
+            n = counts.get(os.path.basename(a["path"]))
+            if n:
+                old = a.get("dv") or {"refs": [], "rows": 0}
+                dv_adds.append({**a, "dv": {"refs": old["refs"] + [sidecar],
+                                            "rows": old["rows"] + int(n)}})
+        return self._commit(
+            "update", new_adds + dv_adds, [], read_version=version,
+            schema_json=meta["schema"],
+            extra={"updated_rows": int(sum(counts.values())),
+                   "dv_sidecars": [sidecar]},
+            txn=txn)
+
     def changes(self, v_from: int, v_to: int | None = None,
                 keys: list[str] | None = None) -> DataFrame:
         """Row-level change feed between two committed versions (CDC).

@@ -52,7 +52,7 @@ PORTABLE_CORE = [
     "pipeline_revenue_topk", "pipeline_sector_median",
     "pipeline_worst_window_return", "s1_filtered_scan",
     "s6_upsert_last_write_wins", "s6b_acid_merge", "s6c_cdc_feed",
-    "s6e_deletion_vectors",
+    "s6e_deletion_vectors", "s6f_dv_update",
     "s10b_zorder_skipping", "s10c_bloom_point_lookup", "smp_hash_split",
     "smp_mixture_resample", "smp_source_quota", "u1_union_distinct",
     "u4_scd2_intervals", "w10_monthly_sample", "w12_pivot_status",
@@ -61,7 +61,7 @@ PORTABLE_CORE = [
     "w8_quarterize", "w8b_quarterize_exact",
 ]
 
-MIN_PORTABLE = 52
+MIN_PORTABLE = 53
 
 
 def _canon(df):

@@ -1439,3 +1439,72 @@ def test_delete_through_object_and_hadoop_stores(spark, sf_dir, tdir):
         t.create(src)
         t.delete_where("o_orderstatus = 'F'")
         assert _rows(t.snapshot()) == _rows(src.where("o_orderstatus <> 'F'"))
+
+
+def test_update_where_merge_on_read(spark, sf_dir, tdir):
+    """UPDATE = one atomic commit: DV-mark originals + append rewritten
+    rows. No original file is rewritten; snapshot shows the update; time
+    travel shows the originals; CDC reports update_pre/update_post."""
+    t = TxTable(spark, tdir, batch_partitions=4)
+    src = _orders(spark, sf_dir).limit(300)
+    t.create(src, stats_cols=["o_orderkey"])
+    before = {a["path"] for a in t.live_files()}
+    v = t.update_where("o_orderstatus = 'F'",
+                       {"o_totalprice": "o_totalprice * 2",
+                        "o_orderstatus": F.lit("X")})
+    assert v == 2
+    after = {a["path"] for a in t.live_files()}
+    assert before <= after  # originals untouched, new files appended
+    want = _rows(src.selectExpr(
+        "o_orderkey",
+        "CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2 "
+        "ELSE o_totalprice END AS o_totalprice",
+        "CASE WHEN o_orderstatus = 'F' THEN 'X' "
+        "ELSE o_orderstatus END AS o_orderstatus"))
+    assert _rows(t.snapshot()) == want
+    assert _rows(t.snapshot(1)) == _rows(src)
+    n = src.where("o_orderstatus = 'F'").count()
+    assert t.history()[-1]["updated_rows"] == n
+    chg = t.changes(1, 2, keys=["o_orderkey"])
+    assert chg.where(F.col("_change") == "update_post").count() == n
+    assert chg.where(F.col("_change") == "update_pre").count() == n
+    assert chg.where(F.col("_change").isin("insert", "delete")).count() == 0
+
+
+def test_update_where_validates_and_noop(spark, sf_dir, tdir):
+    """Unknown set columns error; a no-match update burns no commit; a
+    replayed txn batch is skipped."""
+    t = TxTable(spark, tdir)
+    src = _orders(spark, sf_dir).limit(50)
+    t.create(src)
+    with pytest.raises(ValueError):
+        t.update_where("o_orderkey > 0", {"nope": "1"})
+    assert t.update_where("o_orderkey < 0", {"o_totalprice": "0"}) == 1
+    assert t.latest_version() == 1
+    t.update_where("o_orderstatus = 'F'", {"o_orderstatus": "'Y'"},
+                   txn={"app_id": "u", "batch_id": 7})
+    v = t.latest_version()
+    assert t.update_where("o_orderstatus = 'O'", {"o_orderstatus": "'Z'"},
+                          txn={"app_id": "u", "batch_id": 7}) == v
+    got = t.snapshot()
+    assert got.where("o_orderstatus = 'Z'").count() == 0
+    assert got.where("o_orderstatus = 'Y'").count() == \
+        src.where("o_orderstatus = 'F'").count()
+
+
+def test_update_then_delete_then_compact(spark, sf_dir, tdir):
+    """Stacked merge-on-read ops resolve correctly and compact
+    materializes the final state."""
+    t = TxTable(spark, tdir, batch_partitions=4)
+    src = _orders(spark, sf_dir).limit(200)
+    t.create(src)
+    t.update_where("o_orderstatus = 'F'", {"o_orderstatus": "'X'"})
+    t.delete_where("o_orderstatus = 'O'")
+    want = _rows(src.where("o_orderstatus <> 'O'").selectExpr(
+        "o_orderkey", "o_totalprice",
+        "CASE WHEN o_orderstatus = 'F' THEN 'X' "
+        "ELSE o_orderstatus END AS o_orderstatus"))
+    assert _rows(t.snapshot()) == want
+    t.compact(target_files=2)
+    assert all(not a.get("dv") for a in t.live_files())
+    assert _rows(t.snapshot()) == want

@@ -102,6 +102,11 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
     "s6e_deletion_vectors": (
         [r"LeftAnti", r"BroadcastHashJoin"],
         [r"CartesianProduct", r"SortMergeJoin"]),
+    # DV update read path: same contract as the delete — broadcast hash
+    # LeftAnti against the sidecar, never cartesian/sort-merge
+    "s6f_dv_update": (
+        [r"LeftAnti", r"BroadcastHashJoin"],
+        [r"CartesianProduct", r"SortMergeJoin"]),
     # interval join: equi-key broadcast with the range as join condition —
     # never a nested-loop over the fact side
     "j8_interval_join": (
