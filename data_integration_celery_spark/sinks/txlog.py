@@ -1118,12 +1118,39 @@ class TxTable:
             if applied is not None and applied >= txn["batch_id"]:
                 return version  # replay of a committed batch
         schema = StructType.fromJson(json.loads(meta["schema"]))
-        names = [os.path.basename(a["path"]) for a in live]
-        assert len(set(names)) == len(names), \
-            "DV row identity needs unique file basenames"
         cond = F.expr(condition) if isinstance(condition, str) else condition
         matched = (self._read_adds(live, schema, with_rowid=True)
                    .where(cond).select("__file", "__pos"))
+        return self._commit_dv_delete(matched, version, meta, live, txn)
+
+    def delete_matching(self, keys_df: DataFrame, keys: list[str],
+                        txn: dict | None = None) -> int:
+        """DV-delete every row whose key tuple appears in ``keys_df`` — the
+        retraction form (a stream of erasure requests, a bad-batch id
+        list). Same merge-on-read mechanics as ``delete_where``; the match
+        is a left-semi join on ``keys``, so the request set never needs to
+        fit in a SQL literal or on the driver."""
+        version, meta, live = self._replay()
+        if txn is not None:
+            applied = self.last_txn(txn["app_id"])
+            if applied is not None and applied >= txn["batch_id"]:
+                return version  # replay of a committed batch
+        schema = StructType.fromJson(json.loads(meta["schema"]))
+        matched = (self._read_adds(live, schema, with_rowid=True)
+                   .join(keys_df.select(*keys).dropDuplicates(), keys,
+                         "left_semi")
+                   .select("__file", "__pos"))
+        return self._commit_dv_delete(matched, version, meta, live, txn)
+
+    def _commit_dv_delete(self, matched: DataFrame, version: int,
+                          meta: dict, live: list[dict],
+                          txn: dict | None) -> int:
+        """Write the matched (file, pos) rows as a DV sidecar and commit the
+        per-file cumulative refs. Returns the committed version, or the
+        current one when nothing matched (no commit burned)."""
+        names = [os.path.basename(a["path"]) for a in live]
+        assert len(set(names)) == len(names), \
+            "DV row identity needs unique file basenames"
         sidecar = f"{_DATA_DIR}/dv_{uuid.uuid4().hex}"
         matched.write.parquet(os.path.join(self.path, sidecar))
         counts = {r["__file"]: r["n"] for r in

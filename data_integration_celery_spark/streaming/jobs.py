@@ -90,7 +90,8 @@ def upsert_sink(stream: DataFrame, path: str, keys: list[str],
 
 
 def txlog_sink(stream: DataFrame, path: str, keys: list[str] | None,
-               checkpoint: str, app_id: str) -> "DataStreamWriter":
+               checkpoint: str, app_id: str,
+               mode: str = "auto") -> "DataStreamWriter":
     """Exactly-once foreachBatch sink into the ACID table (sinks/txlog.py).
 
     The checkpoint gives at-least-once batch replay; the table's ``txn``
@@ -101,7 +102,15 @@ def txlog_sink(stream: DataFrame, path: str, keys: list[str] | None,
     ``keys`` each batch is a last-write-wins MERGE commit; ``keys=None``
     is a pure append stream — the case where replay WOULD duplicate rows
     without the txn stamp (plain-parquet upsert replay is only idempotent
-    because the merge is; appends have no such luck)."""
+    because the merge is; appends have no such luck).
+
+    ``mode="delete"`` turns the stream into a RETRACTION feed: each
+    micro-batch carries key tuples to erase, applied as a merge-on-read
+    deletion-vector commit (``delete_matching`` — no data file rewritten;
+    the streaming GDPR-erasure/bad-batch-retraction shape). Replayed
+    batches are idempotent through the same txn stamp: re-deleting an
+    already-deleted key matches nothing. ``mode="auto"`` keeps the
+    original behavior (merge with keys, append without)."""
     from ..sinks.txlog import TxTable
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -119,13 +128,17 @@ def txlog_sink(stream: DataFrame, path: str, keys: list[str] | None,
             except (FileExistsError, ConflictError):
                 pass
         txn = {"app_id": app_id, "batch_id": batch_id}
-        if keys:
+        if mode == "delete":
+            table.delete_matching(batch_df, keys, txn=txn)
+        elif keys:
             # reserved stamp name — never clobber a user batch_id column
             stamped = batch_df.withColumn("__mb_batch", F.lit(batch_id + 1))
             table.merge_upsert(stamped, keys, order_col="__mb_batch", txn=txn)
         else:
             table.append(batch_df, txn=txn)
 
+    if mode == "delete" and not keys:
+        raise ValueError("txlog_sink(mode='delete') requires keys")
     return (stream.writeStream
             .foreachBatch(commit_batch)
             .option("checkpointLocation", checkpoint)

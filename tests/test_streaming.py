@@ -572,3 +572,54 @@ def test_stream_txlog_sink_merge_mode(spark, events_dir, tmp_path):
     got = TxTable(spark, target).snapshot()
     assert got.count() == src.count()
     assert got.select("event_id").distinct().count() == src.count()
+
+
+def test_stream_txlog_sink_delete_mode(spark, events_dir, tmp_path):
+    """RETRACTION mode (r10): the stream carries key tuples to erase; each
+    micro-batch lands as a merge-on-read DV delete — no data file is ever
+    rewritten — and a restart replay is idempotent through the txn stamp."""
+    import time
+
+    from data_integration_celery_spark.sinks.txlog import TxTable
+
+    src = spark.read.parquet(events_dir).select("event_id", "ts", "value")
+    target, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    t = TxTable(spark, target, batch_partitions=4)
+    t.create(src)
+    files_before = {a["path"] for a in t.live_files()}
+    # erasure requests: every third event, streamed in small batches
+    erase = src.where(F.col("event_id") % 3 == 0).select("event_id")
+    erase_dir = str(tmp_path / "erase")
+    erase.repartition(4).write.mode("overwrite").parquet(erase_dir)
+
+    def start():
+        stream = (spark.readStream.schema(erase.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(erase_dir))
+        return (jobs.txlog_sink(stream, target, keys=["event_id"],
+                                checkpoint=ckpt, app_id="erasure",
+                                mode="delete")
+                .trigger(availableNow=True).start())
+
+    q1 = start()
+    for _ in range(600):
+        if any(p["numInputRows"] > 0 for p in q1.recentProgress):
+            break
+        time.sleep(0.1)
+    q1.stop()
+    q1.awaitTermination(60)
+    q2 = start()  # restart: replayed batches must be no-ops
+    q2.awaitTermination(120)
+    got = t.snapshot()
+    want = src.where(F.col("event_id") % 3 != 0)
+    assert got.count() == want.count()
+    assert got.where(F.col("event_id") % 3 == 0).count() == 0
+    # merge-on-read: the original data files all survive untouched
+    assert files_before <= {a["path"] for a in t.live_files()}
+    txns = [c["txn"]["batch_id"] for c in t.history() if c.get("txn")]
+    assert len(txns) == len(set(txns))
+    # mode='delete' without keys is a hard error
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        jobs.txlog_sink(spark.readStream.schema(erase.schema)
+                        .parquet(erase_dir), target, keys=None,
+                        checkpoint=ckpt, app_id="x", mode="delete")
