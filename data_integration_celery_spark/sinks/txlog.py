@@ -76,6 +76,10 @@ class ConflictError(RuntimeError):
     """Another writer committed between this transaction's read and commit."""
 
 
+class ConstraintViolation(ValueError):
+    """A write contains rows that fail a table CHECK constraint."""
+
+
 def _plain_path(path: str) -> str:
     """Scheme-less filesystem path for rel-path arithmetic: a TxTable rooted
     at ``hdfs://nn/warehouse/t`` or ``file:///tmp/t`` records add-actions
@@ -546,6 +550,7 @@ class TxTable:
             body = json.dumps({"version": top, "schema": meta["schema"],
                                "stats_cols": self._stats_cols(meta),
                                "bloom": self._bloom_spec(meta),
+                               "constraints": self._constraints(meta),
                                "txns": self._txn_state(version),
                                "add": adds}, sort_keys=True).encode()
             self.store.put_if_absent(self._ckpt_path(version), body)
@@ -599,8 +604,9 @@ class TxTable:
                 live = {a["path"]: a for a in ck["add"]}
                 meta = {"schema": ck["schema"],
                         "stats_cols": ck.get("stats_cols", [])}
-                if "bloom" in ck:
-                    meta["bloom"] = ck["bloom"]
+                for kk in ("bloom", "constraints"):
+                    if kk in ck:
+                        meta[kk] = ck[kk]
                 versions = [v for v in versions if v > ck["version"]]
             except Exception:
                 live, meta = {}, {}  # corrupt/unreadable checkpoint: full replay
@@ -611,7 +617,8 @@ class TxTable:
                 # compact carry 'stats_cols'/'bloom' — preserve the carried
                 # values so _stats_cols/_bloom_spec never need their
                 # O(table-age) history() fallback
-                carried = {kk: meta[kk] for kk in ("stats_cols", "bloom")
+                carried = {kk: meta[kk]
+                           for kk in ("stats_cols", "bloom", "constraints")
                            if kk in meta and kk not in commit}
                 meta = dict(commit, **carried) if carried else commit
             for rel in commit.get("remove", []):
@@ -939,7 +946,8 @@ class TxTable:
 
     def create(self, df: DataFrame, stats_cols: list[str] | None = None,
                bloom_cols: list[str] | None = None,
-               bloom_bits: int = 65536, bloom_k: int = 5) -> int:
+               bloom_bits: int = 65536, bloom_k: int = 5,
+               constraints: dict | None = None) -> int:
         """Create the table (version 1). Fails if it already exists.
 
         ``bloom_cols`` declares columns to index with a per-file Bloom
@@ -955,6 +963,8 @@ class TxTable:
         if self.latest_version():
             raise FileExistsError(f"TxTable already exists at {self.path}")
         stats_cols = stats_cols or []
+        constraints = constraints or {}
+        self._enforce(df, constraints)
         bloom = ({"cols": bloom_cols, "bits": int(bloom_bits),
                   "k": int(bloom_k)} if bloom_cols else None)
         adds = self._write_batch(df, stats_cols, bloom=bloom)
@@ -964,7 +974,8 @@ class TxTable:
         return self._commit("create", adds, [], read_version=0,
                             schema_json=df.schema.json(),
                             extra={"stats_cols": stats_cols,
-                                   "bloom": bloom})
+                                   "bloom": bloom,
+                                   "constraints": constraints})
 
     def _stats_cols(self, meta: dict) -> list[str]:
         if "stats_cols" in meta:  # checkpoint/create/overwrite metas carry it
@@ -983,6 +994,70 @@ class TxTable:
             if "bloom" in commit:
                 return commit["bloom"]
         return None
+
+    def _constraints(self, meta: dict) -> dict:
+        """The table's CHECK constraints ({name: sql}) — carried through
+        _replay meta exactly like stats_cols/bloom."""
+        if "constraints" in meta:
+            return meta["constraints"] or {}
+        for commit in reversed(self.history()):
+            if "constraints" in commit:
+                return commit["constraints"] or {}
+        return {}
+
+    def _enforce(self, df: DataFrame, constraints: dict) -> None:
+        """Reject the write if any row fails a CHECK constraint.
+
+        ANSI semantics: a row violates iff the expression evaluates to
+        FALSE — UNKNOWN (NULL) passes, as SQL CHECK does. One scan finds
+        any violation; per-constraint counts are computed only on the
+        failure path."""
+        if not constraints:
+            return
+        oks = {n: F.coalesce(F.expr(sql), F.lit(True))
+               for n, sql in constraints.items()}
+        combined = None
+        for ok in oks.values():
+            combined = ok if combined is None else (combined & ok)
+        bad = df.where(~combined)
+        if bad.isEmpty():
+            return
+        counts = bad.agg(*[
+            F.sum(F.when(~ok, 1).otherwise(0)).alias(n)
+            for n, ok in oks.items()]).collect()[0]
+        detail = {n: int(counts[n] or 0) for n in oks if counts[n]}
+        raise ConstraintViolation(
+            f"write to {self.path} violates CHECK constraint(s) "
+            f"{detail} (rows failing each named expression)")
+
+    def add_constraint(self, name: str, check_sql: str) -> int:
+        """ALTER TABLE ADD CONSTRAINT name CHECK (check_sql).
+
+        Validates the CURRENT snapshot first (existing data must satisfy a
+        new constraint, the lakehouse contract); every subsequent
+        append/merge/update/overwrite validates its rows before commit and
+        raises ``ConstraintViolation`` instead of writing. Constraints ride
+        the commit meta like stats_cols/bloom (checkpoint-carried)."""
+        version, meta, _live = self._replay()
+        cur = dict(self._constraints(meta))
+        if name in cur:
+            raise ValueError(f"constraint {name!r} already exists "
+                             f"({cur[name]!r}); drop it first")
+        self._enforce(self.snapshot(version), {name: check_sql})
+        cur[name] = check_sql
+        return self._commit("set_constraint", [], [], read_version=version,
+                            schema_json=meta["schema"],
+                            extra={"constraints": cur})
+
+    def drop_constraint(self, name: str) -> int:
+        version, meta, _live = self._replay()
+        cur = dict(self._constraints(meta))
+        if name not in cur:
+            raise ValueError(f"no constraint {name!r} on {self.path}")
+        cur.pop(name)
+        return self._commit("drop_constraint", [], [], read_version=version,
+                            schema_json=meta["schema"],
+                            extra={"constraints": cur})
 
     def append(self, df: DataFrame, txn: dict | None = None,
                merge_schema: bool = False) -> int:
@@ -1016,6 +1091,7 @@ class TxTable:
             meta = dict(meta, schema=schema_json)
         stats_cols = self._stats_cols(meta)
         df = _conform(df, meta)
+        self._enforce(df, self._constraints(meta))
         adds = self._write_batch(df, stats_cols,
                                  bloom=self._bloom_spec(meta))
         return self._commit("append", adds, [], read_version=version,
@@ -1032,10 +1108,13 @@ class TxTable:
         if bloom:
             cols = [c for c in bloom["cols"] if c in df.columns]
             bloom = dict(bloom, cols=cols) if cols else None
+        cons = self._constraints(meta)
+        self._enforce(df, cons)
         adds = self._write_batch(df, stats_cols, bloom=bloom)
         return self._commit("overwrite", adds, [a["path"] for a in live],
                             read_version=version, schema_json=df.schema.json(),
-                            extra={"stats_cols": stats_cols, "bloom": bloom})
+                            extra={"stats_cols": stats_cols, "bloom": bloom,
+                                   "constraints": cons})
 
     def merge_upsert(self, updates: DataFrame, keys: list[str],
                      order_col: str = "batch_id",
@@ -1078,6 +1157,7 @@ class TxTable:
         base = self._read_adds(touched, schema)
         merged = upsert_frames(base, _conform(updates, meta, keep=order_col),
                                keys, order_col)
+        self._enforce(merged, self._constraints(meta))
         adds = self._write_batch(merged, stats_cols,
                                   bloom=self._bloom_spec(meta))
         return self._commit("merge_upsert", adds, [a["path"] for a in touched],
@@ -1227,6 +1307,7 @@ class TxTable:
             expr = F.expr(e) if isinstance(e, str) else e
             upd = upd.withColumn(c, expr.cast(schema[c].dataType))
         upd = upd.select(*[f.name for f in schema.fields])
+        self._enforce(upd, self._constraints(meta))
         new_adds = self._write_batch(upd, self._stats_cols(meta),
                                      bloom=self._bloom_spec(meta))
         dv_adds = []

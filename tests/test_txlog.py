@@ -1508,3 +1508,87 @@ def test_update_then_delete_then_compact(spark, sf_dir, tdir):
     t.compact(target_files=2)
     assert all(not a.get("dv") for a in t.live_files())
     assert _rows(t.snapshot()) == want
+
+
+def test_dv_survives_schema_evolution(spark, sf_dir, tdir):
+    """A widening append on a DV-bearing table: old files still read with
+    NULL for the new column AND their deletion vectors still apply."""
+    t = TxTable(spark, tdir, batch_partitions=2)
+    src = _orders(spark, sf_dir).limit(100)
+    t.create(src)
+    t.delete_where("o_orderstatus = 'F'")
+    widened = (src.limit(10)
+               .withColumn("o_orderkey", F.col("o_orderkey") + 777_000)
+               .withColumn("o_orderstatus", F.lit("W"))
+               .withColumn("note", F.lit("new")))
+    t.append(widened, merge_schema=True)
+    got = t.snapshot()
+    assert "note" in got.columns
+    assert got.where(F.col("o_orderstatus") == "F").count() == 0
+    assert got.where(F.col("note") == "new").count() == 10
+    old_rows = got.where(F.col("o_orderkey") < 777_000)
+    assert old_rows.where(F.col("note").isNotNull()).count() == 0
+    assert old_rows.count() == src.where("o_orderstatus <> 'F'").count()
+
+
+# --------------------------------------- CHECK constraints (r10)
+
+
+def test_check_constraints_enforced_on_every_write_path(spark, sf_dir, tdir):
+    """ALTER TABLE ADD CONSTRAINT CHECK semantics: existing data validated
+    at add time; append / merge / update / overwrite reject violating rows
+    BEFORE committing (the table never holds a bad version); NULL passes
+    (ANSI UNKNOWN); drop lifts enforcement."""
+    from data_integration_celery_spark.sinks.txlog import ConstraintViolation
+    t = TxTable(spark, tdir)
+    src = _orders(spark, sf_dir).limit(100)
+    t.create(src)
+    t.add_constraint("price_pos", "o_totalprice > 0")
+    with pytest.raises(ValueError):  # duplicate name
+        t.add_constraint("price_pos", "o_totalprice > 1")
+    # a new constraint the EXISTING data violates is rejected
+    with pytest.raises(ConstraintViolation):
+        t.add_constraint("impossible", "o_totalprice > 1e12")
+    v = t.latest_version()
+    bad = src.limit(3).withColumn("o_totalprice", F.lit(-5.0))
+    with pytest.raises(ConstraintViolation):
+        t.append(bad)
+    with pytest.raises(ConstraintViolation):
+        t.merge_upsert(bad, keys=["o_orderkey"])
+    with pytest.raises(ConstraintViolation):
+        t.update_where("o_orderkey IS NOT NULL", {"o_totalprice": "-1.0"})
+    with pytest.raises(ConstraintViolation):
+        t.overwrite(bad)
+    assert t.latest_version() == v  # no bad version ever committed
+    assert _rows(t.snapshot()) == _rows(src)
+    # NULL passes (ANSI UNKNOWN) — and good rows still flow
+    ok = (src.limit(2)
+          .withColumn("o_orderkey", F.col("o_orderkey") + 900_000)
+          .withColumn("o_totalprice", F.lit(None).cast("double")))
+    t.append(ok)
+    assert t.snapshot().count() == 102
+    # constraints survive a checkpoint + a fresh table handle
+    t2 = TxTable(spark, tdir)
+    with pytest.raises(ConstraintViolation):
+        t2.append(bad)
+    t2.drop_constraint("price_pos")
+    t2.append(bad)  # enforcement lifted
+    assert t2.snapshot().count() == 105
+    with pytest.raises(ValueError):
+        t2.drop_constraint("nope")
+
+
+def test_check_constraints_at_create_and_violation_detail(spark, sf_dir, tdir):
+    """Constraints can be declared at create (batch validated first); the
+    violation error names each failing constraint with its row count."""
+    from data_integration_celery_spark.sinks.txlog import ConstraintViolation
+    src = _orders(spark, sf_dir).limit(50)
+    with pytest.raises(ConstraintViolation) as exc:
+        TxTable(spark, os.path.join(tdir, "a")).create(
+            src, constraints={"no_f": "o_orderstatus <> 'F'",
+                              "price_pos": "o_totalprice > 0"})
+    assert "no_f" in str(exc.value) and "price_pos" not in str(exc.value)
+    t = TxTable(spark, os.path.join(tdir, "b"))
+    t.create(src.where("o_orderstatus <> 'F'"),
+             constraints={"no_f": "o_orderstatus <> 'F'"})
+    assert t.snapshot().count() == src.where("o_orderstatus <> 'F'").count()
