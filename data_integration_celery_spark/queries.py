@@ -4711,27 +4711,41 @@ def u5_schema_reconcile_q(spark, sf_dir):
 # never-checked exact oracle); smp_mixture_resample rests (r9-green; the
 # smp family keeps dsir_md5/pack/hash_split/quota/epoch_shuffle
 # in-window).
+# r11 smoothing (same pattern as the r9/r10 pulls): without it round 11
+# faces a ~31-swap when the r8-green cohort ages to 3. Ten of them pulled
+# a round early (f5, j2, j13, a7, a8, a11, u1, w2, w5, w12 — re-verified
+# 10/10 locally), resting ten r9-greens with family reps staying:
+# pipeline_e2_merge_daily (j2 is the merge rep; its F1 merge kernel
+# compiles inside the still-pinned pipeline tests), j6+j7 (j8/j14/j5/j11
+# + j13 cover joins), eav_unpivot_pivot (w12 covers pivot), p4 (u1 +
+# in-window j5 cover set ops), w11b (w1/w2/w3/w5/w8 cover windows),
+# pipeline_revenue_topk (cluster_survivors + sector_median stay),
+# emb_centroid_outliers (dedup_semdedup covers embedding ops),
+# smp_pack_sequences (four smp reps stay), txt_ccnet_split
+# (corpus_stats/repetition/bpe_segment/features cover text). Round 11
+# then faces ~21 due, not 31.
 QUERY_PRIORITY: list[str] = [
     # scans / predicates / cleaning
-    "f3_cleaning_exprs",
+    "f3_cleaning_exprs", "f5_rename_ladder",
     # joins
-    "pipeline_e2_merge_daily",
-    "j6_code_mapping_maintenance",
+    "j2_three_source_merge",
+    "j13_incremental_ranges",
     "j8_interval_join",
-    "j14_main_sec_join", "j7_code_extract_join",
+    "j14_main_sec_join",
     "j5_anti_join_new_codes", "j11_argmax_latest_per_key",
     # aggregations
     "a2_agg_rollup", "a4_rebar",
+    "a7_two_level_agg", "a8_median_cross_section",
+    "a11_accumulation_detect",
     "a14b_sketch_errorband",
     # audits / ordering / sets
-    "u4_membership_changepoints", "eav_unpivot_pivot",
-    "p4_inlist_semijoin",
+    "u4_membership_changepoints", "u1_union_distinct",
     # windows
     "w8_quarterize", "w1_rank_returns",
-    "w3_cum_chain", "w11b_adjusted_diff",
+    "w3_cum_chain", "w2_lead_lag_gaps",
+    "w5_rolling_mean", "w12_pivot_status",
     # composites
     "pipeline_cluster_survivors",
-    "pipeline_revenue_topk",
     "pipeline_sector_median",
     # LLM-pipeline operators
     "dedup_exact", "dedup_components",
@@ -4739,11 +4753,10 @@ QUERY_PRIORITY: list[str] = [
     "dedup_semdedup", "dedup_ngram_jaccard", "dedup_pairs_capped",
     "dedup_minhash_incremental_md5", "dedup_cross_contamination_md5",
     "txt_corpus_stats", "txt_repetition", "txt_bpe_segment",
-    "txt_ccnet_split", "txt_features",
+    "txt_features",
     "mm_audio_features",
     "ann_cosine_topk",
-    "emb_centroid_outliers",
-    "smp_dsir_md5", "smp_pack_sequences",
+    "smp_dsir_md5",
     "smp_hash_split", "smp_source_quota",
     "smp_epoch_shuffle",
     "stream_dedup_incremental_md5",
@@ -4755,6 +4768,10 @@ QUERY_PRIORITY: list[str] = [
     # ---- or rows-only (no oracle) ----
     "pipeline_region_revenue", "s6_upsert_last_write_wins",
     "smp_mixture_resample",
+    "pipeline_e2_merge_daily", "j6_code_mapping_maintenance",
+    "j7_code_extract_join", "eav_unpivot_pivot", "p4_inlist_semijoin",
+    "w11b_adjusted_diff", "pipeline_revenue_topk",
+    "emb_centroid_outliers", "smp_pack_sequences", "txt_ccnet_split",
     "p3_regex_filter", "s1_filtered_scan",
     "j1_vendor_merge_full_outer", "j10_asof_point_lookup",
     "j8b_interval_join_bucketed",
@@ -4772,11 +4789,7 @@ QUERY_PRIORITY: list[str] = [
     "txt_lm_perplexity", "dedup_embedding_pairs", "smp_token_budget",
     "ann_ivf_full_probe", "w7_continuous_contract",
     "pipeline_quality_filter", "stream_bars_1min",
-    "f5_rename_ladder", "j2_three_source_merge", "j13_incremental_ranges",
-    "a7_two_level_agg", "a8_median_cross_section",
-    "a11_accumulation_detect", "u1_union_distinct",
-    "w2_lead_lag_gaps", "w10_monthly_sample", "w5_rolling_mean",
-    "w12_pivot_status",
+    "w10_monthly_sample",
     "pipeline_dedup_survivors",
     "dedup_frequent_ngrams", "dedup_minhash_md5", "dedup_components_star",
     "txt_winnowing", "txt_contamination", "txt_pii_redact",
