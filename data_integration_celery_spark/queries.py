@@ -357,7 +357,12 @@ def _fresh_tmp_table_root(prefix: str) -> str:
                              *(os.path.getmtime(os.path.join(dirpath, f))
                                for f in files))
             except OSError:
-                continue  # entry vanished mid-walk (concurrent cleanup)
+                # an entry vanished mid-walk: something is ACTIVELY
+                # mutating this tree (a Spark commit renaming files out of
+                # _temporary). Treat it as fresh — skipping the remaining
+                # (possibly newest) files could resurrect the r9
+                # mutual-destruction sweep this guard exists to prevent.
+                return float("inf")
         return newest
 
     now = _time.time()

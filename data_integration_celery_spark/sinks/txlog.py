@@ -699,6 +699,13 @@ class TxTable:
                               -1).alias("__file"),
                  F.col("_metadata.row_index").alias("__pos")]
         keep = cols + (["__file", "__pos"] if with_rowid else [])
+        if adds and not with_rowid \
+                and not any(a.get("dv", {}).get("refs") for a in adds):
+            # zero-DV fast path: literally the pre-DV plan (no projection
+            # at all), so plan-keyed consumers (semanticHash caching,
+            # explain-audit patterns) see unchanged lineage
+            return self.spark.read.schema(schema).parquet(
+                *[os.path.join(self.path, a["path"]) for a in adds])
         if not adds:
             empty = self.spark.createDataFrame([], schema)
             if with_rowid:
@@ -997,13 +1004,13 @@ class TxTable:
 
     def _constraints(self, meta: dict) -> dict:
         """The table's CHECK constraints ({name: sql}) — carried through
-        _replay meta exactly like stats_cols/bloom."""
-        if "constraints" in meta:
-            return meta["constraints"] or {}
-        for commit in reversed(self.history()):
-            if "constraints" in commit:
-                return commit["constraints"] or {}
-        return {}
+        _replay meta exactly like stats_cols/bloom. No history() fallback:
+        replay carries the key forward from wherever it appeared
+        (set/drop commits carry schema so they ARE the replay meta, and
+        post-r10 checkpoints + create always record it) — a meta without
+        the key means no constraint existed at that version, so scanning
+        the whole log would be O(table-age) work to learn {}."""
+        return meta.get("constraints") or {}
 
     def _enforce(self, df: DataFrame, constraints: dict) -> None:
         """Reject the write if any row fails a CHECK constraint.
@@ -1222,15 +1229,26 @@ class TxTable:
                    .select("__file", "__pos"))
         return self._commit_dv_delete(matched, version, meta, live, txn)
 
+    @staticmethod
+    def _require_unique_basenames(live: list[dict]) -> None:
+        """DV row identity is keyed by file BASENAME: a collision would
+        attribute one file's deleted positions to another and silently
+        drop its rows. Spark's part-NNNNN-<jobuuid> names make collisions
+        impossible today; this is a real check (not an assert stripped
+        under -O) because the failure mode is silent corruption."""
+        names = [os.path.basename(a["path"]) for a in live]
+        if len(set(names)) != len(names):
+            raise RuntimeError(
+                "DV row identity needs unique file basenames; duplicate "
+                "basenames found in the live set")
+
     def _commit_dv_delete(self, matched: DataFrame, version: int,
                           meta: dict, live: list[dict],
                           txn: dict | None) -> int:
         """Write the matched (file, pos) rows as a DV sidecar and commit the
         per-file cumulative refs. Returns the committed version, or the
         current one when nothing matched (no commit burned)."""
-        names = [os.path.basename(a["path"]) for a in live]
-        assert len(set(names)) == len(names), \
-            "DV row identity needs unique file basenames"
+        self._require_unique_basenames(live)
         sidecar = f"{_DATA_DIR}/dv_{uuid.uuid4().hex}"
         matched.write.parquet(os.path.join(self.path, sidecar))
         counts = {r["__file"]: r["n"] for r in
@@ -1288,6 +1306,7 @@ class TxTable:
             raise ValueError(f"update_where sets columns the table lacks: "
                              f"{unknown}")
         cond = F.expr(condition) if isinstance(condition, str) else condition
+        self._require_unique_basenames(live)
         matched = (self._read_adds(live, schema, with_rowid=True)
                    .where(cond).select("__file", "__pos"))
         sidecar = f"{_DATA_DIR}/dv_{uuid.uuid4().hex}"
@@ -1299,14 +1318,29 @@ class TxTable:
         if not counts:
             return version  # nothing matched; orphan sidecar is vacuumable
         # rewritten rows come from the SAME sidecar (semi-join), so the
-        # marked set and the re-inserted set cannot diverge
-        upd = (self._read_adds(live, schema, with_rowid=True)
+        # marked set and the re-inserted set cannot diverge; only the
+        # files the sidecar actually references are re-scanned (the
+        # matched-rows cost shape the docstring promises, not a second
+        # full table scan)
+        affected = [a for a in live
+                    if os.path.basename(a["path"]) in counts]
+        upd = (self._read_adds(affected, schema, with_rowid=True)
                .join(dv.select("__file", "__pos"), ["__file", "__pos"],
                      "left_semi"))
-        for c, e in set_exprs.items():
-            expr = F.expr(e) if isinstance(e, str) else e
-            upd = upd.withColumn(c, expr.cast(schema[c].dataType))
-        upd = upd.select(*[f.name for f in schema.fields])
+        # simultaneous assignment (SQL UPDATE semantics): every set
+        # expression evaluates against the ORIGINAL row, so
+        # {"a": "b", "b": "a"} swaps — sequential withColumn would feed
+        # later expressions already-updated values and depend on dict
+        # order
+        out_cols = []
+        for f in schema.fields:
+            if f.name in set_exprs:
+                e = set_exprs[f.name]
+                e = F.expr(e) if isinstance(e, str) else e
+                out_cols.append(e.cast(f.dataType).alias(f.name))
+            else:
+                out_cols.append(F.col(f.name))
+        upd = upd.select(*out_cols)
         self._enforce(upd, self._constraints(meta))
         new_adds = self._write_batch(upd, self._stats_cols(meta),
                                      bloom=self._bloom_spec(meta))

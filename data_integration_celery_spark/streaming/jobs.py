@@ -117,6 +117,15 @@ def txlog_sink(stream: DataFrame, path: str, keys: list[str] | None,
         from ..sinks.txlog import ConflictError
         table = TxTable(batch_df.sparkSession, path)
         if table.latest_version() == 0:
+            if mode == "delete":
+                # bootstrapping from the RETRACTION stream would create the
+                # table with the key-only schema and silently poison every
+                # later full-row write (merge's _conform projects onto the
+                # table schema) — and there is nothing to delete from a
+                # table that does not exist. Fail fast: start ingest first.
+                raise FileNotFoundError(
+                    f"txlog_sink(mode='delete'): no TxTable at {path} — "
+                    f"the retraction sink requires an existing table")
             # bootstrap an EMPTY table (one atomic commit) so batch 0 flows
             # through the same txn-stamped merge/append path as every other
             # batch; a concurrent bootstrap loses the version-1 race cleanly

@@ -623,3 +623,14 @@ def test_stream_txlog_sink_delete_mode(spark, events_dir, tmp_path):
         jobs.txlog_sink(spark.readStream.schema(erase.schema)
                         .parquet(erase_dir), target, keys=None,
                         checkpoint=ckpt, app_id="x", mode="delete")
+    # and against a MISSING table it fails fast instead of bootstrapping a
+    # key-only table that would poison later full-row writes
+    from pyspark.errors import StreamingQueryException
+    q3 = (jobs.txlog_sink(
+            spark.readStream.schema(erase.schema).parquet(erase_dir),
+            str(tmp_path / "missing"), keys=["event_id"],
+            checkpoint=str(tmp_path / "ckpt2"), app_id="erasure2",
+            mode="delete")
+          .trigger(availableNow=True).start())
+    with _pt.raises(StreamingQueryException):
+        q3.awaitTermination(120)

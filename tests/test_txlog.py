@@ -1340,7 +1340,7 @@ def test_delete_where_cumulative_and_sql_string(spark, sf_dir, tdir):
     want = _rows(src.where("NOT (o_orderstatus = 'F' OR o_totalprice > 150000)"))
     assert _rows(t.snapshot()) == want
     refs = {len(a.get("dv", {}).get("refs", [])) for a in t.live_files()}
-    assert max(refs) <= 2 and 2 in refs or 1 in refs
+    assert max(refs) <= 2 and (2 in refs or 1 in refs)
     # delete matching nothing: version unchanged, no commit
     v = t.delete_where("o_orderkey < 0")
     assert v == t.latest_version() == v2 + 1
