@@ -76,11 +76,15 @@ def s1_filtered_scan(spark, sf_dir):
    sql="""
    SELECT p_partkey, p_name, p_brand
    FROM part
-   WHERE regexp_matches(p_brand, '^Brand#[123]') AND NOT p_name LIKE '%green%'
+   WHERE regexp_extract(p_brand, '^Brand#[123]', 0) <> ''
+     AND NOT p_name LIKE '%green%'
    """,
    doc="P3/P7: regex predicate on code + LIKE exclusion (reference "
        "wind_code REGEXP contract patterns, reorg_md_2_db.py:204-206; fund "
-       "share-class exclusion worst_fund.py:44).")
+       "share-class exclusion worst_fund.py:44). Oracle spelled with "
+       "regexp_extract(..., 0) <> '' — the regex-match idiom both DuckDB "
+       "and Spark SQL parse identically (regexp_matches is DuckDB-only), "
+       "making this a dual-parse portable oracle (r10 verdict item 6).")
 def p3_regex_filter(spark, sf_dir):
     p = _t(spark, sf_dir, "part")
     return (p.where(F.col("p_brand").rlike("^Brand#[123]")
@@ -209,14 +213,21 @@ def j1_vendor_merge(spark, sf_dir):
 @q("j5_anti_join_new_codes",
    sql="""
    SELECT c_custkey, c_name FROM customer c
-   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                     AND o.o_orderdate >= DATE '1998-01-01')
    """,
    doc="J5: anti-join 'insert where not exists' — new codes missing from "
        "code_mapping (tasks/merge/code_mapping.py:53-60). Broadcast-able "
-       "when the probe side is dimension-sized.")
+       "when the probe side is dimension-sized. The probe side carries the "
+       "reference's recency watermark (codes not seen since a cutoff) — "
+       "which also de-vacuizes the driver oracle (r10 verdict item 3): the "
+       "unfiltered form returned 0 rows at the gate sf (every customer has "
+       "SOME order), proving nothing; customers-without-recent-orders is "
+       "non-empty (8 rows at sf0.01, 74 at sf0.1).")
 def j5_anti(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= "1998-01-01")
     return (c.join(o.select("o_custkey"), c.c_custkey == F.col("o_custkey"), "left_anti")
              .select("c_custkey", "c_name"))
 
@@ -352,17 +363,23 @@ def _fresh_tmp_table_root(prefix: str) -> str:
     def _newest_mtime(root: str) -> float:
         newest = os.path.getmtime(root)
         for dirpath, _dirs, files in os.walk(root):
-            try:
-                newest = max(newest, os.path.getmtime(dirpath),
-                             *(os.path.getmtime(os.path.join(dirpath, f))
-                               for f in files))
-            except OSError:
-                # an entry vanished mid-walk: something is ACTIVELY
-                # mutating this tree (a Spark commit renaming files out of
-                # _temporary). Treat it as fresh — skipping the remaining
-                # (possibly newest) files could resurrect the r9
-                # mutual-destruction sweep this guard exists to prevent.
-                return float("inf")
+            for entry in (dirpath,
+                          *(os.path.join(dirpath, f) for f in files)):
+                try:
+                    newest = max(newest, os.path.getmtime(entry))
+                except FileNotFoundError:
+                    # an entry vanished mid-walk: something is ACTIVELY
+                    # mutating this tree (a Spark commit renaming files out
+                    # of _temporary). Treat it as fresh — skipping the
+                    # remaining (possibly newest) files could resurrect the
+                    # r9 mutual-destruction sweep this guard prevents.
+                    return float("inf")
+                except OSError:
+                    # persistent error (EACCES/EIO): an unreadable entry
+                    # must NOT pin the tree as forever-fresh (unbounded
+                    # /tmp growth from a damaged tree) — judge staleness
+                    # on what IS readable, root mtime at minimum.
+                    continue
         return newest
 
     now = _time.time()
@@ -470,6 +487,44 @@ def s6f_dv_update(spark, sf_dir):
     untouched = before <= {a["path"] for a in t.live_files()}
     return (t.snapshot()
             .withColumn("originals_untouched", F.lit(bool(untouched))))
+
+
+@q("s6g_dv_coalesce",
+   sql="""
+   SELECT o_orderkey, o_totalprice, o_orderstatus,
+          TRUE AS coalesced_to_one, TRUE AS cdc_silent
+   FROM orders
+   WHERE o_orderkey % 7 <> 0 AND o_orderstatus <> 'F'
+   """,
+   doc="S6g: DV sidecar coalescing (sinks/txlog.py coalesce_dv — r10 "
+       "verdict item 5). Two stacked merge-on-read deletes leave every "
+       "touched file with 2 sidecar refs; coalesce_dv rewrites them into "
+       "ONE shared sidecar without changing logical content. Verdict "
+       "columns computed in-query and oracle-checked on every surviving "
+       "row: coalesced_to_one = every DV'd live file carries exactly one "
+       "ref and all refs name the same sidecar; cdc_silent = changes() "
+       "across the coalesce version emits zero rows (the re-pointed "
+       "files' identical DV-filtered reads cancel).")
+def s6g_dv_coalesce(spark, sf_dir):
+    from .sinks.txlog import TxTable
+    root = _fresh_tmp_table_root("txdvc_q_")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    t = TxTable(spark, f"{root}/orders", batch_partitions=8)
+    t.create(o, stats_cols=["o_orderkey"])
+    t.delete_where(F.col("o_orderkey") % 7 == 0)
+    t.delete_where(F.col("o_orderstatus") == "F")
+    v_before = t.latest_version()
+    v_after = t.coalesce_dv()
+    refs = [a["dv"]["refs"] for a in t.live_files() if a.get("dv")]
+    one = (v_after == v_before + 1 and refs
+           and all(len(r) == 1 for r in refs)
+           and len({r[0] for r in refs}) == 1)
+    silent = t.changes(v_before, v_after,
+                       keys=["o_orderkey"]).count() == 0
+    return (t.snapshot()
+            .withColumn("coalesced_to_one", F.lit(bool(one)))
+            .withColumn("cdc_silent", F.lit(bool(silent))))
 
 
 @q("s6c_cdc_feed",
@@ -1078,13 +1133,58 @@ def dedup_exact_q(spark, sf_dir):
     return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
 
 
+# Deterministic near-dup densification for the pair-emitter driver oracles
+# (r10 verdict item 3): the synthetic documents table plants only ~1 pair
+# above Jaccard 0.2 at the gate sf (max candidate degree 2 even at 0.02),
+# so the capped emitter's driver evidence was a single row with
+# pairs_dropped=0 — ledger semantics carried by pytest alone. Each seed doc
+# (doc_id % 250 = 0; 2 seeds at sf0.01, 20 at sf0.1, shortest seed 13
+# tokens) gains 5 variants that drop the first k=1..5 normalized tokens —
+# a 6-clique whose 15 pairs all clear threshold 0.2. With cap=2 and
+# OR-semantics, kept clique pairs need an endorsement from an endpoint and
+# each node endorses <= 2 pairs, so kept <= 12 < 15: >= 3 drops per clique
+# are GUARANTEED by pigeonhole at every sf, independent of noise. Variant
+# ids live at 1_000_000 + doc_id*8 + k (disjoint from real ids). The SQL
+# twin below builds the identical variants; both feed the same operator /
+# oracle pipeline unchanged.
+_NEAR_DUP_AUG_SQL = """
+   aug AS (
+     SELECT doc_id, source, text FROM documents
+     UNION ALL
+     SELECT 1000000 + s.doc_id * 8 + k.k AS doc_id, s.source,
+            array_to_string(list_slice(s.tok, k.k + 1, len(s.tok)), ' ') AS text
+     FROM (SELECT doc_id, source,
+                  string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                                     '\\s+') AS tok
+           FROM documents WHERE doc_id % 250 = 0) s
+     CROSS JOIN (SELECT unnest(range(1, 6)) AS k) k)"""
+
+
+def _near_dup_augmented_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    tok = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")),
+                                          "[^a-z0-9]+", " ")), "\\s+")
+    variants = (docs.where(F.col("doc_id") % 250 == 0)
+                .select("doc_id", "source", tok.alias("tok"))
+                .select("doc_id", "source", "tok",
+                        F.explode(F.sequence(F.lit(1), F.lit(5))).alias("k"))
+                .select((F.lit(1000000) + F.col("doc_id") * 8
+                         + F.col("k")).cast("bigint").alias("doc_id"),
+                        "source",
+                        F.array_join(F.slice(F.col("tok"), F.col("k") + 1,
+                                             F.size("tok")), " ")
+                        .alias("text")))
+    return docs.unionByName(variants)
+
+
 @q("dedup_ngram_jaccard",
-   sql="""
-   WITH norm AS (
+   sql=f"""
+   WITH {_NEAR_DUP_AUG_SQL},
+   norm AS (
      SELECT doc_id, source,
             string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
                                '\\s+') AS tok
-     FROM documents),
+     FROM aug),
    sh AS (
      SELECT doc_id, source,
             CASE WHEN len(tok) >= 3
@@ -1101,21 +1201,24 @@ def dedup_exact_q(spark, sf_dir):
    """,
    doc="Near-dup: exact 3-gram-shingle Jaccard over source-blocked candidate "
        "pairs (array_intersect JVM-side). Blocking bounds the self-join; at "
-       "scale the block key is an LSH bucket (see dedup_minhash_lsh).")
+       "scale the block key is an LSH bucket (see dedup_minhash_lsh). Runs "
+       "on the clique-augmented corpus (_near_dup_augmented_docs) so the "
+       "driver check carries a dense band, not 1 row (r10 verdict item 3).")
 def dedup_ngram_q(spark, sf_dir):
     from .operators import dedup
-    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
+    return dedup.ngram_jaccard_pairs(_near_dup_augmented_docs(spark, sf_dir),
                                      threshold=0.2, block_col="source") \
         .select("id_a", "id_b", "jaccard")
 
 
 @q("dedup_pairs_capped",
-   sql="""
-   WITH norm AS (
+   sql=f"""
+   WITH {_NEAR_DUP_AUG_SQL},
+   norm AS (
      SELECT doc_id, source,
             string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
                                '\\s+') AS tok
-     FROM documents),
+     FROM aug),
    sh AS (
      SELECT doc_id, source,
             CASE WHEN len(tok) >= 3
@@ -1163,7 +1266,7 @@ def dedup_ngram_q(spark, sf_dir):
        "bounded-output defaults (operators/dedup.py cap_pairs_per_id).")
 def dedup_pairs_capped_q(spark, sf_dir):
     from .operators import dedup
-    pairs = dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
+    pairs = dedup.ngram_jaccard_pairs(_near_dup_augmented_docs(spark, sf_dir),
                                       threshold=0.2, block_col="source") \
         .select("id_a", "id_b", "jaccard")
     kept, stats = dedup.cap_pairs_per_id(pairs, cap=2,
@@ -1825,21 +1928,27 @@ def j7_code_join(spark, sf_dir):
 
 @q("w9_expand_calendar",
    sql="""
-   WITH eff AS (
+   WITH RECURSIVE offs(off) AS (
+     SELECT 0 UNION ALL SELECT off + 1 FROM offs WHERE off < 6),
+   eff AS (
      SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS pub,
             lead(CAST(o_orderdate AS DATE))
               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS nxt
-     FROM orders),
-   offs AS (SELECT unnest(range(0, 7)) AS off)
+     FROM orders)
    SELECT o_custkey, o_orderkey, pub + CAST(off AS INTEGER) AS as_of_date
    FROM eff JOIN offs
-     ON off <= CAST(least(coalesce(nxt - 1, pub + 6), pub + 6) - pub
-                    AS BIGINT)
+     ON pub + CAST(off AS INTEGER)
+        <= least(coalesce(nxt - 1, pub + 6), pub + 6)
    """,
    doc="W9: report→daily as-of expansion via sequence()+explode, capped at a "
        "7-day horizon; zero-length effectivity (superseded same day) expands "
        "to nothing (reference python-loops trade-date slices, "
-       "finance_report/__init__.py:456-565).")
+       "finance_report/__init__.py:456-565). Oracle generates the 0..6 "
+       "offset spine with a recursive CTE and compares dates directly "
+       "(date+int <= date) instead of unnest(range())+date-subtraction — "
+       "both engines parse it, making this a dual-parse portable oracle "
+       "(r10 verdict item 6; date-date subtraction is an INTERVAL in "
+       "Spark but an int in DuckDB, so the comparison avoids it).")
 def w9_expand(spark, sf_dir):
     o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
     out = asof.expand_to_calendar(o, key="o_custkey", pub_col="o_orderdate",
@@ -4729,76 +4838,101 @@ def u5_schema_reconcile_q(spark, sf_dir):
 # smp_pack_sequences (four smp reps stay), txt_ccnet_split
 # (corpus_stats/repetition/bpe_segment/features cover text). Round 11
 # then faces ~21 due, not 31.
+# Round-11 rotation (mechanically from check_correctness --stale 2 at
+# round open, per VERDICT r10 item 2): IN — the full 22-query r8-green
+# cohort aging to 3 this round (j9, o3, w6, w7, w10, txt_contamination,
+# dedup_components_star, dedup_minhash_md5, dedup_frequent_ngrams,
+# dedup_embedding_pairs, stream_bars_1min, pipeline_worst_window_return,
+# txt_winnowing, pipeline_quality_filter, pipeline_dedup_survivors,
+# mm_image_features, ann_ivf_full_probe, ann_pq_rerank, txt_pii_redact,
+# smp_token_budget, txt_lm_perplexity, txt_chunk_stride), PLUS the three
+# r10-verdict evidence rows that must re-earn green on their respecified
+# forms this round (j5 de-vacuized with the recency watermark;
+# dedup_ngram_jaccard / dedup_pairs_capped on the clique-augmented
+# corpus with a live truncation ledger — item 3), PLUS the round's new
+# never-checked exact oracle s6g_dv_coalesce (DV sidecar coalescing —
+# item 5), PLUS 24 of the 36 r9-greens pulled a round early (same
+# smoothing pattern as the r9/r10/r11 pulls) so round 12 faces ~12 due,
+# not 36. OUT — 44 freshly-r10-green queries rest (age 1, due r13), each
+# with an in-window family sibling or exact twin: f3/f5 scans-cleaning
+# (pipeline_quality_filter carries the quality exprs; entry() smokes the
+# scan every round), j2/j13/j8/j14/j11 joins (j9/j8b/j5/j6/j7/e2 in),
+# a2/a4/a7/a8/a11/a14b aggs (a3/a13/f4/w10 in), u4_mc/u1 (u4_scd2/u5 in),
+# w8/w1/w3/w2/w5/w12 windows (w8b/w1b/w4/w9/w6/w11b in),
+# cluster_survivors/sector_median (revenue_topk/worst_window/
+# dedup_survivors/e2 in), dedup_exact/components/simhash_hamming_md5/
+# semdedup/minhash_incremental/cross_contamination (components_star/
+# minhash_md5/frequent_ngrams/embedding_pairs + the two respecified
+# emitters in), txt_corpus_stats/repetition/bpe_segment/features
+# (bpe_train/ccnet/winnowing/contamination/pii/lm/chunk_stride in),
+# mm_audio (mm_image/mm_video in), ann_cosine_topk (ivf_full_probe/
+# pq_rerank in — both compare against the same brute-force ground truth),
+# smp_dsir/hash_split/quota/epoch_shuffle (token_budget/mixture/pack in),
+# stream_dedup_incremental (stream_bars + s6d's pytest twins in...
+# s6d itself rests with its restart-replay pinned in test_streaming),
+# s6b/s6c/s6e/s6f/s10b/s10c TxTable verdicts (s6g — the new DV-coalesce
+# verdict — carries the TxTable family; all six keep their full pytest
+# matrices) — resting the heavy TxTable creates also directly serves
+# VERDICT item 4 (they were the most contention-sensitive suite rows).
 QUERY_PRIORITY: list[str] = [
-    # scans / predicates / cleaning
-    "f3_cleaning_exprs", "f5_rename_ladder",
-    # joins
-    "j2_three_source_merge",
-    "j13_incremental_ranges",
-    "j8_interval_join",
-    "j14_main_sec_join",
-    "j5_anti_join_new_codes", "j11_argmax_latest_per_key",
-    # aggregations
-    "a2_agg_rollup", "a4_rebar",
-    "a7_two_level_agg", "a8_median_cross_section",
-    "a11_accumulation_detect",
-    "a14b_sketch_errorband",
-    # audits / ordering / sets
-    "u4_membership_changepoints", "u1_union_distinct",
-    # windows
-    "w8_quarterize", "w1_rank_returns",
-    "w3_cum_chain", "w2_lead_lag_gaps",
-    "w5_rolling_mean", "w12_pivot_status",
-    # composites
-    "pipeline_cluster_survivors",
-    "pipeline_sector_median",
-    # LLM-pipeline operators
-    "dedup_exact", "dedup_components",
-    "dedup_simhash_hamming_md5",
-    "dedup_semdedup", "dedup_ngram_jaccard", "dedup_pairs_capped",
-    "dedup_minhash_incremental_md5", "dedup_cross_contamination_md5",
-    "txt_corpus_stats", "txt_repetition", "txt_bpe_segment",
-    "txt_features",
-    "mm_audio_features",
-    "ann_cosine_topk",
-    "smp_dsir_md5",
-    "smp_hash_split", "smp_source_quota",
-    "smp_epoch_shuffle",
-    "stream_dedup_incremental_md5",
-    "s6b_acid_merge", "s6c_cdc_feed",
-    "s6e_deletion_vectors", "s6f_dv_update",
-    "s10b_zorder_skipping", "s6d_stream_txlog_exactly_once",
-    "s10c_bloom_point_lookup",
-    # ---- position 51+: triple/double-green history, sibling-covered,
-    # ---- or rows-only (no oracle) ----
-    "pipeline_region_revenue", "s6_upsert_last_write_wins",
-    "smp_mixture_resample",
+    # r10-verdict evidence rows (respecified forms — item 3)
+    "j5_anti_join_new_codes",
+    "dedup_ngram_jaccard", "dedup_pairs_capped",
+    # new capability (item 5)
+    "s6g_dv_coalesce",
+    # r8 cohort due this round (item 2)
+    "j9_asof_last_report", "o3_topk_worst",
+    "w6_argmax_cross_section", "w7_continuous_contract",
+    "w10_monthly_sample", "txt_contamination",
+    "dedup_components_star", "dedup_minhash_md5",
+    "dedup_frequent_ngrams", "dedup_embedding_pairs",
+    "stream_bars_1min", "pipeline_worst_window_return",
+    "txt_winnowing", "pipeline_quality_filter",
+    "pipeline_dedup_survivors", "mm_image_features",
+    "ann_ivf_full_probe", "ann_pq_rerank",
+    "txt_pii_redact", "smp_token_budget",
+    "txt_lm_perplexity", "txt_chunk_stride",
+    # r9 cohort pulled a round early (r12 smoothing)
     "pipeline_e2_merge_daily", "j6_code_mapping_maintenance",
     "j7_code_extract_join", "eav_unpivot_pivot", "p4_inlist_semijoin",
     "w11b_adjusted_diff", "pipeline_revenue_topk",
     "emb_centroid_outliers", "smp_pack_sequences", "txt_ccnet_split",
+    "a13_sessionize", "a3_tick_to_bars", "f4_snapshot_audit",
+    "u4_scd2_intervals", "u5_schema_reconcile",
+    "w4_ffill", "w9_expand_calendar",
+    "w8b_quarterize_exact", "j8b_interval_join_bucketed",
+    "w1b_rank_scalable", "mm_video_frames", "txt_bpe_train",
+    "smp_mixture_resample", "s6_upsert_last_write_wins",
+    # ---- position 51+: fresh r10 greens resting (due r13),
+    # ---- r9 leftovers due r12, or rows-only (no oracle) ----
+    "f3_cleaning_exprs", "f5_rename_ladder",
+    "j2_three_source_merge", "j13_incremental_ranges",
+    "j8_interval_join", "j14_main_sec_join", "j11_argmax_latest_per_key",
+    "a2_agg_rollup", "a4_rebar", "a7_two_level_agg",
+    "a8_median_cross_section", "a11_accumulation_detect",
+    "a14b_sketch_errorband",
+    "u4_membership_changepoints", "u1_union_distinct",
+    "w8_quarterize", "w1_rank_returns", "w3_cum_chain",
+    "w2_lead_lag_gaps", "w5_rolling_mean", "w12_pivot_status",
+    "pipeline_cluster_survivors", "pipeline_sector_median",
+    "dedup_exact", "dedup_components", "dedup_simhash_hamming_md5",
+    "dedup_semdedup", "dedup_minhash_incremental_md5",
+    "dedup_cross_contamination_md5",
+    "txt_corpus_stats", "txt_repetition", "txt_bpe_segment",
+    "txt_features", "mm_audio_features", "ann_cosine_topk",
+    "smp_dsir_md5", "smp_hash_split", "smp_source_quota",
+    "smp_epoch_shuffle", "stream_dedup_incremental_md5",
+    "s6b_acid_merge", "s6c_cdc_feed",
+    "s6e_deletion_vectors", "s6f_dv_update",
+    "s10b_zorder_skipping", "s6d_stream_txlog_exactly_once",
+    "s10c_bloom_point_lookup",
+    "pipeline_region_revenue",
     "p3_regex_filter", "s1_filtered_scan",
     "j1_vendor_merge_full_outer", "j10_asof_point_lookup",
-    "j8b_interval_join_bucketed",
-    "a1_watermark_per_key", "a3_tick_to_bars",
-    "a13_sessionize", "a9_describe", "f4_snapshot_audit",
-    "u4_scd2_intervals", "u5_schema_reconcile",
-    "w8b_quarterize_exact", "w1b_rank_scalable",
-    "w4_ffill", "w9_expand_calendar",
+    "a1_watermark_per_key", "a9_describe",
     "dedup_span_removal", "dedup_simhash_md5",
-    "dedup_semdedup_incremental",
-    "txt_bpe_train", "txt_vocab_topk",
-    "mm_video_frames", "ann_lsh_full_probe",
-    "ann_pq_rerank", "txt_chunk_stride", "w6_argmax_cross_section",
-    "j9_asof_last_report", "o3_topk_worst", "pipeline_worst_window_return",
-    "txt_lm_perplexity", "dedup_embedding_pairs", "smp_token_budget",
-    "ann_ivf_full_probe", "w7_continuous_contract",
-    "pipeline_quality_filter", "stream_bars_1min",
-    "w10_monthly_sample",
-    "pipeline_dedup_survivors",
-    "dedup_frequent_ngrams", "dedup_minhash_md5", "dedup_components_star",
-    "txt_winnowing", "txt_contamination", "txt_pii_redact",
-    "mm_image_features",
+    "dedup_semdedup_incremental", "txt_vocab_topk",
+    "ann_lsh_full_probe",
     "w11_adjusted_continuous",
     "ann_ivf_topk", "dedup_minhash_lsh",
     "dedup_simhash", "ann_lsh_topk", "dedup_simhash_hamming",

@@ -279,8 +279,10 @@ class HadoopLogStore:
             # the authoritative evidence: if a commit file is there, either
             # a rival won (the expected shape, whatever exception class the
             # FS reported) or our own rename landed but the response was
-            # lost — disambiguated by content, since commit payloads carry
-            # writer-unique UUID data-file names.
+            # lost — disambiguated by content: every commit payload carries
+            # a per-writer UUID nonce (_commit's "writer" field), so
+            # payload equality uniquely identifies the author even for
+            # otherwise byte-identical empty commits.
             if fs.exists(dst):
                 try:
                     return self.read(path) == json.loads(payload)
@@ -927,6 +929,17 @@ class TxTable:
             payload = {
                 "version": attempt_version, "op": op,
                 "ts": time.time_ns() // 1_000_000,
+                # per-attempt writer nonce: commits with data files are
+                # already writer-unique (UUID file names), but empty
+                # commits (bootstrap create, empty append) from two
+                # writers in the same millisecond would otherwise be
+                # byte-identical — HadoopLogStore's rename-race
+                # disambiguation compares content, and ObjectStoreLogStore
+                # re-reads after a lost conditional PUT; both would tell
+                # BOTH writers they won. The nonce makes payload equality
+                # imply same-author, closing that (previously implicit)
+                # invariant.
+                "writer": uuid.uuid4().hex,
                 "read_version": read_version, "schema": schema_json,
                 "add": adds, "remove": removes,
             }
@@ -1417,6 +1430,61 @@ class TxTable:
         pre = upd.select(*cols, *unpack_o, F.lit("update_pre").alias("_change"))
         post = upd.select(*cols, *unpack_n, F.lit("update_post").alias("_change"))
         return ins.unionByName(dele).unionByName(pre).unionByName(post)
+
+    def coalesce_dv(self, min_refs: int = 2) -> int:
+        """Maintenance: rewrite all accumulated DV sidecar refs into ONE
+        shared sidecar (r10 verdict item 5 — sidecar coalescing).
+
+        Every ``delete_where``/``delete_matching``/``update_where`` appends
+        one sidecar ref per touched file; a table taking thousands of small
+        retractions between compactions accumulates thousands of tiny
+        sidecar files — the reader stays a single union scan + one
+        anti-join, but listing cost and small-file reads grow per commit.
+        This op unions the distinct (file, pos) rows of every referenced
+        sidecar into one new sidecar and re-points every DV-carrying live
+        file at it, so the steady-state sidecar count is 1 regardless of
+        retraction history. Logical content is unchanged — the read path
+        unions refs and anti-joins on row identity, so N sidecars and
+        their union are equivalent by construction — which also makes the
+        op CDC-transparent: ``changes()`` keys file identity on
+        (path, dv refs), the re-pointed files enter the diff on both sides,
+        and their identical DV-filtered reads cancel (same contract as
+        compaction). The old sidecars become unreferenced and are
+        reclaimed by ``vacuum`` after its TTL (protecting time travel).
+
+        No-op (no commit burned) unless some live file carries
+        ``min_refs`` or more refs. Table-reading op: concurrent commits
+        raise ``ConflictError``. Returns the committed version.
+        """
+        version, meta, live = self._replay()
+        dv_files = [a for a in live if a.get("dv", {}).get("refs")]
+        if not dv_files or max(len(a["dv"]["refs"])
+                               for a in dv_files) < min_refs:
+            return version
+        self._require_unique_basenames(live)
+        refs = sorted({r for a in dv_files for r in a["dv"]["refs"]})
+        # semi-join against the live DV'd basenames so rows for files that
+        # have since been compacted/overwritten away don't ride along
+        # forever in the coalesced sidecar
+        names = self.spark.createDataFrame(
+            [(os.path.basename(a["path"]),) for a in dv_files], "__file string")
+        sidecar = f"{_DATA_DIR}/dv_{uuid.uuid4().hex}"
+        (self.spark.read.parquet(*[os.path.join(self.path, r) for r in refs])
+             .select("__file", "__pos").dropDuplicates()
+             .join(F.broadcast(names), "__file", "left_semi")
+             .write.parquet(os.path.join(self.path, sidecar)))
+        counts = {r["__file"]: r["n"] for r in
+                  self.spark.read.parquet(os.path.join(self.path, sidecar))
+                  .groupBy("__file").agg(F.count(F.lit(1)).alias("n"))
+                  .collect()}  # bounded: one row per DV-carrying file
+        adds = [{**a, "dv": {"refs": [sidecar],
+                             "rows": int(counts.get(
+                                 os.path.basename(a["path"]), 0))}}
+                for a in dv_files]
+        return self._commit(
+            "coalesce_dv", adds, [], read_version=version,
+            schema_json=meta["schema"],
+            extra={"coalesced_refs": len(refs), "dv_sidecars": [sidecar]})
 
     def compact(self, target_files: int = 1,
                 zorder: list[str] | None = None, bits: int = 4) -> int:

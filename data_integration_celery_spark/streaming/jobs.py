@@ -146,6 +146,12 @@ def txlog_sink(stream: DataFrame, path: str, keys: list[str] | None,
         else:
             table.append(batch_df, txn=txn)
 
+    if mode not in ("auto", "delete"):
+        # fail at sink-build time: a typo ('Delete', 'retract') silently
+        # falling through to the merge/append branch would merge-upsert the
+        # key-only erasure frame and NULL every non-key column it matches
+        raise ValueError(
+            f"txlog_sink: unknown mode {mode!r} (expected 'auto' or 'delete')")
     if mode == "delete" and not keys:
         raise ValueError("txlog_sink(mode='delete') requires keys")
     return (stream.writeStream

@@ -32,8 +32,13 @@ from data_integration_celery_spark.queries import QUERIES
 # s10b_zorder_skipping — plain ANSI: unions, windows, literal-TRUE
 # verdicts, scalar subqueries; s10c_bloom_point_lookup joined the same
 # family in-session) — 51 total; the
-# recursive-CTE oracles (w8b/pack/bpe) remain DuckDB-only by their list
-# functions (string_split_regex/list_position), not by the recursion)
+# recursive-CTE oracles (pack/bpe) remain DuckDB-only by their list
+# functions (string_split_regex/list_position), not by the recursion;
+# round 11 added p3 (regexp_matches -> the dual-parse
+# regexp_extract(...,0) <> '' idiom), w9 (unnest(range()) -> a recursive
+# offset spine + direct date comparison, avoiding date-date which is an
+# INTERVAL on Spark), and the new s6g_dv_coalesce (plain ANSI verdict
+# oracle, portable on arrival)
 PORTABLE_CORE = [
     "a11_accumulation_detect",
     "a14b_sketch_errorband",
@@ -51,8 +56,9 @@ PORTABLE_CORE = [
     "pipeline_e2_merge_daily", "pipeline_region_revenue",
     "pipeline_revenue_topk", "pipeline_sector_median",
     "pipeline_worst_window_return", "s1_filtered_scan",
+    "p3_regex_filter", "w9_expand_calendar",
     "s6_upsert_last_write_wins", "s6b_acid_merge", "s6c_cdc_feed",
-    "s6e_deletion_vectors", "s6f_dv_update",
+    "s6e_deletion_vectors", "s6f_dv_update", "s6g_dv_coalesce",
     "s10b_zorder_skipping", "s10c_bloom_point_lookup", "smp_hash_split",
     "smp_mixture_resample", "smp_source_quota", "u1_union_distinct",
     "u4_scd2_intervals", "w10_monthly_sample", "w12_pivot_status",
@@ -61,7 +67,7 @@ PORTABLE_CORE = [
     "w8_quarterize", "w8b_quarterize_exact",
 ]
 
-MIN_PORTABLE = 53
+MIN_PORTABLE = 56
 
 
 def _canon(df):

@@ -623,6 +623,14 @@ def test_stream_txlog_sink_delete_mode(spark, events_dir, tmp_path):
         jobs.txlog_sink(spark.readStream.schema(erase.schema)
                         .parquet(erase_dir), target, keys=None,
                         checkpoint=ckpt, app_id="x", mode="delete")
+    # an unknown mode is a hard error AT SINK-BUILD TIME: a typo like
+    # 'Delete' or 'retract' must never fall through to the merge branch
+    # and NULL out non-key columns of every matched row (r10 ADVICE #1)
+    for bad in ("Delete", "retract", "upsert", ""):
+        with _pt.raises(ValueError, match="unknown mode"):
+            jobs.txlog_sink(spark.readStream.schema(erase.schema)
+                            .parquet(erase_dir), target, keys=["event_id"],
+                            checkpoint=ckpt, app_id="x", mode=bad)
     # and against a MISSING table it fails fast instead of bootstrapping a
     # key-only table that would poison later full-row writes
     from pyspark.errors import StreamingQueryException

@@ -84,6 +84,32 @@ def test_append_and_time_travel(spark, sf_dir, tdir):
         t.snapshot(version=99)
 
 
+def test_commit_payloads_are_writer_unique(spark, sf_dir, tdir):
+    """Every commit payload carries a per-writer UUID nonce, so payload
+    content equality uniquely identifies the author — the invariant the
+    HadoopLogStore rename-race and ObjectStoreLogStore lost-PUT
+    disambiguation paths rely on (r10 ADVICE #3). Without it, two EMPTY
+    commits (no data files to make them unique) landing in the same
+    millisecond would be byte-identical and both writers would be told
+    they won."""
+    src = _orders(spark, sf_dir).limit(5)
+    empty = src.limit(0)
+    t = TxTable(spark, tdir)
+    t.create(src)
+    t.append(empty)
+    t.append(empty)
+    logs = sorted(glob.glob(os.path.join(tdir, "_txlog", "*.json")))
+    payloads = [json.load(open(p)) for p in logs]
+    nonces = [c["writer"] for c in payloads]
+    assert all(n for n in nonces)
+    assert len(set(nonces)) == len(nonces)
+    # the two empty appends differ ONLY by nonce-bearing fields — strip
+    # writer+ts+version and they would collide, proving the nonce is what
+    # carries the uniqueness for this commit shape
+    a, b = payloads[-2], payloads[-1]
+    assert a["add"] == b["add"] == [] and a["op"] == b["op"]
+
+
 def test_overwrite_atomic_swap(spark, sf_dir, tdir):
     t = TxTable(spark, tdir)
     src = _orders(spark, sf_dir).limit(40)
@@ -1532,6 +1558,76 @@ def test_dv_survives_schema_evolution(spark, sf_dir, tdir):
 
 
 # --------------------------------------- CHECK constraints (r10)
+
+
+def test_dv_coalesce_after_stacked_retractions(spark, sf_dir, tdir):
+    """100 sequential delete_matching commits (the streaming-retraction
+    steady state), then coalesce_dv: listing and read cost must come back
+    to ONE sidecar with logical content unchanged (r10 verdict item 5).
+    Covers: ref accumulation, coalesce to a single shared sidecar,
+    CDC-transparency across the coalesce version, time travel to the
+    pre-coalesce state, vacuum reclaiming the old sidecars, and ref
+    re-accumulation + re-coalesce afterwards."""
+    src = _orders(spark, sf_dir).limit(200)
+    t = TxTable(spark, tdir, batch_partitions=4)
+    t.create(src)
+    keys = [r[0] for r in
+            src.select("o_orderkey").orderBy("o_orderkey").collect()]
+    for i in range(100):
+        t.delete_matching(
+            spark.createDataFrame([(keys[i],)], "o_orderkey bigint"),
+            ["o_orderkey"])
+    live = t.live_files()
+    all_refs = sorted({r for a in live
+                       for r in a.get("dv", {}).get("refs", [])})
+    assert len(all_refs) == 100  # one sidecar per retraction commit
+    expected = _rows(src.where(~F.col("o_orderkey").isin(keys[:100])))
+    assert _rows(t.snapshot()) == expected
+    v_before = t.latest_version()
+
+    v = t.coalesce_dv()
+    assert v == v_before + 1
+    live = t.live_files()
+    refs_per_file = [a["dv"]["refs"] for a in live if a.get("dv")]
+    assert refs_per_file and all(len(r) == 1 for r in refs_per_file)
+    # bounded listing: every DV'd file points at the SAME single sidecar
+    assert len({r[0] for r in refs_per_file}) == 1
+    # per-file deleted-row counts survive the rewrite
+    assert sum(a["dv"]["rows"] for a in live if a.get("dv")) == 100
+    # logical content unchanged, and CDC across the coalesce is silent
+    assert _rows(t.snapshot()) == expected
+    assert t.changes(v_before, v, keys=["o_orderkey"]).count() == 0
+    # time travel to the pre-coalesce state still works (nothing vacuumed)
+    assert _rows(t.snapshot(version=v_before)) == expected
+    # idempotent: nothing left to coalesce, no commit burned
+    assert t.coalesce_dv() == v
+
+    # the 100 old sidecars are now unreferenced -> vacuum reclaims them.
+    # Twice: the first pass deletes their data files (which bumps each
+    # dir's mtime past the pass's TTL snapshot — the designed guard
+    # against sweeping an in-flight writer's staging dir), the second
+    # prunes the emptied marker-only dirs.
+    removed = t.vacuum(ttl_seconds=0)
+    assert sum(1 for p in removed if "/dv_" in p or p.startswith("dv_")) > 0
+    t.vacuum(ttl_seconds=0)
+    on_disk = {d for d in os.listdir(os.path.join(tdir, "_data"))
+               if d.startswith("dv_")}
+    assert len(on_disk) == 1
+    assert _rows(t.snapshot()) == expected
+
+    # refs re-accumulate after the coalesce and a second pass re-bounds
+    for i in range(100, 103):
+        t.delete_matching(
+            spark.createDataFrame([(keys[i],)], "o_orderkey bigint"),
+            ["o_orderkey"])
+    assert max(len(a["dv"]["refs"]) for a in t.live_files()
+               if a.get("dv")) >= 2
+    t.coalesce_dv()
+    live = t.live_files()
+    assert len({r for a in live
+                for r in a.get("dv", {}).get("refs", [])}) == 1
+    assert _rows(t.snapshot()) == _rows(
+        src.where(~F.col("o_orderkey").isin(keys[:103])))
 
 
 def test_check_constraints_enforced_on_every_write_path(spark, sf_dir, tdir):

@@ -96,17 +96,27 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
     "dedup_pairs_capped": (
         [r"hashpartitioning\(__d"],
         [r"CartesianProduct", r"SortMergeJoin"]),
-    # deletion-vector read: the DV anti-join must be a broadcast hash
-    # LeftAnti (the DV side is exactly the deleted rows), never a
-    # cartesian or a sort-merge over the data
+    # deletion-vector read: the DV exclusion must plan as a LeftAnti join,
+    # never a cartesian. Broadcast is NOT required: the fixture deletes
+    # o_orderstatus='F' (~49% of orders), so the DV side is roughly half
+    # the table and legitimately exceeds the broadcast threshold at larger
+    # scale factors — a SortMergeJoin LeftAnti is the correct plan there
+    # (the 'DV side is small' broadcast assumption only holds for
+    # low-selectivity deletes).
     "s6e_deletion_vectors": (
-        [r"LeftAnti", r"BroadcastHashJoin"],
-        [r"CartesianProduct", r"SortMergeJoin"]),
-    # DV update read path: same contract as the delete — broadcast hash
-    # LeftAnti against the sidecar, never cartesian/sort-merge
+        [r"LeftAnti"],
+        [r"CartesianProduct"]),
+    # DV update read path: same contract as the delete (same ~49%
+    # selectivity predicate) — LeftAnti against the sidecar, never
+    # cartesian; join strategy is AQE's call
     "s6f_dv_update": (
-        [r"LeftAnti", r"BroadcastHashJoin"],
-        [r"CartesianProduct", r"SortMergeJoin"]),
+        [r"LeftAnti"],
+        [r"CartesianProduct"]),
+    # DV coalescing: the post-coalesce snapshot reads through ONE sidecar —
+    # still a single LeftAnti over the union scan, never a cartesian
+    "s6g_dv_coalesce": (
+        [r"LeftAnti"],
+        [r"CartesianProduct"]),
     # interval join: equi-key broadcast with the range as join condition —
     # never a nested-loop over the fact side
     "j8_interval_join": (
