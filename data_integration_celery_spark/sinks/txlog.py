@@ -1486,6 +1486,47 @@ class TxTable:
             schema_json=meta["schema"],
             extra={"coalesced_refs": len(refs), "dv_sidecars": [sidecar]})
 
+    def compact_dv(self, min_ratio: float = 0.1) -> int:
+        """Partial compaction: materialize ONLY the files whose deleted
+        fraction (``dv.rows / rows``) has reached ``min_ratio``, leaving
+        every other file byte-untouched.
+
+        Full ``compact()`` rewrites the whole live set — correct but
+        table-scale write amplification when retractions concentrate in a
+        few files (the common shape: GDPR erasure hits the cohort's
+        ingest window, not the whole table). This targets exactly the
+        files where merge-on-read is no longer cheap (every read of a
+        50%-deleted file scans 2x its live rows) and rewrites their
+        DV-filtered content as new files in one commit; a fully-deleted
+        file is simply removed (its materialization is empty). Write cost
+        is proportional to the SURVIVING rows of heavy-deleted files, not
+        the table. Cleared sidecar refs become vacuumable once no other
+        file references them. Complements ``coalesce_dv`` (which bounds
+        sidecar COUNT without touching data files); together they keep
+        both read amplification and listing cost bounded between full
+        compactions.
+
+        No-op (no commit burned) when no file crosses the ratio.
+        Table-reading op: concurrent commits raise ``ConflictError``.
+        Returns the committed version.
+        """
+        version, meta, live = self._replay()
+        targets = [a for a in live
+                   if a.get("dv", {}).get("rows", 0)
+                   >= max(1.0, a.get("rows", 0) * min_ratio)]
+        if not targets:
+            return version
+        schema = StructType.fromJson(json.loads(meta["schema"]))
+        survivors = self._read_adds(targets, schema)  # DV-applied content
+        adds = self._write_batch(survivors, self._stats_cols(meta),
+                                 bloom=self._bloom_spec(meta))
+        return self._commit(
+            "compact_dv", adds, [a["path"] for a in targets],
+            read_version=version, schema_json=meta["schema"],
+            extra={"rewritten_files": len(targets),
+                   "materialized_dv_rows": int(sum(a["dv"]["rows"]
+                                                   for a in targets))})
+
     def compact(self, target_files: int = 1,
                 zorder: list[str] | None = None, bits: int = 4) -> int:
         """Rewrite the live set into ``target_files`` files (data unchanged).

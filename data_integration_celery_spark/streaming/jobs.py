@@ -91,7 +91,8 @@ def upsert_sink(stream: DataFrame, path: str, keys: list[str],
 
 def txlog_sink(stream: DataFrame, path: str, keys: list[str] | None,
                checkpoint: str, app_id: str,
-               mode: str = "auto") -> "DataStreamWriter":
+               mode: str = "auto",
+               coalesce_refs_every: int = 0) -> "DataStreamWriter":
     """Exactly-once foreachBatch sink into the ACID table (sinks/txlog.py).
 
     The checkpoint gives at-least-once batch replay; the table's ``txn``
@@ -110,7 +111,14 @@ def txlog_sink(stream: DataFrame, path: str, keys: list[str] | None,
     the streaming GDPR-erasure/bad-batch-retraction shape). Replayed
     batches are idempotent through the same txn stamp: re-deleting an
     already-deleted key matches nothing. ``mode="auto"`` keeps the
-    original behavior (merge with keys, append without)."""
+    original behavior (merge with keys, append without).
+
+    ``coalesce_refs_every=N`` (delete mode only) runs ``coalesce_dv``
+    after every Nth micro-batch, so a long-lived retraction stream —
+    which appends one DV sidecar per batch — keeps its sidecar count
+    bounded at ~N instead of growing with stream lifetime. Safe under
+    replay: a re-run coalesce on an already-coalesced table sees max
+    refs < 2 and burns no commit."""
     from ..sinks.txlog import TxTable
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -139,6 +147,10 @@ def txlog_sink(stream: DataFrame, path: str, keys: list[str] | None,
         txn = {"app_id": app_id, "batch_id": batch_id}
         if mode == "delete":
             table.delete_matching(batch_df, keys, txn=txn)
+            if (coalesce_refs_every
+                    and batch_id % coalesce_refs_every
+                    == coalesce_refs_every - 1):
+                table.coalesce_dv()
         elif keys:
             # reserved stamp name — never clobber a user batch_id column
             stamped = batch_df.withColumn("__mb_batch", F.lit(batch_id + 1))
@@ -154,6 +166,10 @@ def txlog_sink(stream: DataFrame, path: str, keys: list[str] | None,
             f"txlog_sink: unknown mode {mode!r} (expected 'auto' or 'delete')")
     if mode == "delete" and not keys:
         raise ValueError("txlog_sink(mode='delete') requires keys")
+    if coalesce_refs_every and mode != "delete":
+        raise ValueError(
+            "txlog_sink: coalesce_refs_every only applies to mode='delete' "
+            "(merge/append batches never add DV sidecars)")
     return (stream.writeStream
             .foreachBatch(commit_batch)
             .option("checkpointLocation", checkpoint)

@@ -642,3 +642,44 @@ def test_stream_txlog_sink_delete_mode(spark, events_dir, tmp_path):
           .trigger(availableNow=True).start())
     with _pt.raises(StreamingQueryException):
         q3.awaitTermination(120)
+
+
+def test_stream_delete_mode_bounded_sidecars(spark, events_dir, tmp_path):
+    """coalesce_refs_every on the retraction sink: a long-lived erasure
+    stream appends one DV sidecar per micro-batch; with in-stream
+    coalescing the table's referenced-sidecar count stays bounded at ~N
+    instead of growing with stream lifetime."""
+    import pytest as _pt
+
+    from data_integration_celery_spark.sinks.txlog import TxTable
+
+    src = spark.read.parquet(events_dir).select("event_id", "ts", "value")
+    target, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    t = TxTable(spark, target, batch_partitions=4)
+    t.create(src)
+    erase = src.where(F.col("event_id") % 3 == 0).select("event_id")
+    erase_dir = str(tmp_path / "erase")
+    erase.repartition(6).write.mode("overwrite").parquet(erase_dir)
+
+    stream = (spark.readStream.schema(erase.schema)
+              .option("maxFilesPerTrigger", 1).parquet(erase_dir))
+    q = (jobs.txlog_sink(stream, target, keys=["event_id"],
+                         checkpoint=ckpt, app_id="erasure-coal",
+                         mode="delete", coalesce_refs_every=2)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = t.snapshot()
+    assert got.where(F.col("event_id") % 3 == 0).count() == 0
+    assert got.count() == src.where(F.col("event_id") % 3 != 0).count()
+    # 6 micro-batches with a coalesce after every 2nd: at most
+    # coalesce_every refs ever referenced at once (1 coalesced + the
+    # batches since the last coalesce)
+    refs = {r for a in t.live_files()
+            for r in a.get("dv", {}).get("refs", [])}
+    assert len(refs) <= 2
+    # the knob is delete-mode-only: merge/append batches never add DVs
+    with _pt.raises(ValueError, match="coalesce_refs_every"):
+        jobs.txlog_sink(stream, target, keys=["event_id"],
+                        checkpoint=ckpt, app_id="x",
+                        coalesce_refs_every=2)

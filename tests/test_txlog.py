@@ -1630,6 +1630,60 @@ def test_dv_coalesce_after_stacked_retractions(spark, sf_dir, tdir):
         src.where(~F.col("o_orderkey").isin(keys[:103])))
 
 
+def test_compact_dv_rewrites_only_heavy_files(spark, sf_dir, tdir):
+    """Partial DV compaction: only files whose deleted fraction crosses the
+    ratio are materialized; clean and lightly-deleted files stay
+    byte-untouched (write cost proportional to heavy files' survivors,
+    not the table)."""
+    src = _orders(spark, sf_dir).limit(400)
+    t = TxTable(spark, tdir, batch_partitions=4,
+                checkpoint_interval=0)
+    t.create(src, stats_cols=["o_orderkey"])
+    files0 = t.live_files()
+    assert len(files0) == 4
+    # range-partitioned on o_orderkey: deleting the lowest keys
+    # concentrates DVs in the first file(s)
+    cutoff = sorted(r[0] for r in src.select("o_orderkey").collect())[99]
+    t.delete_where(F.col("o_orderkey") <= cutoff)  # ~100 rows, ~1 file
+    heavy = [a for a in t.live_files()
+             if a.get("dv", {}).get("rows", 0) >= a["rows"] * 0.5]
+    light_or_clean = [a["path"] for a in t.live_files()
+                      if a.get("dv", {}).get("rows", 0) < a["rows"] * 0.5]
+    assert heavy, "fixture must concentrate deletes in some file"
+    expected = _rows(src.where(F.col("o_orderkey") > cutoff))
+
+    v = t.compact_dv(min_ratio=0.5)
+    live = t.live_files()
+    paths = {a["path"] for a in live}
+    # untouched files survive under their original paths...
+    assert set(light_or_clean) <= paths
+    # ...heavy files are gone, their survivors materialized DV-free
+    assert not any(a["path"] in paths for a in heavy)
+    assert all(not a.get("dv", {}).get("refs") for a in live
+               if a["path"] not in light_or_clean)
+    assert _rows(t.snapshot()) == expected
+    hist = t.history()[-1]
+    assert hist["op"] == "compact_dv"
+    assert hist["rewritten_files"] == len(heavy)
+    # below-ratio state: no commit burned
+    assert t.compact_dv(min_ratio=0.5) == v
+
+    # fully-deleted file: remove every row of one remaining file
+    victim = next(a for a in live if a["path"] in light_or_clean
+                  and not a.get("dv"))
+    vmin = victim["stats"]["o_orderkey"]["min"]
+    vmax = victim["stats"]["o_orderkey"]["max"]
+    t.delete_where((F.col("o_orderkey") >= vmin)
+                   & (F.col("o_orderkey") <= vmax))
+    t.compact_dv(min_ratio=0.5)
+    live2 = {a["path"] for a in t.live_files()}
+    assert victim["path"] not in live2
+    assert _rows(t.snapshot()) == _rows(
+        src.where((F.col("o_orderkey") > cutoff)
+                  & ~((F.col("o_orderkey") >= vmin)
+                      & (F.col("o_orderkey") <= vmax))))
+
+
 def test_check_constraints_enforced_on_every_write_path(spark, sf_dir, tdir):
     """ALTER TABLE ADD CONSTRAINT CHECK semantics: existing data validated
     at add time; append / merge / update / overwrite reject violating rows
