@@ -527,6 +527,48 @@ def s6g_dv_coalesce(spark, sf_dir):
             .withColumn("cdc_silent", F.lit(bool(silent))))
 
 
+@q("s6h_stream_source",
+   sql="""
+   SELECT o_orderkey, o_totalprice, o_orderstatus,
+          TRUE AS exactly_once
+   FROM orders
+   """,
+   doc="S6h: the ACID table as a streaming SOURCE "
+       "(sources/txlog_stream.py — Spark 4 Python Data Source API, the "
+       "published table-as-source design: offsets are table versions, a "
+       "batch is the files added between versions, executor-side Arrow "
+       "reads). Builds the table in three commits (create + two appends), "
+       "drains the stream through a checkpointed file sink, then drains "
+       "AGAIN with the same checkpoint: the exactly_once verdict asserts "
+       "the replay emitted nothing and the drained rows equal the table — "
+       "oracle-checked against the source orders on every row.")
+def s6h_stream_source(spark, sf_dir):
+    from .sources.txlog_stream import read_txlog_stream
+    from .sinks.txlog import TxTable
+    root = _fresh_tmp_table_root("txsrc_q_")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    t = TxTable(spark, f"{root}/orders", batch_partitions=4)
+    t.create(o.where(F.col("o_orderkey") % 3 == 0))
+    t.append(o.where(F.col("o_orderkey") % 3 == 1))
+    t.append(o.where(F.col("o_orderkey") % 3 == 2))
+    stream = read_txlog_stream(spark, f"{root}/orders")
+    out, ckpt = f"{root}/out", f"{root}/ckpt"
+
+    def drain():
+        q = (stream.writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return spark.read.schema(stream.schema).parquet(out)
+
+    n_first = drain().count()
+    got = drain()  # same checkpoint, no new commits: must emit nothing
+    expected = o.count()
+    ok = n_first == expected and got.count() == expected
+    return got.withColumn("exactly_once", F.lit(bool(ok)))
+
+
 @q("s6c_cdc_feed",
    sql="""
    WITH upd AS (
@@ -4853,7 +4895,12 @@ def u5_schema_reconcile_q(spark, sf_dir):
 # never-checked exact oracle s6g_dv_coalesce (DV sidecar coalescing —
 # item 5), PLUS 24 of the 36 r9-greens pulled a round early (same
 # smoothing pattern as the r9/r10/r11 pulls) so round 12 faces ~12 due,
-# not 36. OUT — 44 freshly-r10-green queries rest (age 1, due r13), each
+# not 36. Session addition: s6h_stream_source (the round's second new
+# capability — the ACID table as a streaming SOURCE via the Spark 4
+# Python Data Source API, never-checked exact oracle, must hold a gated
+# slot); smp_mixture_resample rests for it (r9-green, due r12 regardless;
+# the smp family keeps pack_sequences in-window and token_budget in the
+# r8 cohort). OUT — 44 freshly-r10-green queries rest (age 1, due r13), each
 # with an in-window family sibling or exact twin: f3/f5 scans-cleaning
 # (pipeline_quality_filter carries the quality exprs; entry() smokes the
 # scan every round), j2/j13/j8/j14/j11 joins (j9/j8b/j5/j6/j7/e2 in),
@@ -4902,7 +4949,7 @@ QUERY_PRIORITY: list[str] = [
     "w4_ffill", "w9_expand_calendar",
     "w8b_quarterize_exact", "j8b_interval_join_bucketed",
     "w1b_rank_scalable", "mm_video_frames", "txt_bpe_train",
-    "smp_mixture_resample", "s6_upsert_last_write_wins",
+    "s6h_stream_source", "s6_upsert_last_write_wins",
     # ---- position 51+: fresh r10 greens resting (due r13),
     # ---- r9 leftovers due r12, or rows-only (no oracle) ----
     "f3_cleaning_exprs", "f5_rename_ladder",
@@ -4926,7 +4973,7 @@ QUERY_PRIORITY: list[str] = [
     "s6e_deletion_vectors", "s6f_dv_update",
     "s10b_zorder_skipping", "s6d_stream_txlog_exactly_once",
     "s10c_bloom_point_lookup",
-    "pipeline_region_revenue",
+    "pipeline_region_revenue", "smp_mixture_resample",
     "p3_regex_filter", "s1_filtered_scan",
     "j1_vendor_merge_full_outer", "j10_asof_point_lookup",
     "a1_watermark_per_key", "a9_describe",

@@ -1105,8 +1105,18 @@ class TxTable:
                 f"merge_schema=True to widen the schema, or drop them")
         schema_json = meta["schema"]
         if new_cols:
-            widened = StructType(list(schema.fields)
-                                 + [df.schema[c] for c in new_cols])
+            from pyspark.sql.types import StructField
+            # a schema-widening column MUST be recorded nullable whatever
+            # the incoming frame says (a lit() column is non-nullable):
+            # every file written before the widening reads as NULL for it,
+            # so a non-nullable record would lie to downstream consumers
+            # (observed: the streaming source's arrow null-fill NPE'd in
+            # catalyst's UnsafeWriter on the non-nullable claim)
+            widened = StructType(
+                list(schema.fields)
+                + [StructField(c, df.schema[c].dataType, nullable=True,
+                               metadata=df.schema[c].metadata)
+                   for c in new_cols])
             schema_json = widened.json()
             meta = dict(meta, schema=schema_json)
         stats_cols = self._stats_cols(meta)

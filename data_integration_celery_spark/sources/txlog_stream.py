@@ -1,0 +1,206 @@
+"""Streaming SOURCE over the TxTable commit log — the table as a stream.
+
+``streaming/jobs.txlog_sink`` made the ACID table (sinks/txlog.py) a
+streaming *sink*; this module completes the story in the other direction:
+``spark.readStream.format("txlog").load(path)`` tails the commit log and
+emits each commit's appended rows as a micro-batch, with Spark's own
+offset log giving exactly-once replay. This is the published lakehouse
+streaming-source design (Delta's table-as-source): offsets are table
+versions, a batch is the files added between two versions, and any commit
+that CHANGES existing data (remove actions, deletion-vector re-adds,
+overwrite/compact/restore) is refused unless ``skipChangeCommits`` is set
+— silently re-emitting copy-on-write carry-over rows would duplicate the
+stream (reference parity: the Celery pipeline re-polls MySQL tables for
+new rows, e.g. tasks/merge/stock.py incremental runs; here downstream
+jobs subscribe to the table itself).
+
+Implementation: the Spark 4 Python Data Source API
+(``pyspark.sql.datasource``). The reader runs in Python workers WITHOUT a
+SparkSession, so it re-reads the commit log with plain file I/O (POSIX
+paths — the LocalLogStore layout; hdfs:///object-store tables stream via
+their mounted filesystems). ``read()`` executes ON EXECUTORS, one
+partition per added file, and yields Arrow RecordBatches straight from
+the parquet footer — the vectorized path, never row-at-a-time Python.
+Scale shape: driver work is O(versions) JSON reads per trigger; data
+movement is executor-side and proportional to the NEW files only.
+
+Options:
+- ``startingVersion`` (default 0): first batch covers versions
+  ``startingVersion+1..latest`` — 0 streams the table from its creation
+  (the v1 create commit is pure adds, i.e. the initial snapshot).
+- ``skipChangeCommits`` (default false): skip commits that modify
+  existing rows instead of failing the stream.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource, DataSourceStreamReader, InputPartition)
+from pyspark.sql.types import (
+    ArrayType, BooleanType, ByteType, DateType, DecimalType, DoubleType,
+    FloatType, IntegerType, LongType, ShortType, StringType, StructType,
+    TimestampType)
+
+_LOG_DIR = "_txlog"
+
+# ops whose adds are guaranteed NEW rows (no existing row modified):
+# create is the initial snapshot; append is blind; a merge with an empty
+# remove list matched nothing (pure insert). Everything else — and any
+# commit with removes or DV re-adds — changes visible data.
+_APPEND_OPS = ("create", "append", "merge")
+
+
+def _list_versions(log_dir: str) -> list[int]:
+    try:
+        names = os.listdir(log_dir)
+    except OSError:
+        return []
+    out = []
+    for name in names:
+        stem = name[:-5]
+        if name.endswith(".json") and stem.isdigit():
+            out.append(int(stem))
+    return sorted(out)
+
+
+def _read_commit(log_dir: str, version: int) -> dict:
+    with open(os.path.join(log_dir, f"{version:020d}.json")) as fh:
+        return json.load(fh)
+
+
+def _arrow_type(dt):
+    """Arrow type for a Spark type — needed only to build NULL columns for
+    files written before a column was added (schema evolution)."""
+    import pyarrow as pa
+    mapping = {
+        LongType: pa.int64(), IntegerType: pa.int32(),
+        ShortType: pa.int16(), ByteType: pa.int8(),
+        DoubleType: pa.float64(), FloatType: pa.float32(),
+        StringType: pa.string(), BooleanType: pa.bool_(),
+        DateType: pa.date32(), TimestampType: pa.timestamp("us", tz="UTC"),
+    }
+    if type(dt) in mapping:
+        return mapping[type(dt)]
+    if isinstance(dt, DecimalType):
+        return pa.decimal128(dt.precision, dt.scale)
+    if isinstance(dt, ArrayType):
+        return pa.list_(_arrow_type(dt.elementType))
+    raise TypeError(f"txlog stream source: unsupported column type {dt}")
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class TxLogStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("txlog stream source requires a table path "
+                             "(.load(path) or .option('path', ...))")
+        self.table_path = path.rstrip("/")
+        self.log_dir = os.path.join(self.table_path, _LOG_DIR)
+        self.result_schema = schema
+        self.start_version = int(options.get("startingversion", 0))
+        self.skip_change = str(
+            options.get("skipchangecommits", "false")).lower() == "true"
+
+    # ------------------------------------------------------------ offsets --
+    def initialOffset(self) -> dict:
+        return {"version": self.start_version}
+
+    def latestOffset(self) -> dict:
+        versions = _list_versions(self.log_dir)
+        return {"version": versions[-1] if versions else self.start_version}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        parts: list[InputPartition] = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            commit = _read_commit(self.log_dir, v)
+            adds = commit.get("add") or []
+            changes_data = (commit.get("op") not in _APPEND_OPS
+                            or bool(commit.get("remove"))
+                            or any(a.get("dv", {}).get("refs")
+                                   for a in adds))
+            if changes_data:
+                if self.skip_change:
+                    continue
+                raise ValueError(
+                    f"txlog stream source: version {v} is a "
+                    f"'{commit.get('op')}' commit that changes existing "
+                    f"rows; streaming it as appends would corrupt the "
+                    f"feed. Set skipChangeCommits=true to skip such "
+                    f"commits, or consume TxTable.changes() for a full "
+                    f"CDC feed")
+            parts.extend(_FilePartition(
+                os.path.join(self.table_path, a["path"])) for a in adds)
+        return parts
+
+    # --------------------------------------------------------------- read --
+    def read(self, partition: _FilePartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(partition.path)
+        cols, names = [], []
+        for field in self.result_schema.fields:
+            at = _arrow_type(field.dataType)
+            if field.name in tbl.column_names:
+                cols.append(tbl.column(field.name).cast(at))
+            else:  # written before the column existed: NULL (evolution)
+                cols.append(pa.nulls(tbl.num_rows, at))
+            names.append(field.name)
+        yield from pa.table(dict(zip(names, cols))).to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass  # Spark's checkpoint offset log is the source of truth
+
+
+class TxLogStreamDataSource(DataSource):
+    """``spark.dataSource.register(TxLogStreamDataSource)`` then
+    ``spark.readStream.format("txlog").load(path)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "txlog"
+
+    def schema(self) -> StructType:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("txlog stream source requires a table path")
+        log_dir = os.path.join(path.rstrip("/"), _LOG_DIR)
+        versions = _list_versions(log_dir)
+        if not versions:
+            raise FileNotFoundError(f"no TxTable commit log at {log_dir}")
+        # newest commit carrying a schema wins (every commit records one).
+        # All fields served nullable: files written before a column was
+        # added NULL-fill it, and old logs (pre-r11) may carry widened
+        # columns recorded non-nullable from a lit() frame.
+        from pyspark.sql.types import StructField
+        for v in reversed(versions):
+            commit = _read_commit(log_dir, v)
+            if commit.get("schema"):
+                recorded = StructType.fromJson(json.loads(commit["schema"]))
+                return StructType([
+                    StructField(f.name, f.dataType, nullable=True,
+                                metadata=f.metadata)
+                    for f in recorded.fields])
+        raise ValueError(f"no schema recorded in the commit log at {log_dir}")
+
+    def streamReader(self, schema: StructType) -> TxLogStreamReader:
+        return TxLogStreamReader(schema, dict(self.options))
+
+
+def read_txlog_stream(spark, path: str, starting_version: int = 0,
+                      skip_change_commits: bool = False):
+    """Register the source (idempotent) and open the stream DataFrame."""
+    spark.dataSource.register(TxLogStreamDataSource)
+    return (spark.readStream.format("txlog")
+            .option("startingVersion", str(starting_version))
+            .option("skipChangeCommits",
+                    "true" if skip_change_commits else "false")
+            .load(path))

@@ -1,0 +1,113 @@
+"""The TxTable as a streaming SOURCE (sources/txlog_stream.py).
+
+Covers: append-only tailing, incremental resume from the checkpoint
+(exactly-once across restarts), refusal of data-changing commits,
+skipChangeCommits, startingVersion, and schema-evolution nulls."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_integration_celery_spark.sinks.txlog import TxTable
+from data_integration_celery_spark.sources.txlog_stream import (
+    read_txlog_stream)
+
+
+@pytest.fixture()
+def tdir():
+    d = tempfile.mkdtemp(prefix="txstream_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _orders(spark, sf_dir, lo, hi):
+    return (spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .select("o_orderkey", "o_totalprice", "o_orderstatus")
+            .where((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)))
+
+
+def _drain(spark, path, tdir, name, **opts):
+    """availableNow pass into a parquet file sink (recovery-capable, unlike
+    the memory sink); returns a DF over everything emitted so far."""
+    stream = read_txlog_stream(spark, path, **opts)
+    q = (stream.writeStream.format("parquet")
+         .option("path", f"{tdir}/out_{name}")
+         .option("checkpointLocation", f"{tdir}/ckpt_{name}")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return spark.read.schema(stream.schema).parquet(f"{tdir}/out_{name}")
+
+
+def _keys(df):
+    return sorted(r[0] for r in df.select("o_orderkey").collect())
+
+
+def test_stream_source_tails_appends_exactly_once(spark, sf_dir, tdir):
+    table = f"{tdir}/t"
+    t = TxTable(spark, table, batch_partitions=2)
+    first = _orders(spark, sf_dir, 0, 200)
+    t.create(first)
+
+    got = _drain(spark, table, tdir, "tx_src_a")
+    assert _keys(got) == _keys(first)
+    assert got.columns == ["o_orderkey", "o_totalprice", "o_orderstatus"]
+
+    # two more append commits land; the SAME checkpoint resumes and emits
+    # only the new rows — offsets are table versions
+    second = _orders(spark, sf_dir, 200, 300)
+    third = _orders(spark, sf_dir, 300, 350)
+    t.append(second)
+    t.append(third)
+    got = _drain(spark, table, tdir, "tx_src_a")
+    want = _keys(first) + _keys(second) + _keys(third)
+    assert _keys(got) == sorted(want)
+
+    # replay with the same checkpoint and NO new commits: nothing re-emits
+    got = _drain(spark, table, tdir, "tx_src_a")
+    assert _keys(got) == sorted(want)
+
+
+def test_stream_source_refuses_then_skips_change_commits(spark, sf_dir, tdir):
+    from pyspark.errors import StreamingQueryException
+
+    table = f"{tdir}/t"
+    t = TxTable(spark, table, batch_partitions=2)
+    t.create(_orders(spark, sf_dir, 0, 200))
+    t.delete_where(F.col("o_orderkey") % 2 == 0)  # DV change commit
+
+    with pytest.raises(StreamingQueryException):
+        _drain(spark, table, tdir, "tx_src_fail")
+
+    # skipChangeCommits: the delete is skipped, the snapshot-create and a
+    # later append still flow (the feed is appends-only by contract)
+    extra = _orders(spark, sf_dir, 200, 240)
+    t.append(extra)
+    got = _drain(spark, table, tdir, "tx_src_skip",
+                 skip_change_commits=True)
+    assert _keys(got) == sorted(
+        _keys(_orders(spark, sf_dir, 0, 200)) + _keys(extra))
+
+
+def test_stream_source_starting_version_and_evolution(spark, sf_dir, tdir):
+    table = f"{tdir}/t"
+    t = TxTable(spark, table, batch_partitions=2)
+    t.create(_orders(spark, sf_dir, 0, 100))
+    v1 = t.latest_version()
+    widened = (_orders(spark, sf_dir, 100, 150)
+               .withColumn("o_flag", F.lit("new")))
+    t.append(widened, merge_schema=True)
+
+    # startingVersion=v1 skips the initial snapshot: only the append
+    got = _drain(spark, table, tdir, "tx_src_sv", starting_version=v1)
+    assert _keys(got) == _keys(widened)
+
+    # from version 0 the pre-widening file streams with o_flag = NULL
+    # (the source serves the table's LATEST schema)
+    got = _drain(spark, table, tdir, "tx_src_evo")
+    assert "o_flag" in got.columns
+    assert got.where(F.col("o_flag").isNull()).count() == 100
+    assert got.where(F.col("o_flag") == "new").count() == 50
