@@ -30,6 +30,22 @@ Options:
   (the v1 create commit is pure adds, i.e. the initial snapshot).
 - ``skipChangeCommits`` (default false): skip commits that modify
   existing rows instead of failing the stream.
+- ``mode`` (default ``append``): ``cdc`` turns the stream into a change
+  feed — the streaming twin of ``TxTable.changes()`` (the published
+  change-data-feed design). Rows carry two extra columns, ``_change``
+  ('insert' | 'delete' | 'update_pre' | 'update_post') and
+  ``_commit_version``. Per commit: create/append/insert-only-merge adds
+  stream as inserts; a deletion-vector DELETE streams the newly-marked
+  rows as deletes (the commit's own sidecar names their (file, position)
+  identities — ``pyarrow.Table.take`` extracts exactly those rows, no
+  diffing); a DV UPDATE streams its sidecar rows as update_pre and its
+  new files as update_post; compact/coalesce_dv/compact_dv change
+  nothing logically and emit nothing (same contract as the batch feed,
+  where identical DV-filtered reads cancel). Commits whose per-row
+  change set is NOT recoverable from the log alone (copy-on-write merge
+  with removes, overwrite, restore) fail the stream — or are skipped
+  under ``skipChangeCommits`` — with ``TxTable.changes()`` as the
+  documented batch fallback for those.
 """
 
 from __future__ import annotations
@@ -91,9 +107,16 @@ def _arrow_type(dt):
     raise TypeError(f"txlog stream source: unsupported column type {dt}")
 
 
+_CDC_COLS = ("_change", "_commit_version")
+
+
 class _FilePartition(InputPartition):
-    def __init__(self, path: str):
+    def __init__(self, path: str, kind: str = "insert",
+                 version: int | None = None, sidecar: str | None = None):
         self.path = path
+        self.kind = kind          # insert | delete | update_pre | update_post
+        self.version = version
+        self.sidecar = sidecar    # sidecar dir naming this commit's rows
 
 
 class TxLogStreamReader(DataSourceStreamReader):
@@ -108,6 +131,10 @@ class TxLogStreamReader(DataSourceStreamReader):
         self.start_version = int(options.get("startingversion", 0))
         self.skip_change = str(
             options.get("skipchangecommits", "false")).lower() == "true"
+        self.mode = str(options.get("mode", "append")).lower()
+        if self.mode not in ("append", "cdc"):
+            raise ValueError(f"txlog stream source: unknown mode "
+                             f"{self.mode!r} (expected 'append' or 'cdc')")
 
     # ------------------------------------------------------------ offsets --
     def initialOffset(self) -> dict:
@@ -121,39 +148,99 @@ class TxLogStreamReader(DataSourceStreamReader):
         parts: list[InputPartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
             commit = _read_commit(self.log_dir, v)
-            adds = commit.get("add") or []
-            changes_data = (commit.get("op") not in _APPEND_OPS
-                            or bool(commit.get("remove"))
-                            or any(a.get("dv", {}).get("refs")
-                                   for a in adds))
-            if changes_data:
-                if self.skip_change:
-                    continue
-                raise ValueError(
-                    f"txlog stream source: version {v} is a "
-                    f"'{commit.get('op')}' commit that changes existing "
-                    f"rows; streaming it as appends would corrupt the "
-                    f"feed. Set skipChangeCommits=true to skip such "
-                    f"commits, or consume TxTable.changes() for a full "
-                    f"CDC feed")
-            parts.extend(_FilePartition(
-                os.path.join(self.table_path, a["path"])) for a in adds)
+            if self.mode == "cdc":
+                parts.extend(self._cdc_partitions(v, commit))
+            else:
+                parts.extend(self._append_partitions(v, commit))
         return parts
+
+    def _refuse_or_skip(self, v: int, commit: dict, why: str) -> bool:
+        """True = skip this commit (skipChangeCommits); else raise."""
+        if self.skip_change:
+            return True
+        raise ValueError(
+            f"txlog stream source: version {v} is a "
+            f"'{commit.get('op')}' commit {why}. Set "
+            f"skipChangeCommits=true to skip such commits, or consume "
+            f"TxTable.changes() for the batch change feed")
+
+    def _append_partitions(self, v: int, commit: dict):
+        adds = commit.get("add") or []
+        changes_data = (commit.get("op") not in _APPEND_OPS
+                        or bool(commit.get("remove"))
+                        or any(a.get("dv", {}).get("refs") for a in adds))
+        if changes_data:
+            if self._refuse_or_skip(
+                    v, commit, "that changes existing rows; streaming it "
+                    "as appends would corrupt the feed"):
+                return []
+        return [_FilePartition(os.path.join(self.table_path, a["path"]),
+                               "insert", v) for a in adds]
+
+    def _cdc_partitions(self, v: int, commit: dict):
+        op, adds = commit.get("op"), commit.get("add") or []
+        if op in ("compact", "compact_dv", "coalesce_dv", "zorder"):
+            return []  # logical content unchanged: silent, like changes()
+        if op in _APPEND_OPS and not commit.get("remove") \
+                and not any(a.get("dv", {}).get("refs") for a in adds):
+            return [_FilePartition(
+                os.path.join(self.table_path, a["path"]), "insert", v)
+                for a in adds]
+        sidecars = commit.get("dv_sidecars") or []
+        if op in ("delete", "update") and len(sidecars) == 1:
+            sidecar = os.path.join(self.table_path, sidecars[0])
+            pre_kind = "delete" if op == "delete" else "update_pre"
+            parts = []
+            for a in adds:
+                refs = a.get("dv", {}).get("refs", [])
+                path = os.path.join(self.table_path, a["path"])
+                if sidecars[0] in refs:
+                    # re-added file: THIS commit's sidecar rows are its
+                    # newly-retracted (previously live) positions
+                    parts.append(_FilePartition(path, pre_kind, v, sidecar))
+                else:  # fresh file holding the rewritten rows
+                    parts.append(_FilePartition(path, "update_post", v))
+            return parts
+        if self._refuse_or_skip(
+                v, commit, "whose per-row change set is not recoverable "
+                "from the commit log alone"):
+            return []
+        return []  # unreachable: _refuse_or_skip skips or raises
 
     # --------------------------------------------------------------- read --
     def read(self, partition: _FilePartition):
         import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         tbl = pq.read_table(partition.path)
+        if partition.sidecar is not None:
+            # pre-image rows: the commit's sidecar names this file's
+            # newly-retracted positions as (file basename, row index) —
+            # row index IS the file's physical row order, so take()
+            # extracts exactly those rows with no diffing
+            dv = pq.read_table(partition.sidecar,
+                               columns=["__file", "__pos"])
+            mine = dv.filter(pc.equal(
+                dv.column("__file"),
+                os.path.basename(partition.path)))
+            tbl = tbl.take(mine.column("__pos"))
         cols, names = [], []
         for field in self.result_schema.fields:
+            if field.name in _CDC_COLS and self.mode == "cdc":
+                continue  # synthesized below
             at = _arrow_type(field.dataType)
             if field.name in tbl.column_names:
                 cols.append(tbl.column(field.name).cast(at))
             else:  # written before the column existed: NULL (evolution)
                 cols.append(pa.nulls(tbl.num_rows, at))
             names.append(field.name)
+        if self.mode == "cdc":
+            n = tbl.num_rows
+            cols.append(pa.array([partition.kind] * n, pa.string()))
+            names.append("_change")
+            cols.append(pa.array([partition.version] * n, pa.int64()))
+            names.append("_commit_version")
         yield from pa.table(dict(zip(names, cols))).to_batches()
 
     def commit(self, end: dict) -> None:
@@ -181,14 +268,24 @@ class TxLogStreamDataSource(DataSource):
         # added NULL-fill it, and old logs (pre-r11) may carry widened
         # columns recorded non-nullable from a lit() frame.
         from pyspark.sql.types import StructField
+        cdc = str(self.options.get("mode", "append")).lower() == "cdc"
         for v in reversed(versions):
             commit = _read_commit(log_dir, v)
             if commit.get("schema"):
                 recorded = StructType.fromJson(json.loads(commit["schema"]))
-                return StructType([
-                    StructField(f.name, f.dataType, nullable=True,
-                                metadata=f.metadata)
-                    for f in recorded.fields])
+                fields = [StructField(f.name, f.dataType, nullable=True,
+                                      metadata=f.metadata)
+                          for f in recorded.fields]
+                if cdc:
+                    taken = [f.name for f in fields if f.name in _CDC_COLS]
+                    if taken:
+                        raise ValueError(
+                            f"cdc mode reserves column names {_CDC_COLS}; "
+                            f"the table already has {taken}")
+                    fields += [StructField("_change", StringType(), False),
+                               StructField("_commit_version", LongType(),
+                                           False)]
+                return StructType(fields)
         raise ValueError(f"no schema recorded in the commit log at {log_dir}")
 
     def streamReader(self, schema: StructType) -> TxLogStreamReader:
@@ -196,11 +293,13 @@ class TxLogStreamDataSource(DataSource):
 
 
 def read_txlog_stream(spark, path: str, starting_version: int = 0,
-                      skip_change_commits: bool = False):
+                      skip_change_commits: bool = False,
+                      mode: str = "append"):
     """Register the source (idempotent) and open the stream DataFrame."""
     spark.dataSource.register(TxLogStreamDataSource)
     return (spark.readStream.format("txlog")
             .option("startingVersion", str(starting_version))
             .option("skipChangeCommits",
                     "true" if skip_change_commits else "false")
+            .option("mode", mode)
             .load(path))

@@ -111,3 +111,82 @@ def test_stream_source_starting_version_and_evolution(spark, sf_dir, tdir):
     assert "o_flag" in got.columns
     assert got.where(F.col("o_flag").isNull()).count() == 100
     assert got.where(F.col("o_flag") == "new").count() == 50
+
+
+def _drain_cdc(spark, path, tdir, name, **opts):
+    stream = read_txlog_stream(spark, path, mode="cdc", **opts)
+    q = (stream.writeStream.format("parquet")
+         .option("path", f"{tdir}/out_{name}")
+         .option("checkpointLocation", f"{tdir}/ckpt_{name}")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return spark.read.schema(stream.schema).parquet(f"{tdir}/out_{name}")
+
+
+def _change_rows(df):
+    cols = sorted(c for c in df.columns if c != "_commit_version")
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_stream_cdc_delete_and_update_match_batch_changes(spark, sf_dir,
+                                                          tdir):
+    """mode='cdc': the stream's per-commit change rows (computed from the
+    DV sidecars with pyarrow take(), no diffing) must equal the batch
+    TxTable.changes() feed over the same version range."""
+    table = f"{tdir}/t"
+    t = TxTable(spark, table, batch_partitions=2)
+    base = _orders(spark, sf_dir, 0, 300)
+    t.create(base)
+    v1 = t.latest_version()
+    t.delete_where(F.col("o_orderkey") % 5 == 0)
+    t.update_where(F.col("o_orderkey") % 7 == 0,
+                   {"o_totalprice": "o_totalprice + 1000"})
+    v3 = t.latest_version()
+
+    got = _drain_cdc(spark, table, tdir, "cdc_main")
+    # the create streams as inserts = the initial snapshot
+    ins = got.where(F.col("_change") == "insert")
+    assert _keys(ins) == _keys(base)
+    assert ins.select("_commit_version").distinct().collect()[0][0] == v1
+    # delete + update rows match the KEYED batch feed exactly (the keyed
+    # diff labels update_pre/update_post like the stream; the keyless
+    # multiset diff would label an update as insert+delete)
+    batch = t.changes(v1, v3, keys=["o_orderkey"])
+    stream_changes = got.where(F.col("_change") != "insert") \
+                        .drop("_commit_version")
+    assert _change_rows(stream_changes) == _change_rows(batch)
+    # update emits both sides, anchored to the same commit
+    pre = got.where(F.col("_change") == "update_pre")
+    post = got.where(F.col("_change") == "update_post")
+    assert pre.count() == post.count() > 0
+    assert _keys(pre) == _keys(post)
+
+
+def test_stream_cdc_maintenance_silent_and_merge_refused(spark, sf_dir,
+                                                         tdir):
+    from pyspark.errors import StreamingQueryException
+
+    table = f"{tdir}/t"
+    t = TxTable(spark, table, batch_partitions=2)
+    t.create(_orders(spark, sf_dir, 0, 200))
+    t.delete_where(F.col("o_orderkey") % 3 == 0)
+    t.delete_where(F.col("o_orderkey") % 7 == 0)
+    t.coalesce_dv()
+    t.compact_dv(min_ratio=0.01)
+    got = _drain_cdc(spark, table, tdir, "cdc_maint")
+    # coalesce/compact_dv emit NOTHING (logical content unchanged);
+    # the two deletes emit exactly the batch feed's delete rows
+    assert got.where(~F.col("_change").isin("insert", "delete")).count() == 0
+    assert got.where(F.col("_change") == "delete").count() == \
+        t.changes(1, 3).where(F.col("_change") == "delete").count()
+
+    # a CoW merge (removes files) is not log-recoverable per row: refused
+    upd = (_orders(spark, sf_dir, 0, 50)
+           .withColumn("o_totalprice", F.col("o_totalprice") + 1))
+    t.merge_upsert(upd, ["o_orderkey"])
+    with pytest.raises(StreamingQueryException):
+        _drain_cdc(spark, table, tdir, "cdc_refuse")
+    # ...and skipped under skipChangeCommits
+    got2 = _drain_cdc(spark, table, tdir, "cdc_skip",
+                      skip_change_commits=True)
+    assert got2.count() == got.count()
