@@ -217,8 +217,12 @@ def main() -> None:
     # its median is recomputed over all samples.
     resample = [n for n in med
                 if n in prev and prev[n] > 0.05 and med[n] >= prev[n] * 2.0]
-    load_resample = _load_avg() if resample else None
+    load_resample: dict[str, float | None] = {}
     for name in resample:
+        # one loadavg PER resampled row: sequential resamples can be
+        # minutes apart, and a single pre-pass reading would cite a
+        # different contention window for every row after the first
+        load_resample[name] = _load_avg()
         t0 = time.time()
         QUERIES[name].spark(spark, SF_DIR) \
             .write.format("noop").mode("overwrite").save()
@@ -310,7 +314,7 @@ def main() -> None:
         # per-isolated-rerun samples above
         "load_avg_rounds": load_rounds,
         "resampled_2x_rows": sorted(resample),
-        "load_avg_at_resample": load_resample,
+        "load_avg_at_resample": load_resample or None,
         "spec_changes": SPEC_CHANGES,
         "sf": sf_val,
     }

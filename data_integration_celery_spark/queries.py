@@ -559,7 +559,11 @@ def s6h_stream_source(spark, sf_dir):
         q = (stream.writeStream.format("parquet")
              .option("path", out).option("checkpointLocation", ckpt)
              .trigger(availableNow=True).start())
-        q.awaitTermination(120)
+        if not q.awaitTermination(300):
+            # False = still running: reading the sink now would race a
+            # live writer and ship a bogus exactly_once=false verdict
+            q.stop()
+            raise TimeoutError("s6h stream drain did not finish in 300s")
         return spark.read.schema(stream.schema).parquet(out)
 
     n_first = drain().count()

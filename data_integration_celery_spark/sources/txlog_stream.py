@@ -28,8 +28,18 @@ Options:
 - ``startingVersion`` (default 0): first batch covers versions
   ``startingVersion+1..latest`` — 0 streams the table from its creation
   (the v1 create commit is pure adds, i.e. the initial snapshot).
+  ``startingVersion="snapshot"`` instead bootstraps from the CURRENT
+  state: the first batch is the DV-applied live file set at the stream's
+  start version (merge-on-read applied executor-side — each file minus
+  the positions its referenced sidecars retract), then tails new
+  commits. This is the mode for tables with compacted-and-vacuumed
+  history, where replaying from version 0 would dereference data files
+  that no longer exist.
 - ``skipChangeCommits`` (default false): skip commits that modify
-  existing rows instead of failing the stream.
+  existing rows instead of failing the stream. File-layout maintenance
+  (compact / compact_dv / coalesce_dv) changes no logical row and is
+  always silently emitted as nothing, in BOTH modes — it neither needs
+  this flag nor triggers it.
 - ``mode`` (default ``append``): ``cdc`` turns the stream into a change
   feed — the streaming twin of ``TxTable.changes()`` (the published
   change-data-feed design). Rows carry two extra columns, ``_change``
@@ -41,7 +51,13 @@ Options:
   diffing); a DV UPDATE streams its sidecar rows as update_pre and its
   new files as update_post; compact/coalesce_dv/compact_dv change
   nothing logically and emit nothing (same contract as the batch feed,
-  where identical DV-filtered reads cancel). Commits whose per-row
+  where identical DV-filtered reads cancel). One documented semantic
+  difference from the batch feed: this is an OPERATION-level feed (like
+  the published CDF) — an UPDATE emits update_pre/update_post for every
+  MATCHED row, including rows whose values the assignment left unchanged
+  (e.g. ``greatest(x, floor)`` on a row already above the floor), while
+  the batch ``changes()`` is a value diff that drops identity updates.
+  Commits whose per-row
   change set is NOT recoverable from the log alone (copy-on-write merge
   with removes, overwrite, restore) fail the stream — or are skipped
   under ``skipChangeCommits`` — with ``TxTable.changes()`` as the
@@ -68,23 +84,40 @@ _LOG_DIR = "_txlog"
 # commit with removes or DV re-adds — changes visible data.
 _APPEND_OPS = ("create", "append", "merge")
 
+# ops that change NO logical row (file-layout / sidecar maintenance):
+# both modes emit nothing for them — the same cancellation contract the
+# batch changes() feed gets from its (path, dv refs) identity key.
+_SILENT_OPS = ("compact", "compact_dv", "coalesce_dv", "zorder")
+
 
 def _list_versions(log_dir: str) -> list[int]:
-    try:
-        names = os.listdir(log_dir)
-    except OSError:
-        return []
-    out = []
-    for name in names:
-        stem = name[:-5]
-        if name.endswith(".json") and stem.isdigit():
-            out.append(int(stem))
-    return sorted(out)
+    # driver-side log access reuses the engine's LogStore so the two
+    # never drift on layout/suffix rules; only executor-side read()
+    # stays store-free (plain parquet I/O)
+    from ..sinks.txlog import LocalLogStore
+    return LocalLogStore().list_versions(log_dir)
 
 
 def _read_commit(log_dir: str, version: int) -> dict:
-    with open(os.path.join(log_dir, f"{version:020d}.json")) as fh:
-        return json.load(fh)
+    from ..sinks.txlog import LocalLogStore
+    return LocalLogStore().read(
+        os.path.join(log_dir, f"{version:020d}.json"))
+
+
+def _replay_live(log_dir: str, upto: int) -> list[dict]:
+    """The live add-set at ``upto``, replayed from plain commit JSONs
+    (last-add-wins per path, removes drop) — the session-free twin of
+    TxTable._replay for the initial-snapshot bootstrap."""
+    live: dict[str, dict] = {}
+    for v in range(1, upto + 1):
+        commit = _read_commit(log_dir, v)
+        if commit.get("op") in ("overwrite", "create", "restore"):
+            live = {}
+        for a in commit.get("add") or []:
+            live[a["path"]] = a
+        for path in commit.get("remove") or []:
+            live.pop(path, None)
+    return list(live.values())
 
 
 def _arrow_type(dt):
@@ -112,11 +145,14 @@ _CDC_COLS = ("_change", "_commit_version")
 
 class _FilePartition(InputPartition):
     def __init__(self, path: str, kind: str = "insert",
-                 version: int | None = None, sidecar: str | None = None):
+                 version: int | None = None, sidecar: str | None = None,
+                 drop_refs: list[str] | None = None):
         self.path = path
         self.kind = kind          # insert | delete | update_pre | update_post
         self.version = version
         self.sidecar = sidecar    # sidecar dir naming this commit's rows
+        self.drop_refs = drop_refs  # sidecars whose rows are EXCLUDED
+        #   (deletion-vector application for initial-snapshot reads)
 
 
 class TxLogStreamReader(DataSourceStreamReader):
@@ -128,7 +164,9 @@ class TxLogStreamReader(DataSourceStreamReader):
         self.table_path = path.rstrip("/")
         self.log_dir = os.path.join(self.table_path, _LOG_DIR)
         self.result_schema = schema
-        self.start_version = int(options.get("startingversion", 0))
+        sv = str(options.get("startingversion", 0)).lower()
+        self.snapshot_start = sv == "snapshot"
+        self.start_version = 0 if self.snapshot_start else int(sv)
         self.skip_change = str(
             options.get("skipchangecommits", "false")).lower() == "true"
         self.mode = str(options.get("mode", "append")).lower()
@@ -138,6 +176,14 @@ class TxLogStreamReader(DataSourceStreamReader):
 
     # ------------------------------------------------------------ offsets --
     def initialOffset(self) -> dict:
+        if self.snapshot_start:
+            versions = _list_versions(self.log_dir)
+            v = versions[-1] if versions else 0
+            if v:
+                # the first batch must emit the DV-applied live set AT v
+                # (not a replay of v's history — which may reference files
+                # that compact()+vacuum() already removed), then tail v+1..
+                return {"version": v, "snapshot": v}
         return {"version": self.start_version}
 
     def latestOffset(self) -> dict:
@@ -146,6 +192,14 @@ class TxLogStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         parts: list[InputPartition] = []
+        if start.get("snapshot"):
+            v = start["snapshot"]
+            for a in _replay_live(self.log_dir, v):
+                refs = a.get("dv", {}).get("refs") or None
+                parts.append(_FilePartition(
+                    os.path.join(self.table_path, a["path"]), "insert", v,
+                    drop_refs=[os.path.join(self.table_path, r)
+                               for r in refs] if refs else None))
         for v in range(start["version"] + 1, end["version"] + 1):
             commit = _read_commit(self.log_dir, v)
             if self.mode == "cdc":
@@ -166,6 +220,11 @@ class TxLogStreamReader(DataSourceStreamReader):
 
     def _append_partitions(self, v: int, commit: dict):
         adds = commit.get("add") or []
+        if commit.get("op") in _SILENT_OPS:
+            # file-layout maintenance changes no logical row: emit nothing
+            # rather than killing every append-mode subscriber of a table
+            # under routine compact()/coalesce_dv() care
+            return []
         changes_data = (commit.get("op") not in _APPEND_OPS
                         or bool(commit.get("remove"))
                         or any(a.get("dv", {}).get("refs") for a in adds))
@@ -179,7 +238,7 @@ class TxLogStreamReader(DataSourceStreamReader):
 
     def _cdc_partitions(self, v: int, commit: dict):
         op, adds = commit.get("op"), commit.get("add") or []
-        if op in ("compact", "compact_dv", "coalesce_dv", "zorder"):
+        if op in _SILENT_OPS:
             return []  # logical content unchanged: silent, like changes()
         if op in _APPEND_OPS and not commit.get("remove") \
                 and not any(a.get("dv", {}).get("refs") for a in adds):
@@ -214,17 +273,30 @@ class TxLogStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         tbl = pq.read_table(partition.path)
+        base = os.path.basename(partition.path)
         if partition.sidecar is not None:
             # pre-image rows: the commit's sidecar names this file's
             # newly-retracted positions as (file basename, row index) —
             # row index IS the file's physical row order, so take()
-            # extracts exactly those rows with no diffing
-            dv = pq.read_table(partition.sidecar,
-                               columns=["__file", "__pos"])
-            mine = dv.filter(pc.equal(
-                dv.column("__file"),
-                os.path.basename(partition.path)))
+            # extracts exactly those rows with no diffing. The basename
+            # filter pushes into the parquet scan (row-group pruning), so
+            # an N-file commit does not read the full sidecar N times.
+            mine = pq.read_table(partition.sidecar,
+                                 columns=["__file", "__pos"],
+                                 filters=[("__file", "==", base)])
             tbl = tbl.take(mine.column("__pos"))
+        elif partition.drop_refs:
+            # initial-snapshot read of a DV-carrying live file: serve the
+            # file MINUS the positions its referenced sidecars retract
+            # (merge-on-read applied executor-side, no Spark join needed)
+            drops = pa.concat_tables([
+                pq.read_table(r, columns=["__file", "__pos"],
+                              filters=[("__file", "==", base)])
+                for r in partition.drop_refs]).column("__pos")
+            keep = pc.invert(pc.is_in(
+                pa.array(range(tbl.num_rows), pa.int64()),
+                value_set=drops.combine_chunks()))
+            tbl = tbl.filter(keep)
         cols, names = [], []
         for field in self.result_schema.fields:
             if field.name in _CDC_COLS and self.mode == "cdc":
@@ -292,7 +364,7 @@ class TxLogStreamDataSource(DataSource):
         return TxLogStreamReader(schema, dict(self.options))
 
 
-def read_txlog_stream(spark, path: str, starting_version: int = 0,
+def read_txlog_stream(spark, path: str, starting_version: "int | str" = 0,
                       skip_change_commits: bool = False,
                       mode: str = "append"):
     """Register the source (idempotent) and open the stream DataFrame."""

@@ -38,7 +38,7 @@ def _drain(spark, path, tdir, name, **opts):
          .option("path", f"{tdir}/out_{name}")
          .option("checkpointLocation", f"{tdir}/ckpt_{name}")
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "drain still running after 300s"
     return spark.read.schema(stream.schema).parquet(f"{tdir}/out_{name}")
 
 
@@ -119,7 +119,7 @@ def _drain_cdc(spark, path, tdir, name, **opts):
          .option("path", f"{tdir}/out_{name}")
          .option("checkpointLocation", f"{tdir}/ckpt_{name}")
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "cdc drain still running after 300s"
     return spark.read.schema(stream.schema).parquet(f"{tdir}/out_{name}")
 
 
@@ -190,3 +190,66 @@ def test_stream_cdc_maintenance_silent_and_merge_refused(spark, sf_dir,
     got2 = _drain_cdc(spark, table, tdir, "cdc_skip",
                       skip_change_commits=True)
     assert got2.count() == got.count()
+
+
+def test_stream_source_snapshot_bootstrap(spark, sf_dir, tdir):
+    """startingVersion='snapshot': a new subscriber of a table whose
+    history was compacted AND vacuumed still bootstraps — the first batch
+    is the DV-applied live set at the current version (replaying from
+    version 0 would dereference deleted files), then new appends tail."""
+    table = f"{tdir}/t"
+    t = TxTable(spark, table, batch_partitions=2)
+    t.create(_orders(spark, sf_dir, 0, 200))
+    t.append(_orders(spark, sf_dir, 200, 260))
+    t.delete_where(F.col("o_orderkey") % 4 == 0)
+    t.compact()            # drops v1/v2 files from the live set
+    t.vacuum(ttl_seconds=0)
+    t.vacuum(ttl_seconds=0)  # second pass prunes emptied marker dirs
+    expected = _keys(t.snapshot())
+
+    # a version-0 replay now dereferences vacuumed files: the failure the
+    # snapshot mode exists to avoid
+    from pyspark.errors import StreamingQueryException
+    with pytest.raises(StreamingQueryException):
+        _drain(spark, table, tdir, "snap_v0", skip_change_commits=True)
+
+    got = _drain(spark, table, tdir, "snap", starting_version="snapshot")
+    assert _keys(got) == expected
+
+    # the tail keeps working: a later append arrives incrementally
+    extra = _orders(spark, sf_dir, 260, 300)
+    t.append(extra)
+    got = _drain(spark, table, tdir, "snap")  # same checkpoint resumes
+    assert _keys(got) == sorted(expected + _keys(extra))
+
+
+def test_stream_source_snapshot_applies_dv(spark, sf_dir, tdir):
+    """The snapshot bootstrap applies deletion vectors executor-side:
+    a live file's retracted positions never reach the stream."""
+    table = f"{tdir}/t"
+    t = TxTable(spark, table, batch_partitions=2)
+    t.create(_orders(spark, sf_dir, 0, 200))
+    t.delete_where(F.col("o_orderkey") % 3 == 0)  # DV only, no rewrite
+    got = _drain(spark, table, tdir, "snapdv",
+                 starting_version="snapshot")
+    assert _keys(got) == _keys(t.snapshot())
+    assert got.where(F.col("o_orderkey") % 3 == 0).count() == 0
+
+
+def test_stream_append_mode_silent_on_maintenance(spark, sf_dir, tdir):
+    """compact/coalesce_dv/compact_dv change no logical row: an
+    append-mode subscriber of a table under routine maintenance keeps
+    running (emitting nothing for those commits) WITHOUT
+    skipChangeCommits — which would also swallow real change commits."""
+    table = f"{tdir}/t"
+    t = TxTable(spark, table, batch_partitions=2)
+    first = _orders(spark, sf_dir, 0, 200)
+    t.create(first)
+    got = _drain(spark, table, tdir, "maint")
+    assert _keys(got) == _keys(first)
+
+    t.compact(target_files=1)          # maintenance: silent
+    extra = _orders(spark, sf_dir, 200, 240)
+    t.append(extra)
+    got = _drain(spark, table, tdir, "maint")  # no skipChangeCommits
+    assert _keys(got) == sorted(_keys(first) + _keys(extra))
