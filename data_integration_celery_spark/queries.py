@@ -520,8 +520,10 @@ def s6g_dv_coalesce(spark, sf_dir):
     one = (v_after == v_before + 1 and refs
            and all(len(r) == 1 for r in refs)
            and len({r[0] for r in refs}) == 1)
-    silent = t.changes(v_before, v_after,
-                       keys=["o_orderkey"]).count() == 0
+    # isEmpty (limit-1 under the hood) instead of count: the verdict only
+    # needs zero-vs-nonzero, and the early-out shaves ~1s off the keyed
+    # full-outer diff at sf0.1
+    silent = t.changes(v_before, v_after, keys=["o_orderkey"]).isEmpty()
     return (t.snapshot()
             .withColumn("coalesced_to_one", F.lit(bool(one)))
             .withColumn("cdc_silent", F.lit(bool(silent))))
