@@ -40,6 +40,15 @@ Options:
   (compact / compact_dv / coalesce_dv) changes no logical row and is
   always silently emitted as nothing, in BOTH modes — it neither needs
   this flag nor triggers it.
+- ``maxVersionsPerTrigger`` (default unbounded): rate limit — each
+  micro-batch advances at most N table versions past the reader's floor
+  (the configured start at stream birth, then whatever Spark has planned
+  or committed), so a subscriber catching up on a long backlog processes
+  it in bounded batches instead of one giant one. Restart-safe: the
+  floor ratchets to the checkpointed range the moment Spark plans a
+  batch (restart-with-backlog covered by test). Note
+  ``Trigger.AvailableNow`` falls back to single-batch for Python
+  sources, so the cap shows under processingTime triggers.
 - ``mode`` (default ``append``): ``cdc`` turns the stream into a change
   feed — the streaming twin of ``TxTable.changes()`` (the published
   change-data-feed design). Rows carry two extra columns, ``_change``
@@ -173,6 +182,16 @@ class TxLogStreamReader(DataSourceStreamReader):
         if self.mode not in ("append", "cdc"):
             raise ValueError(f"txlog stream source: unknown mode "
                              f"{self.mode!r} (expected 'append' or 'cdc')")
+        self.max_versions = int(options.get("maxversionspertrigger", 0))
+        if self.max_versions < 0:
+            raise ValueError("maxVersionsPerTrigger must be >= 0")
+        # floor for the rate-limit cap: the last version this reader
+        # planned or Spark committed. Starts at the configured start
+        # version so a FRESH subscriber's backlog catch-up is capped from
+        # batch one (Spark probes latestOffset before initialOffset);
+        # partitions()/commit() ratchet it to the checkpointed truth on
+        # restart.
+        self._cursor: int | None = None
 
     # ------------------------------------------------------------ offsets --
     def initialOffset(self) -> dict:
@@ -183,14 +202,39 @@ class TxLogStreamReader(DataSourceStreamReader):
                 # the first batch must emit the DV-applied live set AT v
                 # (not a replay of v's history — which may reference files
                 # that compact()+vacuum() already removed), then tail v+1..
+                self._cursor = v
                 return {"version": v, "snapshot": v}
+        self._cursor = self.start_version
         return {"version": self.start_version}
+
+    def _effective_start(self) -> int:
+        if self.snapshot_start:
+            versions = _list_versions(self.log_dir)
+            return versions[-1] if versions else 0
+        return self.start_version
 
     def latestOffset(self) -> dict:
         versions = _list_versions(self.log_dir)
-        return {"version": versions[-1] if versions else self.start_version}
+        latest = versions[-1] if versions else self.start_version
+        if self.max_versions:
+            if self._cursor is None:
+                # Spark probes latestOffset BEFORE initialOffset on a
+                # fresh stream (observed 4.1 runner order), so the floor
+                # self-initializes to what initialOffset would return;
+                # on a RESTART partitions() ratchets it to the
+                # checkpointed start before any capped value could plan
+                # a backward batch (verified by the restart test)
+                self._cursor = self._effective_start()
+            latest = min(latest, self._cursor + self.max_versions)
+        self._cursor = max(self._cursor or 0, latest)
+        return {"version": latest}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        # ratchet the rate-limit floor to Spark's own (checkpointed) range
+        # — on restart this overrides the self-initialized start floor
+        # before it could matter
+        self._cursor = max(self._cursor or 0, start["version"],
+                           end["version"])
         parts: list[InputPartition] = []
         if start.get("snapshot"):
             v = start["snapshot"]
@@ -316,7 +360,9 @@ class TxLogStreamReader(DataSourceStreamReader):
         yield from pa.table(dict(zip(names, cols))).to_batches()
 
     def commit(self, end: dict) -> None:
-        pass  # Spark's checkpoint offset log is the source of truth
+        # Spark's checkpoint offset log is the source of truth for replay;
+        # the cursor only feeds the best-effort maxVersionsPerTrigger cap
+        self._cursor = max(self._cursor or 0, end.get("version", 0))
 
 
 class TxLogStreamDataSource(DataSource):
@@ -366,7 +412,8 @@ class TxLogStreamDataSource(DataSource):
 
 def read_txlog_stream(spark, path: str, starting_version: "int | str" = 0,
                       skip_change_commits: bool = False,
-                      mode: str = "append"):
+                      mode: str = "append",
+                      max_versions_per_trigger: int = 0):
     """Register the source (idempotent) and open the stream DataFrame."""
     spark.dataSource.register(TxLogStreamDataSource)
     return (spark.readStream.format("txlog")
@@ -374,4 +421,5 @@ def read_txlog_stream(spark, path: str, starting_version: "int | str" = 0,
             .option("skipChangeCommits",
                     "true" if skip_change_commits else "false")
             .option("mode", mode)
+            .option("maxVersionsPerTrigger", str(max_versions_per_trigger))
             .load(path))
