@@ -39,8 +39,14 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
     # impossible at 100 TB
     "pipeline_region_revenue": (
         [r"BroadcastHashJoin", r"SortMergeJoin"], [r"CartesianProduct"]),
+    # anti-join with the r11 recency watermark: the date filter must push
+    # into the orders parquet scan (the probe side shrinks ~8x BEFORE the
+    # join — at 100 TB this is the difference between anti-joining
+    # against a year and against the table)
     "j5_anti_join_new_codes": (
-        [r"LeftAnti"], [r"CartesianProduct"]),
+        [r"LeftAnti",
+         r"PushedFilters: \[.*GreaterThanOrEqual\(o_orderdate"],
+        [r"CartesianProduct"]),
     # E2 full-rule-table merge: ONE full-outer SMJ on the composite vendor
     # key + a codegen kernel projection; any Python eval node would mean
     # the reference's row-wise merge_data interpreter crept back in
