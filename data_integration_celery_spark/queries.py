@@ -575,6 +575,51 @@ def s6h_stream_source(spark, sf_dir):
     return got.withColumn("exactly_once", F.lit(bool(ok)))
 
 
+@q("s6i_stream_cdc",
+   sql="""
+   SELECT o_orderkey, o_totalprice, o_orderstatus,
+          'insert' AS _change, CAST(1 AS BIGINT) AS _commit_version
+   FROM orders
+   UNION ALL
+   SELECT o_orderkey, o_totalprice, o_orderstatus, 'delete', 2
+   FROM orders WHERE o_orderkey % 5 = 0
+   UNION ALL
+   SELECT o_orderkey, o_totalprice, o_orderstatus, 'update_pre', 3
+   FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 5 <> 0
+   UNION ALL
+   SELECT o_orderkey, o_totalprice + 1000, o_orderstatus, 'update_post', 3
+   FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 5 <> 0
+   """,
+   doc="S6i: the streaming CDC feed (sources/txlog_stream.py mode='cdc') "
+       "end-to-end — create (v1) + DV delete (v2) + DV update (v3), then "
+       "drain the change stream through a checkpointed sink. Every row is "
+       "oracle-checked: v1 streams as the insert snapshot, the delete's "
+       "own sidecar yields exactly the retracted rows (pyarrow take, no "
+       "diffing), the update yields pre/post pairs anchored to one "
+       "commit. The oracle recomputes the full feed in plain ANSI (the "
+       "update matches only rows the delete left live).")
+def s6i_stream_cdc(spark, sf_dir):
+    from .sinks.txlog import TxTable
+    from .sources.txlog_stream import read_txlog_stream
+    root = _fresh_tmp_table_root("txcdc_q_")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    t = TxTable(spark, f"{root}/orders", batch_partitions=4)
+    t.create(o)
+    t.delete_where(F.col("o_orderkey") % 5 == 0)
+    t.update_where(F.col("o_orderkey") % 7 == 0,
+                   {"o_totalprice": "o_totalprice + 1000"})
+    stream = read_txlog_stream(spark, f"{root}/orders", mode="cdc")
+    out, ckpt = f"{root}/out", f"{root}/ckpt"
+    q = (stream.writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("s6i cdc drain did not finish in 300s")
+    return spark.read.schema(stream.schema).parquet(out)
+
+
 @q("s6c_cdc_feed",
    sql="""
    WITH upd AS (
@@ -4906,7 +4951,12 @@ def u5_schema_reconcile_q(spark, sf_dir):
 # Python Data Source API, never-checked exact oracle, must hold a gated
 # slot); smp_mixture_resample rests for it (r9-green, due r12 regardless;
 # the smp family keeps pack_sequences in-window and token_budget in the
-# r8 cohort). OUT — 44 freshly-r10-green queries rest (age 1, due r13), each
+# r8 cohort). Second session addition: s6i_stream_cdc (the CDC mode of
+# the streaming source — a never-checked exact oracle whose plain-ANSI
+# twin recomputes the whole feed: insert snapshot + DV-delete rows +
+# update pre/post pairs); txt_bpe_train rests for it (r9-green, due r12
+# regardless; six text reps stay in-window). OUT — 44 freshly-r10-green
+# queries rest (age 1, due r13), each
 # with an in-window family sibling or exact twin: f3/f5 scans-cleaning
 # (pipeline_quality_filter carries the quality exprs; entry() smokes the
 # scan every round), j2/j13/j8/j14/j11 joins (j9/j8b/j5/j6/j7/e2 in),
@@ -4954,7 +5004,7 @@ QUERY_PRIORITY: list[str] = [
     "u4_scd2_intervals", "u5_schema_reconcile",
     "w4_ffill", "w9_expand_calendar",
     "w8b_quarterize_exact", "j8b_interval_join_bucketed",
-    "w1b_rank_scalable", "mm_video_frames", "txt_bpe_train",
+    "w1b_rank_scalable", "mm_video_frames", "s6i_stream_cdc",
     "s6h_stream_source", "s6_upsert_last_write_wins",
     # ---- position 51+: fresh r10 greens resting (due r13),
     # ---- r9 leftovers due r12, or rows-only (no oracle) ----
@@ -4979,7 +5029,7 @@ QUERY_PRIORITY: list[str] = [
     "s6e_deletion_vectors", "s6f_dv_update",
     "s10b_zorder_skipping", "s6d_stream_txlog_exactly_once",
     "s10c_bloom_point_lookup",
-    "pipeline_region_revenue", "smp_mixture_resample",
+    "pipeline_region_revenue", "smp_mixture_resample", "txt_bpe_train",
     "p3_regex_filter", "s1_filtered_scan",
     "j1_vendor_merge_full_outer", "j10_asof_point_lookup",
     "a1_watermark_per_key", "a9_describe",
