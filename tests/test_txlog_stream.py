@@ -314,3 +314,162 @@ def test_stream_source_max_versions_per_trigger(spark, sf_dir, tdir):
         time.sleep(0.5)
     q.stop()
     assert sorted(keys_seen) == sorted(set(expected2) - set(expected))
+
+
+def test_stream_cdc_covers_cow_merge_with_cdf(spark, sf_dir, tdir):
+    """CDF write-side (r11 verdict item 4): on a change_data_feed table a
+    copy-on-write merge persists its row-level changes at commit time, and
+    the streaming CDC feed serves them instead of refusing — insert rows
+    for keys new to the table, update_pre/update_post pairs for matched
+    keys (operation-level: identity updates included). Differential: the
+    feed with identity pairs dropped equals the batch keyed changes()
+    value diff over the same versions."""
+    table = f"{tdir}/t"
+    t = TxTable(spark, table, batch_partitions=2)
+    base = _orders(spark, sf_dir, 0, 200)
+    t.create(base, stats_cols=["o_orderkey"], change_data_feed=True)
+    v1 = t.latest_version()
+    # matched updates — every other one an IDENTITY update (same values)
+    upd = (_orders(spark, sf_dir, 0, 100)
+           .withColumn("o_totalprice",
+                       F.when(F.col("o_orderkey") % 2 == 0,
+                              F.col("o_totalprice"))
+                        .otherwise(F.col("o_totalprice") + 5)))
+    # plus brand-new keys (negated, provably absent from the table)
+    new = (_orders(spark, sf_dir, 200, 240)
+           .withColumn("o_orderkey", -F.col("o_orderkey")))
+    t.merge_upsert(upd.unionByName(new), ["o_orderkey"])
+    v2 = t.latest_version()
+    assert v2 == v1 + 1
+
+    got = _drain_cdc(spark, table, tdir, "cdf_merge", starting_version=v1)
+    assert [r[0] for r in
+            got.select("_commit_version").distinct().collect()] == [v2]
+    pre = got.where(F.col("_change") == "update_pre")
+    post = got.where(F.col("_change") == "update_post")
+    ins = got.where(F.col("_change") == "insert")
+    matched = _keys(_orders(spark, sf_dir, 0, 100))
+    assert _keys(pre) == matched          # operation-level: identity too
+    assert _keys(post) == matched
+    assert _keys(ins) == sorted(-k for k in _keys(
+        _orders(spark, sf_dir, 200, 240)))
+
+    # differential vs the batch value diff: drop identity pre/post pairs
+    data_cols = ["o_totalprice", "o_orderstatus"]
+    p = pre.select("o_orderkey", F.struct(*data_cols).alias("__pre"))
+    n = post.select("o_orderkey", F.struct(*data_cols).alias("__post"))
+    changed = (p.join(n, "o_orderkey")
+               .where(~F.col("__pre").eqNullSafe(F.col("__post")))
+               .select("o_orderkey"))
+    feed_changed = (got.where(F.col("_change") == "insert")
+                    .unionByName(
+                        got.where(F.col("_change") != "insert")
+                           .join(changed, "o_orderkey", "left_semi"))
+                    .drop("_commit_version"))
+    batch = t.changes(v1, v2, keys=["o_orderkey"])
+    assert _change_rows(feed_changed) == _change_rows(batch)
+
+
+def test_stream_cdc_insert_only_merge_cdf_no_double_emit(spark, sf_dir,
+                                                         tdir):
+    """An insert-only merge on a CDF table writes change-data files AND
+    adds; the CDC feed must serve the CDF rows only (no double emission),
+    and the append-mode stream still serves the adds."""
+    table = f"{tdir}/t"
+    t = TxTable(spark, table, batch_partitions=2)
+    t.create(_orders(spark, sf_dir, 0, 100), stats_cols=["o_orderkey"],
+             change_data_feed=True)
+    new = (_orders(spark, sf_dir, 100, 160)
+           .withColumn("o_orderkey", -F.col("o_orderkey")))
+    t.merge_upsert(new, ["o_orderkey"])
+
+    got = _drain_cdc(spark, table, tdir, "cdf_ins", starting_version=1)
+    assert got.select("_change").distinct().collect()[0][0] == "insert"
+    assert _keys(got) == sorted(-k for k in _keys(
+        _orders(spark, sf_dir, 100, 160)))
+
+    got_append = _drain(spark, table, tdir, "cdf_ins_app")
+    assert _keys(got_append) == _keys(t.snapshot())
+
+
+def test_stream_cdc_overwrite_derivation(spark, sf_dir, tdir):
+    """CDC for overwrite needs no change-data files: every pre-commit live
+    row (DV-applied) streams as delete, every new file as insert."""
+    table = f"{tdir}/t"
+    t = TxTable(spark, table, batch_partitions=2)
+    t.create(_orders(spark, sf_dir, 0, 200))
+    t.delete_where(F.col("o_orderkey") % 3 == 0)
+    v2 = t.latest_version()
+    survivors = _keys(t.snapshot())
+    replacement = _orders(spark, sf_dir, 500, 600)
+    t.overwrite(replacement)
+    v3 = t.latest_version()
+
+    got = _drain_cdc(spark, table, tdir, "cdc_ow", starting_version=v2)
+    dele = got.where(F.col("_change") == "delete")
+    ins = got.where(F.col("_change") == "insert")
+    # DV-deleted rows are NOT re-deleted — only the live set at v2 is
+    assert _keys(dele) == survivors
+    assert _keys(ins) == _keys(replacement)
+    assert [r[0] for r in
+            got.select("_commit_version").distinct().collect()] == [v3]
+
+
+def test_stream_cdc_set_cdf_property_toggle(spark, sf_dir, tdir):
+    """set_change_data_feed: merges BEFORE the property are still refused
+    (no change-data files exist for them; batch changes() is the
+    fallback), merges after it stream. The set_cdf commit itself is
+    silent."""
+    from pyspark.errors import StreamingQueryException
+
+    table = f"{tdir}/t"
+    t = TxTable(spark, table, batch_partitions=2)
+    t.create(_orders(spark, sf_dir, 0, 100), stats_cols=["o_orderkey"])
+    t.merge_upsert(_orders(spark, sf_dir, 0, 50)
+                   .withColumn("o_totalprice", F.col("o_totalprice") + 1),
+                   ["o_orderkey"])          # v2: CoW merge, no CDF
+    v2 = t.latest_version()
+    with pytest.raises(StreamingQueryException):
+        _drain_cdc(spark, table, tdir, "cdf_pre")
+    t.set_change_data_feed(True)            # v3 (silent)
+    t.merge_upsert(_orders(spark, sf_dir, 0, 30)
+                   .withColumn("o_totalprice", F.col("o_totalprice") + 2),
+                   ["o_orderkey"])          # v4: CoW merge WITH CDF
+    v4 = t.latest_version()
+
+    got = _drain_cdc(spark, table, tdir, "cdf_post", starting_version=v2)
+    assert [r[0] for r in
+            got.select("_commit_version").distinct().collect()] == [v4]
+    assert _keys(got.where(F.col("_change") == "update_pre")) == \
+        _keys(_orders(spark, sf_dir, 0, 30))
+
+
+def test_stream_snapshot_start_pins_version_across_probe_race(
+        spark, sf_dir, tdir):
+    """ADVICE r11: Spark probes latestOffset before initialOffset on a
+    fresh stream; a commit landing between the two driver calls must not
+    push the snapshot version past the first batch's end offset (the
+    landed commit would then duplicate: once inside the snapshot, once in
+    the next tail batch). initialOffset reuses the first probe's pinned
+    version."""
+    from data_integration_celery_spark.sources.txlog_stream import (
+        TxLogStreamDataSource)
+
+    table = f"{tdir}/t"
+    t = TxTable(spark, table, batch_partitions=1)
+    t.create(_orders(spark, sf_dir, 0, 100))
+    t.append(_orders(spark, sf_dir, 100, 150))
+    ds = TxLogStreamDataSource(
+        options={"path": table, "startingversion": "snapshot"})
+    reader = ds.streamReader(ds.schema())
+    end = reader.latestOffset()             # first driver probe: v2
+    t.append(_orders(spark, sf_dir, 150, 200))   # v3 lands mid-probe
+    start = reader.initialOffset()
+    assert end["version"] == 2
+    assert start["snapshot"] == 2           # pinned, NOT the fresh v3
+    snap_parts = reader.partitions(start, end)
+    tail_parts = reader.partitions({"version": 2}, {"version": 3})
+    # snapshot covers v1+v2 rows, the tail batch exactly v3's — no overlap
+    snap_paths = {p.path for p in snap_parts}
+    tail_paths = {p.path for p in tail_parts}
+    assert tail_paths and not (snap_paths & tail_paths)
