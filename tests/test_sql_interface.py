@@ -38,7 +38,10 @@ from data_integration_celery_spark.queries import QUERIES
 # regexp_extract(...,0) <> '' idiom), w9 (unnest(range()) -> a recursive
 # offset spine + direct date comparison, avoiding date-date which is an
 # INTERVAL on Spark), and the new s6g_dv_coalesce / s6h_stream_source /
-# s6i_stream_cdc (plain ANSI verdict oracles, portable on arrival) — 58
+# s6i_stream_cdc (plain ANSI verdict oracles, portable on arrival) — 58;
+# round 12 added s6j_cdc_cow_merge and s6k_dv_compact (plain ANSI:
+# unions, joins, scalar subqueries, literal-TRUE verdicts — portable on
+# arrival) — 60
 PORTABLE_CORE = [
     "a11_accumulation_detect",
     "a14b_sketch_errorband",
@@ -59,7 +62,8 @@ PORTABLE_CORE = [
     "p3_regex_filter", "w9_expand_calendar",
     "s6_upsert_last_write_wins", "s6b_acid_merge", "s6c_cdc_feed",
     "s6e_deletion_vectors", "s6f_dv_update", "s6g_dv_coalesce",
-    "s6h_stream_source", "s6i_stream_cdc",
+    "s6h_stream_source", "s6i_stream_cdc", "s6j_cdc_cow_merge",
+    "s6k_dv_compact",
     "s10b_zorder_skipping", "s10c_bloom_point_lookup", "smp_hash_split",
     "smp_mixture_resample", "smp_source_quota", "u1_union_distinct",
     "u4_scd2_intervals", "w10_monthly_sample", "w12_pivot_status",
@@ -68,7 +72,7 @@ PORTABLE_CORE = [
     "w8_quarterize", "w8b_quarterize_exact",
 ]
 
-MIN_PORTABLE = 58
+MIN_PORTABLE = 60
 
 
 def _canon(df):

@@ -1742,3 +1742,48 @@ def test_check_constraints_at_create_and_violation_detail(spark, sf_dir, tdir):
     t.create(src.where("o_orderstatus <> 'F'"),
              constraints={"no_f": "o_orderstatus <> 'F'"})
     assert t.snapshot().count() == src.where("o_orderstatus <> 'F'").count()
+
+
+def test_merge_cdf_respects_file_pruning(spark, sf_dir, tdir):
+    """CDF write-side under stats-range file pruning: a narrow-key CoW
+    merge on a range-clustered CDF table must (a) keep its pruned_files
+    ledger, (b) write change-data rows for ONLY the matched keys and
+    inserts — rows carried over inside touched files, and rows in kept
+    (pruned-away) files, are not change rows."""
+    o = _orders(spark, sf_dir).where(F.col("o_orderkey") < 20000)
+    table = f"{tdir}/t"
+    t = TxTable(spark, table, batch_partitions=8)
+    t.create(o, stats_cols=["o_orderkey"], change_data_feed=True)
+
+    kmax = o.agg(F.max("o_orderkey")).collect()[0][0]
+    lo, hi = 0, kmax // 8  # narrow range: most files prune away
+    upd = (o.where(F.col("o_orderkey").between(lo, hi))
+           .withColumn("o_totalprice", F.col("o_totalprice") + 7))
+    new = (o.where(F.col("o_orderkey").between(lo, hi))
+           .withColumn("o_orderkey", -F.col("o_orderkey") - 1))
+    t.merge_upsert(upd.unionByName(new), ["o_orderkey"])
+    commit = t.history()[-1]
+    assert commit["pruned_files"] > 0, "fixture failed to prune any file"
+    assert commit["cdf_files"]
+
+    cdf = spark.read.parquet(
+        *[os.path.join(table, d) for d in commit["cdf_files"]])
+    matched = sorted(r[0] for r in upd.select("o_orderkey").collect())
+    pre = cdf.where(F.col("_change") == "update_pre")
+    post = cdf.where(F.col("_change") == "update_post")
+    ins = cdf.where(F.col("_change") == "insert")
+    assert sorted(r[0] for r in pre.select("o_orderkey").collect()) == matched
+    assert sorted(r[0] for r in post.select("o_orderkey").collect()) == matched
+    assert sorted(r[0] for r in ins.select("o_orderkey").collect()) == \
+        sorted(-k - 1 for k in matched)
+    # post-images carry the merged values, pre-images the originals
+    assert post.where(F.col("o_totalprice").isNull()).count() == 0
+    joined = (pre.select("o_orderkey",
+                         F.col("o_totalprice").alias("before"))
+              .join(post.select("o_orderkey",
+                                F.col("o_totalprice").alias("after")),
+                    "o_orderkey"))
+    assert joined.where(
+        F.col("after") != F.col("before") + 7).count() == 0
+    # and the table state itself is the merged result
+    assert t.snapshot().count() == o.count() + len(matched)
