@@ -1508,6 +1508,21 @@ class TxTable:
         post = upd.select(*cols, *unpack_n, F.lit("update_post").alias("_change"))
         return ins.unionByName(dele).unionByName(pre).unionByName(post)
 
+    def table_changes(self, v_from: int, v_to: int | None = None,
+                      skip_change_commits: bool = False) -> DataFrame:
+        """Per-commit OPERATION-level change feed for versions
+        ``v_from+1 .. v_to`` (default latest) — the batch twin of the
+        streaming CDC source, published-CDF semantics: rows carry
+        ``_change`` and ``_commit_version``; an UPDATE emits pre/post for
+        every matched row (identity updates included); CoW merges are
+        served from their commit-time change-data files (CDF tables) and
+        otherwise raise. ``changes()`` remains the range VALUE-diff
+        (collapses intermediate states, drops identity updates) — the two
+        answer different questions and are both exact."""
+        from ..sources.txlog_stream import read_txlog_changes
+        return read_txlog_changes(self.spark, self.path, v_from, v_to,
+                                  skip_change_commits=skip_change_commits)
+
     def coalesce_dv(self, min_refs: int = 2) -> int:
         """Maintenance: rewrite all accumulated DV sidecar refs into ONE
         shared sidecar (r10 verdict item 5 — sidecar coalescing).

@@ -71,11 +71,21 @@ Options:
   MATCHED row, including rows whose values the assignment left unchanged
   (e.g. ``greatest(x, floor)`` on a row already above the floor), while
   the batch ``changes()`` is a value diff that drops identity updates.
-  Commits whose per-row
-  change set is NOT recoverable from the log alone (copy-on-write merge
-  with removes, overwrite, restore) fail the stream — or are skipped
-  under ``skipChangeCommits`` — with ``TxTable.changes()`` as the
-  documented batch fallback for those.
+  A CoW merge on a ``change_data_feed`` table streams from the
+  change-data files its commit persisted (the CDF write-side,
+  sinks/txlog.py ``_write_merge_cdf``); an overwrite streams as derived
+  delete(old live set)+insert(new files) with no CDF needed. Commits
+  whose per-row change set is NOT recoverable from the log alone
+  (pre-CDF copy-on-write merge, restore) fail the stream — or are
+  skipped under ``skipChangeCommits`` — with ``TxTable.changes()`` as
+  the documented batch fallback for those.
+
+The same DataSource also serves BATCH reads (``spark.read.format(
+"txlog")``): the DV-applied live snapshot with ``versionAsOf`` time
+travel, and ``mode="cdc"`` as the per-commit batch change feed
+(``TxLogBatchReader`` / ``TxTable.table_changes`` — Delta's
+``table_changes`` shape), planned by the SAME commit classifier as the
+stream.
 """
 
 from __future__ import annotations
@@ -84,7 +94,7 @@ import json
 import os
 
 from pyspark.sql.datasource import (
-    DataSource, DataSourceStreamReader, InputPartition)
+    DataSource, DataSourceReader, DataSourceStreamReader, InputPartition)
 from pyspark.sql.types import (
     ArrayType, BooleanType, ByteType, DateType, DecimalType, DoubleType,
     FloatType, IntegerType, LongType, ShortType, StringType, StructType,
@@ -174,101 +184,38 @@ class _FilePartition(InputPartition):
         #   (deletion-vector application for initial-snapshot reads)
 
 
-class TxLogStreamReader(DataSourceStreamReader):
-    def __init__(self, schema: StructType, options: dict):
+class _TxLogReaderCore:
+    """Shared commit-classification + executor-side Arrow read path. The
+    streaming reader and the batch reader both plan _FilePartitions with
+    this logic, so the two feeds can never disagree on what a commit
+    means."""
+
+    def _init_core(self, schema: StructType, options: dict,
+                   kind: str) -> None:
         path = options.get("path")
         if not path:
-            raise ValueError("txlog stream source requires a table path "
+            raise ValueError(f"txlog {kind} requires a table path "
                              "(.load(path) or .option('path', ...))")
         self.table_path = path.rstrip("/")
         self.log_dir = os.path.join(self.table_path, _LOG_DIR)
         self.result_schema = schema
-        sv = str(options.get("startingversion", 0)).lower()
-        self.snapshot_start = sv == "snapshot"
-        self.start_version = 0 if self.snapshot_start else int(sv)
         self.skip_change = str(
             options.get("skipchangecommits", "false")).lower() == "true"
         self.mode = str(options.get("mode", "append")).lower()
         if self.mode not in ("append", "cdc"):
-            raise ValueError(f"txlog stream source: unknown mode "
+            raise ValueError(f"txlog {kind}: unknown mode "
                              f"{self.mode!r} (expected 'append' or 'cdc')")
-        self.max_versions = int(options.get("maxversionspertrigger", 0))
-        if self.max_versions < 0:
-            raise ValueError("maxVersionsPerTrigger must be >= 0")
-        # floor for the rate-limit cap: the last version this reader
-        # planned or Spark committed. Starts at the configured start
-        # version so a FRESH subscriber's backlog catch-up is capped from
-        # batch one (Spark probes latestOffset before initialOffset);
-        # partitions()/commit() ratchet it to the checkpointed truth on
-        # restart.
-        self._cursor: int | None = None
 
-    # ------------------------------------------------------------ offsets --
-    def initialOffset(self) -> dict:
-        if self.snapshot_start:
-            # Pin the snapshot version to the FIRST probe this reader made:
-            # Spark calls latestOffset before initialOffset on a fresh
-            # stream, and a commit landing between those two driver calls
-            # would otherwise push a freshly-listed snapshot version past
-            # the first batch's end offset — that commit's rows would then
-            # appear in BOTH the snapshot and the next tail batch.
-            if self._cursor is not None:
-                v = self._cursor
-            else:
-                versions = _list_versions(self.log_dir)
-                v = versions[-1] if versions else 0
-            if v:
-                # the first batch must emit the DV-applied live set AT v
-                # (not a replay of v's history — which may reference files
-                # that compact()+vacuum() already removed), then tail v+1..
-                self._cursor = v
-                return {"version": v, "snapshot": v}
-        self._cursor = self.start_version
-        return {"version": self.start_version}
-
-    def _effective_start(self) -> int:
-        if self.snapshot_start:
-            versions = _list_versions(self.log_dir)
-            return versions[-1] if versions else 0
-        return self.start_version
-
-    def latestOffset(self) -> dict:
-        versions = _list_versions(self.log_dir)
-        latest = versions[-1] if versions else self.start_version
-        if self.max_versions:
-            if self._cursor is None:
-                # Spark probes latestOffset BEFORE initialOffset on a
-                # fresh stream (observed 4.1 runner order), so the floor
-                # self-initializes to what initialOffset would return;
-                # on a RESTART partitions() ratchets it to the
-                # checkpointed start before any capped value could plan
-                # a backward batch (verified by the restart test)
-                self._cursor = self._effective_start()
-            latest = min(latest, self._cursor + self.max_versions)
-        self._cursor = max(self._cursor or 0, latest)
-        return {"version": latest}
-
-    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
-        # ratchet the rate-limit floor to Spark's own (checkpointed) range
-        # — on restart this overrides the self-initialized start floor
-        # before it could matter
-        self._cursor = max(self._cursor or 0, start["version"],
-                           end["version"])
-        parts: list[InputPartition] = []
-        if start.get("snapshot"):
-            v = start["snapshot"]
-            for a in _replay_live(self.log_dir, v):
-                refs = a.get("dv", {}).get("refs") or None
-                parts.append(_FilePartition(
-                    os.path.join(self.table_path, a["path"]), "insert", v,
-                    drop_refs=[os.path.join(self.table_path, r)
-                               for r in refs] if refs else None))
-        for v in range(start["version"] + 1, end["version"] + 1):
-            commit = _read_commit(self.log_dir, v)
-            if self.mode == "cdc":
-                parts.extend(self._cdc_partitions(v, commit))
-            else:
-                parts.extend(self._append_partitions(v, commit))
+    def _snapshot_partitions(self, v: int) -> "list[_FilePartition]":
+        """The DV-applied live file set at version ``v`` as partitions
+        (merge-on-read applied executor-side via drop_refs)."""
+        parts = []
+        for a in _replay_live(self.log_dir, v):
+            refs = a.get("dv", {}).get("refs") or None
+            parts.append(_FilePartition(
+                os.path.join(self.table_path, a["path"]), "insert", v,
+                drop_refs=[os.path.join(self.table_path, r)
+                           for r in refs] if refs else None))
         return parts
 
     def _refuse_or_skip(self, v: int, commit: dict, why: str) -> bool:
@@ -276,10 +223,10 @@ class TxLogStreamReader(DataSourceStreamReader):
         if self.skip_change:
             return True
         raise ValueError(
-            f"txlog stream source: version {v} is a "
+            f"txlog source: version {v} is a "
             f"'{commit.get('op')}' commit {why}. Set "
             f"skipChangeCommits=true to skip such commits, or consume "
-            f"TxTable.changes() for the batch change feed")
+            f"TxTable.changes() for the batch value-diff feed")
 
     def _append_partitions(self, v: int, commit: dict):
         adds = commit.get("add") or []
@@ -412,15 +359,133 @@ class TxLogStreamReader(DataSourceStreamReader):
             names.append("_commit_version")
         yield from pa.table(dict(zip(names, cols))).to_batches()
 
+
+class TxLogStreamReader(_TxLogReaderCore, DataSourceStreamReader):
+    def __init__(self, schema: StructType, options: dict):
+        self._init_core(schema, options, "stream source")
+        sv = str(options.get("startingversion", 0)).lower()
+        self.snapshot_start = sv == "snapshot"
+        self.start_version = 0 if self.snapshot_start else int(sv)
+        self.max_versions = int(options.get("maxversionspertrigger", 0))
+        if self.max_versions < 0:
+            raise ValueError("maxVersionsPerTrigger must be >= 0")
+        # floor for the rate-limit cap: the last version this reader
+        # planned or Spark committed. Starts at the configured start
+        # version so a FRESH subscriber's backlog catch-up is capped from
+        # batch one (Spark probes latestOffset before initialOffset);
+        # partitions()/commit() ratchet it to the checkpointed truth on
+        # restart.
+        self._cursor: int | None = None
+
+    # ------------------------------------------------------------ offsets --
+    def initialOffset(self) -> dict:
+        if self.snapshot_start:
+            # Pin the snapshot version to the FIRST probe this reader made:
+            # Spark calls latestOffset before initialOffset on a fresh
+            # stream, and a commit landing between those two driver calls
+            # would otherwise push a freshly-listed snapshot version past
+            # the first batch's end offset — that commit's rows would then
+            # appear in BOTH the snapshot and the next tail batch.
+            if self._cursor is not None:
+                v = self._cursor
+            else:
+                versions = _list_versions(self.log_dir)
+                v = versions[-1] if versions else 0
+            if v:
+                # the first batch must emit the DV-applied live set AT v
+                # (not a replay of v's history — which may reference files
+                # that compact()+vacuum() already removed), then tail v+1..
+                self._cursor = v
+                return {"version": v, "snapshot": v}
+        self._cursor = self.start_version
+        return {"version": self.start_version}
+
+    def _effective_start(self) -> int:
+        if self.snapshot_start:
+            versions = _list_versions(self.log_dir)
+            return versions[-1] if versions else 0
+        return self.start_version
+
+    def latestOffset(self) -> dict:
+        versions = _list_versions(self.log_dir)
+        latest = versions[-1] if versions else self.start_version
+        if self.max_versions:
+            if self._cursor is None:
+                # Spark probes latestOffset BEFORE initialOffset on a
+                # fresh stream (observed 4.1 runner order), so the floor
+                # self-initializes to what initialOffset would return;
+                # on a RESTART partitions() ratchets it to the
+                # checkpointed start before any capped value could plan
+                # a backward batch (verified by the restart test)
+                self._cursor = self._effective_start()
+            latest = min(latest, self._cursor + self.max_versions)
+        self._cursor = max(self._cursor or 0, latest)
+        return {"version": latest}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        # ratchet the rate-limit floor to Spark's own (checkpointed) range
+        # — on restart this overrides the self-initialized start floor
+        # before it could matter
+        self._cursor = max(self._cursor or 0, start["version"],
+                           end["version"])
+        parts: list[InputPartition] = []
+        if start.get("snapshot"):
+            parts.extend(self._snapshot_partitions(start["snapshot"]))
+        for v in range(start["version"] + 1, end["version"] + 1):
+            commit = _read_commit(self.log_dir, v)
+            if self.mode == "cdc":
+                parts.extend(self._cdc_partitions(v, commit))
+            else:
+                parts.extend(self._append_partitions(v, commit))
+        return parts
+
     def commit(self, end: dict) -> None:
         # Spark's checkpoint offset log is the source of truth for replay;
         # the cursor only feeds the best-effort maxVersionsPerTrigger cap
         self._cursor = max(self._cursor or 0, end.get("version", 0))
 
 
+class TxLogBatchReader(_TxLogReaderCore, DataSourceReader):
+    """Batch reads over the commit log, session-free (the same planner and
+    executor-side Arrow path as the stream — the two can never disagree):
+
+    - default mode: the DV-applied live snapshot, with ``versionAsOf``
+      time travel (``spark.read.format("txlog").load(path)``) — a table
+      read that needs no TxTable object, e.g. from a different
+      application that only shares the storage.
+    - ``mode="cdc"``: the per-commit change feed between two versions —
+      the batch twin of Delta's ``table_changes``. ``startingVersion``
+      is EXCLUSIVE (the feed is "changes since v", matching both
+      ``TxTable.changes(v_from, ...)`` and the stream's offset
+      semantics); ``endingVersion`` inclusive, default latest. Rows
+      carry ``_change`` and ``_commit_version`` exactly as the streaming
+      CDC mode emits them; non-recoverable commits (pre-CDF CoW merge,
+      restore) raise unless ``skipChangeCommits``.
+    """
+
+    def __init__(self, schema: StructType, options: dict):
+        self._init_core(schema, options, "batch source")
+        versions = _list_versions(self.log_dir)
+        latest = versions[-1] if versions else 0
+        self.start_version = int(options.get("startingversion", 0))
+        self.end_version = int(options.get("endingversion", latest))
+        self.version_as_of = int(options.get("versionasof", latest))
+
+    def partitions(self) -> "list[InputPartition]":
+        if self.mode == "cdc":
+            parts: list[InputPartition] = []
+            for v in range(self.start_version + 1, self.end_version + 1):
+                parts.extend(self._cdc_partitions(
+                    v, _read_commit(self.log_dir, v)))
+            return parts
+        return self._snapshot_partitions(self.version_as_of)
+
+
 class TxLogStreamDataSource(DataSource):
     """``spark.dataSource.register(TxLogStreamDataSource)`` then
-    ``spark.readStream.format("txlog").load(path)``."""
+    ``spark.readStream.format("txlog").load(path)`` (stream) or
+    ``spark.read.format("txlog").load(path)`` (batch snapshot /
+    ``mode="cdc"`` change feed)."""
 
     @classmethod
     def name(cls) -> str:
@@ -429,11 +494,18 @@ class TxLogStreamDataSource(DataSource):
     def schema(self) -> StructType:
         path = self.options.get("path")
         if not path:
-            raise ValueError("txlog stream source requires a table path")
+            raise ValueError("txlog source requires a table path")
         log_dir = os.path.join(path.rstrip("/"), _LOG_DIR)
         versions = _list_versions(log_dir)
         if not versions:
             raise FileNotFoundError(f"no TxTable commit log at {log_dir}")
+        if "versionasof" in self.options:
+            # time-travel batch read: that version's schema, not today's
+            v_as_of = int(self.options["versionasof"])
+            versions = [v for v in versions if v <= v_as_of]
+            if not versions:
+                raise ValueError(f"versionAsOf={v_as_of} predates the "
+                                 f"commit log at {log_dir}")
         # newest commit carrying a schema wins (every commit records one).
         # All fields served nullable: files written before a column was
         # added NULL-fill it, and old logs (pre-r11) may carry widened
@@ -461,6 +533,36 @@ class TxLogStreamDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> TxLogStreamReader:
         return TxLogStreamReader(schema, dict(self.options))
+
+    def reader(self, schema: StructType) -> TxLogBatchReader:
+        return TxLogBatchReader(schema, dict(self.options))
+
+
+def read_txlog_snapshot(spark, path: str, version: "int | None" = None):
+    """Batch snapshot (optionally time-traveled) via the data source —
+    session-free parity with ``TxTable.snapshot(version)``."""
+    spark.dataSource.register(TxLogStreamDataSource)
+    r = spark.read.format("txlog")
+    if version is not None:
+        r = r.option("versionAsOf", str(version))
+    return r.load(path)
+
+
+def read_txlog_changes(spark, path: str, v_from: int,
+                       v_to: "int | None" = None,
+                       skip_change_commits: bool = False):
+    """Batch per-commit change feed for versions ``v_from+1 .. v_to`` —
+    the batch twin of the streaming CDC mode (operation-level, with
+    ``_change``/``_commit_version``), vs ``TxTable.changes()`` which is
+    the range value-diff."""
+    spark.dataSource.register(TxLogStreamDataSource)
+    r = (spark.read.format("txlog").option("mode", "cdc")
+         .option("startingVersion", str(v_from))
+         .option("skipChangeCommits",
+                 "true" if skip_change_commits else "false"))
+    if v_to is not None:
+        r = r.option("endingVersion", str(v_to))
+    return r.load(path)
 
 
 def read_txlog_stream(spark, path: str, starting_version: "int | str" = 0,

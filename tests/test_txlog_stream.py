@@ -473,3 +473,59 @@ def test_stream_snapshot_start_pins_version_across_probe_race(
     snap_paths = {p.path for p in snap_parts}
     tail_paths = {p.path for p in tail_parts}
     assert tail_paths and not (snap_paths & tail_paths)
+
+
+def test_batch_snapshot_read_matches_txtable(spark, sf_dir, tdir):
+    """spark.read.format('txlog') — session-free batch snapshot with
+    versionAsOf time travel — must equal TxTable.snapshot() at every
+    version, through DV deletes, schema evolution, and compaction."""
+    from data_integration_celery_spark.sources.txlog_stream import (
+        read_txlog_snapshot)
+
+    table = f"{tdir}/t"
+    t = TxTable(spark, table, batch_partitions=2)
+    t.create(_orders(spark, sf_dir, 0, 200))
+    t.delete_where(F.col("o_orderkey") % 3 == 0)           # v2: DVs
+    widened = (_orders(spark, sf_dir, 200, 250)
+               .withColumn("extra", F.lit(7).cast("long")))
+    t.append(widened, merge_schema=True)                   # v3: evolution
+    t.compact()                                            # v4
+
+    for v in [1, 2, 3, 4, None]:
+        got = read_txlog_snapshot(spark, table, version=v)
+        want = t.snapshot(version=v)
+        assert sorted(got.columns) == sorted(want.columns), v
+        assert sorted(map(tuple, got.select(*want.columns).collect())) == \
+            sorted(map(tuple, want.collect())), f"version {v}"
+
+
+def test_batch_table_changes_matches_stream_cdc(spark, sf_dir, tdir):
+    """TxTable.table_changes — the batch per-commit CDC feed — must emit
+    exactly the rows the streaming CDC source emits over the same version
+    range (same planner by construction; this pins it end-to-end through
+    DV delete, DV update, CDF CoW merge, and overwrite)."""
+    table = f"{tdir}/t"
+    t = TxTable(spark, table, batch_partitions=2)
+    t.create(_orders(spark, sf_dir, 0, 200), stats_cols=["o_orderkey"],
+             change_data_feed=True)
+    t.delete_where(F.col("o_orderkey") % 5 == 0)
+    t.update_where(F.col("o_orderkey") % 7 == 0,
+                   {"o_totalprice": "o_totalprice + 1000"})
+    t.merge_upsert(_orders(spark, sf_dir, 0, 60)
+                   .withColumn("o_totalprice", F.col("o_totalprice") + 2),
+                   ["o_orderkey"])
+    t.overwrite(_orders(spark, sf_dir, 300, 400))
+    v_end = t.latest_version()
+
+    batch = t.table_changes(0, v_end)
+    streamed = _drain_cdc(spark, table, tdir, "batch_vs_stream")
+    def rows(df):
+        cols = sorted(df.columns)
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+    assert rows(batch) == rows(streamed)
+    # inclusive/exclusive contract: changes since v_end-1 = the overwrite
+    last = t.table_changes(v_end - 1)
+    assert set(r[0] for r in last.select("_commit_version")
+               .distinct().collect()) == {v_end}
+    dele = last.where(F.col("_change") == "delete")
+    assert dele.count() == t.snapshot(version=v_end - 1).count()
