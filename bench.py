@@ -108,11 +108,11 @@ SPEC_CHANGES = {
         " _near_dup_augmented_docs) so the gate checks a dense band (31"
         " rows at sf0.01) instead of 1; adds ~+2% docs and ~30 output"
         " pairs per 2 seeds — r11+ history carries the augmented workload."
-        " r12: LEFT the registry (VERDICT r11 item 5) — the uncapped"
-        " emitter was the suite's one output-bound alpha>1 century row and"
-        " recurring interference entry; dedup_pairs_capped (which runs the"
-        " same emitter internally, bounded output) carries the gate slot,"
-        " and cap=INF==uncapped is pinned in pytest"),
+        " r12: dedup_pairs_capped (which runs the same emitter internally,"
+        " bounded output) took the GATE slot per VERDICT r11 item 5; the"
+        " uncapped emitter stays declared (optimization-round contract:"
+        " queries are never removed) but rests outside the gate window,"
+        " with cap=INF==uncapped additionally pinned in pytest"),
     "dedup_pairs_capped": (
         "r11: same clique augmentation as dedup_ngram_jaccard — cap=2 on a"
         " 6-clique guarantees pairs_dropped>0 by pigeonhole (15 pairs, 12"

@@ -1403,16 +1403,50 @@ def _near_dup_augmented_docs(spark, sf_dir):
 
 
 # dedup_ngram_jaccard (the UNCAPPED 3-gram-shingle Jaccard pair emitter)
-# left the registry in r12 per VERDICT r11 item 5: it was the suite's one
-# output-bound alpha>1 century row (1.60, alpha <= alpha_out 2.04) and its
-# recurring interference ledger entry, while dedup_pairs_capped — the
-# bounded-output production default built ON the same emitter (the capped
-# query below runs ngram_jaccard_pairs internally) — carries the exact
-# oracle in the gate window. The uncapped emitter's correctness is pinned
-# as the capped form's pytest differential (cap=INF == uncapped, ledger
-# zero: tests/test_dedup_methods.py test_cap_infinity_equals_uncapped) on
-# top of the existing operator-level method-equivalence tests; 11 rounds
-# of green driver history (r1-r11) stand in CORRECTNESS_r*.json.
+# briefly left the registry mid-r12 per VERDICT r11 item 5, but the
+# optimization-round contract is explicit — declared queries may be ADDED,
+# never removed — so it is restored below, unchanged from its 11-round
+# green form; it rests outside the 50-query gate window (r11-green, due
+# r14) while dedup_pairs_capped (the bounded-output production default
+# built ON the same emitter) carries the family's gated oracle slot, and
+# cap=INF == uncapped stays pinned in pytest
+# (tests/test_dedup_methods.py test_cap_infinity_equals_uncapped).
+@q("dedup_ngram_jaccard",
+   sql=f"""
+   WITH {_NEAR_DUP_AUG_SQL},
+   norm AS (
+     SELECT doc_id, source,
+            string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                               '\\s+') AS tok
+     FROM aug),
+   sh AS (
+     SELECT doc_id, source,
+            CASE WHEN len(tok) >= 3
+                 THEN list_distinct(list_transform(range(1, len(tok) - 1),
+                                                   i -> array_to_string(tok[i:i+2], ' ')))
+                 ELSE [array_to_string(tok, ' ')] END AS sh
+     FROM norm)
+   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+   FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+   WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.2
+   """,
+   doc="Near-dup: exact 3-gram-shingle Jaccard over source-blocked candidate "
+       "pairs (array_intersect JVM-side). Blocking bounds the self-join; at "
+       "scale the block key is an LSH bucket (see dedup_minhash_lsh). Runs "
+       "on the clique-augmented corpus (_near_dup_augmented_docs) so the "
+       "driver check carries a dense band, not 1 row (r10 verdict item 3).")
+def dedup_ngram_q(spark, sf_dir):
+    from .operators import dedup
+    return dedup.ngram_jaccard_pairs(_near_dup_augmented_docs(spark, sf_dir),
+                                     threshold=0.2, block_col="source") \
+        .select("id_a", "id_b", "jaccard")
+
+
+# dedup_pairs_capped carries the emitter family's gated oracle slot
+# (VERDICT r11 item 5); the uncapped form above rests outside the window.
 @q("dedup_pairs_capped",
    sql=f"""
    WITH {_NEAR_DUP_AUG_SQL},
@@ -5149,7 +5183,7 @@ QUERY_PRIORITY: list[str] = [
     "j9_asof_last_report", "o3_topk_worst", "w6_argmax_cross_section",
     "w7_continuous_contract", "w10_monthly_sample", "txt_contamination",
     "dedup_components_star", "dedup_minhash_md5", "dedup_frequent_ngrams",
-    "dedup_embedding_pairs", "stream_bars_1min",
+    "dedup_ngram_jaccard", "dedup_embedding_pairs", "stream_bars_1min",
     "pipeline_worst_window_return", "txt_winnowing",
     "pipeline_quality_filter", "pipeline_dedup_survivors",
     "mm_image_features", "ann_ivf_full_probe", "ann_pq_rerank",

@@ -93,6 +93,8 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
         [r"partial", r"Aggregate"], [r"CartesianProduct"]),
     "o3_topk_worst": (
         [r"TakeOrderedAndProject"], [r"Sort .*global=true"]),
+    "dedup_ngram_jaccard": (
+        [r"HashAggregate"], [r"CartesianProduct"]),
     # capped pair emitter: the per-doc ranking window must hashpartition on
     # the exploded doc axis (__d) — never a global sort; the only
     # nested-loop allowed is the sanctioned broadcast 1-row ledger cross
