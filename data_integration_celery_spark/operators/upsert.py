@@ -60,6 +60,25 @@ def upsert_frames(base: DataFrame, updates: DataFrame, keys: list[str],
     sink's checkpoint guarantees this) or persist their own version column
     in the row payload.
     """
+    return (
+        upsert_annotated(base, updates, keys, order_col)
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__src", order_col)
+    )
+
+
+def upsert_annotated(base: DataFrame, updates: DataFrame, keys: list[str],
+                     order_col: str = "batch_id") -> DataFrame:
+    """The merge kernel's ranked union, before the winners are filtered:
+    ``base ∪ updates`` with ``__src`` (0 = base, 1 = updates) and ``__rn``
+    (1 = the last-write-wins winner per PK, same tiebreak as
+    ``upsert_frames`` — which is literally ``where __rn = 1`` over this).
+
+    Exposed so the change-data-feed write side (``TxTable._write_merge_cdf``)
+    can derive update_pre/update_post/insert rows from the SAME ranked union
+    the merge itself uses — one shuffle on the PK, and the two can never
+    disagree on a winner.
+    """
     if order_col not in base.columns:
         base = base.withColumn(order_col, F.lit(0).cast("long"))
     if order_col not in updates.columns:
@@ -69,11 +88,7 @@ def upsert_frames(base: DataFrame, updates: DataFrame, keys: list[str],
     unioned = base.unionByName(updates, allowMissingColumns=True)
     w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc(),
                                           F.col("__src").desc())
-    return (
-        unioned.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn", "__src", order_col)
-    )
+    return unioned.withColumn("__rn", F.row_number().over(w))
 
 
 def _fs(spark, path: str):

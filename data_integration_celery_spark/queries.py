@@ -532,15 +532,25 @@ def s6g_dv_coalesce(spark, sf_dir):
     # sidecar-set witness for CDC silence: identical (file, pos) sets over
     # identical data files mean identical DV-filtered reads, so the
     # keyed changes() diff cancels by construction. Both sides re-read
-    # from disk; the scan is sidecar-sized (deleted rows), not table-sized
+    # from disk; the scan is sidecar-sized (deleted rows), not table-sized.
+    # One signed-union aggregation replaces the former PAIR of
+    # exceptAll().isEmpty() actions (optimization r12, guide §1.2): +1 per
+    # old-set row, -1 per new-sidecar row — every per-identity sum is zero
+    # iff the multisets are equal, which is exactly
+    # old.exceptAll(new).isEmpty() AND new.exceptAll(old).isEmpty(),
+    # in a single job instead of two.
     names = {os.path.basename(a["path"]) for a in live if a.get("dv")}
     old = (spark.read.parquet(*[f"{root}/orders/{r}" for r in old_refs])
            .where(F.col("__file").isin(*names))
            .select("__file", "__pos").dropDuplicates())
     new = (spark.read.parquet(f"{root}/orders/{refs[0][0]}")
            .select("__file", "__pos")) if one else old.limit(0)
-    silent = (one and old.exceptAll(new).isEmpty()
-              and new.exceptAll(old).isEmpty())
+    mismatched = (old.withColumn("__sign", F.lit(1))
+                  .unionAll(new.withColumn("__sign", F.lit(-1)))
+                  .groupBy("__file", "__pos")
+                  .agg(F.sum("__sign").alias("__d"))
+                  .where(F.col("__d") != 0))
+    silent = one and mismatched.isEmpty()
     return (t.snapshot()
             .withColumn("coalesced_to_one", F.lit(bool(one)))
             .withColumn("cdc_silent", F.lit(bool(silent))))

@@ -34,8 +34,10 @@ Scale notes (the 100 TB shape):
   never required for correctness (a missing or stale checkpoint just means a
   longer replay).
 * Every ``add`` carries per-file min/max stats for the declared
-  ``stats_cols`` (collected with one ``input_file_name()`` aggregation over
-  the just-written batch — one extra scan of the batch, not the table).
+  ``stats_cols`` (read from the just-written parquet FOOTERS — O(files)
+  driver metadata I/O, no re-read of the data; a Spark
+  ``input_file_name()`` aggregation remains as the fallback for stats
+  columns whose footer min/max is not provably exact).
   ``merge_upsert`` uses them for FILE-LEVEL pruning: only files whose stat
   range overlaps the update keys are rewritten (copy-on-write), the rest of
   the table is never opened. Batches are ``repartitionByRange`` on
@@ -65,7 +67,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-from data_integration_celery_spark.operators.upsert import upsert_frames
+from data_integration_celery_spark.operators.upsert import (
+    upsert_annotated, upsert_frames)
 
 _LOG_DIR = "_txlog"
 _DATA_DIR = "_data"
@@ -774,29 +777,105 @@ class TxTable:
         elif num:
             out = out.coalesce(num)
         out.write.mode("error").parquet(batch_dir)
-        # explicit schema: a 0-row batch writes no part files and inference
-        # would fail; with the schema given the scan is just empty
-        written = self.spark.read.schema(df.schema).parquet(batch_dir)
-        aggs = [F.count(F.lit(1)).alias("__rows")]
-        for c in stats_cols:
-            aggs.append(F.min(c).alias(f"__min_{c}"))
-            aggs.append(F.max(c).alias(f"__max_{c}"))
-        per_file = (written.groupBy(F.input_file_name().alias("__file"))
-                    .agg(*aggs).collect())  # bounded: one row per written file
-        adds = []
-        for row in per_file:
-            parsed = urlparse(row["__file"])
-            abs_path = unquote(parsed.path)
-            rel = os.path.relpath(abs_path, _plain_path(self.path))
-            stats = {c: {"min": _widen(row[f"__min_{c}"], -1),
-                         "max": _widen(row[f"__max_{c}"], +1)}
-                     for c in stats_cols}
-            adds.append({"path": rel, "rows": row["__rows"], "stats": stats})
+        adds = self._footer_adds(batch_dir, batch, df.schema, stats_cols)
+        if adds is None:
+            # Spark-job fallback (non-POSIX table paths, stats columns
+            # whose parquet footer min/max is not provably exact):
+            # explicit schema — a 0-row batch writes no part files and
+            # inference would fail; with the schema given the scan is
+            # just empty
+            written = self.spark.read.schema(df.schema).parquet(batch_dir)
+            aggs = [F.count(F.lit(1)).alias("__rows")]
+            for c in stats_cols:
+                aggs.append(F.min(c).alias(f"__min_{c}"))
+                aggs.append(F.max(c).alias(f"__max_{c}"))
+            per_file = (written.groupBy(F.input_file_name().alias("__file"))
+                        .agg(*aggs).collect())  # bounded: one row per file
+            adds = []
+            for row in per_file:
+                parsed = urlparse(row["__file"])
+                abs_path = unquote(parsed.path)
+                rel = os.path.relpath(abs_path, _plain_path(self.path))
+                stats = {c: {"min": _widen(row[f"__min_{c}"], -1),
+                             "max": _widen(row[f"__max_{c}"], +1)}
+                         for c in stats_cols}
+                adds.append({"path": rel, "rows": row["__rows"],
+                             "stats": stats})
         if bloom and bloom.get("cols"):
+            written = self.spark.read.schema(df.schema).parquet(batch_dir)
             blooms = self._build_blooms(written, bloom)
             for a in adds:
                 if a["path"] in blooms:
                     a["bloom"] = blooms[a["path"]]
+        return adds
+
+    def _footer_adds(self, batch_dir: str, batch_rel: str,
+                     schema: StructType, stats_cols: list[str]
+                     ) -> list[dict] | None:
+        """Per-file add-actions (rows + min/max stats) from the parquet
+        FOOTERS of the just-written batch — no second read of the data.
+
+        The original stats collection re-scanned every written byte with an
+        ``input_file_name()`` aggregation (guide §1.2: an extra full pass
+        per write — at 100 TB each commit read back everything it wrote).
+        Parquet already persists exact per-row-group min/max for integer
+        and date physical types, so for those the footers ARE the
+        aggregation; reading them is O(files) driver-side metadata I/O,
+        the same cost class as writing the commit JSON itself.
+
+        Returns None — caller falls back to the Spark-job path — when the
+        table is not on a locally-readable filesystem, when a stats column
+        is not footer-exact (strings truncate, float/double NaN ordering
+        is writer-defined), or when any populated row group lacks stats.
+        The fallback produces byte-identical add-actions (pinned by
+        tests), so this is a pure execution-path choice.
+        """
+        from pyspark.sql.types import (
+            ByteType, DateType, IntegerType, LongType, ShortType)
+        if urlparse(batch_dir).scheme not in ("", "file"):
+            return None
+        exact = (ByteType, ShortType, IntegerType, LongType, DateType)
+        fields = {f.name: f.dataType for f in schema.fields}
+        if any(not isinstance(fields.get(c), exact) for c in stats_cols):
+            return None
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:  # pragma: no cover - pyarrow ships with pyspark
+            return None
+        plain = _plain_path(batch_dir)
+        try:
+            names = sorted(n for n in os.listdir(plain)
+                           if n.endswith(".parquet"))
+        except OSError:
+            return None
+        adds: list[dict] = []
+        for fname in names:
+            try:
+                md = pq.ParquetFile(os.path.join(plain, fname)).metadata
+            except OSError:
+                return None
+            if md.num_rows == 0:
+                continue  # the Spark-job path never lists rowless files
+            idx = {md.row_group(0).column(i).path_in_schema: i
+                   for i in range(md.num_columns)} if md.num_row_groups \
+                else {}
+            stats: dict = {}
+            for c in stats_cols:
+                i = idx.get(c)
+                if i is None:
+                    return None
+                mins, maxs = [], []
+                for r in range(md.num_row_groups):
+                    col = md.row_group(r).column(i)
+                    s = col.statistics
+                    if s is None or not s.has_min_max:
+                        return None  # can't prove exactness — fall back
+                    mins.append(s.min)
+                    maxs.append(s.max)
+                stats[c] = {"min": _widen(min(mins), -1),
+                            "max": _widen(max(maxs), +1)}
+            adds.append({"path": f"{batch_rel}/{fname}",
+                         "rows": md.num_rows, "stats": stats})
         return adds
 
     def _build_blooms(self, written: DataFrame, bloom: dict) -> dict:
@@ -1219,15 +1298,15 @@ class TxTable:
                                   bloom=self._bloom_spec(meta))
         extra: dict = {"pruned_files": len(kept)}
         if self._cdf_enabled(meta):
-            extra.update(self._write_merge_cdf(base, merged, conformed,
-                                               keys, schema))
+            extra.update(self._write_merge_cdf(base, conformed, keys,
+                                               schema, order_col))
         return self._commit("merge_upsert", adds, [a["path"] for a in touched],
                             read_version=version, schema_json=meta["schema"],
                             extra=extra, txn=txn)
 
-    def _write_merge_cdf(self, base: DataFrame, merged: DataFrame,
-                         updates: DataFrame, keys: list[str],
-                         schema: StructType) -> dict:
+    def _write_merge_cdf(self, base: DataFrame, updates: DataFrame,
+                         keys: list[str], schema: StructType,
+                         order_col: str = "batch_id") -> dict:
         """Change-data files for a copy-on-write merge — the published CDF
         write-side design (Delta's change-data-feed: DML commits persist
         their row-level changes so CDC readers never diff snapshots).
@@ -1245,19 +1324,35 @@ class TxTable:
         Retention: CDF sidecars are unreferenced by any live set, so
         ``vacuum`` reclaims them after its TTL — a CDC consumer lagging
         past the vacuum horizon loses the feed, the same retention
-        contract the batch time-travel read documents."""
+        contract the batch time-travel read documents.
+
+        Plan shape (optimization r12, guide §2.3/§2.4): the original form
+        semi/anti-joined base and merged against ``dropDuplicates`` key
+        sets — five joins and two extra key shuffles over touched data.
+        All three change classes are decidable per PK group of the SAME
+        ranked union the merge itself computes (``upsert_annotated``):
+        a group with an update row classifies its base row as update_pre
+        and its winner as update_post (key existed) or insert (key new).
+        One shuffle on the PK, one window, one explode — and the feed can
+        never disagree with the merge on a winner, because it IS the
+        merge's ranking."""
+        from pyspark.sql import Window
         cols = [f.name for f in schema.fields]
-        upd_keys = updates.select(*keys).dropDuplicates()
-        base_keys = base.select(*keys).dropDuplicates()
-        pre = (base.join(upd_keys, keys, "left_semi")
-               .select(*cols, F.lit("update_pre").alias("_change")))
-        touched_out = merged.join(upd_keys, keys, "left_semi")
-        post = (touched_out.join(base_keys, keys, "left_semi")
-                .select(*cols, F.lit("update_post").alias("_change")))
-        ins = (touched_out.join(base_keys, keys, "left_anti")
-               .select(*cols, F.lit("insert").alias("_change")))
+        wk = Window.partitionBy(*keys)
+        ann = (upsert_annotated(base, updates, keys, order_col)
+               .withColumn("__has_base", F.min("__src").over(wk) == 0)
+               .withColumn("__has_upd", F.max("__src").over(wk) == 1))
+        # a row can be BOTH (a base row that wins against an older update
+        # replay is the group's update_pre AND its update_post), so each
+        # row emits 0-2 labeled change rows via a compacted-array explode
+        labels = F.array_compact(F.array(
+            F.when((F.col("__src") == 0) & F.col("__has_upd"),
+                   F.lit("update_pre")),
+            F.when((F.col("__rn") == 1) & F.col("__has_upd"),
+                   F.when(F.col("__has_base"), F.lit("update_post"))
+                    .otherwise(F.lit("insert")))))
         cdf_dir = f"{_DATA_DIR}/cdf_{uuid.uuid4().hex}"
-        (pre.unionByName(post).unionByName(ins)
+        (ann.select(*cols, F.explode(labels).alias("_change"))
             .write.parquet(os.path.join(self.path, cdf_dir)))
         return {"cdf_files": [cdf_dir]}
 
@@ -1320,6 +1415,26 @@ class TxTable:
         return self._commit_dv_delete(matched, version, meta, live, txn)
 
     @staticmethod
+    def _sized_for_write(df: DataFrame, n_input_files: int,
+                         threshold: int = 16) -> DataFrame:
+        """REBALANCE (AQE-sized) a DV-sidecar frame before its write when
+        its scan reads enough files to produce a small-files problem.
+
+        A selective delete's matched rows inherit the FULL scan's
+        partitioning, so a 0.1% delete over a large table would write one
+        near-empty sidecar file per scan task (guide §6: small files hurt
+        every later snapshot read, coalesce and CDC extraction, which all
+        open every sidecar). The rebalance exchange moves only the deleted
+        rows and lets AQE size the output files adaptively — the published
+        optimized-write design. The trigger is the LIVE FILE COUNT feeding
+        the scan — known driver-side from the commit log for free (a
+        ``.rdd.getNumPartitions()`` probe would force AQE stage execution)
+        and scale-adaptive by construction: a 100 TB table is always far
+        above ``threshold`` files, a unit-test table never, and below it
+        the un-rebalanced write cannot fan out enough files to matter."""
+        return df.hint("rebalance") if n_input_files > threshold else df
+
+    @staticmethod
     def _require_unique_basenames(live: list[dict]) -> None:
         """DV row identity is keyed by file BASENAME: a collision would
         attribute one file's deleted positions to another and silently
@@ -1340,7 +1455,8 @@ class TxTable:
         current one when nothing matched (no commit burned)."""
         self._require_unique_basenames(live)
         sidecar = f"{_DATA_DIR}/dv_{uuid.uuid4().hex}"
-        matched.write.parquet(os.path.join(self.path, sidecar))
+        self._sized_for_write(matched, len(live)).write.parquet(
+            os.path.join(self.path, sidecar))
         counts = {r["__file"]: r["n"] for r in
                   self.spark.read.parquet(os.path.join(self.path, sidecar))
                   .groupBy("__file").agg(F.count(F.lit(1)).alias("n"))
@@ -1400,7 +1516,8 @@ class TxTable:
         matched = (self._read_adds(live, schema, with_rowid=True)
                    .where(cond).select("__file", "__pos"))
         sidecar = f"{_DATA_DIR}/dv_{uuid.uuid4().hex}"
-        matched.write.parquet(os.path.join(self.path, sidecar))
+        self._sized_for_write(matched, len(live)).write.parquet(
+            os.path.join(self.path, sidecar))
         dv = self.spark.read.parquet(os.path.join(self.path, sidecar))
         counts = {r["__file"]: r["n"] for r in
                   dv.groupBy("__file").agg(F.count(F.lit(1)).alias("n"))
@@ -1561,9 +1678,13 @@ class TxTable:
         names = self.spark.createDataFrame(
             [(os.path.basename(a["path"]),) for a in dv_files], "__file string")
         sidecar = f"{_DATA_DIR}/dv_{uuid.uuid4().hex}"
+        # rebalanced write: the dedup shuffle leaves shuffle.partitions
+        # near-empty reducers; a coalescing op must not itself write a
+        # small-file sidecar (the file count it exists to bound)
         (self.spark.read.parquet(*[os.path.join(self.path, r) for r in refs])
              .select("__file", "__pos").dropDuplicates()
              .join(F.broadcast(names), "__file", "left_semi")
+             .hint("rebalance")
              .write.parquet(os.path.join(self.path, sidecar)))
         counts = {r["__file"]: r["n"] for r in
                   self.spark.read.parquet(os.path.join(self.path, sidecar))

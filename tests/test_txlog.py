@@ -1787,3 +1787,135 @@ def test_merge_cdf_respects_file_pruning(spark, sf_dir, tdir):
         F.col("after") != F.col("before") + 7).count() == 0
     # and the table state itself is the merged result
     assert t.snapshot().count() == o.count() + len(matched)
+
+
+# -------------------------------------------- optimization-r12 equivalence
+
+
+def test_footer_stats_match_spark_job_stats(spark, sf_dir, tdir):
+    """The footer fast path and the Spark-job fallback must produce
+    byte-identical add-actions (path, rows, min/max) — the optimization is
+    a pure execution-path choice, never a semantic one."""
+    t = TxTable(spark, tdir, batch_partitions=3)
+    src = _orders(spark, sf_dir)
+    t.create(src, stats_cols=["o_orderkey"])
+    adds = t.live_files()
+    batch_rel = os.path.dirname(adds[0]["path"])
+    batch_dir = os.path.join(tdir, batch_rel)
+    fast = t._footer_adds(batch_dir, batch_rel, src.schema, ["o_orderkey"])
+    assert fast is not None, "integer stats col must take the footer path"
+    # recompute through the Spark-job path over the same files
+    written = spark.read.schema(src.schema).parquet(batch_dir)
+    per_file = (written.groupBy(F.input_file_name().alias("__f"))
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.min("o_orderkey").alias("mn"),
+                     F.max("o_orderkey").alias("mx")).collect())
+    slow = sorted(
+        {"path": f"{batch_rel}/{os.path.basename(r['__f'])}",
+         "rows": r["n"],
+         "stats": {"o_orderkey": {"min": r["mn"], "max": r["mx"]}}}
+        for r in per_file) if False else sorted(
+        ({"path": f"{batch_rel}/{os.path.basename(r['__f'])}",
+          "rows": r["n"],
+          "stats": {"o_orderkey": {"min": r["mn"], "max": r["mx"]}}}
+         for r in per_file), key=lambda a: a["path"])
+    assert sorted(fast, key=lambda a: a["path"]) == slow
+    # and the committed log carries exactly these
+    assert sorted(({"path": a["path"], "rows": a["rows"],
+                    "stats": a["stats"]} for a in adds),
+                  key=lambda a: a["path"]) == slow
+
+
+def test_footer_stats_fall_back_for_string_cols(spark, sf_dir, tdir):
+    """String footer min/max may be truncated by the writer, so a string
+    stats column must refuse the footer path (fall back to the exact
+    Spark-job aggregation) — and the commit still records correct stats."""
+    t = TxTable(spark, tdir, batch_partitions=2)
+    src = _orders(spark, sf_dir)
+    t.create(src, stats_cols=["o_orderstatus"])
+    adds = t.live_files()
+    batch_rel = os.path.dirname(adds[0]["path"])
+    assert t._footer_adds(os.path.join(tdir, batch_rel), batch_rel,
+                          src.schema, ["o_orderstatus"]) is None
+    lo = min(a["stats"]["o_orderstatus"]["min"] for a in adds)
+    hi = max(a["stats"]["o_orderstatus"]["max"] for a in adds)
+    row = src.agg(F.min("o_orderstatus"), F.max("o_orderstatus")).collect()[0]
+    assert (lo, hi) == (row[0], row[1])
+
+
+def test_merge_cdf_single_pass_matches_join_form(spark, sf_dir, tdir):
+    """The one-pass windowed CDF write must emit exactly the rows of the
+    original three-join formulation: update_pre = matched base rows,
+    update_post = the merge's winners for existing keys, insert = winners
+    for new keys — including the replayed-older-batch case where the BASE
+    row wins its own update (order_col ties broken like the merge)."""
+    t = TxTable(spark, tdir, batch_partitions=2)
+    src = _orders(spark, sf_dir).where(F.col("o_orderkey") < 400)
+    t.create(src, stats_cols=["o_orderkey"], change_data_feed=True)
+    # seed a newer base state for keys 0..99 so a batch_id=1 update LOSES
+    t.merge_upsert(src.where(F.col("o_orderkey") < 100)
+                   .withColumn("o_totalprice", F.lit(9.0))
+                   .withColumn("batch_id", F.lit(5).cast("long")),
+                   ["o_orderkey"])
+    upd = (src.where(F.col("o_orderkey").between(50, 149))
+           .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+           .withColumn("batch_id", F.lit(1).cast("long")))
+    ins = (src.where(F.col("o_orderkey") % 7 == 0)
+           .withColumn("o_orderkey", -F.col("o_orderkey") - 1)
+           .withColumn("batch_id", F.lit(1).cast("long")))
+    updates = upd.unionByName(ins)
+    base_before = t.snapshot()
+    merged_ref = upsert_frames(base_before, updates, ["o_orderkey"])
+    t.merge_upsert(updates, ["o_orderkey"])
+    commit = t.history()[-1]
+    feed = spark.read.parquet(
+        *[os.path.join(tdir, d) for d in commit["cdf_files"]])
+
+    # the original three-join reference form, computed over the same state
+    upd_keys = updates.select("o_orderkey").dropDuplicates()
+    base_keys = base_before.select("o_orderkey").dropDuplicates()
+    cols = base_before.columns
+    pre_ref = (base_before.join(upd_keys, ["o_orderkey"], "left_semi")
+               .select(*cols, F.lit("update_pre").alias("_change")))
+    touched = merged_ref.join(upd_keys, ["o_orderkey"], "left_semi")
+    post_ref = (touched.join(base_keys, ["o_orderkey"], "left_semi")
+                .select(*cols, F.lit("update_post").alias("_change")))
+    ins_ref = (touched.join(base_keys, ["o_orderkey"], "left_anti")
+               .select(*cols, F.lit("insert").alias("_change")))
+    ref = pre_ref.unionByName(post_ref).unionByName(ins_ref)
+    assert _rows(feed.select(*cols, "_change")) == _rows(ref)
+    # pre-images carry the seeded base state, post-images the new winners
+    # (snapshot re-stamps base at batch_id 0, so the update wins — the
+    # documented replay semantics)
+    pre_seeded = feed.where((F.col("_change") == "update_pre")
+                            & (F.col("o_orderkey") < 100))
+    assert pre_seeded.count() == 50
+    assert pre_seeded.where(F.col("o_totalprice") != 9.0).count() == 0
+    assert feed.where((F.col("_change") == "update_post")
+                      & (F.col("o_totalprice") == 9.0)).count() == 0
+
+
+def test_merge_cdf_base_wins_emits_identity_update(spark):
+    """When the table schema itself carries the order column and the base
+    row outranks its update (an older batch replayed), the group's winner
+    IS the base row: the feed must emit it as BOTH update_pre and
+    update_post (identity update) — the published operation-level CDF
+    semantics, and the one case where a single physical row yields two
+    change rows in the one-pass form."""
+    import tempfile
+
+    from pyspark.sql.types import StructType
+    base = spark.createDataFrame(
+        [(1, 10.0, 5), (2, 20.0, 5)], "k long, v double, batch_id long")
+    upd = spark.createDataFrame(
+        [(2, 99.0, 1), (3, 30.0, 1)], "k long, v double, batch_id long")
+    schema = StructType([f for f in base.schema.fields
+                         if f.name != "batch_id"])
+    with tempfile.TemporaryDirectory() as d:
+        t = TxTable(spark, d)
+        out = t._write_merge_cdf(base, upd, ["k"], schema, "batch_id")
+        feed = spark.read.parquet(
+            *[os.path.join(d, c) for c in out["cdf_files"]])
+        assert _rows(feed) == sorted([(2, 20.0, "update_pre"),
+                                      (2, 20.0, "update_post"),
+                                      (3, 30.0, "insert")])
