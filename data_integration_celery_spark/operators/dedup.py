@@ -1237,7 +1237,11 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                      .alias("component"))
         # materialize the new generation before dropping the old one —
         # localCheckpoint also truncates lineage so plan size stays O(1)
-        # across rounds instead of growing per iteration
+        # across rounds instead of growing per iteration. (r12 A/B:
+        # making these LAZY under fixed_rounds — one deep job instead of
+        # one job per round — measured identical at sf0.1 over interleaved
+        # fresh-session runs; the per-round scheduling it saves is noise
+        # next to the shuffles, so the simpler eager form stays.)
         new_labels = new_labels.localCheckpoint(eager=True)
         if fixed_rounds is None:
             joined.unpersist()

@@ -837,14 +837,15 @@ def s10b_zorder_skipping(spark, sf_dir):
     # (custkey ⟂ orderkey), which is what the driver's gate runs on.
     t.create(src, stats_cols=["o_orderkey", "o_custkey"])
     n0 = len(t.live_files())
-    cmax = src.agg(F.max("o_custkey")).collect()[0][0]
+    # both probe bounds in ONE scalar aggregation (guide §1.2: was two
+    # separate collect jobs over the same scan)
+    cmax, kmax = src.agg(F.max("o_custkey"), F.max("o_orderkey")).collect()[0]
     hi = cmax // 8
     before = len(t.snapshot(prune={"o_custkey": (0, hi)}).inputFiles())
     t.compact(target_files=16, zorder=["o_orderkey", "o_custkey"], bits=4)
     n1 = len(t.live_files())
     pruned = t.snapshot(prune={"o_custkey": (0, hi)})
     after = len(pruned.inputFiles())
-    kmax = src.agg(F.max("o_orderkey")).collect()[0][0]
     key_after = len(
         t.snapshot(prune={"o_orderkey": (0, kmax // 8)}).inputFiles())
     n_match = pruned.where(F.col("o_custkey") <= hi).count()
