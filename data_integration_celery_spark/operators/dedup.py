@@ -1200,7 +1200,10 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     ``fixed_rounds`` skips the per-round convergence count: when the caller
     knows a diameter bound (dup clusters from banded LSH are near-cliques —
     diameter ≤ 2-3), running exactly that many rounds saves one Spark action
-    per round. With ``fixed_rounds=None`` the loop self-terminates.
+    per round — and takes the FUSED round (self-loop union → one join + one
+    min-aggregate per round; the join-back the convergence count needed, and
+    its exchange, disappear). With ``fixed_rounds=None`` the loop
+    self-terminates on the two-join form.
 
     Returns (node, component).
     """
@@ -1215,22 +1218,46 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
               .withColumn("component", F.col("node")))
     labels.cache()
     labels.count()
-    converged = fixed_rounds is not None
-    for i in range(fixed_rounds if fixed_rounds is not None else max_iter):
+    if fixed_rounds is not None:
+        # Fused round (optimization r12, guide §2.4): adding a SELF-LOOP
+        # per node folds "min over neighbours, then least(own, nbr_min)
+        # via a join-back" into ONE join + one partial-agg min — the
+        # self-loop contributes the node's own label to its group, so the
+        # aggregate IS the new label and the second join (and its
+        # exchange) disappears. Only valid without the convergence count,
+        # which needed the old-vs-new comparison the join-back provided;
+        # the caller-declared round bound is exactly that case.
+        # (A/B at sf0.1, interleaved: 3.1-3.6 s → 2.1-2.7 s per call,
+        # output bit-identical to the join-back form.)
+        selfed = edges.union(
+            labels.select(F.col("node").alias("src"),
+                          F.col("node").alias("dst")))
+        for _ in range(fixed_rounds):
+            new_labels = (selfed
+                          .join(labels.withColumnRenamed("node", "src"),
+                                "src")
+                          .groupBy(F.col("dst").alias("node"))
+                          .agg(F.min("component").alias("component"))
+                          .localCheckpoint(eager=True))
+            labels.unpersist()
+            labels = new_labels
+        edges.unpersist()
+        return labels
+    converged = False
+    for i in range(max_iter):
         # one join per round, reused for both the propagation and the
         # convergence check: candidate = min over neighbours' labels
         cand = (edges.join(labels.withColumnRenamed("node", "src"), "src")
                 .groupBy(F.col("dst").alias("node"))
                 .agg(F.min("component").alias("nbr_min")))
         joined = labels.join(cand, "node", "left")
-        if fixed_rounds is None:
-            joined.cache()
-            n_changed = joined.where(
-                F.col("nbr_min") < F.col("component")).count()
-            if n_changed == 0:
-                joined.unpersist()
-                converged = True
-                break
+        joined.cache()
+        n_changed = joined.where(
+            F.col("nbr_min") < F.col("component")).count()
+        if n_changed == 0:
+            joined.unpersist()
+            converged = True
+            break
         new_labels = joined.select(
             "node", F.least("component",
                             F.coalesce("nbr_min", "component"))
@@ -1238,13 +1265,12 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         # materialize the new generation before dropping the old one —
         # localCheckpoint also truncates lineage so plan size stays O(1)
         # across rounds instead of growing per iteration. (r12 A/B:
-        # making these LAZY under fixed_rounds — one deep job instead of
-        # one job per round — measured identical at sf0.1 over interleaved
-        # fresh-session runs; the per-round scheduling it saves is noise
-        # next to the shuffles, so the simpler eager form stays.)
+        # making these LAZY — one deep job instead of one job per round —
+        # measured identical at sf0.1 over interleaved fresh-session runs;
+        # the per-round scheduling it saves is noise next to the shuffles,
+        # so the simpler eager form stays.)
         new_labels = new_labels.localCheckpoint(eager=True)
-        if fixed_rounds is None:
-            joined.unpersist()
+        joined.unpersist()
         labels.unpersist()
         labels = new_labels
     edges.unpersist()

@@ -143,6 +143,28 @@ def test_connected_components_chain_and_islands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
 
 
+def test_fixed_rounds_fused_equals_self_terminating(spark):
+    """Differential for the r12 fused fixed-rounds form (self-loop union →
+    one join + one min-aggregate per round): on graphs whose diameter fits
+    the round budget it must label every node identically to the
+    self-terminating two-join form — chains (worst case), a clique, a pair,
+    and reversed/duplicate edges."""
+    from data_integration_celery_spark.operators import dedup
+
+    chain = [(i, i + 1) for i in range(4)]               # diameter 4
+    clique = [(100 + i, 100 + j) for i in range(4) for j in range(i + 1, 4)]
+    extra = [(200, 201), (201, 200), (300, 301)]
+    pairs = spark.createDataFrame(chain + clique + extra,
+                                  "id_a long, id_b long")
+    want = {r["node"]: r["component"]
+            for r in dedup.connected_components(pairs).collect()}
+    got = {r["node"]: r["component"]
+           for r in dedup.connected_components(pairs,
+                                               fixed_rounds=4).collect()}
+    assert got == want
+    assert set(got.values()) == {0, 100, 200, 300}
+
+
 def test_star_contraction_equals_min_label_on_chain(spark):
     """Differential: large/small-star contraction vs min-label propagation on
     the min-label worst case (one long chain) plus cliques and singles-free
