@@ -5155,18 +5155,74 @@ def u5_schema_reconcile_q(spark, sf_dir):
 # stream_dedup_incremental (s6b + stream pytest matrices),
 # s6c/s6d/s6f/s10b (s6b/s6e/s10c in + s6j/s6k new — the TxTable family
 # keeps five gated rows).
+# Round-13 rotation (optimization round 2; mechanically per VERDICT r12
+# items 1/2 and --stale 2 at round open): IN — the four changed-or-
+# unadjudicated rows the verdict names first (s6j/s6k keep their gates;
+# s6g_dv_coalesce and dedup_components were REWRITTEN in r12 but rotated
+# out of the r12 window, so they re-earn their oracles now — the new
+# standing rule: a rewritten query re-earns its oracle the same round it
+# changes), the full 14-strong r10-green cohort due at age 3 (a8, a14b,
+# u4_membership_changepoints, w8, pipeline_cluster_survivors,
+# dedup_components, dedup_semdedup, mm_audio_features, smp_epoch_shuffle,
+# stream_dedup_incremental_md5, s6c, s6d, s6f, s10b), and 33 of the 49
+# resting r11-greens pulled a round early — leading with this round's
+# own optimization targets (s6h/s6i streaming amortization,
+# pipeline_dedup_survivors + the minhash emitter family feeding the
+# survivor-pick work) so every query whose internals change this round
+# is driver-adjudicated this round. OUT — the 47 freshly-r12-green rows
+# rest (due r15, incl. dedup_pairs_capped and the s6b/s6e/s10c TxTable
+# verdicts — s6j/s6k/s6g/s6c/s6d/s6f/s10b keep seven TxTable rows
+# gated), and 15 r11-greens wait for r14, each with an in-window family
+# sibling: emb_centroid_outliers (dedup_semdedup covers embedding ops),
+# smp_pack_sequences (token_budget/epoch_shuffle in), txt_ccnet_split
+# (contamination/winnowing/pii/lm/chunk_stride in), a13+a3 (a8/a14b +
+# w6/w10 aggs in), f4 (a8's audit sibling + j6 maintenance in), u4_scd2+
+# u5 (u4_membership_changepoints in), w4/w9/w8b/w1b (w6/w7/w8/w10/w11b
+# in), j8b (j5/j9/j6/j7 in; bucketed twin pytest-pinned equal to j8),
+# mm_video_frames (mm_audio/mm_image in), s6_upsert_last_write_wins
+# (its kernel executes inside the gated s6j merge every round).
 QUERY_PRIORITY: list[str] = [
-    # new capabilities (never-checked exact oracles — gated on arrival)
-    "s6j_cdc_cow_merge", "s6k_dv_compact",
-    # the capped pair emitter keeps the emitter family's slot (item 5)
+    # changed-or-unadjudicated gates (VERDICT r12 items 1/2)
+    "s6j_cdc_cow_merge", "s6k_dv_compact", "s6g_dv_coalesce",
+    "dedup_components",
+    # r10 cohort due this round (age 3)
+    "a8_median_cross_section", "a14b_sketch_errorband",
+    "u4_membership_changepoints", "w8_quarterize",
+    "pipeline_cluster_survivors", "dedup_semdedup",
+    "mm_audio_features", "smp_epoch_shuffle",
+    "stream_dedup_incremental_md5",
+    "s6c_cdc_feed", "s6d_stream_txlog_exactly_once", "s6f_dv_update",
+    "s10b_zorder_skipping",
+    # r11 greens pulled a round early (r14 smoothing: 33 of 49), leading
+    # with this round's optimization targets
+    "s6h_stream_source", "s6i_stream_cdc",
+    "j5_anti_join_new_codes", "j9_asof_last_report", "o3_topk_worst",
+    "w6_argmax_cross_section", "w7_continuous_contract",
+    "w10_monthly_sample", "txt_contamination",
+    "dedup_components_star", "dedup_minhash_md5", "dedup_frequent_ngrams",
+    "dedup_ngram_jaccard", "dedup_embedding_pairs", "stream_bars_1min",
+    "pipeline_worst_window_return", "txt_winnowing",
+    "pipeline_quality_filter", "pipeline_dedup_survivors",
+    "mm_image_features", "ann_ivf_full_probe", "ann_pq_rerank",
+    "txt_pii_redact", "smp_token_budget", "txt_lm_perplexity",
+    "txt_chunk_stride", "pipeline_e2_merge_daily",
+    "j6_code_mapping_maintenance", "j7_code_extract_join",
+    "eav_unpivot_pivot", "p4_inlist_semijoin", "w11b_adjusted_diff",
+    "pipeline_revenue_topk",
+    # ---- position 51+: r11 greens resting one more round (due r14) ----
+    "emb_centroid_outliers", "smp_pack_sequences", "txt_ccnet_split",
+    "a13_sessionize", "a3_tick_to_bars", "f4_snapshot_audit",
+    "u4_scd2_intervals", "u5_schema_reconcile", "w4_ffill",
+    "w9_expand_calendar", "w8b_quarterize_exact",
+    "j8b_interval_join_bucketed", "w1b_rank_scalable", "mm_video_frames",
+    "s6_upsert_last_write_wins",
+    # ---- r12 greens resting (due r15) ----
     "dedup_pairs_capped",
-    # r9 cohort due this round (age 3)
     "s1_filtered_scan", "p3_regex_filter", "a1_watermark_per_key",
     "j1_vendor_merge_full_outer", "j10_asof_point_lookup", "a9_describe",
     "pipeline_region_revenue", "dedup_span_removal", "dedup_simhash_md5",
     "dedup_semdedup_incremental", "ann_lsh_full_probe", "txt_vocab_topk",
     "smp_mixture_resample", "txt_bpe_train",
-    # r10 cohort pulled a round early (r13 smoothing: 33 of 47)
     "f3_cleaning_exprs", "f5_rename_ladder",
     "j2_three_source_merge", "j13_incremental_ranges", "j8_interval_join",
     "j14_main_sec_join", "j11_argmax_latest_per_key",
@@ -5181,33 +5237,6 @@ QUERY_PRIORITY: list[str] = [
     "txt_features", "ann_cosine_topk",
     "smp_dsir_md5", "smp_hash_split", "smp_source_quota",
     "s6b_acid_merge", "s6e_deletion_vectors", "s10c_bloom_point_lookup",
-    # ---- position 51+: r10 greens resting one more round (due r13) ----
-    "a8_median_cross_section", "a14b_sketch_errorband",
-    "u4_membership_changepoints", "w8_quarterize",
-    "pipeline_cluster_survivors", "dedup_components", "dedup_semdedup",
-    "mm_audio_features", "smp_epoch_shuffle",
-    "stream_dedup_incremental_md5",
-    "s6c_cdc_feed", "s6d_stream_txlog_exactly_once", "s6f_dv_update",
-    "s10b_zorder_skipping",
-    # ---- r11 greens resting (due r14) ----
-    "j5_anti_join_new_codes", "s6g_dv_coalesce",
-    "j9_asof_last_report", "o3_topk_worst", "w6_argmax_cross_section",
-    "w7_continuous_contract", "w10_monthly_sample", "txt_contamination",
-    "dedup_components_star", "dedup_minhash_md5", "dedup_frequent_ngrams",
-    "dedup_ngram_jaccard", "dedup_embedding_pairs", "stream_bars_1min",
-    "pipeline_worst_window_return", "txt_winnowing",
-    "pipeline_quality_filter", "pipeline_dedup_survivors",
-    "mm_image_features", "ann_ivf_full_probe", "ann_pq_rerank",
-    "txt_pii_redact", "smp_token_budget", "txt_lm_perplexity",
-    "txt_chunk_stride", "pipeline_e2_merge_daily",
-    "j6_code_mapping_maintenance", "j7_code_extract_join",
-    "eav_unpivot_pivot", "p4_inlist_semijoin", "w11b_adjusted_diff",
-    "pipeline_revenue_topk", "emb_centroid_outliers", "smp_pack_sequences",
-    "txt_ccnet_split", "a13_sessionize", "a3_tick_to_bars",
-    "f4_snapshot_audit", "u4_scd2_intervals", "u5_schema_reconcile",
-    "w4_ffill", "w9_expand_calendar", "w8b_quarterize_exact",
-    "j8b_interval_join_bucketed", "w1b_rank_scalable", "mm_video_frames",
-    "s6i_stream_cdc", "s6h_stream_source", "s6_upsert_last_write_wins",
     # ---- rows-only (no oracle — never occupy a gated slot) ----
     "w11_adjusted_continuous", "ann_ivf_topk", "dedup_minhash_lsh",
     "dedup_simhash", "ann_lsh_topk", "dedup_simhash_hamming",

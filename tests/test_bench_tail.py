@@ -56,3 +56,24 @@ def test_unfixable_overflow_raises_not_midline_cut():
     compact, med = _compact(0, sf="x" * 2100)
     with pytest.raises(AssertionError, match="compact bench line"):
         _padded_compact_line(compact, med)
+
+
+def test_protected_names_survive_truncation():
+    # r12 verdict item 5: a fast query that the PREVIOUS tail carried must
+    # stay in this tail even when its current time falls below the
+    # slowest-N cutoff — otherwise the driver's PERF diff mis-reports it
+    # as dropped_from_bench
+    compact, med = _compact(500)
+    protected = frozenset(["q001", "q002"])  # among the very fastest
+    doc = _check(_padded_compact_line(compact, med, protected))
+    assert "q001" in doc["queries"] and "q002" in doc["queries"]
+    # and the slowest unprotected names still dominate the rest of the tail
+    assert max(med, key=med.get) in doc["queries"]
+
+
+def test_protection_does_not_block_eviction_when_all_protected():
+    # pathological: everything protected — eviction must still shrink the
+    # line to a parseable 2000 bytes rather than loop or overflow
+    compact, med = _compact(500)
+    doc = _check(_padded_compact_line(compact, med, frozenset(med)))
+    assert len(doc["queries"]) < 500
