@@ -1207,13 +1207,25 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
 
     Returns (node, component).
     """
-    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-             .union(pairs.select(F.col(id_b).alias("src"),
-                                 F.col(id_a).alias("dst")))
+    # Symmetrize with ONE pass over ``pairs`` (optimization r13, guide
+    # §1.2): the old ``pairs.union(pairs.swapped)`` executed the pairs
+    # plan twice — for callers whose pair source is itself a join/window
+    # pipeline (the fixture generators, the banded emitters) that doubled
+    # the most expensive input stage. explode(array(fwd, rev)) reads each
+    # pair once and emits both directions; the distinct sees the same
+    # multiset. (A/B at sf0.1, interleaved: 4.1-4.4 s -> 3.4-3.8 s for
+    # dedup_components, outputs identical.)
+    edges = (pairs.select(F.explode(F.array(
+                F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+                F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+             )).alias("e"))
+             .select("e.src", "e.dst")
              .distinct())
     edges.cache()
+    # edges is symmetric by construction, so the src values alone already
+    # cover every node — no need to union in dst and double the distinct's
+    # input (same r13 pass)
     labels = (edges.select(F.col("src").alias("node"))
-              .union(edges.select(F.col("dst").alias("node")))
               .distinct()
               .withColumn("component", F.col("node")))
     labels.cache()
@@ -1229,9 +1241,14 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         # the caller-declared round bound is exactly that case.
         # (A/B at sf0.1, interleaved: 3.1-3.6 s → 2.1-2.7 s per call,
         # output bit-identical to the join-back form.)
+        # ``selfed`` lazily references the cached initial ``labels``, so
+        # that cache must SURVIVE the loop: unpersisting it on round 1
+        # (the old code) made every later round recompute the distinct
+        # node list from edges inside the self-loop branch (ADVICE r12)
+        init_labels = labels
         selfed = edges.union(
-            labels.select(F.col("node").alias("src"),
-                          F.col("node").alias("dst")))
+            init_labels.select(F.col("node").alias("src"),
+                               F.col("node").alias("dst")))
         for _ in range(fixed_rounds):
             new_labels = (selfed
                           .join(labels.withColumnRenamed("node", "src"),
@@ -1239,8 +1256,10 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                           .groupBy(F.col("dst").alias("node"))
                           .agg(F.min("component").alias("component"))
                           .localCheckpoint(eager=True))
-            labels.unpersist()
+            if labels is not init_labels:
+                labels.unpersist()
             labels = new_labels
+        init_labels.unpersist()
         edges.unpersist()
         return labels
     converged = False
@@ -1352,13 +1371,19 @@ def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
                  .where(F.col("src") != F.col("dst"))
                  .distinct())
         # small-star: edges are (larger, smaller); every node and its smaller
-        # neighbours attach to the neighbourhood min
+        # neighbours attach to the neighbourhood min. Emitted via explode
+        # rather than a self-union (optimization r13, guide §1.2): the
+        # union's two branches each recomputed ``small`` — i.e. the
+        # window's shuffle+sort ran TWICE per round; explode evaluates the
+        # window once and emits both re-attachments per row.
         small = edges.withColumn("m", F.min("dst").over(wsrc))
         # lazy checkpoint: the checksum action below materializes it, so
         # each round runs ONE job (plan truncation + fixpoint check), not two
-        edges = (small.select(F.col("dst").alias("src"),
-                              F.col("m").alias("dst"))
-                 .union(small.select("src", F.col("m").alias("dst")))
+        edges = (small.select(F.explode(F.array(
+                    F.struct(F.col("dst").alias("src"), F.col("m").alias("dst")),
+                    F.struct(F.col("src").alias("src"), F.col("m").alias("dst"))
+                 )).alias("e"))
+                 .select("e.src", "e.dst")
                  .where(F.col("src") != F.col("dst"))
                  .distinct()
                  .localCheckpoint(eager=False))

@@ -852,7 +852,11 @@ class TxTable:
         for fname in names:
             try:
                 md = pq.ParquetFile(os.path.join(plain, fname)).metadata
-            except OSError:
+            except Exception:
+                # not just OSError: pyarrow raises ArrowInvalid (and
+                # relatives) on an unreadable/corrupt footer — every
+                # failure here must take the Spark-job fallback, never
+                # crash the commit (ADVICE r12)
                 return None
             if md.num_rows == 0:
                 continue  # the Spark-job path never lists rowless files
@@ -1333,9 +1337,17 @@ class TxTable:
         ranked union the merge itself computes (``upsert_annotated``):
         a group with an update row classifies its base row as update_pre
         and its winner as update_post (key existed) or insert (key new).
-        One shuffle on the PK, one window, one explode — and the feed can
-        never disagree with the merge on a winner, because it IS the
-        merge's ranking."""
+        One shuffle on the PK, one window, one explode — the feed applies
+        the merge's OWN ranking (``upsert_annotated``), so within the
+        upsert contract — (keys, order_col) unique per frame — it always
+        names the same winner the merge wrote. (The ranking is re-executed
+        in a separate job; inputs that BREAK that contract with ties on
+        (order_col, __src) have no defined winner in the merge either, and
+        the two executions could then rank differently.) NULL merge keys
+        follow the window's null-equality grouping — one group per
+        all-null key tuple, emitting update_pre/update_post like any other
+        group — whereas a join-based CDF (null never matches) would emit
+        nothing for them; this matches the merge's own null semantics."""
         from pyspark.sql import Window
         cols = [f.name for f in schema.fields]
         wk = Window.partitionBy(*keys)

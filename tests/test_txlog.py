@@ -1811,10 +1811,6 @@ def test_footer_stats_match_spark_job_stats(spark, sf_dir, tdir):
                      F.min("o_orderkey").alias("mn"),
                      F.max("o_orderkey").alias("mx")).collect())
     slow = sorted(
-        {"path": f"{batch_rel}/{os.path.basename(r['__f'])}",
-         "rows": r["n"],
-         "stats": {"o_orderkey": {"min": r["mn"], "max": r["mx"]}}}
-        for r in per_file) if False else sorted(
         ({"path": f"{batch_rel}/{os.path.basename(r['__f'])}",
           "rows": r["n"],
           "stats": {"o_orderkey": {"min": r["mn"], "max": r["mx"]}}}
