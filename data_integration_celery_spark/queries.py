@@ -3544,14 +3544,20 @@ def pipeline_cluster_survivors(spark, sf_dir):
     clustered = (docs.select("doc_id", "n_chars")
                  .join(labeled, "doc_id")
                  .select("doc_id", "component", "n_chars"))
-    wsz = Window.partitionBy("component")
-    wrn = Window.partitionBy("component") \
-                .orderBy(F.desc("n_chars"), F.asc("doc_id"))
-    reps = (clustered
-            .withColumn("cluster_size", F.count(F.lit(1)).over(wsz))
-            .withColumn("rn", F.row_number().over(wrn))
-            .where(F.col("rn") == 1)
-            .select("doc_id", "cluster_size"))
+    # Keep-best survivor as ONE aggregation, not a count-window plus a
+    # row_number-window (optimization r13, guide §2.3): the windows sorted
+    # every member row inside the component shuffle; the argmax-by-struct
+    # aggregate gets map-side partial aggregation, so the exchange carries
+    # one row per (component, map partition) instead of every member.
+    # max(struct(n_chars, -doc_id, doc_id)) == the rn=1 row of
+    # orderBy(desc(n_chars), asc(doc_id)): lexicographic max takes the
+    # highest n_chars, then the highest -doc_id i.e. the lowest doc_id.
+    reps = (clustered.groupBy("component")
+            .agg(F.count(F.lit(1)).alias("cluster_size"),
+                 F.max(F.struct(F.col("n_chars"),
+                                (-F.col("doc_id")).alias("__neg"),
+                                F.col("doc_id"))).alias("__best"))
+            .select(F.col("__best.doc_id").alias("doc_id"), "cluster_size"))
     singletons = (docs.join(labeled.select("doc_id"), "doc_id", "left_anti")
                   .select("doc_id", F.lit(1).cast("long").alias("cluster_size")))
     return singletons.unionByName(reps)
