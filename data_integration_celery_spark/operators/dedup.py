@@ -317,24 +317,25 @@ def minhash_clusters(docs: DataFrame, text_col: str = "text",
     the naive composite measured alpha 1.39 with constant OUTPUT
     (394 s at ~sf10) — the quadratic intermediate was the entire excess.
 
-    The signature table is materialized once (MEMORY_AND_DISK persist): it
-    feeds the distinct-sig aggregate, the banded self-join and the member
-    expansion, and without materialization each consumer — multiplied
-    again by the composite's reps/singletons double-use — re-runs the
-    32-min-agg shingle pipeline. persist (lineage retained, recompute on
-    executor loss) rather than localCheckpoint (unreplicated blocks, one
-    lost executor fails the job): the signature pipeline is one fixed
-    non-iterative stage, so there is no plan-growth reason to truncate
-    lineage and the resilience is free. At 100 TB this is the persisted
-    signature/index table anyway (``banded_signatures`` stores the same
-    rows bucketed).
+    The signature table is materialized once (MEMORY_AND_DISK persist),
+    annotated with its signature group's representative and size (see
+    ``_annotated_signatures``): it feeds the banded self-join and the
+    member expansion, and without materialization each consumer —
+    multiplied again by the composite's reps/singletons double-use —
+    re-runs the 32-min-agg shingle pipeline. persist (lineage retained,
+    recompute on executor loss) rather than localCheckpoint (unreplicated
+    blocks, one lost executor fails the job): the signature pipeline is
+    one fixed non-iterative stage, so there is no plan-growth reason to
+    truncate lineage and the resilience is free. At 100 TB this is the
+    persisted signature/index table anyway (``banded_signatures`` stores
+    the same rows bucketed).
     """
-    sig_df = _persist_swap(
+    ann = _persist_swap(
         "minhash_clusters",
-        minhash_signature_table(docs, text_col, id_col, num_hashes,
-                                perm_hash))
-    usig = sig_df.groupBy("sig").agg(F.min(id_col).alias("rep"))
-    rep_banded = _band_explode(usig.select("rep", "sig"), ["rep"],
+        _annotated_signatures(docs, text_col, id_col, num_hashes,
+                              perm_hash))
+    usig = ann.where(F.col(id_col) == F.col("rep")).select("rep", "sig")
+    rep_banded = _band_explode(usig, ["rep"],
                                num_hashes, bands, bucket_hash)
     a, b = rep_banded.alias("a"), rep_banded.alias("b")
     rep_pairs = (a.join(b, ["band", "bucket"])
@@ -347,14 +348,14 @@ def minhash_clusters(docs: DataFrame, text_col: str = "text",
                  .select("id_a", "id_b")
                  .dropDuplicates())
     comp = connected_components_star(rep_pairs)
-    members = sig_df.join(usig, "sig").select(id_col, "rep")
-    gsz = members.groupBy("rep").agg(F.count(F.lit(1)).alias("__n"))
     rep_comp = comp.select(F.col("node").alias("rep"), "component")
-    return (members.join(gsz, "rep")
-            .join(rep_comp, "rep", "left")
+    # cnt (signature-group size) == the old members-per-rep count: rep is
+    # the min id of its sig group and sig groups are disjoint doc sets,
+    # so rep <-> sig is 1:1 and the groupBy(rep) recount is redundant
+    return (ann.join(rep_comp, "rep", "left")
             .withColumn("component",
                         F.coalesce(F.col("component"),
-                                   F.when(F.col("__n") >= 2, F.col("rep"))))
+                                   F.when(F.col("cnt") >= 2, F.col("rep"))))
             .where(F.col("component").isNotNull())
             .select(id_col, "component"))
 
@@ -388,6 +389,36 @@ def _est_jaccard(sig_a: Column, sig_b: Column, num_hashes: int) -> Column:
         matches = matches + (F.element_at(sig_a, i + 1)
                              == F.element_at(sig_b, i + 1)).cast("int")
     return matches / F.lit(num_hashes)
+
+
+def _annotated_signatures(docs: DataFrame, text_col: str, id_col: str,
+                          num_hashes: int, perm_hash) -> DataFrame:
+    """``minhash_signature_table`` rows annotated with their signature
+    group: ``(id, sig, rep = min id over same-sig docs, cnt = group
+    size)`` via ONE ``Window.partitionBy(sig)`` pass (optimization r13,
+    guide §2.4/§3 join elimination).
+
+    The old shape — ``groupBy("sig")`` for (rep, cnt) plus a
+    ``sig_df.join(usig, "sig")`` back for members — sort-merge-joined on
+    the ARRAY key, and because only the bare signature table was
+    persisted, that array-keyed join re-executed for every member-
+    expansion consumer (ma/mb/grp in ``minhash_banded_pairs``: up to 4
+    executions). Annotating inside the persist runs the sig-partitioned
+    window once; every former join consumer becomes a filter or
+    projection of the cached rows. Both minhash entry points persist
+    THIS same plan, keeping their CacheManager aliasing (see the LRU
+    note above _persist_swap).
+
+    ``sig`` is an ``array()`` constructor output, never NULL, so the old
+    join form matched every row and equality with the window form is
+    exact (window partition keys group like groupBy keys).
+    """
+    wsig = Window.partitionBy("sig")
+    return (minhash_signature_table(docs, text_col, id_col, num_hashes,
+                                    perm_hash)
+            .select(F.col(id_col), "sig",
+                    F.min(id_col).over(wsig).alias("rep"),
+                    F.count(F.lit(1)).over(wsig).alias("cnt")))
 
 
 def minhash_banded_pairs(docs: DataFrame, text_col: str, id_col: str,
@@ -426,12 +457,12 @@ def minhash_banded_pairs(docs: DataFrame, text_col: str, id_col: str,
     instead of failing the job — the signature stage is non-iterative, so
     plan truncation buys nothing here (see minhash_clusters).
     """
-    sig_df = _persist_swap(
+    ann = _persist_swap(
         "minhash_banded_pairs",
-        minhash_signature_table(docs, text_col, id_col, num_hashes,
-                                perm_hash))
-    usig = sig_df.groupBy("sig").agg(F.min(id_col).alias("rep"),
-                                     F.count(F.lit(1)).alias("cnt"))
+        _annotated_signatures(docs, text_col, id_col, num_hashes,
+                              perm_hash))
+    usig = ann.where(F.col(id_col) == F.col("rep")) \
+              .select("rep", "sig", "cnt")
     rep_banded = _band_explode(usig.select("rep", "sig"), ["rep"],
                                num_hashes, bands, bucket_hash)
     a, b = rep_banded.alias("a"), rep_banded.alias("b")
@@ -448,8 +479,7 @@ def minhash_banded_pairs(docs: DataFrame, text_col: str, id_col: str,
                          _est_jaccard(F.col("a.sig"), F.col("b.sig"),
                                       num_hashes).alias("est_jaccard"))
                  .dropDuplicates(["rep_a", "rep_b"]))
-    members = sig_df.join(usig, "sig").select(F.col(id_col).alias("__id"),
-                                              "rep")
+    members = ann.select(F.col(id_col).alias("__id"), "rep")
     ma = members.select(F.col("rep").alias("rep_a"), F.col("__id").alias("ia"))
     mb = members.select(F.col("rep").alias("rep_b"), F.col("__id").alias("ib"))
     cross = (sig_pairs.join(ma, "rep_a").join(mb, "rep_b")
@@ -457,7 +487,8 @@ def minhash_banded_pairs(docs: DataFrame, text_col: str, id_col: str,
                      F.greatest("ia", "ib").alias("id_b"), "est_jaccard"))
     # same-signature pairs: identical signatures collide in every band and
     # est_jaccard is exactly 1.0 (num_hashes/num_hashes in int/int->double)
-    grp = members.join(usig.where(F.col("cnt") >= 2).select("rep"), "rep")
+    grp = ann.where(F.col("cnt") >= 2) \
+             .select("rep", F.col(id_col).alias("__id"))
     same = (grp.select("rep", F.col("__id").alias("id_a"))
             .join(grp.select("rep", F.col("__id").alias("id_b")), "rep")
             .where(F.col("id_a") < F.col("id_b"))
