@@ -989,3 +989,85 @@ def test_cap_infinity_equals_uncapped(spark, sf_dir):
     s2 = stats2.collect()[0]
     assert s2["pairs_dropped"] > 0
     assert kept2.count() == s2["pairs_kept"] < s["pairs_kept"]
+
+
+def test_annotated_signatures_rep_cnt_match_groupby(spark):
+    """_annotated_signatures (optimization r13) replaces the old
+    groupBy("sig") + join-back-on-sig with one window pass; rep must equal
+    the group's min id, cnt the group size, and the rep-filtered rows must
+    be exactly one per distinct signature — on a corpus with exact-dup
+    groups (collapsing), a near-dup pair (distinct sigs) and singletons."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from data_integration_celery_spark.operators.dedup import (
+        _annotated_signatures, _perm_hash_md5, minhash_signature_table)
+
+    rnd = random.Random(13)
+    vocab = [f"tok{i}" for i in range(50)]
+    rows, doc_id = [], 0
+    for g in range(5):                       # 5 exact-dup groups of 3
+        text = " ".join(rnd.sample(vocab, 10))
+        for _ in range(3):
+            rows.append((doc_id, text)); doc_id += 1
+    for _ in range(7):                       # singletons
+        rows.append((doc_id, " ".join(rnd.sample(vocab, 10)))); doc_id += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    ann = _annotated_signatures(docs, "text", "doc_id", 16, _perm_hash_md5)
+    got = [(r["doc_id"], tuple(r["sig"]), r["rep"], r["cnt"])
+           for r in ann.collect()]
+    assert len(got) == len(rows)
+
+    # reference: the old groupBy form over the same signature table
+    sig = minhash_signature_table(docs, "text", "doc_id", 16,
+                                  _perm_hash_md5)
+    ref = {tuple(r["sig"]): (r["rep"], r["cnt"])
+           for r in sig.groupBy("sig")
+                       .agg(F.min("doc_id").alias("rep"),
+                            F.count(F.lit(1)).alias("cnt")).collect()}
+    for _id, s, rep, cnt in got:
+        assert (rep, cnt) == ref[s]
+    # rep-filtered rows = exactly one per distinct signature, and that row
+    # is the group's min id (the usig contract both entry points rely on)
+    reps = [(r, s) for _id, s, r, _c in got if _id == r]
+    assert len(reps) == len(ref)
+    assert {s for _r, s in reps} == set(ref)
+
+
+def test_cluster_survivor_argmax_equals_window_pick(spark):
+    """The argmax-by-struct survivor pick (optimization r13,
+    pipeline_cluster_survivors) must equal the rn=1 row of
+    orderBy(desc(n_chars), asc(doc_id)) per component — including ties on
+    n_chars, where the LOWEST doc_id must win."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [  # (doc_id, component, n_chars) with deliberate ties
+        (1, 100, 50), (2, 100, 50), (3, 100, 10),     # tie: doc 1 wins
+        (7, 200, 5), (8, 200, 99),                    # clear max: doc 8
+        (9, 300, 1),                                  # singleton comp
+    ]
+    clustered = spark.createDataFrame(
+        rows, "doc_id long, component long, n_chars int")
+
+    agg = (clustered.groupBy("component")
+           .agg(F.count(F.lit(1)).alias("cluster_size"),
+                F.max(F.struct(F.col("n_chars"),
+                               (-F.col("doc_id")).alias("__neg"),
+                               F.col("doc_id"))).alias("__best"))
+           .select(F.col("__best.doc_id").alias("doc_id"), "cluster_size"))
+
+    wsz = Window.partitionBy("component")
+    wrn = Window.partitionBy("component") \
+                .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    ref = (clustered
+           .withColumn("cluster_size", F.count(F.lit(1)).over(wsz))
+           .withColumn("rn", F.row_number().over(wrn))
+           .where(F.col("rn") == 1)
+           .select("doc_id", "cluster_size"))
+
+    got = {(r["doc_id"], r["cluster_size"]) for r in agg.collect()}
+    want = {(r["doc_id"], r["cluster_size"]) for r in ref.collect()}
+    assert got == want == {(1, 3), (8, 2), (9, 1)}
